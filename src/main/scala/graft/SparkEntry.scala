@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import graft.sink.{SinkKeys, SinkStrategy}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * north-star extension) exercised over the parquet test tables; the
+  * matching [[oracleSql]] is the ANSI-SQL twin the driver runs in DuckDB.
+  * Column names and types are aligned pair-by-pair; all floating-point
+  * outputs are either exact (integer/decimal arithmetic, identical fold
+  * order) or rounded after deterministic computation.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    Changelog.fromEvents(t(s, dir, "events"))
+
+  /** Shared decimal casts: exact money arithmetic in both engines. */
+  private def dec2(c: Column): Column = c.cast("decimal(12,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(4,2)")
+
+  // Parquet ms-timestamps arrive as TIMESTAMP_NTZ; in a UTC session the
+  // LTZ reinterpretation is exactly DuckDB's naive epoch_us.
+  private val tsUs: Column => Column = c => unix_micros(c.cast("timestamp_ltz"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- core analytics (declarative plans; Catalyst does pushdown,
+    //     partial agg, broadcast-join selection) --------------------------
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount")))
+            * (lit(1).cast("decimal(4,2)") + dec4(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      // Dimension chain is tiny → broadcast joins; only lineitem⋈orders shuffles.
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
+    // S3/T1: full-snapshot scan + computed sign column
+    "s3_snapshot_sign" -> ((s, dir) => {
+      CdcOps.withSnapshotSign(t(s, dir, "orders"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), tsUs(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_orderpriority"), col("sign"))
+    }),
+
+    // T2: schema/table filter (pushed down)
+    "t2_filter_tables" -> ((s, dir) => {
+      CdcOps.filterTables(changelog(s, dir), tables = Seq("t0", "t1"),
+          schemaCol = "tbl", tableCol = "tbl")
+        .select(col("event_id"), col("tbl"), col("action"), col("pk"),
+          col("value"), tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // T3: DML-kind filter
+    "t3_filter_dml" -> ((s, dir) => {
+      CdcOps.filterDml(changelog(s, dir),
+          skipDeleteTables = Set("t1"), skipUpdateTables = Set("t2"),
+          tableCol = "tbl")
+        .select(col("event_id"), col("tbl"), col("action"), col("pk"),
+          col("value"), tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // T4: update → delete+insert decomposition
+    "t4_split_updates" -> ((s, dir) => {
+      CdcOps.splitUpdates(changelog(s, dir))
+        .select(col("event_id"), col("tbl"), col("action"),
+          col("action_seq"), col("pk"), col("value"),
+          tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // A1: micro-batch trigger modeling (count cap per table)
+    "a1_microbatch" -> ((s, dir) => {
+      CdcOps.microBatchId(changelog(s, dir), insertNum = 500,
+          partitionCols = Seq("tbl"), orderCols = Seq("ts", "event_id"))
+        .groupBy(col("tbl"), col("batch_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(tsUs(col("ts"))).as("min_ts_us"),
+          max(tsUs(col("ts"))).as("max_ts_us"))
+    }),
+
+    // A2: per-PK last-write-wins dedup
+    "a2_dedup_pk" -> ((s, dir) => {
+      CdcOps.dedupByPk(changelog(s, dir), pkCols = Seq("pk"),
+          orderCols = Seq("ts", "event_id"),
+          extraPartition = Seq("tbl", "action"))
+        .select(col("tbl"), col("action"), col("pk"), col("value"),
+          tsUs(col("ts")).as("ts_us"), col("event_id"))
+    }),
+
+    // A3: collapsing sign assignment
+    "a3_sign_collapse" -> ((s, dir) => {
+      CdcOps.withCollapsingSign(changelog(s, dir))
+        .select(col("event_id"), col("tbl"), col("action"), col("pk"),
+          col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
+    }),
+
+    // A4: apply ordering — deletes before inserts, time-sorted
+    "a4_apply_order" -> ((s, dir) => {
+      CdcOps.applyOrder(CdcOps.splitUpdates(changelog(s, dir)),
+          partitionCols = Seq("tbl"), seqCol = "action_seq",
+          orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("tbl"), col("action"),
+          col("action_seq"), col("pk"), tsUs(col("ts")).as("ts_us"),
+          col("apply_rank"))
+    }),
+
+    // A5: count verification across all tables
+    "a5_count_check" -> ((s, dir) => {
+      Tables.names.map { name =>
+        t(s, dir, name).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tbl"), col("n_rows"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // K5/§7.3: ReplacingMergeTree read-time resolution
+    "engine_replacing" -> ((s, dir) => {
+      SinkStrategy.replacingResolve(changelog(s, dir),
+          SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // K5/§7.3: CollapsingMergeTree read-time resolution
+    "engine_collapsing" -> ((s, dir) => {
+      val signed = CdcOps.withCollapsingSign(changelog(s, dir))
+      SinkStrategy.collapsingResolve(signed,
+          SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
+    }),
+
+    // K5/§7.3: VersionedCollapsingMergeTree read-time resolution
+    "engine_versioned_collapsing" -> ((s, dir) => {
+      val signed = CdcOps.withCollapsingSign(changelog(s, dir))
+      SinkStrategy.versionedCollapsingResolve(signed,
+          SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
+    })
+  )
+
+  // =====================================================================
+  // Oracle SQL (DuckDB dialect, same parquet tables registered as views)
+  // =====================================================================
+  private val CL = "WITH " + Changelog.sqlCte
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM region
+        | JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "s3_snapshot_sign" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+        | CAST(1 AS TINYINT) AS sign
+        |FROM orders""".stripMargin,
+
+    "t2_filter_tables" -> (CL +
+      """
+        |SELECT event_id, tbl, action, pk, value, epoch_us(ts) AS ts_us
+        |FROM changelog WHERE tbl IN ('t0','t1')""".stripMargin),
+
+    "t3_filter_dml" -> (CL +
+      """
+        |SELECT event_id, tbl, action, pk, value, epoch_us(ts) AS ts_us
+        |FROM changelog
+        |WHERE NOT (action = 'delete' AND tbl IN ('t1'))
+        |  AND NOT (action = 'update' AND tbl IN ('t2'))""".stripMargin),
+
+    "t4_split_updates" -> (CL +
+      """
+        |SELECT event_id, tbl, 'delete' AS action, CAST(1 AS INT) AS action_seq,
+        |       pk, value, epoch_us(ts) AS ts_us
+        |FROM changelog WHERE action IN ('update','delete')
+        |UNION ALL
+        |SELECT event_id, tbl, 'insert' AS action, CAST(2 AS INT) AS action_seq,
+        |       pk, value, epoch_us(ts) AS ts_us
+        |FROM changelog WHERE action IN ('update','insert')""".stripMargin),
+
+    "a1_microbatch" -> (CL + """,
+        |ranked AS (
+        |  SELECT tbl, ts,
+        |         row_number() OVER (PARTITION BY tbl ORDER BY ts, event_id) AS rn
+        |  FROM changelog)
+        |SELECT tbl, CAST((rn - 1) // 500 AS BIGINT) AS batch_id,
+        |       COUNT(*) AS n_events,
+        |       MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM ranked GROUP BY tbl, (rn - 1) // 500""".stripMargin),
+
+    "a2_dedup_pk" -> (CL + """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, action, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM changelog)
+        |SELECT tbl, action, pk, value, epoch_us(ts) AS ts_us, event_id
+        |FROM ranked WHERE rn = 1""".stripMargin),
+
+    "a3_sign_collapse" -> (CL +
+      """
+        |SELECT event_id, tbl, action, pk, value, epoch_us(ts) AS ts_us,
+        |       CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
+        |FROM changelog""".stripMargin),
+
+    "a4_apply_order" -> (CL + """,
+        |split AS (
+        |  SELECT event_id, tbl, 'delete' AS action, CAST(1 AS INT) AS action_seq,
+        |         pk, value, ts
+        |  FROM changelog WHERE action IN ('update','delete')
+        |  UNION ALL
+        |  SELECT event_id, tbl, 'insert' AS action, CAST(2 AS INT) AS action_seq,
+        |         pk, value, ts
+        |  FROM changelog WHERE action IN ('update','insert'))
+        |SELECT event_id, tbl, action, action_seq, pk, epoch_us(ts) AS ts_us,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY tbl ORDER BY action_seq, ts, event_id) AS INT) AS apply_rank
+        |FROM split""".stripMargin),
+
+    "a5_count_check" ->
+      ("SELECT * FROM (" +
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+          .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
+          .mkString(" UNION ALL ") + ")"),
+
+    "engine_replacing" -> (CL + """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM changelog)
+        |SELECT tbl, pk, event_id, action, value, epoch_us(ts) AS ts_us
+        |FROM ranked WHERE rn = 1 AND action <> 'delete'""".stripMargin),
+
+    "engine_collapsing" -> (CL + """,
+        |signed AS (
+        |  SELECT *, CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
+        |  FROM changelog),
+        |net AS (SELECT tbl, pk, SUM(CAST(sign AS BIGINT)) AS net FROM signed GROUP BY tbl, pk),
+        |latest AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM signed)
+        |SELECT l.tbl, l.pk, l.event_id, l.action, l.value,
+        |       epoch_us(l.ts) AS ts_us, l.sign
+        |FROM latest l JOIN net n ON l.tbl = n.tbl AND l.pk = n.pk
+        |WHERE l.rn = 1 AND n.net > 0""".stripMargin),
+
+    "engine_versioned_collapsing" -> (CL + """,
+        |signed AS (
+        |  SELECT *, CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
+        |  FROM changelog),
+        |per_version AS (
+        |  SELECT tbl, pk, ts, SUM(CAST(sign AS BIGINT)) AS net,
+        |         max_by(struct_pack(event_id := event_id, action := action,
+        |                            value := value, sign := sign), sign) AS r
+        |  FROM signed GROUP BY tbl, pk, ts),
+        |alive AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY ts DESC) AS rn
+        |  FROM per_version WHERE net > 0)
+        |SELECT tbl, pk, r.event_id AS event_id, r.action AS action,
+        |       r.value AS value, epoch_us(ts) AS ts_us, r.sign AS sign
+        |FROM alive WHERE rn = 1""".stripMargin)
+  )
 }

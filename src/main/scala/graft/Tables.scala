@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-generated parquet test tables
+  * (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 does
+  * not support natively; we read it as a raw long
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and surface it as a
+  * microsecond-precision timestamp — bit-identical to what DuckDB sees when
+  * it truncates the same file to its µs TIMESTAMP type, so oracle
+  * comparisons line up exactly.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Read one test table with canonical typing. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(dir, name))
+    if (name == "events")
+      // integer `div`, not `/`: double division would round the ns value
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register all tables as temp views (names match the DuckDB oracle). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Session defaults tuned for local[32] but designed for cluster scale:
+    * AQE on (runtime re-plan, skew-join splitting), modest shuffle
+    * partition count for local mode, UTC session time.
+    */
+  def session(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

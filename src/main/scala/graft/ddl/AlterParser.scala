@@ -1,0 +1,125 @@
+package graft.ddl
+
+/** MySQL `ALTER TABLE` mini-parser + ClickHouse DDL re-writer (operator T5).
+  *
+  * Reproduces the observable behavior of the reference's mysqlparse-based
+  * converter (synch/convert.py:48-131; goldens in
+  * tests/test_sql_convent.py:7-61) with a from-scratch regex grammar:
+  *
+  *  - ADD [COLUMN] name type [constraints]      → `add column name <CH type>`
+  *  - DROP [COLUMN] name                        → `drop column name`
+  *  - CHANGE [COLUMN] old new type ...          → `rename column old to new`
+  *  - MODIFY [COLUMN] name type [default] [comment] → `modify column ...`
+  *
+  * The `schema.` prefix on the table name is stripped and the target is
+  * always rendered `schema.table` (convert.py strips and re-prefixes).
+  * Parse failures return None — the caller logs and drops, like the
+  * reference (synch/reader/mysql.py:167-171).
+  */
+object AlterParser {
+
+  sealed trait AlterAction
+  final case class AddColumn(column: String, dataType: String, notNull: Boolean,
+                             default: Option[String], comment: Option[String],
+                             position: Option[String]) extends AlterAction
+  final case class DropColumn(column: String) extends AlterAction
+  final case class ChangeColumn(oldName: String, newName: String) extends AlterAction
+  final case class ModifyColumn(column: String, dataType: String, notNull: Boolean,
+                                default: Option[String], comment: Option[String]) extends AlterAction
+
+  final case class ParsedAlter(table: String, action: AlterAction)
+
+  private val Ident = """(`[^`]+`|[\w$]+)"""
+  private val Type = """([a-zA-Z]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"""
+  private val Head = ("""(?is)\s*alter\s+table\s+((?:[\w$]+|`[^`]+`)(?:\.(?:[\w$]+|`[^`]+`))?)\s+(.*?)\s*;?\s*$""").r
+
+  private val Add = ("""(?is)add\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
+  private val Drop = ("""(?is)drop\s+(?:column\s+)?""" + Ident + """\s*""").r
+  private val Change = ("""(?is)change\s+(?:column\s+)?""" + Ident + """\s+""" + Ident + """(.*)""").r
+  private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
+
+  private val NotNullRe = """(?is).*\bnot\s+null\b.*""".r
+  private val DefaultRe = """(?is).*\bdefault\s+(?:'([^']*)'|(\S+)).*""".r
+  private val CommentRe = """(?is).*\bcomment\s+'([^']*)'.*""".r
+  private val AfterRe = """(?is).*\bafter\s+""" + Ident + """.*"""
+
+  private def stripSchema(table: String): String = {
+    val t = table.split('.').last
+    if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
+  }
+
+  private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
+    val notNull = NotNullRe.matches(rest)
+    val default = rest match {
+      case DefaultRe(q, bare) => Option(q).orElse(Option(bare))
+      case _ => None
+    }
+    val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
+    val after = AfterRe.r.findFirstMatchIn(rest).map(_.group(1))
+    (notNull, default, comment, after)
+  }
+
+  def parse(sql: String): Option[ParsedAlter] = sql match {
+    case Head(table, body) =>
+      val t = stripSchema(table)
+      body match {
+        case Add(name, dt, rest) =>
+          val (nn, d, c, pos) = tail(rest)
+          Some(ParsedAlter(t, AddColumn(name, dt, nn, d, c, pos)))
+        case Change(oldN, newN, _) =>
+          Some(ParsedAlter(t, ChangeColumn(oldN, newN)))
+        case Modify(name, dt, rest) =>
+          val (nn, d, c, _) = tail(rest)
+          Some(ParsedAlter(t, ModifyColumn(name, dt, nn, d, c)))
+        case Drop(name) =>
+          Some(ParsedAlter(t, DropColumn(name)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Render the ClickHouse-dialect DDL for a parsed ALTER, matching the
+    * reference goldens exactly (tests/test_sql_convent.py).
+    */
+  def toClickHouse(schema: String, sql: String): Option[(String, String)] =
+    parse(sql).map { case ParsedAlter(table, action) =>
+      val target = s"$schema.$table"
+      val out = action match {
+        case AddColumn(name, dt, notNull, _, comment, _) =>
+          val tpe = TypeMap.render(dt, nullable = !notNull)
+          val cmt = comment.map(c => s" comment '$c'").getOrElse("")
+          s"alter table $target add column $name $tpe$cmt"
+        case DropColumn(name) =>
+          s"alter table $target drop column $name"
+        case ChangeColumn(oldN, newN) =>
+          s"alter table $target rename column $oldN to $newN"
+        case ModifyColumn(name, dt, notNull, default, comment) =>
+          val tpe = TypeMap.render(dt, nullable = !notNull)
+          val dft = default.map(d => s" default '$d'").getOrElse("")
+          val cmt = comment.map(c => s" comment '$c'").getOrElse("")
+          s"alter table $target modify column $name $tpe$dft$cmt"
+      }
+      (schema, out)
+    }
+
+  /** Spark-side schema evolution for the same ALTER against a Spark SQL
+    * catalog table (the idiomatic sink of this engine). Returns the SQL to
+    * run via `spark.sql`, or None for unparseable statements.
+    */
+  def toSparkSql(db: String, sql: String): Option[String] =
+    parse(sql).map { case ParsedAlter(table, action) =>
+      val target = s"$db.$table"
+      action match {
+        case AddColumn(name, dt, _, _, comment, _) =>
+          val tpe = TypeMap.toSpark(dt).sql
+          val cmt = comment.map(c => s" COMMENT '$c'").getOrElse("")
+          s"ALTER TABLE $target ADD COLUMNS ($name $tpe$cmt)"
+        case DropColumn(name) =>
+          s"ALTER TABLE $target DROP COLUMN $name"
+        case ChangeColumn(oldN, newN) =>
+          s"ALTER TABLE $target RENAME COLUMN $oldN TO $newN"
+        case ModifyColumn(name, dt, _, _, _) =>
+          s"ALTER TABLE $target ALTER COLUMN $name TYPE ${TypeMap.toSpark(dt).sql}"
+      }
+    }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing built only from exact integer
+  * arithmetic over higher-order functions — so the exact same values are
+  * computable in any ANSI-ish SQL engine (the DuckDB oracle mirrors each
+  * formula with list_transform/list_reduce). No dependence on Spark's
+  * Murmur3 `hash()` (engine-specific) and no floating point.
+  *
+  * All expressions stay inside Catalyst (no Scala UDFs): HOFs evaluate as
+  * codegen'd expressions over array data.
+  */
+object CrossHash {
+
+  /** Large prime modulus; products stay well inside Long. */
+  val P: Long = 1000000007L
+
+  /** Polynomial rolling hash of a string: fold(acc*31 + codepoint) mod P. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+      lit(0L),
+      (acc, c) => (acc * lit(31L) + c.cast("long")) % lit(P))
+
+  /** k universal-hash permutations (a_j * h + b_j) mod P, fixed odd
+    * coefficients shared with the oracle SQL. */
+  val A: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  val B: Seq[Long] = Seq(101L, 103L, 107L, 109L, 113L, 127L, 131L, 137L)
+
+  def permuted(h: Column, j: Int): Column = (h * lit(A(j)) + lit(B(j))) % lit(P)
+
+  /** Whitespace tokens with empties removed (portable: both engines split
+    * on the single-space literal, then drop ''). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), " "), t => length(t) > 0)
+
+  /** Word n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+
+  /** MinHash signature (array of k minima) over an array of shingles. */
+  def minHash(shingleArr: Column, k: Int = 8): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(shingleArr, s =>
+        (polyHash(s) * element_at(lit(A.toArray), j + 1) +
+          element_at(lit(B.toArray), j + 1)) % lit(P))))
+
+  /** Powers of two as an array literal — bit tests via exact integer
+    * arithmetic (h % 2p >= p), portable to any SQL dialect without shift
+    * operators on column-valued shift amounts. */
+  val POW2: Array[Long] = (0 until 32).map(b => 1L << b).toArray
+
+  /** 32-bit SimHash over *distinct* tokens: bit b is set iff more token
+    * hashes have bit b set than not. */
+  def simHash(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => polyHash(t))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val p = element_at(lit(POW2), b.cast("int") + lit(1))
+        val votes = aggregate(hashes, lit(0L),
+          (v, h) => v + when(h % (p * lit(2L)) >= p, 1L).otherwise(lit(-1L)))
+        acc + when(votes > 0, p).otherwise(lit(0L))
+      })
+  }
+
+  /** Exact cosine similarity between two float-array columns, computed as
+    * a strict left fold (same order as the oracle's list_reduce) in
+    * double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(arr: Column): Column = aggregate(arr, lit(0.0d), (s, v) => s + v)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for LSH bucketing:
+    * LCG over (plane, dim), scaled to [-0.5, 0.5) as an exact rational. */
+  def hyperplane(plane: Column, dim: Column, dims: Int): Column = {
+    val idx = (plane * lit(dims.toLong) + dim).cast("long")
+    val lcg = (lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)
+    (lcg.cast("double") / lit(2147483648.0d)) - lit(0.5d)
+  }
+}

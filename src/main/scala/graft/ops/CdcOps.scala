@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ✦ operator inventory (SURVEY.md §2) re-expressed as pure
+  * `DataFrame => DataFrame` combinators. Every function is engine-agnostic,
+  * declarative (Catalyst optimizes/pushes down the predicates), and
+  * shuffle-aware: the only shuffles are the keyed dedup (A2) and explicit
+  * ordering — everything else is a narrow map/filter that stays inside one
+  * whole-stage-codegen span.
+  *
+  * Naming follows the survey: T# = transform, A# = aggregation-like.
+  * Expected input columns (canonical event frame): `schema`, `table`,
+  * `action`, `event_unixtime`, `action_seq`, plus arbitrary value columns.
+  */
+object CdcOps {
+
+  // ---------------------------------------------------------------------
+  // T1 — projection * + computed sign column
+  // (reference synch/reader/mysql.py:46-50: `SELECT *, toInt8(1) as sign`)
+  /** Append a constant sign column for collapsing-engine snapshots. */
+  def withSnapshotSign(df: DataFrame, signCol: String = "sign"): DataFrame =
+    df.withColumn(signCol, lit(1).cast("tinyint"))
+
+  // ---------------------------------------------------------------------
+  // T2 — schema/table filter (pushed down)
+  // (reference synch/reader/mysql.py:107-120,146-148)
+  /** Keep only configured schemas/tables. A plain Catalyst predicate —
+    * pushed into the scan (Kafka partition selection / parquet row-group
+    * skip) for free. Empty list = no restriction on that axis.
+    */
+  def filterTables(df: DataFrame,
+                   schemas: Seq[String] = Nil,
+                   tables: Seq[String] = Nil,
+                   schemaCol: String = "schema",
+                   tableCol: String = "table"): DataFrame = {
+    val bySchema = if (schemas.isEmpty) lit(true) else col(schemaCol).isin(schemas: _*)
+    val byTable = if (tables.isEmpty) lit(true) else col(tableCol).isin(tables: _*)
+    df.filter(bySchema && byTable)
+  }
+
+  // ---------------------------------------------------------------------
+  // T3 — DML-kind filter
+  // (reference synch/reader/mysql.py:39-41,100-105,190-191,211-212)
+  /** Drop updates/deletes globally (`skipDmls`) or per table. Tables with
+    * no usable PK must be listed in both skip sets by the caller (the
+    * reference intended this but its guard is dead code — mysql.py:104).
+    */
+  def filterDml(df: DataFrame,
+                skipDmls: Set[String] = Set.empty,
+                skipDeleteTables: Set[String] = Set.empty,
+                skipUpdateTables: Set[String] = Set.empty,
+                tableCol: String = "table",
+                actionCol: String = "action"): DataFrame = {
+    val a = col(actionCol)
+    val t = col(tableCol)
+    val dropGlobal =
+      (if (skipDmls.contains("delete")) a === "delete" else lit(false)) ||
+      (if (skipDmls.contains("update")) a === "update" else lit(false))
+    val dropDelete =
+      if (skipDeleteTables.isEmpty) lit(false)
+      else a === "delete" && t.isin(skipDeleteTables.toSeq: _*)
+    val dropUpdate =
+      if (skipUpdateTables.isEmpty) lit(false)
+      else a === "update" && t.isin(skipUpdateTables.toSeq: _*)
+    df.filter(!(dropGlobal || dropDelete || dropUpdate))
+  }
+
+  // ---------------------------------------------------------------------
+  // T4 — update → delete + insert decomposition
+  // (reference synch/reader/mysql.py:189-208)
+  /** One update event becomes delete(action_seq=1) then insert(action_seq=2);
+    * plain inserts/deletes keep their seq. Narrow op: `explode` of a 1- or
+    * 2-element array, no shuffle. When before/after images live in separate
+    * columns, pass them; otherwise the single row image is reused for both
+    * halves (the reference's Postgres behavior, postgres.py:81-102).
+    */
+  def splitUpdates(df: DataFrame,
+                   actionCol: String = "action",
+                   seqCol: String = "action_seq"): DataFrame = {
+    val a = col(actionCol)
+    val halves = when(a === "update",
+        array(lit("delete"), lit("insert")))
+      .when(a === "delete", array(lit("delete")))
+      .otherwise(array(lit("insert")))
+    df.withColumn("_half", explode(halves))
+      .withColumn(seqCol, when(col("_half") === "delete", 1).otherwise(2))
+      .withColumn(actionCol, col("_half"))
+      .drop("_half")
+  }
+
+  // ---------------------------------------------------------------------
+  // A2 — per-PK last-write-wins dedup
+  // (reference synch/writer/merge_tree.py:63-85: buffer dict overwrite)
+  /** Collapse N changes per (key, action) to the latest one. The reference
+    * does this with an in-memory dict per micro-batch; distributed, it is a
+    * keyed shuffle + `row_number`. Total order within a key:
+    * (event_unixtime, tieBreaker) — wall-clock µs has ties, so callers pass
+    * a monotonic tie-breaker (source offset / event_id).
+    */
+  def dedupByPk(df: DataFrame,
+                pkCols: Seq[String],
+                orderCols: Seq[String] = Seq("event_unixtime"),
+                extraPartition: Seq[String] = Seq("table", "action")): DataFrame = {
+    val w = Window
+      .partitionBy((extraPartition ++ pkCols).map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // A3 — sign assignment (collapsing path)
+  // (reference synch/writer/collapsing_merge_tree.py:37-58)
+  /** delete → sign -1, anything else → +1. Append-only, no dedup. */
+  def withCollapsingSign(df: DataFrame,
+                         actionCol: String = "action",
+                         signCol: String = "sign"): DataFrame =
+    df.withColumn(signCol,
+      when(col(actionCol) === "delete", -1).otherwise(1).cast("tinyint"))
+
+  // ---------------------------------------------------------------------
+  // A4 — apply ordering: deletes before inserts, inserts time-sorted
+  // (reference synch/replication/continuous.py:114-135)
+  /** Rank events in apply order per table: action_seq first (DDL < delete
+    * < insert), then event time, then tie-breaker. Use for deterministic
+    * replay inside a micro-batch.
+    */
+  def applyOrder(df: DataFrame,
+                 partitionCols: Seq[String] = Seq("table"),
+                 seqCol: String = "action_seq",
+                 orderCols: Seq[String] = Seq("event_unixtime")): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((seqCol +: orderCols).map(col): _*)
+    df.withColumn("apply_rank", row_number().over(w))
+  }
+
+  // ---------------------------------------------------------------------
+  // A1 — micro-batch trigger modeling (count OR time)
+  // (reference synch/replication/continuous.py:60-66,96-100)
+  /** Assign a batch id per partition key: events are batched in arrival
+    * order, `insertNum` per batch. In the streaming engine this is
+    * `Trigger.ProcessingTime` + `maxOffsetsPerTrigger`; as a batch operator
+    * it makes the trigger semantics testable.
+    */
+  def microBatchId(df: DataFrame,
+                   insertNum: Int,
+                   partitionCols: Seq[String] = Seq("table"),
+                   orderCols: Seq[String] = Seq("event_unixtime")): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("batch_id",
+      ((row_number().over(w) - 1) / insertNum).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------
+  // A5 — count verification (`synch check`, synch/cli.py:94-110)
+  /** Compare row counts of two sides; one row per table. */
+  def countCheck(pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val spark = pairs.head._2.sparkSession
+    import spark.implicits._
+    pairs.map { case (name, src, tgt) =>
+      val s = src.count(); val t = tgt.count()
+      (name, s, t, s == t)
+    }.toDF("tbl", "source_count", "target_count", "matches")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.functions.CrossHash._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling.
+  *
+  * Media travel as opaque `binary` columns with typed metadata beside
+  * them. The Spark-side plumbing — schema, batch iteration, partition
+  * sizing — is real; the actual codec calls are STUBBED behind
+  * [[MediaDecoder]] with a deterministic fake (the image/audio libraries
+  * are not in this container). Swap `StubDecoder` for a JNI/FFI-backed
+  * implementation in production; nothing else changes.
+  *
+  * Decode runs via `mapPartitions` on purpose: codec libraries want
+  * per-partition init (expensive context/handles), exactly like a Pandas
+  * UDF's per-batch model, and the binary payload never enters codegen'd
+  * expressions.
+  */
+object MultimodalOps {
+
+  /** Typed metadata a decoder extracts from one media blob. */
+  final case class MediaMeta(byte_len: Long, format: String, width: Int,
+                             height: Int, n_frames: Int)
+
+  trait MediaDecoder extends Serializable {
+    /** Called once per partition before decoding (codec init). */
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake decoder: "parses" dimensions out of a polynomial
+    * hash of the payload. Replace with a real codec (??? markers) to ship.
+    */
+  final class StubDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): MediaMeta = {
+      // def decodeReal(bytes: Array[Byte]): MediaMeta = ???  // real codec goes here
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
+      MediaMeta(bytes.length.toLong, "fake/v1",
+        (h % 1024).toInt, ((h / 1024) % 1024).toInt, (bytes.length / 256) + 1)
+    }
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType), StructField("format", StringType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Attach a `media` binary column (here synthesized from text — the test
+    * fixture has no real blobs) — in production this is the raw column. */
+  def withBlob(df: DataFrame, srcCol: String = "text",
+               blobCol: String = "media"): DataFrame =
+    df.withColumn(blobCol, col(srcCol).cast("binary"))
+
+  /** Decode metadata for every blob with per-partition decoder init.
+    * Returns the input columns plus the decoded metadata struct fields.
+    */
+  def decodeMeta(df: DataFrame, decoder: MediaDecoder,
+                 idCol: String = "doc_id", blobCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val outSchema = StructType(StructField(idCol, LongType) +: metaSchema.fields)
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { it =>
+      decoder.open()
+      it.map { r =>
+        val m = decoder.decode(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), m.byte_len, m.format, m.width, m.height, m.n_frames)
+      }
+    }(encoder)
+  }
+
+  /** Pure-SQL metadata over the synthesized blobs (oracle-checkable twin
+    * of [[decodeMeta]] with the stub decoder). */
+  def blobMetaSql(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val h = polyHash(col(textCol))
+    docs.select(col(idCol),
+      octet_length(col(textCol).cast("binary")).cast("long").as("byte_len"),
+      lit("fake/v1").as("format"),
+      (h % 1024).cast("int").as("width"),
+      (((h - h % 1024) / 1024).cast("long") % 1024).cast("int").as("height"),
+      ((octet_length(col(textCol).cast("binary")).cast("long") / 256).cast("int") + 1).as("n_frames"))
+  }
+}

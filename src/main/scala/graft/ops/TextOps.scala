@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.functions.CrossHash._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure narrow
+  * expressions — no shuffle, fully pipelined inside the scan stage.
+  */
+object TextOps {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic
+    * language guesser. Shared verbatim with the oracle SQL. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "et"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Guess a language by stopword hit counts; ties break on language code
+    * ascending (deterministic). */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = docs.withColumn("_toks", toks)
+    val withScores = stopwords.foldLeft(scored) { case (d, (lang, words)) =>
+      d.withColumn(s"_s_$lang", countIn(col("_toks"), words))
+    }
+    val best = stopwords.map { case (lang, _) =>
+      struct(col(s"_s_$lang").as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score desc, lang asc): flip score sign, take array_min.
+    val bestStruct = array_min(array(stopwords.map { case (lang, _) =>
+      struct((-col(s"_s_$lang")).as("neg"), lit(lang).as("lang"))
+    }: _*))
+    withScores
+      .select(col(idCol), bestStruct.getField("lang").as("guessed_lang"),
+        (-bestStruct.getField("neg")).cast("int").as("score"))
+  }
+
+  /** Quality metrics: lengths, token stats, stopword/distinct ratios and a
+    * composite score — exact rational arithmetic, rounded for comparison. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val allStop = stopwords.flatMap(_._2).distinct
+    val t = tokens(lower(col(textCol)))
+    docs.select(
+        col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        t.as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("n_stop", countIn(col("_toks"), allStop).cast("long"))
+      .withColumn("avg_token_len",
+        round(aggregate(col("_toks"), lit(0L), (a, x) => a + length(x)).cast("double")
+          / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("quality",
+        round(least(col("n_tokens").cast("double") / lit(50.0), lit(1.0)) * lit(0.4)
+          + col("distinct_ratio") * lit(0.4) + col("stopword_ratio") * lit(0.2), 6))
+      .drop("_toks")
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish subword estimate
+    * (alnum runs + punctuation marks counted separately; ~chars/4 for long
+    * words — here: ceil(len/4) pieces per token).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col(idCol), t.as("_toks"))
+      .withColumn("ws_tokens", size(col("_toks")).cast("long"))
+      .withColumn("bpe_tokens",
+        aggregate(col("_toks"), lit(0L),
+          (a, x) => a + ceil(length(x).cast("double") / lit(4.0)).cast("long")))
+      .drop("_toks")
+  }
+
+  /** Polynomial-rolling-hash fingerprint of the normalized (lowercased,
+    * whitespace-collapsed) document text. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      polyHash(concat_ws(" ", tokens(lower(col(textCol))))).as("fingerprint"))
+}

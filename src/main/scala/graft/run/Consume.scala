@@ -1,0 +1,106 @@
+package graft.run
+
+import graft.ops.CdcOps
+import graft.sink.{ParquetStateStore, SinkKeys, SinkStrategy}
+import graft.model.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Per-table sync configuration (reference synch.yaml:43-57). */
+final case class TableSync(
+    schema: String,
+    table: String,
+    valueSchema: StructType,
+    pkCols: Seq[String],
+    engine: Engine.Value = Engine.MergeTree,
+    skipDelete: Boolean = false,
+    skipUpdate: Boolean = false)
+
+/** The apply loop (reference `synch consume`,
+  * synch/replication/continuous.py:41-170) as one Structured Streaming
+  * query: canonical ChangeEvent stream → foreachBatch → per-table
+  * route → dedup/sign → engine-specific sink.
+  *
+  * Delivery: the source checkpoint + [[ParquetStateStore]]'s
+  * batch-id-idempotent commit give effectively-once application — the
+  * reference only reaches at-least-once and leans on ReplacingMergeTree to
+  * absorb duplicates (SURVEY.md §4.2).
+  */
+object Consume {
+
+  /** Transform the canonical event frame into one table's typed changelog:
+    * filter (T2/T3), decompose updates (T4), project typed values.
+    */
+  def tableChangelog(events: DataFrame, t: TableSync): DataFrame = {
+    val filtered = CdcOps.filterDml(
+      CdcOps.filterTables(events, Seq(t.schema), Seq(t.table)),
+      skipDeleteTables = if (t.skipDelete) Set(t.table) else Set.empty,
+      skipUpdateTables = if (t.skipUpdate) Set(t.table) else Set.empty)
+    val split = CdcOps.splitUpdates(filtered)
+    split
+      .withColumn("_v", from_json(col("values"), t.valueSchema))
+      .select(Seq(col("action"), col("event_unixtime"), col("action_seq")) ++
+        t.valueSchema.fieldNames.map(f => col(s"_v.$f").as(f)): _*)
+  }
+
+  /** Apply one micro-batch of one table to its store. */
+  def applyBatch(spark: SparkSession, t: TableSync, store: ParquetStateStore,
+                 changelog: DataFrame, batchId: Long): Unit = {
+    val keys = SinkKeys(t.pkCols)
+    t.engine match {
+      case Engine.MergeTree =>
+        val state = store.read().getOrElse {
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changelog.schema)
+        }
+        store.write(SinkStrategy.mergeTreeApply(state, changelog, keys),
+          batchId = Some(batchId))
+      case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
+        store.append(CdcOps.withCollapsingSign(changelog), batchId)
+      case Engine.ReplacingMergeTree =>
+        store.append(changelog, batchId)
+    }
+  }
+
+  /** Read-time view of a table's current state, per engine (SURVEY §7.3). */
+  def currentState(t: TableSync, store: ParquetStateStore): Option[DataFrame] = {
+    val keys = SinkKeys(t.pkCols)
+    t.engine match {
+      case Engine.MergeTree => store.read()
+      case Engine.ReplacingMergeTree =>
+        store.readLog().map(SinkStrategy.replacingResolve(_, keys))
+      case Engine.CollapsingMergeTree =>
+        store.readLog().map(SinkStrategy.collapsingResolve(_, keys))
+      case Engine.VersionedCollapsingMergeTree =>
+        store.readLog().map(SinkStrategy.versionedCollapsingResolve(_, keys))
+    }
+  }
+
+  /** Start the consume query over a canonical event stream. */
+  def start(spark: SparkSession, events: DataFrame, tables: Seq[TableSync],
+            stateRoot: String, checkpoint: String,
+            triggerInterval: String = "1 second",
+            skipError: Boolean = false): StreamingQuery = {
+    val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try {
+          tables.foreach { t =>
+            try applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId)
+            catch {
+              case e: Exception if skipError =>
+                // C3 skip-error mode: continue with the next table
+                System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
+            }
+          }
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+  }
+}

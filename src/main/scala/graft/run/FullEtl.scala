@@ -1,0 +1,60 @@
+package graft.run
+
+import graft.ops.CdcOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Full-snapshot ETL (reference `synch etl`, synch/replication/etl.py:9-73).
+  *
+  * The reference delegates the copy to ClickHouse's `INSERT ... SELECT *
+  * FROM mysql(...)` — one giant single-stream pull. The Spark-native shape
+  * is a *partitioned* scan: N executors each read a PK range, which is what
+  * makes the snapshot leg scale to 100 TB (SURVEY.md §3.1).
+  */
+object FullEtl {
+
+  /** Source description: either a parquet path (hermetic tests/bench) or a
+    * JDBC endpoint with PK-range partitioning.
+    */
+  sealed trait Source
+  final case class ParquetSource(path: String) extends Source
+  final case class JdbcSource(url: String, table: String, user: String, password: String,
+                              partitionColumn: Option[String] = None,
+                              numPartitions: Int = 32) extends Source
+
+  def read(spark: SparkSession, src: Source): DataFrame = src match {
+    case ParquetSource(p) => spark.read.parquet(p)
+    case j: JdbcSource =>
+      val base = spark.read.format("jdbc")
+        .option("url", j.url).option("dbtable", j.table)
+        .option("user", j.user).option("password", j.password)
+      j.partitionColumn match {
+        case Some(pk) =>
+          // Two-phase read: cheap bounds query, then numPartitions range
+          // scans in parallel (the 100 TB path; reference has no analogue).
+          val bounds = spark.read.format("jdbc")
+            .option("url", j.url)
+            .option("dbtable", s"(SELECT MIN($pk) lo, MAX($pk) hi FROM ${j.table}) b")
+            .option("user", j.user).option("password", j.password)
+            .load().collect().head
+          base.option("partitionColumn", pk)
+            .option("lowerBound", bounds.get(0).toString)
+            .option("upperBound", bounds.get(1).toString)
+            .option("numPartitions", j.numPartitions)
+            .load()
+        case None => base.load()
+      }
+  }
+
+  /** Snapshot one table: read, optionally stamp the collapsing sign column
+    * (T1), write. Returns (sourceCount, targetCount) — the A5 `check`.
+    */
+  def copyTable(spark: SparkSession, src: Source, targetPath: String,
+                withSign: Boolean = false): (Long, Long) = {
+    val df0 = read(spark, src)
+    val df = if (withSign) CdcOps.withSnapshotSign(df0) else df0
+    df.write.mode(SaveMode.Overwrite).parquet(targetPath)
+    val srcCount = df0.count()
+    val tgtCount = spark.read.parquet(targetPath).count()
+    (srcCount, tgtCount)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ClickHouse table-engine semantics re-realized for Spark sinks.
+  *
+  * The reference delegates upsert/delete/collapse semantics to ClickHouse
+  * *merge-time* behavior (synch/writer/{merge_tree,replacing_merge_tree,
+  * collapsing_merge_tree,versioned_collapsing_merge_tree}.py). A Spark sink
+  * has no background merge, so each engine's contract is realized either
+  * eagerly at write time (MergeTree) or lazily at read time over an
+  * append-only change log (Replacing/Collapsing/VersionedCollapsing) — the
+  * append-only forms are the 100 TB-friendly ones: every micro-batch is a
+  * blind parquet append, and resolution is one keyed window per read (or a
+  * periodic compaction job that rewrites `resolve(log)` as the new base).
+  *
+  * All functions are pure DataFrame transforms; storage is the caller's
+  * concern (see [[ParquetStateStore]] and [[graft.run.Consume]]).
+  */
+final case class SinkKeys(
+    pkCols: Seq[String],
+    versionCol: String = "event_unixtime",
+    tieBreakers: Seq[String] = Seq("action_seq"))
+
+object SinkStrategy {
+
+  private def orderDesc(k: SinkKeys) =
+    (k.versionCol +: k.tieBreakers).map(c => col(c).desc)
+
+  /** Latest event per PK in a batch (operator A2 applied across actions:
+    * the final action for a key decides its fate).
+    */
+  def latestPerKey(batch: DataFrame, k: SinkKeys): DataFrame = {
+    val w = Window.partitionBy(k.pkCols.map(col): _*).orderBy(orderDesc(k): _*)
+    batch.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // -------------------------------------------------------------------
+  // MergeTree: eager delete-then-insert (reference merge_tree.py flush
+  // path: ALTER ... DELETE WHERE pk IN (...) followed by bulk INSERT).
+  /** Merge one deduplicated micro-batch into the current state:
+    * rows whose final action is delete vanish; others replace/insert.
+    * The batch side is orders of magnitude smaller than the state at
+    * scale, so its key set is broadcast for the anti-join.
+    */
+  def mergeTreeApply(state: DataFrame, batch: DataFrame, k: SinkKeys,
+                     actionCol: String = "action"): DataFrame = {
+    val latest = latestPerKey(batch, k).cache()
+    val touchedKeys = latest.select(k.pkCols.map(col): _*).distinct()
+    val survivors = state.join(broadcast(touchedKeys), k.pkCols, "left_anti")
+    val upserts = latest.filter(col(actionCol) =!= "delete")
+      .select(state.columns.map(col): _*)
+    survivors.unionByName(upserts)
+  }
+
+  // -------------------------------------------------------------------
+  // ReplacingMergeTree(version): append-only upsert log; read-time view
+  // keeps the max-version row per key (replacing_merge_tree.py:10-41).
+  /** Read-time resolution of an append-only upsert log. Deletes are
+    * represented as tombstone rows (action='delete') and filtered after
+    * picking the winner, matching ClickHouse `FINAL` + `is_deleted`-style
+    * usage.
+    */
+  def replacingResolve(log: DataFrame, k: SinkKeys,
+                       actionCol: String = "action"): DataFrame = {
+    val w = Window.partitionBy(k.pkCols.map(col): _*).orderBy(orderDesc(k): _*)
+    val winner = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    if (winner.columns.contains(actionCol)) winner.filter(col(actionCol) =!= "delete")
+    else winner
+  }
+
+  // -------------------------------------------------------------------
+  // CollapsingMergeTree(sign): signed append; a key is visible iff its
+  // sign-sum is positive; visible value = latest +1 row
+  // (collapsing_merge_tree.py:12-58).
+  def collapsingResolve(log: DataFrame, k: SinkKeys,
+                        signCol: String = "sign"): DataFrame = {
+    val valueCols = log.columns.filterNot(c => k.pkCols.contains(c))
+    val ordered = struct((k.versionCol +: k.tieBreakers).map(col) :+
+      struct(valueCols.map(col): _*).as("v"): _*)
+    log.filter(col(signCol) =!= 0)
+      .groupBy(k.pkCols.map(col): _*)
+      .agg(sum(col(signCol).cast("long")).as("_net"),
+           max_by(struct(valueCols.map(col): _*),
+             struct((k.versionCol +: k.tieBreakers).map(col): _*)).as("_last"))
+      .filter(col("_net") > 0)
+      .select(k.pkCols.map(col) ++ valueCols.map(c => col(s"_last.$c").as(c)): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // VersionedCollapsingMergeTree(sign, version): same, but cancellation is
+  // version-aware — a (-1) row cancels the (+1) row of the *same version*
+  // regardless of arrival order (versioned_collapsing_merge_tree.py:10-31).
+  def versionedCollapsingResolve(log: DataFrame, k: SinkKeys,
+                                 signCol: String = "sign"): DataFrame = {
+    val valueCols = log.columns.filterNot(c => k.pkCols.contains(c))
+    log.groupBy((k.pkCols :+ k.versionCol).map(col): _*)
+      .agg(sum(col(signCol).cast("long")).as("_net"),
+           max_by(struct(valueCols.map(col): _*), col(signCol)).as("_row"))
+      .filter(col("_net") > 0)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(k.pkCols.map(col): _*).orderBy(col(k.versionCol).desc)))
+      .filter(col("_rn") === 1)
+      .select(k.pkCols.map(col) ++ valueCols.map(c => col(s"_row.$c").as(c)): _*)
+  }
+}

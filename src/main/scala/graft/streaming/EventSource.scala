@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.model.ChangeEvent
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical ChangeEvent stream sources (reference operators S1/S2/S4).
+  *
+  * The reference tails a MySQL binlog / Postgres WAL and forwards events
+  * through Redis/Kafka (synch/reader/mysql.py:128-223, synch/broker). In a
+  * Spark-native engine the broker leg IS the source: a Kafka topic (or, in
+  * tests and air-gapped runs, a directory of JSON event files) carrying
+  * one serialized ChangeEvent per record. Offsets/positions are owned by
+  * Structured Streaming checkpoints — no hand-rolled Redis offset store.
+  */
+object EventSource {
+
+  /** Kafka-fronted CDC stream (production path; needs the Kafka connector
+    * on the cluster classpath). One topic per source alias; partitioned by
+    * schema so per-schema ordering matches the reference's per-stream FIFO
+    * (synch/broker/kafka.py:32-38).
+    */
+  def kafka(spark: SparkSession, bootstrap: String, topic: String,
+            maxOffsetsPerTrigger: Long = 20000): DataFrame =
+    parse(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load()
+        .select(col("value").cast("string").as("json")))
+
+  /** File-based stream of JSON events — the hermetic test/bench source.
+    * `maxFilesPerTrigger` plays the role of `insert_num` (A1 count cap).
+    */
+  def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    parse(
+      spark.readStream
+        .schema("json STRING")
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(dir)
+        .select(col("value").as("json")))
+
+  /** Wire deserialization (operator T8): JSON → typed event columns. */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("json"), ChangeEvent.wireSchema).as("e"))
+      .select(col("e.schema").as("schema"), col("e.table").as("table"),
+        col("e.action").as("action"), col("e.values").as("values"),
+        col("e.event_unixtime").as("event_unixtime"),
+        col("e.action_seq").as("action_seq"))
+
+  /** Wire serialization for the produce leg (events → broker sink). */
+  def serialize(events: DataFrame): DataFrame =
+    events.select(to_json(struct(
+      col("schema"), col("table"), col("action"), col("values"),
+      col("event_unixtime"), col("action_seq"))).as("value"))
+}
