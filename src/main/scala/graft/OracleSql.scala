@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.CrossHash
+import graft.ops.TextOps
+
+/** DuckDB-dialect SQL fragments that mirror the engine's cross-portable
+  * expressions bit-for-bit (see [[graft.functions.CrossHash]]): exact
+  * integer hashing, identical left-fold order for floating point. Built
+  * from the same constants as the Spark side — single source of truth.
+  */
+object OracleSql {
+
+  val P: Long = CrossHash.P
+  private val aList = CrossHash.A.mkString("[", ",", "]")
+  private val bList = CrossHash.B.mkString("[", ",", "]")
+  private val pow2List = CrossHash.POW2.mkString("[", ",", "]")
+
+  /** Polynomial rolling hash of a string expression. */
+  def ph(s: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, length($s)+1),
+       |    ii -> CAST(ascii(substr($s, CAST(ii AS INT), 1)) AS BIGINT))),
+       |  (a, c) -> (a*31 + c) % $P)""".stripMargin
+
+  /** Whitespace tokens with empties removed, of a text expression. */
+  def tokens(text: String): String =
+    s"list_filter(string_split(trim($text), ' '), t -> length(t) > 0)"
+
+  /** toks CTE over documents (raw-case and lower-case variants). */
+  def toksCte(lower: Boolean): String = {
+    val txt = if (lower) "lower(text)" else "text"
+    s"toks AS (SELECT doc_id, ${tokens(txt)} AS tk FROM documents)"
+  }
+
+  /** Word n-gram shingles of the `tk` token list. */
+  def shingles(n: Int): String = {
+    val parts = (0 until n).map(o =>
+      if (o == 0) "tk[CAST(i AS INT)]" else s"tk[CAST(i AS INT)+$o]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len(tk)-${n - 1},0)+1), i -> $parts)"
+  }
+
+  /** MinHash signature list (k entries) over the `sh` shingle list. */
+  def minhash(k: Int): String =
+    s"""list_transform(range(0, $k), j ->
+       |  list_min(list_transform(sh, s ->
+       |    (${ph("s")} * ($aList)[CAST(j AS INT)+1]
+       |     + ($bList)[CAST(j AS INT)+1]) % $P)))""".stripMargin
+
+  /** Band bucket list over the `mh` signature list. */
+  def bands(bandsN: Int, rowsPerBand: Int): String =
+    s"""list_transform(range(0, $bandsN), b ->
+       |  list_reduce(list_prepend(CAST(b AS BIGINT),
+       |    mh[CAST(b AS INT)*$rowsPerBand+1 : CAST(b AS INT)*$rowsPerBand+$rowsPerBand]),
+       |    (a, v) -> (a*31 + v) % $P))""".stripMargin
+
+  /** 32-bit SimHash over the `tk` token list. */
+  val simhash: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0,32), b ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_transform(list_distinct(tk), t -> ${ph("t")}),
+       |        hh -> CASE WHEN hh % (($pow2List)[CAST(b AS INT)+1]*2) >= ($pow2List)[CAST(b AS INT)+1]
+       |              THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |      (a,x) -> a+x) > 0
+       |  THEN ($pow2List)[CAST(b AS INT)+1] ELSE CAST(0 AS BIGINT) END)),
+       |  (a,x) -> a+x)""".stripMargin
+
+  /** Strict-left-fold double sum over a list expression. */
+  def foldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (s, v) -> s+v)"
+
+  /** Exact cosine between two embedding expressions (same fold order as
+    * CrossHash.cosine). */
+  def cosine(a: String, b: String): String = {
+    val dot = foldSum(
+      s"list_transform(range(1, len($a)+1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")
+    def norm(v: String) = foldSum(s"list_transform($v, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")
+    s"($dot / (sqrt(${norm(a)}) * sqrt(${norm(b)})))"
+  }
+
+  /** LSH bucket of `vec` via deterministic LCG hyperplanes. */
+  def lshBucket(vec: String, planes: Int, dims: Int): String = {
+    val dot =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(0, $dims), d ->
+         |    CAST($vec[CAST(d AS INT)+1] AS DOUBLE) *
+         |    (CAST((1103515245*(pl*$dims+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5))),
+         |  (s, v) -> s+v)""".stripMargin
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, $planes), pl ->
+       |    CASE WHEN $dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, x) -> a*2 + x)""".stripMargin
+  }
+
+  /** Per-language stopword score columns over the `tk` list. */
+  def langScores: String =
+    TextOps.stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(tk, t -> list_contains($lst, t))) AS s_$lang"
+    }.mkString(",\n  ")
+
+  /** CASE argmax over language scores, tie → alphabetical language. */
+  def langArgmax: String = {
+    val langs = TextOps.stopwords.map(_._1).sorted
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  val allStopList: String =
+    TextOps.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+}

@@ -186,7 +186,60 @@ object SparkEntry {
           SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
         .select(col("tbl"), col("pk"), col("event_id"), col("action"),
           col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
-    })
+    }),
+
+    // --- training-data pipeline extensions (SURVEY.md §7.5) -------------
+    "dedup_exact" -> ((s, dir) =>
+      DedupOps.exact(t(s, dir, "documents"))),
+
+    "dedup_minhash_sig" -> ((s, dir) =>
+      DedupOps.minhashSignatures(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "bucket")))),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccard(t(s, dir, "documents"), threshold = 0.5, n = 1)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhashSignatures(t(s, dir, "documents"))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3, bands = 4)),
+
+    "dedup_embedding" -> ((s, dir) =>
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.35)),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(emb.filter(col("vec_id") < 8), emb, k = 10,
+        planes = 4, dims = 64)
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      TextOps.languageId(t(s, dir, "documents"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"))),
+
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"))),
+
+    "session_stats" -> ((s, dir) =>
+      SessionOps.sessionStats(t(s, dir, "events"))),
+
+    "multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.blobMetaSql(t(s, dir, "documents")))
   )
 
   // =====================================================================
@@ -335,6 +388,184 @@ object SparkEntry {
         |  FROM per_version WHERE net > 0)
         |SELECT tbl, pk, r.event_id AS event_id, r.action AS action,
         |       r.value AS value, epoch_us(ts) AS ts_us, r.sign AS sign
-        |FROM alive WHERE rn = 1""".stripMargin)
+        |FROM alive WHERE rn = 1""".stripMargin),
+
+    // --- extensions ------------------------------------------------------
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "dedup_minhash_sig" -> {
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(${OracleSql.shingles(3)}) AS sh FROM toks),
+         |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
+         |withb AS (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs)
+         |SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
+         |FROM withb, range(0,4) t(b)""".stripMargin
+    },
+
+    "dedup_minhash_pairs" -> {
+      val li = "len(list_intersect(s1, s2))"
+      val un = s"len(s1) + len(s2) - $li"
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(${OracleSql.shingles(3)}) AS sh FROM toks),
+         |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
+         |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
+         |         FROM (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM expl a JOIN expl b
+         |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |j AS (SELECT p.id1, p.id2, x.sh AS s1, y.sh AS s2
+         |      FROM pairs p JOIN sh0 x ON x.doc_id = p.id1 JOIN sh0 y ON y.doc_id = p.id2)
+         |SELECT id1, id2, CAST($li AS INT) AS inter, CAST($un AS INT) AS uni,
+         |       round(CAST($li AS DOUBLE) / ($un), 6) AS jaccard
+         |FROM j WHERE $un > 0 AND CAST($li AS DOUBLE) / ($un) >= 0.0""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" -> {
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(tk) AS sh FROM toks),
+         |inv AS (SELECT doc_id, len(sh) AS l, unnest(sh) AS g FROM sh0),
+         |pc AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+         |       any_value(a.l) AS l1, any_value(b.l) AS l2
+         |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(inter AS INT) AS inter,
+         |       CAST(l1 + l2 - inter AS INT) AS uni,
+         |       round(CAST(inter AS DOUBLE) / (l1 + l2 - inter), 6) AS jaccard
+         |FROM pc WHERE CAST(inter AS DOUBLE) / (l1 + l2 - inter) >= 0.5""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      s"""WITH ${OracleSql.toksCte(lower = false)}
+         |SELECT doc_id, ${OracleSql.simhash} AS simhash FROM toks""".stripMargin
+    },
+
+    "dedup_simhash_pairs" -> {
+      val pow2 = graft.functions.CrossHash.POW2.mkString("[", ",", "]")
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh AS (SELECT doc_id, ${OracleSql.simhash} AS simhash FROM toks),
+         |sl AS (SELECT doc_id, simhash, CAST(t.b AS INT) AS band_idx,
+         |       CAST((simhash // ($pow2)[CAST(t.b AS INT)*8+1]) % 256 AS BIGINT) AS slice
+         |       FROM sh, range(0,4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |          a.simhash AS h1, b.simhash AS h2
+         |          FROM sl a JOIN sl b
+         |            ON a.band_idx = b.band_idx AND a.slice = b.slice AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
+    },
+
+    "dedup_embedding" -> {
+      val cos = OracleSql.cosine("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, round($cos, 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.35""".stripMargin
+    },
+
+    "ann_topk" -> {
+      val cos = OracleSql.cosine("q.embedding", "c.embedding")
+      s"""WITH j AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings c
+         |  WHERE q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         |      FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "ann_lsh_topk" -> {
+      val cos = OracleSql.cosine("q.embedding", "c.embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding,
+         |            ${OracleSql.lshBucket("embedding", 4, 64)} AS bucket
+         |            FROM embeddings),
+         |j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos
+         |      FROM (SELECT * FROM eb WHERE vec_id < 8) q
+         |      JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         |      FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "text_langid" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |sc AS (SELECT doc_id, ${OracleSql.langScores} FROM toks)
+         |SELECT doc_id, ${OracleSql.langArgmax} AS guessed_lang,
+         |       CAST(greatest(s_de, s_en, s_es, s_fr, s_zh) AS INT) AS score
+         |FROM sc""".stripMargin
+    },
+
+    "text_quality" -> {
+      s"""WITH base AS (SELECT doc_id, length(text) AS n_chars,
+         |              ${OracleSql.tokens("lower(text)")} AS tk FROM documents),
+         |m AS (SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         |      len(list_distinct(tk)) AS n_distinct,
+         |      len(list_filter(tk, t -> list_contains(${OracleSql.allStopList}, t))) AS n_stop,
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS sum_len
+         |      FROM base),
+         |r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |      CAST(n_tokens AS BIGINT) AS n_tokens,
+         |      CAST(n_distinct AS BIGINT) AS n_distinct,
+         |      CAST(n_stop AS BIGINT) AS n_stop,
+         |      round(CAST(sum_len AS DOUBLE) / greatest(n_tokens, 1), 6) AS avg_token_len,
+         |      round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6) AS distinct_ratio,
+         |      round(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+         |      FROM m)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop, avg_token_len,
+         |       distinct_ratio, stopword_ratio,
+         |       round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+         |             + distinct_ratio * 0.4 + stopword_ratio * 0.2, 6) AS quality
+         |FROM r""".stripMargin
+    },
+
+    "text_tokens" -> {
+      s"""WITH ${OracleSql.toksCte(lower = false)}
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS ws_tokens,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(tk, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+         |         (a, x) -> a + x) AS bpe_tokens
+         |FROM toks""".stripMargin
+    },
+
+    "text_fingerprint" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)}
+         |SELECT doc_id, ${OracleSql.ph("array_to_string(tk, ' ')")} AS fingerprint
+         |FROM toks""".stripMargin
+    },
+
+    "session_stats" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "multimodal_meta" -> {
+      val h = OracleSql.ph("text")
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  'fake/v1' AS format,
+         |  CAST($h % 1024 AS INT) AS width,
+         |  CAST(($h // 1024) % 1024 AS INT) AS height,
+         |  CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames
+         |FROM documents""".stripMargin
+    }
   )
 }

@@ -34,5 +34,6 @@ object SessionOps {
         count(lit(1)).as("n_events"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           .as("duration_us"),
-        round(sum(col("value")), 2).as("total_value"))
+        // exact decimal sum → double: engine-portable determinism
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
 }
