@@ -38,7 +38,6 @@ object EventSource {
   def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
     parse(
       spark.readStream
-        .schema("json STRING")
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .text(dir)
         .select(col("value").as("json")))

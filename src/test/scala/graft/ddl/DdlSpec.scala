@@ -1,0 +1,83 @@
+package graft.ddl
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests matching the reference's observable DDL-translation
+  * behavior (tests/test_sql_convent.py:7-61, tests/test_mysqlparser.py). */
+class DdlSpec extends AnyFunSuite {
+
+  test("add varchar column drops constraints, maps to String") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add name varchar(20) not null after id")
+      .contains(("test", "alter table test.test add column name String")))
+    assert(AlterParser.toClickHouse("test",
+      "alter table test.test add name varchar(20) not null after id")
+      .contains(("test", "alter table test.test add column name String")))
+  }
+
+  test("add int / decimal / datetime") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add name int not null after id")
+      .contains(("test", "alter table test.test add column name Int32")))
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add name decimal(10,2) not null after id")
+      .contains(("test", "alter table test.test add column name Decimal(10,2)")))
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add name datetime not null after id")
+      .contains(("test", "alter table test.test add column name DateTime")))
+  }
+
+  test("nullable add wraps in Nullable") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add name bigint null")
+      .contains(("test", "alter table test.test add column name Nullable(Int64)")))
+  }
+
+  test("drop column, with and without COLUMN keyword") {
+    assert(AlterParser.toClickHouse("test", "alter table test drop column name")
+      .contains(("test", "alter table test.test drop column name")))
+    assert(AlterParser.toClickHouse("test", "alter table test drop name")
+      .contains(("test", "alter table test.test drop column name")))
+  }
+
+  test("change column becomes rename") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test change `column` column2 int null")
+      .contains(("test", "alter table test.test rename column `column` to column2")))
+  }
+
+  test("modify column with comment and default") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test modify column `channel` varchar(20) not null comment '渠道'")
+      .contains(("test", "alter table test.test modify column `channel` String comment '渠道'")))
+    assert(AlterParser.toClickHouse("test",
+      "alter table test modify column `giving_money` decimal(16,2) not null default 0 comment '赠送金额'")
+      .contains(("test",
+        "alter table test.test modify column `giving_money` Decimal(16,2) default '0' comment '赠送金额'")))
+  }
+
+  test("unparseable statements are dropped, not thrown") {
+    assert(AlterParser.toClickHouse("test", "create table foo (id int)").isEmpty)
+    assert(AlterParser.toClickHouse("test", "alter table test engine=InnoDB").isEmpty)
+  }
+
+  test("type map: MySQL -> ClickHouse and Spark") {
+    assert(TypeMap.toClickHouse("tinyint") == "Int8")
+    assert(TypeMap.toClickHouse("mediumint") == "Int32")
+    assert(TypeMap.toClickHouse("char(8)") == "FixedString(8)")
+    assert(TypeMap.toClickHouse("bool") == "UInt8")
+    assert(TypeMap.render("int", nullable = true) == "Nullable(Int32)")
+    assert(TypeMap.toSpark("decimal(16,2)") == DecimalType(16, 2))
+    assert(TypeMap.toSpark("datetime") == TimestampType)
+    assert(TypeMap.toSpark("json") == StringType)
+  }
+
+  test("spark-side schema evolution SQL") {
+    assert(AlterParser.toSparkSql("db",
+      "alter table test add name varchar(20) not null after id")
+      .contains("ALTER TABLE db.test ADD COLUMNS (name STRING)"))
+    assert(AlterParser.toSparkSql("db", "alter table test drop column name")
+      .contains("ALTER TABLE db.test DROP COLUMN name"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (schema, table, action, pk, event_unixtime, action_seq)
+  private def events = Seq(
+    ("db", "a", "insert", 1L, 100L, 2),
+    ("db", "a", "update", 1L, 200L, 2),
+    ("db", "a", "delete", 2L, 150L, 1),
+    ("db", "b", "insert", 1L, 120L, 2),
+    ("x", "a", "insert", 9L, 130L, 2)
+  ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+
+  test("T2 filterTables keeps configured schema/table pairs") {
+    val out = CdcOps.filterTables(events, Seq("db"), Seq("a"))
+    assert(out.select("pk").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 2L))
+    assert(CdcOps.filterTables(events).count() == 5) // no-op without config
+  }
+
+  test("T3 filterDml drops configured DML kinds") {
+    val noDml = CdcOps.filterDml(events, skipDmls = Set("delete", "update"))
+    assert(noDml.filter(col("action").isin("delete", "update")).count() == 0)
+    val perTable = CdcOps.filterDml(events, skipDeleteTables = Set("a"))
+    assert(perTable.count() == 4)
+  }
+
+  test("T4 splitUpdates yields delete+insert pair in seq order") {
+    val out = CdcOps.splitUpdates(events)
+    assert(out.count() == 6) // 4 singles + 1 update doubled
+    val halves = out.filter(col("pk") === 1 && col("table") === "a" &&
+      col("event_unixtime") === 200)
+      .select("action", "action_seq").as[(String, Int)].collect().toSet
+    assert(halves == Set(("delete", 1), ("insert", 2)))
+  }
+
+  test("A2 dedupByPk keeps latest event per (table, action, pk)") {
+    val out = CdcOps.dedupByPk(events, pkCols = Seq("pk"))
+    // (a, insert, 1) and (a, update, 1) are different actions → both stay
+    assert(out.count() == 5)
+    val dup = Seq(
+      ("db", "a", "insert", 1L, 100L, 2),
+      ("db", "a", "insert", 1L, 300L, 2)
+    ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+    val kept = CdcOps.dedupByPk(dup, pkCols = Seq("pk"))
+    assert(kept.count() == 1)
+    assert(kept.select("event_unixtime").as[Long].head() == 300L)
+  }
+
+  test("A4 applyOrder ranks deletes before inserts, then by time") {
+    val ranked = CdcOps.applyOrder(CdcOps.splitUpdates(events))
+    val aRanks = ranked.filter(col("table") === "a")
+      .orderBy("apply_rank")
+      .select("action", "event_unixtime").as[(String, Long)].collect().toSeq
+    assert(aRanks.takeWhile(_._1 == "delete").nonEmpty)
+    assert(aRanks == aRanks.sortBy(r => (if (r._1 == "delete") 1 else 2, r._2)))
+  }
+
+  test("A1 microBatchId caps batch size") {
+    val out = CdcOps.microBatchId(events, insertNum = 2)
+    val sizes = out.groupBy("table", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(sizes.forall(_ <= 2))
+  }
+
+  test("A5 countCheck matches equal counts") {
+    val df = events
+    val res = CdcOps.countCheck(Seq(("t", df, df))).collect().head
+    assert(res.getBoolean(3))
+  }
+}

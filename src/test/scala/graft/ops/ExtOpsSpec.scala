@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.ops.MultimodalOps.StubDecoder
+import org.apache.spark.sql.functions._
+
+/** Extension-operator invariants beyond the oracle gate. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: mapPartitions stub decoder matches the SQL twin") {
+    val docs = Tables(spark, sf, "documents")
+    val viaUdf = MultimodalOps.decodeMeta(
+      MultimodalOps.withBlob(docs), new StubDecoder)
+    val viaSql = MultimodalOps.blobMetaSql(docs)
+    assert(viaUdf.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaUdf).isEmpty)
+  }
+
+  test("minhash LSH finds every exact duplicate (jaccard 1 pairs)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLsh(docs, threshold = 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical; pairs respect hamming bound") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "completely unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val sig = DedupOps.simhashSignatures(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 3, bands = 4)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("brute-force topK returns k ordered neighbors per query") {
+    val emb = Tables(spark, sf, "embeddings")
+    val out = SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+    val byQuery = out.select("query_id", "rank", "cos")
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH topK result is a subset of brute-force candidates (same bucket)") {
+    val emb = Tables(spark, sf, "embeddings")
+    val lsh = SimilarityOps.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
+    assert(lsh.count() <= 15)
+    assert(lsh.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+  }
+
+  test("sessionize splits on gap and counts sessions monotonically") {
+    val base = 1700000000000000L
+    val ev = Seq(
+      (1L, 1L, base, 1.0),
+      (2L, 1L, base + 60L * 1000000, 1.0),            // same session (+1 min)
+      (3L, 1L, base + 4000L * 1000000, 1.0),          // new session (+>30 min)
+      (4L, 2L, base, 1.0)
+    ).toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = SessionOps.sessionStats(ev)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
+    val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet
+    assert(out == Set((5L, 2L), (7L, 1L)))
+  }
+}
