@@ -17,12 +17,15 @@ object CrossHash {
   /** Large prime modulus; products stay well inside Long. */
   val P: Long = 1000000007L
 
-  /** Polynomial rolling hash of a string: fold(acc*31 + codepoint) mod P. */
-  def polyHash(s: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => (acc * lit(31L) + c.cast("long")) % lit(P))
+  /** Polynomial rolling hash of a string: fold(acc*31 + codepoint) mod P.
+    * Backed by the native codegen'd [[PolyHashExpr]]; semantically equal to
+    * `aggregate(transform(sequence(1, length(s)), i => ascii(substr(s,i,1))),
+    * 0L, (acc,c) => (acc*31+c) % P)` — the pure-HOF form the oracle mirrors.
+    */
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(PolyHashExpr(ColumnBridge.expression(s)))
+  }
 
   /** k universal-hash permutations (a_j * h + b_j) mod P, fixed odd
     * coefficients shared with the oracle SQL. */
@@ -41,6 +44,13 @@ object CrossHash {
     transform(
       sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+
+  /** Distinct word n-grams straight from text — native single-pass twin of
+    * `array_distinct(shingles(tokens(text), n))` for hot paths. */
+  def wordGrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(WordGramsExpr(ColumnBridge.expression(text), n))
+  }
 
   /** MinHash signature (array of k minima) over an array of shingles. */
   def minHash(shingleArr: Column, k: Int = 8): Column =
@@ -69,15 +79,15 @@ object CrossHash {
       })
   }
 
-  /** Exact cosine similarity between two float-array columns, computed as
-    * a strict left fold (same order as the oracle's list_reduce) in
-    * double precision. */
+  /** Exact cosine similarity between two numeric-array columns, computed
+    * as strict left folds (same order as the oracle's list_reduce) in
+    * double precision. Backed by the native [[CosineSimExpr]]; the
+    * equivalent HOF form is `fold(zip_with(a,b,*)) / (√fold(a²)·√fold(b²))`.
+    */
   def cosine(a: Column, b: Column): Column = {
-    def fold(arr: Column): Column = aggregate(arr, lit(0.0d), (s, v) => s + v)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      CosineSimExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Deterministic pseudo-random hyperplane component for LSH bucketing:

@@ -2,16 +2,23 @@ package graft.ops
 
 import graft.functions.CrossHash._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
   *
   * Scale design: every variant is candidate-generation-by-blocking — the
   * only joins are equi-joins on a small blocking key (content hash, LSH
-  * band bucket, SimHash band), so the shuffle is keyed and bounded and no
-  * O(n²) comparison ever materializes. The pairwise verification step runs
+  * band bucket, SimHash band slice), so the shuffle is keyed and bounded
+  * and no O(n²) comparison ever materializes. Pairwise verification runs
   * only within candidate buckets.
+  *
+  * Implementation shape: shingles/tokens are *exploded to rows* and hashed
+  * once by the codegen'd [[graft.functions.PolyHashExpr]]; signatures are
+  * grouped aggregates (hash-aggregate, partial/map-side combine for free).
+  * The equivalent nested array-HOF formulation is ~100× slower at scale:
+  * interpreted lambda evaluation costs microseconds per element and
+  * Catalyst's CollapseProject re-inlines single-use array columns,
+  * recomputing them once per permutation/bit.
   */
 object DedupOps {
 
@@ -24,24 +31,34 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Per-document word-`n`-gram shingle set + MinHash signature + LSH band
-    * buckets: the shared prefix of the near-dup variants.
-    */
+  /** Distinct (doc, word-n-gram-shingle) rows — the shared base of the
+    * near-dup variants. One narrow pass; the arrays never leave the scan
+    * stage. */
+  private def shingleRows(docs: DataFrame, n: Int, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
+
+  /** MinHash signature (k minima) + LSH band buckets per document. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = docs
-      .withColumn("_shingles", array_distinct(shingles(tokens(col(textCol)), n)))
-      .withColumn("minhash", minHash(col("_shingles"), k))
-    // Band key: fold the band's rows into one bucket id (exact arithmetic).
-    val withBands = sig.withColumn("bands",
+    val ex = shingleRows(docs, n, idCol, textCol)
+      .withColumn("h", polyHash(col("g")))
+    // k permutation minima as one hash-aggregate (map-side partial combine).
+    val aggs = (0 until k).map(j =>
+      min((col("h") * lit(A(j)) + lit(B(j))) % lit(P)).as(s"_m$j"))
+    val sig = ex.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("minhash", array((0 until k).map(j => col(s"_m$j")): _*))
+      .drop((0 until k).map(j => s"_m$j"): _*)
+    // Band key: fold the band's rows into one bucket id (exact arithmetic;
+    // tiny k-element arrays — HOF cost is negligible here).
+    sig.withColumn("bands",
       transform(sequence(lit(0), lit(bands - 1)), b =>
         aggregate(
           slice(col("minhash"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           b.cast("long"),
           (acc, v) => (acc * lit(31L) + v) % lit(P))))
-    withBands.select(col(idCol), col("_shingles").as("shingles"),
-      col("minhash"), col("bands"))
   }
 
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 band bucket;
@@ -50,59 +67,82 @@ object DedupOps {
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3, k: Int = 8,
                  bands: Int = 4, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val sig = minhashSignatures(docs, n, k, bands, idCol, textCol)
-    val exploded = sig
-      .select(col(idCol), col("shingles"),
-        posexplode(col("bands")).as(Seq("band_idx", "bucket")))
-    val cands = exploded.as("a").join(exploded.as("b"),
+    val ex = shingleRows(docs, n, idCol, textCol)
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val expl = minhashSignatures(docs, n, k, bands, idCol, textCol)
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val cands = expl.as("a").join(expl.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        col("a.shingles").as("s1"), col("b.shingles").as("s2"))
-      .dropDuplicates("id1", "id2")
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    // Exact overlap, restricted to candidate pairs (no all-pairs join).
+    val e1 = ex.toDF("id1", "g")
+    val e2 = ex.toDF("_id2", "g2")
+    val inter = cands.join(e1, "id1")
+      .join(e2, col("id2") === col("_id2") && col("g") === col("g2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter_cnt"))
     cands
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
-      .withColumn("uni", size(array_union(col("s1"), col("s2"))))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter_cnt"))
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
+      .filter(col("uni_cnt") > 0)
+      .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("inter"), col("uni"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
+        col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard over candidate pairs that share at least
-    * `minShared` shingles (inverted-index blocking — no cross join).
+  /** Exact n-gram Jaccard over pairs sharing ≥1 shingle (inverted-index
+    * blocking — quadratic only in per-shingle document frequency).
     */
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
-    val inv = sh.select(col(idCol), col("sh"), explode(col("sh")).as("g"))
-    val pairCounts = inv.as("a").join(inv.as("b"),
-        col("a.g") === col("b.g") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.sh")).as("s1"), first(col("b.sh")).as("s2"))
-    pairCounts
-      .withColumn("uni", size(col("s1")) + size(col("s2")) - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+    val ex = shingleRows(docs, n, idCol, textCol)
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val pairs = ex.toDF("ida", "g").as("a")
+      .join(ex.toDF("idb", "gb").as("b"),
+        col("g") === col("gb") && col("ida") < col("idb"))
+      .groupBy(col("ida").as("id1"), col("idb").as("id2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    pairs
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
+      .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("inter").cast("int").as("inter"),
-        col("uni").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
+        col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Per-document 32-bit SimHash fingerprints. */
+  /** Per-document 32-bit SimHash fingerprints: explode distinct tokens,
+    * hash once, 32 signed bit-votes as grouped conditional sums. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), simHash(tokens(col(textCol))).as("simhash"))
+                        textCol: String = "text"): DataFrame = {
+    val ex = docs.select(col(idCol), explode(wordGrams(col(textCol), 1)).as("t"))
+      .withColumn("h", polyHash(col("t")))
+    val votes = (0 until 32).map { b =>
+      val p = POW2(b)
+      sum(when(col("h") % lit(2 * p) >= lit(p), 1L).otherwise(lit(-1L))).as(s"_v$b")
+    }
+    ex.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"_v$b") > 0, lit(POW2(b))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
     * band blocking: the 32-bit fingerprint is cut into `bands` slices;
     * by pigeonhole any pair within maxHamming (< bands) shares ≥1 exact
     * slice, so candidate generation is an equi-join on (band, slice).
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7, bands: Int = 8,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bands > maxHamming, "bands must exceed maxHamming for exact recall")
     val bits = 32 / bands
@@ -124,8 +164,8 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
   }
 
-  // simhash is non-negative (32-bit in a long), so plain division is an
-  // arithmetic right shift — portable to the oracle as h // 2^s.
+  // simhash is non-negative (32-bit in a long), so subtract-mod division is
+  // an arithmetic right shift — portable to the oracle as h // 2^s.
   private def shiftrighthelper(h: org.apache.spark.sql.Column, band: org.apache.spark.sql.Column,
                                bits: Int) = {
     val p = element_at(lit(POW2), (band * bits).cast("int") + lit(1))
