@@ -157,6 +157,39 @@ object CdcOps {
   }
 
   // ---------------------------------------------------------------------
+  // T6 — bytes/JSON normalization (synch/reader/__init__.py:59-71)
+  /** Decode binary columns to UTF-8 strings and re-serialize nested
+    * struct/map columns (MySQL JSON) as JSON strings — the canonical
+    * row-image form the wire schema expects. */
+  def normalizeValues(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.BinaryType =>
+          d.withColumn(f.name, col(f.name).cast("string"))
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case _ => d
+      }
+    }
+
+  // ---------------------------------------------------------------------
+  // T7 — decimal stringify (`skip_decimal`, synch/writer/__init__.py:113-123)
+  /** Compat flag for the reference's ClickHouse decimal-inference
+    * workaround: render every decimal column as its exact string form.
+    * Our TypeMap carries precision/scale end-to-end, so this is opt-in
+    * compatibility, not a correctness requirement.
+    */
+  def stringifyDecimals(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.DecimalType =>
+          d.withColumn(f.name, col(f.name).cast("string"))
+        case _ => d
+      }
+    }
+
+  // ---------------------------------------------------------------------
   // A5 — count verification (`synch check`, synch/cli.py:94-110)
   /** Compare row counts of two sides; one row per table. */
   def countCheck(pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {

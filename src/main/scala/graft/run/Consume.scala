@@ -78,11 +78,56 @@ object Consume {
     }
   }
 
+  /** K4 — apply DDL events (action="query") carried in the stream: the
+    * values field holds the source ALTER statement; it is translated with
+    * [[graft.ddl.AlterParser]] and applied via the supplied callback
+    * (spark.sql for catalog tables, JDBC for external sinks). Parse
+    * failures are dropped with a log line, like the reference
+    * (synch/reader/mysql.py:167-171).
+    */
+  def applyDdl(batch: DataFrame, db: String,
+               runDdl: String => Unit, skipError: Boolean): Unit = {
+    val ddls = batch.filter(col("action") === "query")
+      .select(col("values"), col("event_unixtime"))
+      .orderBy(col("event_unixtime"))
+      .collect()
+    ddls.foreach { row =>
+      val stmt = row.getString(0)
+      graft.ddl.AlterParser.toSparkSql(db, stmt) match {
+        case Some(sql) =>
+          try runDdl(sql)
+          catch {
+            case e: Exception if skipError =>
+              System.err.println(s"[consume] skip DDL error: ${e.getMessage}")
+          }
+        case None =>
+          System.err.println(s"[consume] unparseable DDL dropped: $stmt")
+      }
+    }
+  }
+
+  /** C4 — bootstrap: snapshot any table whose store is still empty before
+    * the stream starts (reference auto_full_etl, synch/replication/
+    * etl.py:27-33). */
+  def bootstrap(spark: SparkSession, tables: Seq[TableSync], stateRoot: String,
+                snapshots: Map[String, graft.run.FullEtl.Source]): Unit =
+    tables.foreach { t =>
+      val store = new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")
+      if (store.isEmpty) snapshots.get(t.table).foreach { src =>
+        val snap = FullEtl.read(spark, src)
+          .withColumn("action", lit("insert"))
+          .withColumn("event_unixtime", lit(0L))
+          .withColumn("action_seq", lit(2))
+        applyBatch(spark, t, store, snap, batchId = 0L)
+      }
+    }
+
   /** Start the consume query over a canonical event stream. */
   def start(spark: SparkSession, events: DataFrame, tables: Seq[TableSync],
             stateRoot: String, checkpoint: String,
             triggerInterval: String = "1 second",
-            skipError: Boolean = false): StreamingQuery = {
+            skipError: Boolean = false,
+            ddlSink: Option[String => Unit] = None): StreamingQuery = {
     val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -98,6 +143,9 @@ object Consume {
                 System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
             }
           }
+          ddlSink.foreach(run =>
+            tables.map(_.schema).distinct.foreach(db =>
+              applyDdl(cached, db, run, skipError)))
         } finally cached.unpersist()
         ()
       }

@@ -1,0 +1,69 @@
+package graft.ddl
+
+import graft.model.Engine
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClickHouseDdlSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("amount", DecimalType(10, 2), nullable = true),
+    StructField("name", StringType, nullable = true)))
+
+  test("create table renders engine variants with explicit columns") {
+    val mt = ClickHouseDdl.createTable("db", "t", schema, Seq("id"))
+    assert(mt == "CREATE TABLE IF NOT EXISTS db.t (`id` Int64, `amount` Nullable(Decimal(10,2)), " +
+      "`name` Nullable(String)) ENGINE = MergeTree ORDER BY id")
+    val rt = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      Engine.ReplacingMergeTree, versionColumn = "ver")
+    assert(rt.contains("ENGINE = ReplacingMergeTree(ver)"))
+    val ct = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      Engine.CollapsingMergeTree, signColumn = "sgn")
+    assert(ct.contains("ENGINE = CollapsingMergeTree(sgn)"))
+    val vt = ClickHouseDdl.createTable("db", "t", schema, Seq("id", "name"),
+      Engine.VersionedCollapsingMergeTree)
+    assert(vt.contains("ENGINE = VersionedCollapsingMergeTree(sign, version)"))
+    assert(vt.contains("ORDER BY (id,name)"))
+  }
+
+  test("cluster create swaps to ReplicatedMergeTree with ON CLUSTER") {
+    val sql = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      partitionBy = Some("toYYYYMM(ts)"), engineSettings = Some("index_granularity=8192"),
+      cluster = Some("c1"))
+    assert(sql.contains("ON CLUSTER c1"))
+    assert(sql.contains("ReplicatedMergeTree('/clickhouse/tables/{shard}/db/t', '{replica}')"))
+    assert(sql.contains("PARTITION BY toYYYYMM(ts)"))
+    assert(sql.contains("SETTINGS index_granularity=8192"))
+  }
+
+  test("distributed proxy and database DDL") {
+    assert(ClickHouseDdl.createDistributed("db", "t", "_all", "c1", "rand()") ==
+      "CREATE TABLE IF NOT EXISTS db.t_all ON CLUSTER c1 AS db.t ENGINE = Distributed(c1, db, t, rand())")
+    assert(ClickHouseDdl.createDatabase("db") == "CREATE DATABASE IF NOT EXISTS db")
+  }
+
+  test("delete-by-pk matches reference goldens (tests/test_writer.py)") {
+    // single pk → parameterized IN
+    val (s1, p1) = ClickHouseDdl.deleteByPk("synch_mysql_test", "test", Seq("id"), Seq(Seq("1"), Seq("2")))
+    assert(s1 == "alter table synch_mysql_test.test delete where id in %(pks)s")
+    assert(p1.contains(Seq("1", "2")))
+    val (s2, p2) = ClickHouseDdl.deleteByPk("synch_mysql_test", "test", Seq("id"), Seq(Seq(1), Seq(2)))
+    assert(s2 == "alter table synch_mysql_test.test delete where id in %(pks)s")
+    assert(p2.contains(Seq(1, 2)))
+    // composite pk → OR of ANDs, ints bare / strings quoted
+    val (s3, p3) = ClickHouseDdl.deleteByPk("synch_mysql_test", "test",
+      Seq("id", "id2"), Seq(Seq(1, 2), Seq(2, 3)))
+    assert(s3 == "alter table synch_mysql_test.test delete where (id=1 and id2=2) or (id=2 and id2=3)")
+    assert(p3.isEmpty)
+    val (s4, _) = ClickHouseDdl.deleteByPk("synch_mysql_test", "test",
+      Seq("id", "id2"), Seq(Seq("1", "2"), Seq("2", "3")))
+    assert(s4 == "alter table synch_mysql_test.test delete where (id='1' and id2='2') or (id='2' and id2='3')")
+  }
+
+  test("type rendering covers temporal, array and binary") {
+    assert(ClickHouseDdl.renderType(TimestampType, nullable = false) == "DateTime64(6)")
+    assert(ClickHouseDdl.renderType(ArrayType(FloatType, containsNull = false), nullable = true) == "Array(Float32)")
+    assert(ClickHouseDdl.renderType(BinaryType, nullable = true) == "Nullable(String)")
+  }
+}
