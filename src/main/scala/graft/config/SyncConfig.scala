@@ -1,0 +1,111 @@
+package graft.config
+
+import graft.model.Engine
+
+/** Typed sync configuration, mirroring the reference's synch.yaml surface
+  * (synch.yaml:1-75; accessors synch/settings.py:33-95). The engine is a
+  * library, so configuration is plain case classes; [[SyncConfig.fromProperties]]
+  * loads the same keys from a flat properties map for CLI-style use.
+  *
+  * Reference flags with no Spark-side meaning are kept as documented
+  * no-ops for config compatibility:
+  *  - `skip_decimal` — TypeMap carries precision/scale exactly (§1.3),
+  *    so the stringify workaround is opt-in via CdcOps.stringifyDecimals.
+  *  - `queue_max_len` — the Redis stream cap with lossy FIFO eviction;
+  *    Kafka/file brokers with checkpoints never drop events.
+  */
+final case class CoreConfig(
+    insertNum: Int = 20000,          // events per flush  (synch.yaml:3)
+    insertIntervalSec: Int = 60,     // flush interval    (synch.yaml:4)
+    skipError: Boolean = false,
+    monitoring: Boolean = true)
+
+final case class TableConfig(
+    table: String,
+    engine: Engine.Value = Engine.MergeTree,
+    autoFullEtl: Boolean = true,     // C4 bootstrap     (synch.yaml:47)
+    signColumn: String = "sign",
+    versionColumn: String = "version",
+    partitionBy: Option[String] = None,
+    engineSettings: Option[String] = None,
+    skipDecimal: Boolean = false)
+
+final case class DatabaseConfig(
+    database: String,
+    tables: Seq[TableConfig])
+
+final case class SourceConfig(
+    alias: String,
+    dbType: String,                   // "mysql" | "postgres"
+    url: String,
+    user: String,
+    password: String,
+    databases: Seq[DatabaseConfig],
+    skipDmls: Set[String] = Set.empty,
+    skipDeleteTables: Set[String] = Set.empty,
+    skipUpdateTables: Set[String] = Set.empty)
+
+final case class SyncConfig(core: CoreConfig, sources: Seq[SourceConfig]) {
+  /** Count-cap + time trigger (operator A1) as stream options. */
+  def maxOffsetsPerTrigger: Long = core.insertNum.toLong
+  def triggerInterval: String = s"${core.insertIntervalSec} seconds"
+}
+
+object SyncConfig {
+
+  /** Flat-properties loader, e.g.
+    * {{{
+    * core.insert_num=20000
+    * source.0.alias=mysql_db
+    * source.0.db_type=mysql
+    * source.0.url=jdbc:mysql://host:3306
+    * source.0.database.0=test
+    * source.0.database.0.table.0=orders
+    * source.0.database.0.table.0.engine=ReplacingMergeTree
+    * }}}
+    */
+  def fromProperties(props: Map[String, String]): SyncConfig = {
+    def p(key: String, default: String = ""): String = props.getOrElse(key, default)
+    val core = CoreConfig(
+      insertNum = p("core.insert_num", "20000").toInt,
+      insertIntervalSec = p("core.insert_interval", "60").toInt,
+      skipError = p("core.skip_error", "false").toBoolean,
+      monitoring = p("core.monitoring", "true").toBoolean)
+
+    val sources = Iterator.from(0)
+      .takeWhile(i => props.contains(s"source.$i.alias"))
+      .map { i =>
+        val databases = Iterator.from(0)
+          .takeWhile(d => props.contains(s"source.$i.database.$d"))
+          .map { d =>
+            val db = p(s"source.$i.database.$d")
+            val tables = Iterator.from(0)
+              .takeWhile(t => props.contains(s"source.$i.database.$d.table.$t"))
+              .map { t =>
+                val base = s"source.$i.database.$d.table.$t"
+                TableConfig(
+                  table = p(base),
+                  engine = Engine.withName(p(s"$base.engine", "MergeTree")),
+                  autoFullEtl = p(s"$base.auto_full_etl", "true").toBoolean,
+                  signColumn = p(s"$base.sign_column", "sign"),
+                  versionColumn = p(s"$base.version_column", "version"),
+                  partitionBy = props.get(s"$base.partition_by"),
+                  engineSettings = props.get(s"$base.engine_settings"),
+                  skipDecimal = p(s"$base.skip_decimal", "false").toBoolean)
+              }.toSeq
+            DatabaseConfig(db, tables)
+          }.toSeq
+        SourceConfig(
+          alias = p(s"source.$i.alias"),
+          dbType = p(s"source.$i.db_type", "mysql"),
+          url = p(s"source.$i.url"),
+          user = p(s"source.$i.user"),
+          password = p(s"source.$i.password"),
+          databases = databases,
+          skipDmls = p(s"source.$i.skip_dmls").split(',').filter(_.nonEmpty).toSet,
+          skipDeleteTables = p(s"source.$i.skip_delete_tables").split(',').filter(_.nonEmpty).toSet,
+          skipUpdateTables = p(s"source.$i.skip_update_tables").split(',').filter(_.nonEmpty).toSet)
+      }.toSeq
+    SyncConfig(core, sources)
+  }
+}

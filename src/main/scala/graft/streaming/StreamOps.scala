@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming operators — watermarks + windows. The reference has
+  * no event-time semantics at all (SURVEY.md §2.7: ordering is producer
+  * wall-clock, late data applied in arrival order); these are north-star
+  * extensions (§7.5) for the training-data pipeline side, built on
+  * Structured Streaming's native session/tumbling windows.
+  */
+object StreamOps {
+
+  /** Gap-based sessionization over a stream (the streaming twin of
+    * [[graft.ops.SessionOps.sessionize]]): state is bounded by the
+    * watermark; output appends one row per closed session.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "1 hour",
+                   userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Tumbling-window event counts per type — the monitoring-style rollup. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+                     watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+}

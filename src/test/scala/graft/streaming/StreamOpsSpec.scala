@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming session windows close after the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamOps.sessionStats(
+      input.toDF().toDF("user_id", "ts", "value"), gap = "10 minutes",
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_test").outputMode("append").start()
+    try {
+      // session A: two events 5 min apart; then an event far in the future
+      // advances the watermark past A's close.
+      input.addData((1L, ts(0), 1.0), (1L, ts(5), 2.0))
+      q.processAllAvailable()
+      input.addData((1L, Timestamp.valueOf("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(closed == Set((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("tumbling windowed counts") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamOps.windowedCounts(
+      input.toDF().toDF("ts", "event_type"), window = "30 minutes",
+      watermark = "0 seconds")
+    val q = counts.writeStream.format("memory")
+      .queryName("windows_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(40), "view"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "late"))
+      q.processAllAvailable()
+      val rows = spark.table("windows_test")
+        .select("event_type", "n_events").as[(String, Long)].collect().toSet
+      assert(rows.contains(("click", 2L)))
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+}
