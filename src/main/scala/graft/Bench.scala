@@ -17,13 +17,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q4_exists_orders", "q7_window_running", "q8_rollup_revenue",
+    "q9_distinct_agg", "q10_except", "q11_topk_per_group",
     "s3_snapshot_sign", "t2_filter_tables", "t3_filter_dml",
-    "t4_split_updates", "a1_microbatch", "a2_dedup_pk", "a3_sign_collapse",
+    "t4_split_updates", "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
     "a4_apply_order", "a5_count_check",
     "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_embedding",
-    "ann_topk", "ann_lsh_topk",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint",
     "session_stats", "multimodal_meta")
 

@@ -84,6 +84,57 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q4_exists_orders" -> ((s, dir) => {
+      // EXISTS → left-semi join; counts per priority
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    "q7_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+    }),
+
+    "q8_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q9_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))),
+
+    "q10_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    "q11_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 2)
+        .select(col("o_orderpriority"), col("rank").cast("int").as("rank"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
     // S3/T1: full-snapshot scan + computed sign column
     "s3_snapshot_sign" -> ((s, dir) => {
@@ -131,6 +182,15 @@ object SparkEntry {
     // A2: per-PK last-write-wins dedup
     "a2_dedup_pk" -> ((s, dir) => {
       CdcOps.dedupByPk(changelog(s, dir), pkCols = Seq("pk"),
+          orderCols = Seq("ts", "event_id"),
+          extraPartition = Seq("tbl", "action"))
+        .select(col("tbl"), col("action"), col("pk"), col("value"),
+          tsUs(col("ts")).as("ts_us"), col("event_id"))
+    }),
+
+    // A2 (skew path): salted two-phase dedup — same semantics as a2_dedup_pk
+    "a2_dedup_pk_salted" -> ((s, dir) => {
+      CdcOps.dedupByPkSalted(changelog(s, dir), pkCols = Seq("pk"),
           orderCols = Seq("ts", "event_id"),
           extraPartition = Seq("tbl", "action"))
         .select(col("tbl"), col("action"), col("pk"), col("value"),
@@ -223,6 +283,14 @@ object SparkEntry {
         planes = 4, dims = 64)
     }),
 
+    // IVF scale path: k-means means are float-sum-order dependent, so no
+    // cross-engine oracle — driver records the rows-only check; invariants
+    // (recall vs brute force, ranking) are covered in ExtOpsSpec.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
+    }),
+
     "text_langid" -> ((s, dir) =>
       TextOps.languageId(t(s, dir, "documents"))),
 
@@ -279,6 +347,49 @@ object SparkEntry {
         | JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "q4_exists_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q7_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q8_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM region
+        | JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q9_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q10_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q11_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 2""".stripMargin,
+
     "s3_snapshot_sign" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
@@ -318,6 +429,15 @@ object SparkEntry {
         |FROM ranked GROUP BY tbl, (rn - 1) // 500""".stripMargin),
 
     "a2_dedup_pk" -> (CL + """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, action, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM changelog)
+        |SELECT tbl, action, pk, value, epoch_us(ts) AS ts_us, event_id
+        |FROM ranked WHERE rn = 1""".stripMargin),
+
+    // same contract as a2_dedup_pk — the salted plan must not change results
+    "a2_dedup_pk_salted" -> (CL + """,
         |ranked AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY tbl, action, pk ORDER BY ts DESC, event_id DESC) AS rn

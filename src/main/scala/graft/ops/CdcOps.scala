@@ -112,6 +112,29 @@ object CdcOps {
       .drop("_rn")
   }
 
+  /** Skew-resistant two-phase variant of [[dedupByPk]]: a hot key (one PK
+    * receiving a large fraction of a batch's updates) would make the
+    * single-shuffle window lopsided; here phase 1 reduces each (key, salt)
+    * slice to its latest row map-side-ish, phase 2 reduces the ≤`saltBuckets`
+    * survivors per key. Same result as dedupByPk for any total order.
+    */
+  def dedupByPkSalted(df: DataFrame,
+                      pkCols: Seq[String],
+                      orderCols: Seq[String] = Seq("event_unixtime"),
+                      extraPartition: Seq[String] = Seq("table", "action"),
+                      saltBuckets: Int = 16): DataFrame = {
+    val keys = extraPartition ++ pkCols
+    val ord = struct(orderCols.map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    val salted = df.withColumn("_salt",
+      pmod(hash(orderCols.map(col): _*), lit(saltBuckets)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(max_by(payload, ord).as("_row"), max(ord).as("_ord"))
+    val phase2 = phase1.groupBy(keys.map(col): _*)
+      .agg(max_by(col("_row"), col("_ord")).as("_row"))
+    phase2.select(df.columns.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
   // ---------------------------------------------------------------------
   // A3 — sign assignment (collapsing path)
   // (reference synch/writer/collapsing_merge_tree.py:37-58)

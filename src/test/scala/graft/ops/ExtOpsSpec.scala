@@ -55,6 +55,21 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF topK: k results per query, ranked, with nonzero brute-force recall") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 3)
+    val ivf = SimilarityOps.ivfTopK(qs, emb, k = 5, nlist = 8, nprobe = 3, iters = 2)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+    val brute = SimilarityOps.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val byQuery = ivf.groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.values.foreach(rows => assert(rows.length == 5))
+    val hits = ivf.count(r => brute.contains((r._1, r._3)))
+    assert(hits > 0, "IVF should recall at least one true neighbor")
+  }
+
   test("LSH topK result is a subset of brute-force candidates (same bucket)") {
     val emb = Tables(spark, sf, "embeddings")
     val lsh = SimilarityOps.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
