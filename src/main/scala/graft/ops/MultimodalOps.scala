@@ -74,6 +74,47 @@ object MultimodalOps {
     }(encoder)
   }
 
+  /** Feature extraction: blob → fixed-dim float vector (the embed step of
+    * a multimodal pipeline). Same mapPartitions shape as [[decodeMeta]];
+    * the stub derives a deterministic pseudo-embedding from a rolling hash
+    * over `dim`-strided byte windows — swap for a real encoder (ONNX/JNI)
+    * without touching the plumbing. Output plugs directly into
+    * [[SimilarityOps]] (`vec_id`/`embedding` shape).
+    */
+  def extractFeatures(df: DataFrame, dim: Int = 16,
+                      idCol: String = "doc_id", blobCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) {
+          val d = i % dim
+          v(d) = (v(d) * 31 + (bytes(i) & 0xff)) % 997
+          i += 1
+        }
+        var d = 0
+        while (d < dim) { v(d) = v(d) / 997f - 0.5f; d += 1 }
+        Row(r.getLong(0), v.toSeq)
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling stub: pick every `stride`-th 256-byte window as a
+    * "frame" — the partition/batch shape of real video frame extraction. */
+  def sampleFrames(df: DataFrame, stride: Int = 4,
+                   idCol: String = "doc_id", blobCol: String = "media"): DataFrame =
+    df.select(col(idCol), posexplode(
+        org.apache.spark.sql.functions.transform(
+          sequence(lit(0), greatest((octet_length(col(blobCol)) / 256 / stride).cast("int") - 1, lit(0))),
+          f => col(blobCol).substr(f * lit(256 * stride) + lit(1), lit(256))))
+        .as(Seq("frame_idx", "frame_bytes")))
+
   /** Pure-SQL metadata over the synthesized blobs (oracle-checkable twin
     * of [[decodeMeta]] with the stub decoder). */
   def blobMetaSql(docs: DataFrame, idCol: String = "doc_id",

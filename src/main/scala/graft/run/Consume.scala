@@ -122,6 +122,23 @@ object Consume {
       }
     }
 
+  /** Compact a table's append-only log to its resolved state (the
+    * OPTIMIZE/background-merge analogue). Collapsing-family rows are
+    * rewritten with sign=+1 — the resolved row *is* the alive row, and a
+    * future delete must cancel it with exactly one -1, matching
+    * ClickHouse's merge semantics (a net of +2 pre-compaction would
+    * otherwise need two cancels). MergeTree state is already materialized,
+    * so compaction is a no-op there.
+    */
+  def compact(t: TableSync, store: ParquetStateStore): Unit = t.engine match {
+    case Engine.MergeTree => ()
+    case Engine.ReplacingMergeTree =>
+      currentState(t, store).foreach(store.compact)
+    case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
+      currentState(t, store).foreach(resolved =>
+        store.compact(resolved.withColumn("sign", lit(1).cast("tinyint"))))
+  }
+
   /** Start the consume query over a canonical event stream. */
   def start(spark: SparkSession, events: DataFrame, tables: Seq[TableSync],
             stateRoot: String, checkpoint: String,

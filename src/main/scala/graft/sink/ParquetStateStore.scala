@@ -52,4 +52,23 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
 
   def readLog(): Option[DataFrame] =
     if (versions.isEmpty) None else Some(spark.read.parquet(s"$root/v=*"))
+
+  /** Compact the append-only log: materialize `resolved` as the single
+    * surviving version (keeping the latest version number so batch-id
+    * idempotence still holds) and drop the per-batch deltas. The engine
+    * analogue of ClickHouse's background merge / OPTIMIZE: read-time
+    * resolution cost stays O(base + recent deltas) instead of O(history).
+    *
+    * Correctness relies on the resolve functions being idempotent over
+    * their own output (resolved rows keep pk/version/sign columns), which
+    * [[SinkStrategy]] guarantees and ConsumeSpec asserts.
+    */
+  def compact(resolved: DataFrame): Unit = {
+    val keep = latestVersion.getOrElse(0L)
+    val tmp = new Path(s"$root/.compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    resolved.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    versions.foreach { case (_, p) => fs.delete(p, true) }
+    fs.rename(tmp, new Path(s"$root/v=$keep"))
+  }
 }

@@ -16,6 +16,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(viaUdf.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaUdf).isEmpty)
   }
 
+  test("multimodal: feature extraction yields stable fixed-dim vectors usable by ANN") {
+    val docs = Tables(spark, sf, "documents").limit(50)
+    val feats = MultimodalOps.extractFeatures(MultimodalOps.withBlob(docs), dim = 16)
+    assert(feats.columns.toSeq == Seq("vec_id", "embedding"))
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    // deterministic: second run identical
+    val again = MultimodalOps.extractFeatures(MultimodalOps.withBlob(docs), dim = 16).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // plugs into similarity search
+    val knn = SimilarityOps.bruteForceTopK(feats.limit(2), feats, k = 3)
+    assert(knn.count() == 6)
+  }
+
+  test("multimodal: frame sampling emits strided windows") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = Tables(spark, sf, "documents").limit(5)
+    val frames = MultimodalOps.sampleFrames(MultimodalOps.withBlob(docs))
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
+    assert(frames.count() >= 5) // at least one frame per doc
+  }
+
   test("minhash LSH finds every exact duplicate (jaccard 1 pairs)") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

@@ -73,6 +73,39 @@ class ConsumeSpec extends SparkSpec {
     assert(rt2 == Set.empty[Long]) // tombstone wins at read time
   }
 
+  test("compaction preserves resolved state and future deltas still apply") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact").toString
+    val t = TableSync("db", "c", valueSchema, Seq("id"), Engine.CollapsingMergeTree)
+    val store = new graft.sink.ParquetStateStore(spark, s"$root/db/c")
+
+    def signed(rows: Seq[(Long, Double, String, Long)]) = {
+      val df = rows.toDF("id", "amount", "action", "event_unixtime")
+        .withColumn("action_seq",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("action") === "delete", 1).otherwise(2))
+      graft.ops.CdcOps.withCollapsingSign(df)
+    }
+    // batch 0: two inserts + an update-style re-insert of id 1
+    store.append(signed(Seq((1L, 10.0, "insert", 100L), (2L, 20.0, "insert", 110L),
+      (1L, 11.0, "insert", 200L))), 0L)
+    val before = Consume.currentState(t, store).get
+      .select("id", "amount").as[(Long, Double)].collect().toSet
+    assert(before == Set((1L, 11.0), (2L, 20.0)))
+
+    Consume.compact(t, store)
+    assert(store.latestVersion.contains(0L))
+    val after = Consume.currentState(t, store).get
+      .select("id", "amount").as[(Long, Double)].collect().toSet
+    assert(after == before)
+
+    // post-compaction delta: one delete cancels the compacted +1 row
+    store.append(signed(Seq((2L, 20.0, "delete", 300L))), 1L)
+    val finalState = Consume.currentState(t, store).get
+      .select("id", "amount").as[(Long, Double)].collect().toSet
+    assert(finalState == Set((1L, 11.0)))
+  }
+
   test("wire serde round-trips through serialize/parse") {
     import spark.implicits._
     val raw = Seq(ev("mt", "insert", 5, 50.5, 123)).toDF("json")
