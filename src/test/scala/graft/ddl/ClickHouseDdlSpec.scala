@@ -61,6 +61,15 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(s4 == "alter table synch_mysql_test.test delete where (id='1' and id2='2') or (id='2' and id2='3')")
   }
 
+  test("JdbcDialect renders ClickHouse types and handles ch URLs") {
+    assert(ClickHouseDialect.canHandle("jdbc:clickhouse://h:8123/db"))
+    assert(!ClickHouseDialect.canHandle("jdbc:postgresql://h/db"))
+    assert(ClickHouseDialect.getJDBCType(DecimalType(16, 2)).get.databaseTypeDefinition == "Decimal(16,2)")
+    assert(ClickHouseDialect.getJDBCType(TimestampType).get.databaseTypeDefinition == "DateTime64(6)")
+    assert(ClickHouseDialect.quoteIdentifier("a b") == "`a b`")
+    ClickHouseDialect.register() // idempotent, must not throw
+  }
+
   test("type rendering covers temporal, array and binary") {
     assert(ClickHouseDdl.renderType(TimestampType, nullable = false) == "DateTime64(6)")
     assert(ClickHouseDdl.renderType(ArrayType(FloatType, containsNull = false), nullable = true) == "Array(Float32)")
