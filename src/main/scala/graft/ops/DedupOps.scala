@@ -172,6 +172,25 @@ object DedupOps {
     ((h - pmod(h, p)) / p).cast("long")
   }
 
+  /** Embedding near-duplicates blocked by random-hyperplane LSH bucket —
+    * the label-free form of [[embeddingNearDup]]: the bucket is computed
+    * from the vector itself, so no external clustering key is needed and
+    * the pair join stays an equi-join on the bucket id.
+    */
+  def embeddingNearDupLsh(embs: DataFrame, threshold: Double, planes: Int = 4,
+                          dims: Int = 64, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val withBucket = embs.select(col(idCol), col(vecCol),
+      SimilarityOps.lshBucket(col(vecCol), planes, dims).as("_bucket"))
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a._bucket") === col("b._bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cos", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold within blocking key
     * `blockCol` (e.g. a coarse cluster/label or LSH bucket) — the blocked
     * form of brute-force pair generation.

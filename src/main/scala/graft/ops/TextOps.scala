@@ -84,6 +84,34 @@ object TextOps {
       .drop("_toks")
   }
 
+  /** Top-`k` salient terms per document by linear TF-IDF (tf × N/df).
+    * Deliberately log-free: the score stays a ratio of exact integers, so
+    * the DuckDB oracle matches bit-for-bit (libm `log` is not correctly
+    * rounded and differs across engines). Shape: one exploded token pass,
+    * two keyed aggregates, one window top-k — no O(n²) anywhere.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import graft.functions.CrossHash.wordGrams
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol),
+      explode(wordGrams(lower(col(textCol)), 1)).as("term"))
+    // wordGrams(_,1) is distinct per doc → per-doc tf needs the raw tokens
+    val raw = docs.select(col(idCol),
+      explode(graft.functions.CrossHash.tokens(lower(col(textCol)))).as("term"))
+    val tf = raw.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"), col("term"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** Polynomial-rolling-hash fingerprint of the normalized (lowercased,
     * whitespace-collapsed) document text. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",

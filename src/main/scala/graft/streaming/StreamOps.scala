@@ -28,6 +28,16 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Cross-batch streaming dedup by event id, state bounded by the
+    * watermark — upgrades the at-least-once broker leg to exactly-once
+    * event delivery without unbounded state (the reference can only dedup
+    * within one flush buffer, synch/writer/merge_tree.py:63-85).
+    */
+  def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Tumbling-window event counts per type — the monitoring-style rollup. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",
                      watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =

@@ -1,0 +1,29 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** CLI smoke: etl + check against the parquet stand-in source. */
+class MainSpec extends SparkSpec {
+
+  test("Main etl copies configured tables and check matches counts") {
+    val root = Files.createTempDirectory("main").toString
+    val props =
+      s"""core.insert_num=100
+         |source.0.alias=pq
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db
+         |source.0.database.0.table.0=orders
+         |source.0.database.0.table.1=region
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
+    val orders = spark.read.parquet(s"$root/state/db/orders/v=0")
+    assert(orders.count() == 1500)
+
+    // check mode runs the A5 comparison without throwing
+    Main.main(Array("check", cfgPath, "unused", s"$root/state"))
+  }
+}
