@@ -38,6 +38,7 @@ object Consume {
       CdcOps.filterTables(events, Seq(t.schema), Seq(t.table)),
       skipDeleteTables = if (t.skipDelete) Set(t.table) else Set.empty,
       skipUpdateTables = if (t.skipUpdate) Set(t.table) else Set.empty)
+      .filter(col("action") =!= "query") // DDL rides the K4 path, not DML
     val split = CdcOps.splitUpdates(filtered)
     split
       .withColumn("_v", from_json(col("values"), t.valueSchema))

@@ -73,6 +73,47 @@ class ConsumeSpec extends SparkSpec {
     assert(rt2 == Set.empty[Long]) // tombstone wins at read time
   }
 
+  test("composite-PK events delete and upsert by the full key tuple") {
+    val root = Files.createTempDirectory("composite").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val vs = StructType(Seq(StructField("id", LongType),
+      StructField("id2", LongType), StructField("v", DoubleType)))
+    val tables = Seq(TableSync("db", "cp", vs, Seq("id", "id2"), Engine.MergeTree))
+
+    def cev(action: String, id: Long, id2: Long, v: Double, ts: Long): String = {
+      val seq = if (action == "delete") 1 else 2
+      s"""{"schema":"db","table":"cp","action":"$action","values":"{\\"id\\":$id,\\"id2\\":$id2,\\"v\\":$v}","event_unixtime":$ts,"action_seq":$seq}"""
+    }
+    writeBatch(eventsDir, "b0.json", Seq(
+      cev("insert", 1, 1, 10.0, 100), cev("insert", 1, 2, 20.0, 100),
+      cev("update", 1, 1, 11.0, 200), // touches only (1,1)
+      cev("delete", 1, 2, 20.0, 300))) // removes only (1,2)
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      tables, s"$root/state", s"$root/ckpt")
+    q.processAllAvailable(); q.stop()
+    val store = new ParquetStateStore(spark, s"$root/state/db/cp")
+    val state = Consume.currentState(tables.head, store).get
+      .select("id", "id2", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state == Set((1L, 1L, 11.0)))
+  }
+
+  test("interleaved DDL events are translated and routed to the DDL sink") {
+    val root = Files.createTempDirectory("ddl").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val tables = Seq(TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree))
+    val ddlJson =
+      """{"schema":"db","table":"mt","action":"query","values":"alter table mt add note varchar(20) not null","event_unixtime":150,"action_seq":0}"""
+    writeBatch(eventsDir, "b0.json", Seq(
+      ev("mt", "insert", 1, 10.0, 100), ddlJson, ev("mt", "insert", 2, 20.0, 200)))
+    val applied = scala.collection.mutable.Buffer.empty[String]
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      tables, s"$root/state", s"$root/ckpt",
+      ddlSink = Some(sql => applied.synchronized { applied += sql; () }))
+    q.processAllAvailable(); q.stop()
+    assert(applied.toSeq == Seq("ALTER TABLE db.mt ADD COLUMNS (note STRING)"))
+  }
+
   test("compaction preserves resolved state and future deltas still apply") {
     import spark.implicits._
     val root = Files.createTempDirectory("compact").toString

@@ -15,6 +15,27 @@ class FullEtlSpec extends SparkSpec {
     assert(out.selectExpr("min(sign)", "max(sign)").collect().head.toSeq == Seq(1, 1))
   }
 
+  test("reference round-trip golden: (1, 1.00) survives with exact decimal") {
+    // FIXTURES.md §1 / reference tests/test_etl.py:20-36
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("amount", DecimalType(10, 2), nullable = true)))
+    val tmp = Files.createTempDirectory("golden").toString
+    spark.createDataFrame(
+        java.util.List.of(Row(1, new java.math.BigDecimal("1.00"))), schema)
+      .write.parquet(s"$tmp/test.parquet")
+    val (s, c) = FullEtl.copyTable(spark,
+      FullEtl.ParquetSource(s"$tmp/test.parquet"), s"$tmp/target")
+    assert(s == 1 && c == 1)
+    val row = spark.read.parquet(s"$tmp/target").collect().head
+    assert(row.getInt(0) == 1)
+    assert(row.getDecimal(1) == new java.math.BigDecimal("1.00"))
+    assert(spark.read.parquet(s"$tmp/target").schema("amount").dataType ==
+      DecimalType(10, 2)) // no precision loss, no skip_decimal workaround
+  }
+
   test("jdbc source config builds partitioned reader options") {
     // No live DB in this container: assert the config shape only.
     val j = FullEtl.JdbcSource("jdbc:postgresql://h/db", "t", "u", "p",
