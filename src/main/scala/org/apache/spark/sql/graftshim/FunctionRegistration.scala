@@ -1,0 +1,36 @@
+package org.apache.spark.sql.graftshim
+
+import graft.functions.{CosineSimExpr, PolyHashExpr, WordGramsExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the engine's native expressions as SQL functions, so
+  * `spark.sql("SELECT graft_polyhash(text) ...")` works alongside the
+  * Column API. Lives in the shim package because `sessionState` is
+  * `private[sql]`.
+  */
+object FunctionRegistration {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_polyhash", "polynomial rolling hash mod 1e9+7",
+      exprs => PolyHashExpr(exprs.head)),
+    ("graft_word_grams", "distinct word n-grams: graft_word_grams(text, n)",
+      exprs => WordGramsExpr(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().toString.toInt
+      })),
+    ("graft_cosine", "exact cosine similarity of two numeric arrays",
+      exprs => CosineSimExpr(exprs.head, exprs(1))))
+
+  /** Imperative per-session registration (tests, notebooks). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, usage, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+}

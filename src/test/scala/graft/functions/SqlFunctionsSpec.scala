@@ -1,0 +1,34 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.graftshim.FunctionRegistration
+
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("native expressions are callable from SQL after registration") {
+    FunctionRegistration.register(spark)
+    // 'the' → ((0*31+116)*31+104)*31+101 = 114801 (hand-checked)
+    assert(spark.sql("SELECT graft_polyhash('the')").collect().head.getLong(0) == 114801L)
+    val grams = spark.sql("SELECT graft_word_grams('a b c d', 3)")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("a b c", "b c d"))
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .collect().head.getDouble(0)
+    assert(cos == 1.0)
+  }
+
+  test("polyhash equals the portable HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")
+    val native = df.select(CrossHash.polyHash(col("text"))).collect().head.getLong(0)
+    val hof = df.select(
+      aggregate(
+        transform(sequence(lit(1), length(col("text"))),
+          i => ascii(col("text").substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * lit(31L) + c.cast("long")) % lit(CrossHash.P)))
+      .collect().head.getLong(0)
+    assert(native == hof)
+  }
+}
