@@ -31,9 +31,6 @@ object TextOps {
     val withScores = stopwords.foldLeft(scored) { case (d, (lang, words)) =>
       d.withColumn(s"_s_$lang", countIn(col("_toks"), words))
     }
-    val best = stopwords.map { case (lang, _) =>
-      struct(col(s"_s_$lang").as("score"), lit(lang).as("lang"))
-    }
     // argmax by (score desc, lang asc): flip score sign, take array_min.
     val bestStruct = array_min(array(stopwords.map { case (lang, _) =>
       struct((-col(s"_s_$lang")).as("neg"), lit(lang).as("lang"))

@@ -79,8 +79,6 @@ object SinkStrategy {
   def collapsingResolve(log: DataFrame, k: SinkKeys,
                         signCol: String = "sign"): DataFrame = {
     val valueCols = log.columns.filterNot(c => k.pkCols.contains(c))
-    val ordered = struct((k.versionCol +: k.tieBreakers).map(col) :+
-      struct(valueCols.map(col): _*).as("v"): _*)
     log.filter(col(signCol) =!= 0)
       .groupBy(k.pkCols.map(col): _*)
       .agg(sum(col(signCol).cast("long")).as("_net"),
