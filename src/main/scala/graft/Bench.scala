@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q1_pricing_summary", "q2_part_supplier", "q3_top_orders", "q5_region_revenue",
     "q4_exists_orders", "q7_window_running", "q8_rollup_revenue",
     "q9_distinct_agg", "q10_except", "q11_topk_per_group",
     "s3_snapshot_sign", "t2_filter_tables", "t3_filter_dml",

@@ -84,6 +84,18 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q2_part_supplier" -> ((s, dir) => {
+      // covers the part/supplier dimensions: revenue by brand × supplier nation
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("p_partkey") === col("l_partkey"))
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+          max(col("p_retailprice")).as("max_retail"))
+    }),
+
     "q4_exists_orders" -> ((s, dir) => {
       // EXISTS → left-semi join; counts per priority
       val o = t(s, dir, "orders")
@@ -352,6 +364,17 @@ object SparkEntry {
         | JOIN orders ON o_custkey = c_custkey
         | JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q2_part_supplier" ->
+      """SELECT p_brand, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items,
+        | MAX(p_retailprice) AS max_retail
+        |FROM lineitem
+        | JOIN part ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY p_brand, n_name""".stripMargin,
 
     "q4_exists_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
