@@ -45,11 +45,17 @@ object Main {
 
     mode match {
       case "etl" =>
+        // The snapshot lands as the store's batch-0 changelog delta (action/
+        // event_unixtime/action_seq stamped), so a later `consume` can append
+        // deltas on top without a state rewrite.
         for (src <- cfg.sources; d <- src.databases; t <- d.tables if t.autoFullEtl) {
           val target = s"${args.lift(3).getOrElse("/tmp/graft_state")}/${d.database}/${t.table}/v=0"
-          val (s, c) = FullEtl.copyTable(spark, source(src, d.database, t.table), target,
-            withSign = t.engine == Engine.CollapsingMergeTree)
-          println(s"[etl] ${d.database}.${t.table}: $s -> $c rows")
+          val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
+          val snap = Consume.snapshotAsChangelog(
+            if (t.engine == Engine.CollapsingMergeTree) CdcOps.withSnapshotSign(snap0) else snap0)
+          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(target)
+          val c = spark.read.parquet(target).count()
+          println(s"[etl] ${d.database}.${t.table}: ${snap0.count()} -> $c rows")
         }
 
       case "check" =>

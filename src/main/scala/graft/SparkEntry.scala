@@ -234,6 +234,19 @@ object SparkEntry {
       }.reduce(_.unionByName(_))
     }),
 
+    // K5/§7.3: MergeTree eager apply (reference merge_tree.py:60-85 flush:
+    // delete-by-touched-PK, then insert survivors) — the whole changelog
+    // applied as one batch over empty state must equal the last-state view.
+    "engine_mergetree" -> ((s, dir) => {
+      val log = changelog(s, dir)
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], log.schema)
+      SinkStrategy.mergeTreeApply(empty, log,
+          SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"))
+    }),
+
     // K5/§7.3: ReplacingMergeTree read-time resolution
     "engine_replacing" -> ((s, dir) => {
       SinkStrategy.replacingResolve(changelog(s, dir),
@@ -500,6 +513,15 @@ object SparkEntry {
           "orders", "lineitem", "events", "documents", "embeddings")
           .map(n => s"SELECT '$n' AS tbl, COUNT(*) AS n_rows FROM $n")
           .mkString(" UNION ALL ") + ")"),
+
+    // eager MergeTree apply over the full changelog == last-state view
+    "engine_mergetree" -> (CL + """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM changelog)
+        |SELECT tbl, pk, event_id, action, value, epoch_us(ts) AS ts_us
+        |FROM ranked WHERE rn = 1 AND action <> 'delete'""".stripMargin),
 
     "engine_replacing" -> (CL + """,
         |ranked AS (

@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 
 /** Per-table sync configuration (reference synch.yaml:43-57). */
 final case class TableSync(
@@ -46,18 +48,22 @@ object Consume {
         t.valueSchema.fieldNames.map(f => col(s"_v.$f").as(f)): _*)
   }
 
-  /** Apply one micro-batch of one table to its store. */
+  /** Apply one micro-batch of one table to its store.
+    *
+    * Every engine — including MergeTree — appends an O(batch)-sized delta;
+    * nothing ever rewrites O(state) bytes inside a micro-batch. MergeTree's
+    * eager delete-then-insert contract (reference merge_tree.py:60-85) is
+    * realized at read time by [[SinkStrategy.replacingResolve]] (latest
+    * action per PK; deletes vanish — exactly the post-flush table state)
+    * and made cheap again by periodic [[compact]]. The batch is deduped
+    * per PK first so the delta carries at most one row per touched key.
+    */
   def applyBatch(spark: SparkSession, t: TableSync, store: ParquetStateStore,
                  changelog: DataFrame, batchId: Long): Unit = {
     val keys = SinkKeys(t.pkCols)
     t.engine match {
       case Engine.MergeTree =>
-        val state = store.read().getOrElse {
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            changelog.schema)
-        }
-        store.write(SinkStrategy.mergeTreeApply(state, changelog, keys),
-          batchId = Some(batchId))
+        store.append(SinkStrategy.latestPerKey(changelog, keys), batchId)
       case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
         store.append(CdcOps.withCollapsingSign(changelog), batchId)
       case Engine.ReplacingMergeTree =>
@@ -69,8 +75,7 @@ object Consume {
   def currentState(t: TableSync, store: ParquetStateStore): Option[DataFrame] = {
     val keys = SinkKeys(t.pkCols)
     t.engine match {
-      case Engine.MergeTree => store.read()
-      case Engine.ReplacingMergeTree =>
+      case Engine.MergeTree | Engine.ReplacingMergeTree =>
         store.readLog().map(SinkStrategy.replacingResolve(_, keys))
       case Engine.CollapsingMergeTree =>
         store.readLog().map(SinkStrategy.collapsingResolve(_, keys))
@@ -107,6 +112,14 @@ object Consume {
     }
   }
 
+  /** Stamp a full snapshot as changelog rows (batch-0 inserts), so every
+    * store version — the bootstrap base included — is a valid delta for
+    * the read-time resolvers. */
+  def snapshotAsChangelog(snap: DataFrame): DataFrame =
+    snap.withColumn("action", lit("insert"))
+      .withColumn("event_unixtime", lit(0L))
+      .withColumn("action_seq", lit(2))
+
   /** C4 — bootstrap: snapshot any table whose store is still empty before
     * the stream starts (reference auto_full_etl, synch/replication/
     * etl.py:27-33). */
@@ -115,11 +128,8 @@ object Consume {
     tables.foreach { t =>
       val store = new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")
       if (store.isEmpty) snapshots.get(t.table).foreach { src =>
-        val snap = FullEtl.read(spark, src)
-          .withColumn("action", lit("insert"))
-          .withColumn("event_unixtime", lit(0L))
-          .withColumn("action_seq", lit(2))
-        applyBatch(spark, t, store, snap, batchId = 0L)
+        applyBatch(spark, t, store, snapshotAsChangelog(FullEtl.read(spark, src)),
+          batchId = 0L)
       }
     }
 
@@ -132,20 +142,37 @@ object Consume {
     * so compaction is a no-op there.
     */
   def compact(t: TableSync, store: ParquetStateStore): Unit = t.engine match {
-    case Engine.MergeTree => ()
-    case Engine.ReplacingMergeTree =>
+    case Engine.MergeTree | Engine.ReplacingMergeTree =>
       currentState(t, store).foreach(store.compact)
     case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
       currentState(t, store).foreach(resolved =>
         store.compact(resolved.withColumn("sign", lit(1).cast("tinyint"))))
   }
 
-  /** Start the consume query over a canonical event stream. */
+  /** Thread pool for concurrent per-table applies (C5): Spark is
+    * thread-safe for concurrent job submission, so T tables become T
+    * overlapping jobs per trigger instead of T serial ones — the same
+    * fix the reference needs for its serialized per-table flush loop.
+    */
+  private lazy val applyPool: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(16,
+        (r: Runnable) => {
+          val th = new Thread(r, "graft-apply"); th.setDaemon(true); th
+        }))
+
+  /** Start the consume query over a canonical event stream.
+    *
+    * `compactEvery` > 0 triggers [[compact]] on every table after that
+    * many micro-batches — the OPTIMIZE/background-merge analogue that
+    * keeps read-time resolution at O(base + recent deltas).
+    */
   def start(spark: SparkSession, events: DataFrame, tables: Seq[TableSync],
             stateRoot: String, checkpoint: String,
             triggerInterval: String = "1 second",
             skipError: Boolean = false,
-            ddlSink: Option[String => Unit] = None): StreamingQuery = {
+            ddlSink: Option[String => Unit] = None,
+            compactEvery: Int = 0): StreamingQuery = {
     val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -153,17 +180,23 @@ object Consume {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          tables.foreach { t =>
-            try applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId)
-            catch {
-              case e: Exception if skipError =>
-                // C3 skip-error mode: continue with the next table
-                System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
-            }
+          val applies = tables.map { t =>
+            Future {
+              try applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId)
+              catch {
+                case e: Exception if skipError =>
+                  // C3 skip-error mode: continue with the next table
+                  System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
+              }
+            }(applyPool)
           }
+          Await.result(Future.sequence(applies)(
+            scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf)
           ddlSink.foreach(run =>
             tables.map(_.schema).distinct.foreach(db =>
               applyDdl(cached, db, run, skipError)))
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            tables.foreach(t => compact(t, stores(t)))
         } finally cached.unpersist()
         ()
       }

@@ -44,10 +44,18 @@ object SinkStrategy {
     * rows whose final action is delete vanish; others replace/insert.
     * The batch side is orders of magnitude smaller than the state at
     * scale, so its key set is broadcast for the anti-join.
+    *
+    * `latest` is deliberately NOT cached even though it feeds two legs:
+    * both legs are cheap keyed plans, and a cache here would leak into
+    * executor storage on every micro-batch of a long-running stream
+    * (nobody downstream can unpersist a plan-internal cache). This is the
+    * eager form used by the JDBC leg and the `engine_mergetree` oracle
+    * query; the streaming store path appends deltas instead — see
+    * [[graft.run.Consume.applyBatch]].
     */
   def mergeTreeApply(state: DataFrame, batch: DataFrame, k: SinkKeys,
                      actionCol: String = "action"): DataFrame = {
-    val latest = latestPerKey(batch, k).cache()
+    val latest = latestPerKey(batch, k)
     val touchedKeys = latest.select(k.pkCols.map(col): _*).distinct()
     val survivors = state.join(broadcast(touchedKeys), k.pkCols, "left_anti")
     val upserts = latest.filter(col(actionCol) =!= "delete")

@@ -147,6 +147,42 @@ class ConsumeSpec extends SparkSpec {
     assert(finalState == Set((1L, 11.0)))
   }
 
+  test("MergeTree micro-batch writes scale with batch size, not state size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val root = Files.createTempDirectory("mtdelta").toString
+    val t = TableSync("db", "big", valueSchema, Seq("id"), Engine.MergeTree)
+    val store = new ParquetStateStore(spark, s"$root/db/big")
+    def batch(rows: Seq[(Long, Double, String, Long)]) =
+      rows.toDF("id", "amount", "action", "event_unixtime")
+        .withColumn("action_seq", when(col("action") === "delete", 1).otherwise(2))
+
+    Consume.applyBatch(spark, t, store,
+      batch((1L to 5000L).map(i => (i, i.toDouble, "insert", 100L))), 0L)
+    Consume.applyBatch(spark, t, store,
+      batch((1L to 10L).map(i => (i, -1.0, "insert", 200L))), 1L)
+
+    def dirBytes(v: Long): Long = {
+      val stream = Files.walk(Paths.get(root, "db", "big", s"v=$v"))
+      try stream.filter(Files.isRegularFile(_)).mapToLong(Files.size).sum()
+      finally stream.close()
+    }
+    // the delta write is O(batch), not O(state)
+    assert(dirBytes(1) < dirBytes(0) / 2,
+      s"delta bytes ${dirBytes(1)} should be far below base ${dirBytes(0)}")
+
+    val st = Consume.currentState(t, store).get
+    assert(st.count() == 5000)
+    assert(st.filter(col("id") <= 10 && col("amount") === -1.0).count() == 10)
+
+    // compaction folds the log into one resolved version, state unchanged
+    Consume.compact(t, store)
+    assert(store.latestVersion.contains(1L))
+    val after = Consume.currentState(t, store).get
+    assert(after.count() == 5000)
+    assert(after.filter(col("id") <= 10 && col("amount") === -1.0).count() == 10)
+  }
+
   test("wire serde round-trips through serialize/parse") {
     import spark.implicits._
     val raw = Seq(ev("mt", "insert", 5, 50.5, 123)).toDF("json")
