@@ -29,6 +29,22 @@ object Main {
     p.asScala.toMap
   }
 
+  /** S5 — the sync key: explicit config beats catalog discovery beats a
+    * loud first-column fallback (parquet stand-ins have no catalog).
+    * Never a silent guess: discovery reads the source's real PK, composite
+    * keys included, in key-sequence order.
+    */
+  def syncPk(src: graft.config.SourceConfig, db: String,
+             t: graft.config.TableConfig,
+             schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    graft.sources.PkDiscovery.resolve(
+      t.pk,
+      if (src.url.startsWith("jdbc:"))
+        graft.sources.PkDiscovery.forJdbc(src.url, src.user, src.password,
+          Some(db), t.table)
+      else Nil,
+      schema.fieldNames.toSeq, s"$db.${t.table}")
+
   def source(cfg: graft.config.SourceConfig, db: String, table: String): FullEtl.Source =
     if (cfg.url.startsWith("parquet:"))
       FullEtl.ParquetSource(s"${cfg.url.stripPrefix("parquet:")}/$table.parquet")
@@ -63,7 +79,9 @@ object Main {
           val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
           val store = new ParquetStateStore(spark, s"$stateRoot/${d.database}/${t.table}")
           val sourceDf = FullEtl.read(spark, source(src, d.database, t.table))
-          store.read() match {
+          val sync = TableSync(d.database, t.table, sourceDf.schema,
+            syncPk(src, d.database, t, sourceDf.schema), t.engine)
+          Consume.currentState(sync, store) match {
             case Some(tgt) =>
               val res = CdcOps.countCheck(Seq((s"${d.database}.${t.table}", sourceDf, tgt)))
               res.show(false)
@@ -76,7 +94,7 @@ object Main {
         val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
         val tables = for (src <- cfg.sources; d <- src.databases; t <- d.tables) yield {
           val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
-          TableSync(d.database, t.table, schema, Seq(schema.fieldNames.head), t.engine)
+          TableSync(d.database, t.table, schema, syncPk(src, d.database, t, schema), t.engine)
         }
         Consume.bootstrap(spark, tables, stateRoot,
           tables.map(t => t.table ->

@@ -28,7 +28,8 @@ final case class TableConfig(
     versionColumn: String = "version",
     partitionBy: Option[String] = None,
     engineSettings: Option[String] = None,
-    skipDecimal: Boolean = false)
+    skipDecimal: Boolean = false,
+    pk: Seq[String] = Nil)           // explicit sync key; empty → S5 discovery
 
 final case class DatabaseConfig(
     database: String,
@@ -91,7 +92,8 @@ object SyncConfig {
                   versionColumn = p(s"$base.version_column", "version"),
                   partitionBy = props.get(s"$base.partition_by"),
                   engineSettings = props.get(s"$base.engine_settings"),
-                  skipDecimal = p(s"$base.skip_decimal", "false").toBoolean)
+                  skipDecimal = p(s"$base.skip_decimal", "false").toBoolean,
+                  pk = p(s"$base.pk").split(',').map(_.trim).filter(_.nonEmpty).toSeq)
               }.toSeq
             DatabaseConfig(db, tables)
           }.toSeq

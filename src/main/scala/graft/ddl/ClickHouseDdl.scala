@@ -88,6 +88,11 @@ object ClickHouseDdl {
   /** DELETE-by-PK statement (reference K2, synch/writer/merge_tree.py:14-36;
     * goldens in tests/test_writer.py:20-48). Single PK → parameterized IN;
     * composite PK → OR of ANDs with literal rendering.
+    *
+    * This is the reference-golden *shape* only — execution goes through
+    * [[deleteByPkPrepared]]: SURVEY.md's appendix flags the reference's
+    * interpolated composite delete as a quirk NOT to replicate (a key
+    * containing a quote breaks the statement).
     */
   def deleteByPk(db: String, table: String, pk: Seq[String],
                  keys: Seq[Seq[Any]]): (String, Option[Seq[Any]]) =
@@ -102,5 +107,22 @@ object ClickHouseDdl {
         }.mkString("(", " and ", ")")
       }.mkString(" or ")
       (s"alter table $db.$table delete where $disjuncts", None)
+    }
+
+  /** Injection-safe DELETE-by-PK: '?' placeholders + flattened bind values
+    * for a `PreparedStatement`. Single PK → `pk in (?,...)`; composite →
+    * OR of per-tuple `(a=? and b=?)` conjuncts. Bind order matches the
+    * placeholder order exactly.
+    */
+  def deleteByPkPrepared(db: String, table: String, pk: Seq[String],
+                         keys: Seq[Seq[Any]]): (String, Seq[Any]) =
+    if (pk.size == 1) {
+      val holes = keys.map(_ => "?").mkString("(", ",", ")")
+      (s"alter table $db.$table delete where ${pk.head} in $holes",
+        keys.map(_.head))
+    } else {
+      val disjunct = pk.map(c => s"$c=?").mkString("(", " and ", ")")
+      (s"alter table $db.$table delete where ${Seq.fill(keys.size)(disjunct).mkString(" or ")}",
+        keys.flatten)
     }
 }

@@ -33,6 +33,19 @@ object JdbcSink {
   def execute(t: JdbcTarget, sql: String): Unit =
     withConnection(t) { c => c.createStatement().execute(sql); () }
 
+  /** Execute a '?'-parameterized statement with bound values — the only
+    * path data-derived values (delete keys) take to SQL; no literal
+    * rendering of user data anywhere.
+    */
+  def executePrepared(t: JdbcTarget, sql: String, binds: Seq[Any]): Unit =
+    withConnection(t) { c =>
+      val ps = c.prepareStatement(sql)
+      try {
+        binds.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+        ps.execute(); ()
+      } finally ps.close()
+    }
+
   /** K1: bulk append of a typed batch. */
   def appendBatch(df: DataFrame, t: JdbcTarget, table: String): Unit =
     df.write.mode("append")
@@ -43,26 +56,18 @@ object JdbcSink {
           put("user", t.user); put("password", t.password)
         })
 
-  /** K2: compile and run the batch's deletes as one statement. `keys` are
+  /** K2: compile and run the batch's deletes as one prepared statement
+    * with bound parameters (single and composite PK alike). `keys` are
     * collected to the driver — bounded by the micro-batch size, as in the
-    * reference's buffered delete list.
+    * reference's buffered delete list. Returns the placeholder SQL.
     */
   def deleteKeys(t: JdbcTarget, table: String, pk: Seq[String],
                  keys: Seq[Seq[Any]]): Option[String] =
     if (keys.isEmpty) None
     else {
-      val (sql, params) = ClickHouseDdl.deleteByPk(t.db, table, pk, keys)
-      val rendered = params match {
-        case Some(vals) =>
-          val list = vals.map {
-            case s: String => s"'$s'"
-            case v => v.toString
-          }.mkString("(", ",", ")")
-          sql.replace("%(pks)s", list)
-        case None => sql
-      }
-      execute(t, rendered)
-      Some(rendered)
+      val (sql, binds) = ClickHouseDdl.deleteByPkPrepared(t.db, table, pk, keys)
+      executePrepared(t, sql, binds)
+      Some(sql)
     }
 
   /** Apply one deduplicated micro-batch of one table through JDBC:

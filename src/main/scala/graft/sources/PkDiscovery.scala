@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import scala.collection.mutable
+
+/** Primary-key discovery from source catalogs (reference operator S5:
+  * MySQL `information_schema.COLUMNS ... COLUMN_KEY='PRI'`,
+  * synch/reader/mysql.py:60-73, composite PKs as tuples at :71-72;
+  * Postgres `pg_index`/`pg_attribute`, synch/reader/postgres.py:59-66).
+  *
+  * Spark-native shape: `java.sql.DatabaseMetaData.getPrimaryKeys` is the
+  * portable form of both catalog queries and works for every JDBC driver;
+  * an information_schema query is kept as the fallback for drivers with
+  * incomplete metadata support. Composite keys come back in KEY_SEQ order
+  * so downstream dedup (A2), delete-by-PK (K2) and engine ORDER BY all
+  * see the same tuple the source defines.
+  */
+object PkDiscovery {
+
+  /** PK column names in ordinal (KEY_SEQ) order via driver metadata;
+    * falls back to information_schema when the driver returns nothing.
+    */
+  def primaryKeys(conn: Connection, schema: Option[String], table: String): Seq[String] = {
+    val viaMeta =
+      try {
+        val rs = conn.getMetaData.getPrimaryKeys(null, schema.orNull, table)
+        val buf = mutable.Buffer.empty[(Short, String)]
+        try {
+          while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        } finally rs.close()
+        buf.sortBy(_._1).map(_._2).toSeq
+      } catch { case _: Exception => Nil }
+    if (viaMeta.nonEmpty) viaMeta else infoSchemaPks(conn, schema, table)
+  }
+
+  /** information_schema fallback, parameter-bound (MySQL grammar; the
+    * COLUMN_KEY='PRI' predicate is the reference's own query). */
+  def infoSchemaPks(conn: Connection, schema: Option[String], table: String): Seq[String] =
+    try {
+      val ps = conn.prepareStatement(
+        "SELECT COLUMN_NAME FROM information_schema.COLUMNS " +
+          "WHERE TABLE_SCHEMA = ? AND TABLE_NAME = ? AND COLUMN_KEY = 'PRI' " +
+          "ORDER BY ORDINAL_POSITION")
+      try {
+        ps.setString(1, schema.getOrElse(""))
+        ps.setString(2, table)
+        val rs = ps.executeQuery()
+        val buf = mutable.Buffer.empty[String]
+        try { while (rs.next()) buf += rs.getString(1) } finally rs.close()
+        buf.toSeq
+      } finally ps.close()
+    } catch { case _: Exception => Nil }
+
+  /** One-shot discovery over a fresh connection. */
+  def forJdbc(url: String, user: String, password: String,
+              schema: Option[String], table: String): Seq[String] = {
+    val conn = DriverManager.getConnection(url, user, password)
+    try primaryKeys(conn, schema, table) finally conn.close()
+  }
+
+  /** Resolve the sync key: explicit config wins, then catalog discovery,
+    * then — loudly, never silently — the first column. The reference
+    * always has a catalog to ask; a parquet-backed hermetic run does not,
+    * which is the only path that reaches the fallback.
+    */
+  def resolve(configured: Seq[String], discovered: => Seq[String],
+              fieldNames: Seq[String], label: String): Seq[String] =
+    if (configured.nonEmpty) configured
+    else {
+      val d = discovered
+      if (d.nonEmpty) d
+      else {
+        System.err.println(
+          s"[pk-discovery] $label: no configured or discovered PK; " +
+            s"falling back to first column '${fieldNames.head}'")
+        Seq(fieldNames.head)
+      }
+    }
+}

@@ -61,6 +61,21 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(s4 == "alter table synch_mysql_test.test delete where (id='1' and id2='2') or (id='2' and id2='3')")
   }
 
+  test("prepared delete renders placeholders only — keys never appear as literals") {
+    // single PK: parameterized IN list
+    val (s1, b1) = ClickHouseDdl.deleteByPkPrepared("db", "t", Seq("id"),
+      Seq(Seq("O'Brien"), Seq("plain")))
+    assert(s1 == "alter table db.t delete where id in (?,?)")
+    assert(b1 == Seq("O'Brien", "plain"))
+    assert(!s1.contains("O'Brien"))
+    // composite PK: OR of bound conjuncts, binds flattened in order
+    val (s2, b2) = ClickHouseDdl.deleteByPkPrepared("db", "t", Seq("a", "b"),
+      Seq(Seq(1, "x'y"), Seq(2, "z")))
+    assert(s2 == "alter table db.t delete where (a=? and b=?) or (a=? and b=?)")
+    assert(b2 == Seq(1, "x'y", 2, "z"))
+    assert(!s2.contains("x'y"))
+  }
+
   test("JdbcDialect renders ClickHouse types and handles ch URLs") {
     assert(ClickHouseDialect.canHandle("jdbc:clickhouse://h:8123/db"))
     assert(!ClickHouseDialect.canHandle("jdbc:postgresql://h/db"))
