@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimExpr, PolyHashExpr, WordGramsExpr}
+import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -30,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_cosine",
       "exact cosine similarity of two numeric arrays",
       exprs => CosineSimExpr(exprs.head, exprs(1))))
+    def litInt(e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().toString.toInt
+    }
+    ext.injectFunction(fn("graft_lsh_bucket",
+      "random-hyperplane LSH bucket: graft_lsh_bucket(vec, planes, dims)",
+      exprs => LshBucketExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction(fn("graft_lang_scores",
+      "per-language stopword hit counts over a token array",
+      exprs => LangScoresExpr(exprs.head)))
   }
 }

@@ -285,8 +285,11 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0)),
 
+    // maxDf caps hot-shingle blocking (the scale guard); 1000 is above any
+    // df in the sf0.01 oracle fixture, so the gated result is exact.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      DedupOps.ngramJaccard(t(s, dir, "documents"), threshold = 0.5, n = 1)),
+      DedupOps.ngramJaccard(t(s, dir, "documents"), threshold = 0.5, n = 1,
+        maxDf = 1000)),
 
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashSignatures(t(s, dir, "documents"))),
@@ -308,12 +311,15 @@ object SparkEntry {
         planes = 4, dims = 64)
     }),
 
-    // IVF scale path: k-means means are float-sum-order dependent, so no
-    // cross-engine oracle — driver records the rows-only check; invariants
-    // (recall vs brute force, ranking) are covered in ExtOpsSpec.
+    // IVF scale path, fixed-centroid form: the quantizer is a deterministic
+    // LCG (train-once-offline pattern), so the whole pipeline — assignment,
+    // probe selection, top-k — is cross-engine reproducible and oracle-gated.
+    // The k-means variant (ivfTopK) stays float-order-dependent and is
+    // invariant-tested in ExtOpsSpec instead.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
+      SimilarityOps.ivfTopKFixed(emb.filter(col("vec_id") < 8), emb, k = 10,
+        nlist = 8, nprobe = 2)
     }),
 
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -654,6 +660,35 @@ object SparkEntry {
          |j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS cos
          |      FROM (SELECT * FROM eb WHERE vec_id < 8) q
          |      JOIN eb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+         |      FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "ann_ivf_topk" -> {
+      val cosAssign = OracleSql.cosine("e.embedding", "c.cvec")
+      val cosPair = OracleSql.cosine("p.qv", "a.embedding")
+      s"""WITH cents AS (
+         |  SELECT CAST(c AS INT) AS cid,
+         |         list_transform(range(0, 64), d ->
+         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |  FROM range(0, 8) t(c)),
+         |asgn AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) e, cents c) WHERE rn <= 2),
+         |j AS (SELECT p.query_id, a.vec_id AS neighbor_id, $cosPair AS cos
+         |      FROM probes p JOIN asgn a ON p.cid = a.cid AND p.query_id <> a.vec_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
          |      FROM j)

@@ -97,19 +97,53 @@ object DedupOps {
         col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard over pairs sharing ≥1 shingle (inverted-index
-    * blocking — quadratic only in per-shingle document frequency).
+  /** Exact n-gram Jaccard over pairs sharing ≥1 *blocking* shingle
+    * (inverted-index blocking — quadratic only in per-shingle document
+    * frequency).
+    *
+    * `maxDf` caps that frequency: shingles appearing in more than `maxDf`
+    * documents are dropped from candidate generation (standard hot-token
+    * blocking practice — one stopword shingle otherwise makes its block
+    * near-global and the self-join ~n²). Jaccard is then computed exactly
+    * over ALL shingles for the surviving candidates, so a pair that
+    * shares any rare shingle gets its true score; only pairs whose
+    * overlap is hot-shingles-only are (deliberately, documentedly)
+    * missed — at corpus scale those are the "both contain 'the'" pairs.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxDf: Int = Int.MaxValue): DataFrame = {
     val ex = shingleRows(docs, n, idCol, textCol)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val pairs = ex.toDF("ida", "g").as("a")
-      .join(ex.toDF("idb", "gb").as("b"),
-        col("g") === col("gb") && col("ida") < col("idb"))
-      .groupBy(col("ida").as("id1"), col("idb").as("id2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    pairs
+    val inter =
+      if (maxDf == Int.MaxValue) {
+        // uncapped: every shared shingle is a blocking shingle, so the
+        // blocking join's group count IS the exact intersection
+        ex.toDF("ida", "g").as("a")
+          .join(ex.toDF("idb", "gb").as("b"),
+            col("g") === col("gb") && col("ida") < col("idb"))
+          .groupBy(col("ida").as("id1"), col("idb").as("id2"))
+          .agg(count(lit(1)).as("inter_cnt"))
+      } else {
+        // blocking index with hot shingles dropped... (re-select: the
+        // USING join moves the key to column 0)
+        val blockEx = ex.join(
+          ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= maxDf).select(col("g")),
+          "g").select(col(idCol), col("g"))
+        val cands = blockEx.toDF("ida", "g").as("a")
+          .join(blockEx.toDF("idb", "gb").as("b"),
+            col("g") === col("gb") && col("ida") < col("idb"))
+          .select(col("ida").as("id1"), col("idb").as("id2"))
+          .distinct()
+        // ...then exact overlap over ALL shingles for the candidates
+        cands.join(ex.toDF("id1", "g"), "id1")
+          .join(ex.toDF("_id2", "g2"),
+            col("id2") === col("_id2") && col("g") === col("g2"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("inter_cnt"))
+      }
+    inter
       .join(sizes.toDF("id1", "sz1"), "id1")
       .join(sizes.toDF("id2", "sz2"), "id2")
       .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))

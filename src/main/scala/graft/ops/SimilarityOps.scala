@@ -38,9 +38,21 @@ object SimilarityOps {
 
   /** Sign-of-projection LSH signature: `planes` deterministic hyperplanes
     * (shared with the oracle via the LCG in [[graft.functions.CrossHash]]),
-    * one bit each, folded into a long bucket id.
+    * one bit each, folded into a long bucket id. Backed by the native
+    * codegen'd [[graft.functions.LshBucketExpr]] — one tight loop per row
+    * instead of planes×dims interpreted lambda calls.
     */
-  def lshBucket(vec: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column =
+  def lshBucket(vec: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.LshBucketExpr(
+      ColumnBridge.expression(vec), planes, dims))
+  }
+
+  /** The portable HOF twin of [[lshBucket]] — kept as the executable spec
+    * the native expression is parity-tested against (the oracle SQL
+    * mirrors this form).
+    */
+  def lshBucketHof(vec: org.apache.spark.sql.Column, planes: Int, dims: Int): org.apache.spark.sql.Column =
     aggregate(
       sequence(lit(0), lit(planes - 1)),
       lit(0L),
@@ -52,49 +64,82 @@ object SimilarityOps {
         acc * lit(2L) + when(dot >= 0, 1L).otherwise(lit(0L))
       })
 
+  /** Per-row similarity-to-centroid structs, orderable as (sim desc, cid
+    * asc): centroids are driver-side constants, so each struct is a pure
+    * narrow projection — nlist codegen'd cosine calls per row, no join,
+    * no shuffle, no window.
+    */
+  private def centroidStructs(vec: org.apache.spark.sql.Column,
+                              cents: Seq[(Int, Seq[Double])]) =
+    cents.map { case (cid, cv) =>
+      struct((-cosine(vec, typedLit(cv))).as("neg"), lit(cid).as("cid"))
+    }
+
+  /** Nearest-centroid id as a shuffle-free argmax column. */
+  def nearestCentroid(vec: org.apache.spark.sql.Column,
+                      cents: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+    array_min(array(centroidStructs(vec, cents): _*)).getField("cid")
+
+  /** Nearest-centroid assignment: one narrow projection over `df`
+    * (contrast: a crossJoin-with-centroids + per-row window would shuffle
+    * an nlist×-amplified copy of the corpus — fatal at scale).
+    */
+  private def assignTo(df: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), cents).as("cid"))
+
+  /** The shared probe leg: inverted lists from a narrow assignment, each
+    * query probes its `nprobe` nearest lists (equi-join on cid), exact
+    * cosine top-k inside the probed candidates.
+    */
+  private def probeTopK(queries: DataFrame, corpus: DataFrame,
+                        cents: Seq[(Int, Seq[Double])], k: Int, nprobe: Int,
+                        idCol: String, vecCol: String): DataFrame = {
+    val lists = assignTo(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid"))
+    // nprobe nearest centroids per query: sort the tiny struct array and
+    // explode its prefix — still no join/window on the query side.
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(array_sort(array(centroidStructs(col(vecCol), cents): _*)),
+          1, nprobe)).as("_p"))
+      .select(col("query_id"), col("qv"), col("_p.cid").as("cid"))
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer over the corpus,
     * then exact cosine top-k probing only the `nprobe` nearest centroid
     * lists per query — the standard scale path when the corpus outgrows
     * brute force.
     *
-    * Scale shape: centroids are tiny (nlist × dims doubles) and live on the
-    * driver/broadcast; every corpus pass is a broadcast nearest-centroid
-    * assignment (no shuffle of vectors); list membership is a keyed column
-    * so the probe is an equi-join on `cid`. Lloyd iterations are fixed
-    * (`iters`) with deterministic lowest-id seeding.
+    * Scale shape: centroids are tiny (nlist × dims doubles) and live on
+    * the driver; every corpus pass is a *narrow* nearest-centroid argmax
+    * projection (no join, no shuffle of vectors); list membership is a
+    * keyed column so the probe is an equi-join on `cid`. Lloyd iterations
+    * are fixed (`iters`) with deterministic lowest-id seeding; the only
+    * shuffle per iteration is the tiny (cid, dim) partial-agg for means.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 3, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    def centroidDf(cents: Seq[(Int, Seq[Double])]) =
-      broadcast(cents.toDF("cid", "cvec"))
-
-    /** Nearest centroid id for each row of `df` (broadcast cross join +
-      * per-row argmax window). */
-    def assign(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val w = Window.partitionBy(col("_aid"))
-        .orderBy(col("_sim").desc, col("cid").asc)
-      df.select(col(idCol).as("_aid"), col(vecCol).as("_v"))
-        .crossJoin(centroidDf(cents))
-        .withColumn("_sim", cosine(col("_v"), col("cvec")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col("_aid").as(idCol), col("_v").as(vecCol), col("cid"))
-    }
-
     // Deterministic seeding: the nlist lowest-id corpus vectors.
     var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble))
       }.toSeq
 
-    // Fixed Lloyd iterations; mean per (centroid, dim) via explode+avg.
+    // Fixed Lloyd iterations; mean per (centroid, dim) via explode+avg —
+    // map-side partial agg reduces each partition to ≤ nlist×dims rows.
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, cents)
-      val means = assigned
+      val means = assignTo(corpus, cents, idCol, vecCol)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(avg(col("x").cast("double")).as("m"))
@@ -110,29 +155,29 @@ object SimilarityOps {
         }
       }
     }
-
-    // Final inverted lists + nprobe probe lists per query.
-    val lists = assign(corpus, cents)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cid"))
-    val probeW = Window.partitionBy(col("_qid"))
-      .orderBy(col("_sim").desc, col("cid").asc)
-    val probes = queries.select(col(idCol).as("_qid"), col(vecCol).as("qv"))
-      .crossJoin(centroidDf(cents))
-      .withColumn("_sim", cosine(col("qv"), col("cvec")))
-      .withColumn("_rn", row_number().over(probeW))
-      .filter(col("_rn") <= nprobe)
-      .select(col("_qid").as("query_id"), col("qv"), col("cid"))
-
-    val joined = broadcast(probes).join(lists, Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), round(col("cos"), 6).as("cos"))
+    probeTopK(queries, corpus, cents, k, nprobe, idCol, vecCol)
   }
+
+  /** Deterministic LCG centroids (same exact-rational generator as the
+    * LSH hyperplanes) — every value is a dyadic rational, so an external
+    * engine derives bit-identical centroids from the formula alone.
+    */
+  def lcgCentroids(nlist: Int, dims: Int): Seq[(Int, Seq[Double])] =
+    (0 until nlist).map { c =>
+      (c, (0 until dims).map(d =>
+        graft.functions.LshBucketExpr.hyperplane(c.toLong * dims + d)))
+    }
+
+  /** IVF with *fixed* centroids — no k-means, fully order-independent and
+    * cross-engine reproducible (the oracle derives the same centroids
+    * from the LCG formula). The production pattern: train the quantizer
+    * once offline, reuse it for every incremental index build.
+    */
+  def ivfTopKFixed(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nlist: Int = 8, nprobe: Int = 2, dims: Int = 64,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    probeTopK(queries, corpus, lcgCentroids(nlist, dims), k, nprobe, idCol, vecCol)
 
   /** ANN top-k restricted to the query's LSH bucket. Approximate: recall
     * depends on `planes`; exact within the bucket.

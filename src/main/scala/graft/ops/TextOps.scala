@@ -11,33 +11,35 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Tiny per-language stopword lists for the n-gram/stopword heuristic
-    * language guesser. Shared verbatim with the oracle SQL. */
-  val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "of", "and", "to", "in"),
-    "es" -> Seq("el", "la", "de", "que", "los"),
-    "fr" -> Seq("le", "la", "les", "des", "et"),
-    "de" -> Seq("der", "die", "und", "das", "ein"),
-    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+    * language guesser. Shared verbatim with the oracle SQL; single source
+    * of truth lives next to the native scorer. */
+  val stopwords: Seq[(String, Seq[String])] =
+    graft.functions.LangScoresExpr.stopwords
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit): _*)))
 
+  /** All language scores in one pass — native [[graft.functions.LangScoresExpr]]
+    * (one loop + word→langs lookup) instead of one interpreted HOF filter
+    * pass per language. */
+  def langScores(toks: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.LangScoresExpr(ColumnBridge.expression(toks)))
+  }
+
   /** Guess a language by stopword hit counts; ties break on language code
-    * ascending (deterministic). */
+    * ascending (deterministic). One native argmax expression — no
+    * per-language column that CollapseProject would re-inline (and with
+    * it, re-tokenize) once per language. */
   def languageId(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val scored = docs.withColumn("_toks", toks)
-    val withScores = stopwords.foldLeft(scored) { case (d, (lang, words)) =>
-      d.withColumn(s"_s_$lang", countIn(col("_toks"), words))
-    }
-    // argmax by (score desc, lang asc): flip score sign, take array_min.
-    val bestStruct = array_min(array(stopwords.map { case (lang, _) =>
-      struct((-col(s"_s_$lang")).as("neg"), lit(lang).as("lang"))
-    }: _*))
-    withScores
-      .select(col(idCol), bestStruct.getField("lang").as("guessed_lang"),
-        (-bestStruct.getField("neg")).cast("int").as("score"))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val best = ColumnBridge.column(graft.functions.LangBestExpr(
+      ColumnBridge.expression(tokens(lower(col(textCol))))))
+    docs.select(col(idCol), best.as("_b"))
+      .select(col(idCol), col("_b.lang").as("guessed_lang"),
+        col("_b.score").cast("int").as("score"))
   }
 
   /** Quality metrics: lengths, token stats, stopword/distinct ratios and a
@@ -98,11 +100,15 @@ object TextOps {
       explode(graft.functions.CrossHash.tokens(lower(col(textCol)))).as("term"))
     val tf = raw.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // Corpus size as a broadcast 1-row agg folded into the plan — one job,
+    // not a separate driver-side count() action per invocation.
+    val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
     tf.join(df_, "term")
-      .withColumn("score", col("tf").cast("double") * lit(n.toDouble) / col("df"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf").cast("double") * col("_n") / col("df"))
+      .drop("_n")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank").cast("int").as("rank"), col("term"),

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import graft.functions.{CosineSimExpr, PolyHashExpr, WordGramsExpr}
+import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -24,7 +24,16 @@ object FunctionRegistration {
         case other => other.eval().toString.toInt
       })),
     ("graft_cosine", "exact cosine similarity of two numeric arrays",
-      exprs => CosineSimExpr(exprs.head, exprs(1))))
+      exprs => CosineSimExpr(exprs.head, exprs(1))),
+    ("graft_lsh_bucket", "random-hyperplane LSH bucket: graft_lsh_bucket(vec, planes, dims)",
+      exprs => LshBucketExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))),
+    ("graft_lang_scores", "per-language stopword hit counts over a token array",
+      exprs => LangScoresExpr(exprs.head)))
+
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().toString.toInt
+  }
 
   /** Imperative per-session registration (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

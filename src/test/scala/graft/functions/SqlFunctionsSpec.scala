@@ -18,6 +18,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(cos == 1.0)
   }
 
+  test("native lsh bucket equals the portable HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    val emb = graft.Tables(spark, sf, "embeddings").limit(200)
+    val both = emb.select(
+      SimilarityOps.lshBucket(col("embedding"), 4, 64).as("native"),
+      SimilarityOps.lshBucketHof(col("embedding"), 4, 64).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 200)
+  }
+
+  test("native lang scores equal the per-language HOF filter counts") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.LangScoresExpr.stopwords
+    val docs = graft.Tables(spark, sf, "documents").limit(200)
+    val toks = graft.functions.CrossHash.tokens(lower(col("text")))
+    val withBoth = docs.select(
+      graft.ops.TextOps.langScores(toks).as("sc"),
+      array(stopwords.map { case (_, words) =>
+        size(filter(toks, t => t.isin(words.map(lit): _*)))
+      }: _*).as("hof"))
+    assert(withBoth.filter(col("sc") =!= col("hof")).count() == 0)
+  }
+
   test("polyhash equals the portable HOF formulation") {
     import org.apache.spark.sql.functions._
     val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")

@@ -93,6 +93,48 @@ class ExtOpsSpec extends SparkSpec {
     assert(hits > 0, "IVF should recall at least one true neighbor")
   }
 
+  test("fixed-centroid IVF: assignment is shuffle-free and results are ranked") {
+    val emb = Tables(spark, sf, "embeddings")
+    // the nearest-centroid assignment must be a narrow projection: no
+    // Exchange anywhere in its physical plan
+    val assigned = emb.select(col("vec_id"),
+      SimilarityOps.nearestCentroid(col("embedding"),
+        SimilarityOps.lcgCentroids(8, 64)).as("cid"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign plan must not shuffle:\n$plan")
+    assert(assigned.select("cid").distinct().count() <= 8)
+
+    val out = SimilarityOps.ivfTopKFixed(emb.filter(col("vec_id") < 3), emb,
+      k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "rank", "cos").as[(Long, Int, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 3)
+    byQuery.values.foreach { rows =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ngramJaccard df-cap drops hot-shingle blocks but keeps exact scores") {
+    // 100 docs all share the universal token; docs (2i, 2i+1) also share a
+    // rare pair token. Uncapped blocking would generate 100*99/2 = 4950
+    // candidates off the universal token alone.
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"universal pair_${i / 2} only_$i")
+    }.toDF("doc_id", "text")
+    val out = DedupOps.ngramJaccard(docs, threshold = 0.0, n = 1, maxDf = 10)
+      .select("id1", "id2", "inter", "uni", "jaccard")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    // candidates come only from the rare pair tokens: one pair per couple
+    assert(out.length == 50)
+    // exact Jaccard over ALL shingles: inter=2 (universal + pair), uni=4
+    assert(out.forall(r => r._3 == 2 && r._4 == 4 && r._5 == 0.5))
+    // uncapped: same pairs at threshold 0.5, plus the hot-only pairs at 0
+    val uncapped = DedupOps.ngramJaccard(docs, threshold = 0.0, n = 1)
+    assert(uncapped.count() == 4950)
+  }
+
   test("LSH topK result is a subset of brute-force candidates (same bucket)") {
     val emb = Tables(spark, sf, "embeddings")
     val lsh = SimilarityOps.lshTopK(emb.filter(col("vec_id") < 3), emb, k = 5)
