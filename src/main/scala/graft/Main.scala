@@ -52,7 +52,8 @@ object Main {
       partitionColumn = None)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Main <etl|produce|consume|check> <config> [broker] [stateRoot]")
+    require(args.length >= 2,
+      "usage: Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint] [stateRoot] [lastBatchId]")
     val mode = args(0)
     val cfg = SyncConfig.fromProperties(loadProps(args(1)))
     val preexisting = SparkSession.getActiveSession
@@ -103,6 +104,21 @@ object Main {
           stateRoot, s"$stateRoot/_checkpoint", skipError = cfg.core.skipError)
         Lifecycle.withGracefulShutdown(Seq(q))
         q.awaitTermination()
+
+      // Resume override (reference `synch consume --last-msg-id`):
+      // `rewind <config> <checkpoint> <stateRoot> <lastBatchId>` — the next
+      // `consume` replays everything after that batch.
+      case "rewind" =>
+        val ckpt = args(2)
+        val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
+        val lastBatch = args.lift(4).map(_.toLong).getOrElse(0L)
+        val tables = for (src <- cfg.sources; d <- src.databases; t <- d.tables) yield {
+          val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
+          TableSync(d.database, t.table, schema, syncPk(src, d.database, t, schema), t.engine)
+        }
+        val removed = Resume.rewind(spark, ckpt, stateRoot, tables, lastBatch)
+        println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
+          s"state truncated to batch $lastBatch")
 
       case "produce" =>
         val broker = args(2).stripPrefix("file:")

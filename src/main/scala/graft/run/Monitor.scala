@@ -1,6 +1,6 @@
 package graft.run
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import scala.collection.mutable
@@ -24,9 +24,9 @@ object Monitor {
   def observed(df: DataFrame): DataFrame =
     df.observe("graft_monitor", count(lit(1)).as("events"))
 
-  /** Collects per-batch metrics in memory; production deployments would
-    * append them to a metrics table instead. */
-  final class CollectingListener extends StreamingQueryListener {
+  /** Collects per-batch metrics in memory; for durable metrics use
+    * [[PersistingListener]]. */
+  class CollectingListener extends StreamingQueryListener {
     val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -42,4 +42,24 @@ object Monitor {
       }
     }
   }
+
+  /** A6 with persistence: appends one parquet row per micro-batch to a
+    * metrics table — the role of the reference's `synch.log` inserts every
+    * monitoring interval (synch/factory.py:129-151). Rows are tiny and
+    * cadence is per-trigger, so the append is a single small file per
+    * batch; compact/TTL the table like any other log.
+    */
+  final class PersistingListener(spark: SparkSession, path: String)
+      extends CollectingListener {
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      super.onQueryProgress(e)
+      val m = metrics.synchronized(metrics.last)
+      spark.createDataFrame(Seq(m))
+        .write.mode("append").parquet(path)
+    }
+  }
+
+  /** Read the persisted metrics table. */
+  def metricsTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -53,6 +53,13 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   def readLog(): Option[DataFrame] =
     if (versions.isEmpty) None else Some(spark.read.parquet(s"$root/v=*"))
 
+  /** Drop versions with id > `batchId` — the state-side half of a resume
+    * rewind ([[graft.run.Resume]]): batch-id idempotence would otherwise
+    * skip the replayed batches.
+    */
+  def truncateAfter(batchId: Long): Unit =
+    versions.filter(_._1 > batchId).foreach { case (_, p) => fs.delete(p, true) }
+
   /** Compact the append-only log: materialize `resolved` as the single
     * surviving version (keeping the latest version number so batch-id
     * idempotence still holds) and drop the per-batch deltas. The engine

@@ -1,0 +1,70 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.model.Engine
+import graft.sink.ParquetStateStore
+import graft.streaming.EventSource
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Resume-override tooling: checkpoint seek + state truncation
+  * (reference `synch consume --last-msg-id`, synch/cli.py:61-65).
+  */
+class ResumeSpec extends SparkSpec {
+
+  private val valueSchema = StructType(Seq(
+    StructField("id", LongType), StructField("amount", DoubleType)))
+
+  private def ev(action: String, id: Long, amount: Double, ts: Long): String = {
+    val seq = if (action == "delete") 1 else 2
+    s"""{"schema":"db","table":"mt","action":"$action","values":"{\\"id\\":$id,\\"amount\\":$amount}","event_unixtime":$ts,"action_seq":$seq}"""
+  }
+
+  test("seekTo prunes checkpoint entries beyond the target batch") {
+    val ckpt = Files.createTempDirectory("seek").toString
+    Files.createDirectories(Paths.get(ckpt, "offsets"))
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Seq("offsets/0", "offsets/1", "offsets/2", "commits/0", "commits/1", "metadata")
+      .foreach(f => Files.write(Paths.get(ckpt, f), "x".getBytes))
+    val removed = Resume.seekTo(spark, ckpt, lastBatchId = 0)
+    assert(removed.size == 3)
+    assert(Files.exists(Paths.get(ckpt, "offsets/0")))
+    assert(!Files.exists(Paths.get(ckpt, "offsets/1")))
+    assert(!Files.exists(Paths.get(ckpt, "offsets/2")))
+    assert(Files.exists(Paths.get(ckpt, "commits/0")))
+    assert(!Files.exists(Paths.get(ckpt, "commits/1")))
+    assert(Files.exists(Paths.get(ckpt, "metadata"))) // non-batch files untouched
+  }
+
+  test("rewind replays later batches through a restarted consume") {
+    val root = Files.createTempDirectory("rewind").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val tables = Seq(TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree))
+
+    def run(): Unit = {
+      val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+        tables, stateRoot, ckpt, triggerInterval = "250 milliseconds")
+      q.processAllAvailable(); q.stop()
+    }
+    def stateIds: Set[Long] = {
+      val store = new ParquetStateStore(spark, s"$stateRoot/db/mt")
+      Consume.currentState(tables.head, store).get
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+
+    Files.write(Paths.get(eventsDir, "b0.json"), ev("insert", 1, 10.0, 100).getBytes)
+    run()
+    Files.write(Paths.get(eventsDir, "b1.json"), ev("insert", 2, 20.0, 200).getBytes)
+    run()
+    assert(stateIds == Set(1L, 2L))
+
+    // rewind to batch 0: checkpoint entries and state versions > 0 drop
+    Resume.rewind(spark, ckpt, stateRoot, tables, lastBatchId = 0)
+    assert(stateIds == Set(1L))
+
+    // restart: batch 1 replays from the broker and re-applies
+    run()
+    assert(stateIds == Set(1L, 2L))
+  }
+}
