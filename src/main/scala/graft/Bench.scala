@@ -23,7 +23,7 @@ object Bench {
     "t4_split_updates", "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
     "a4_apply_order", "a5_count_check",
     "engine_mergetree", "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
-    "dedup_exact", "dedup_minhash_sig", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_exact_digest", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",

@@ -55,7 +55,14 @@ object Main {
     require(args.length >= 2,
       "usage: Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint] [stateRoot] [lastBatchId]")
     val mode = args(0)
-    val cfg = SyncConfig.fromProperties(loadProps(args(1)))
+    // .yaml/.yml configs use the reference's own synch.yaml shape;
+    // anything else is the flat-properties form.
+    val cfg =
+      if (args(1).endsWith(".yaml") || args(1).endsWith(".yml"))
+        SyncConfig.fromYaml(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))),
+          "UTF-8"))
+      else SyncConfig.fromProperties(loadProps(args(1)))
     val preexisting = SparkSession.getActiveSession
     val spark = preexisting.getOrElse(
       Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))

@@ -277,6 +277,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       DedupOps.exact(t(s, dir, "documents"))),
 
+    // same contract as dedup_exact; the shuffle key is a 256-bit digest
+    // instead of the document body (the 100 TB form)
+    "dedup_exact_digest" -> ((s, dir) =>
+      DedupOps.exactByDigest(t(s, dir, "documents"))),
+
     "dedup_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashSignatures(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -569,6 +574,10 @@ object SparkEntry {
 
     // --- extensions ------------------------------------------------------
     "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    // the digest groups exactly the content groups (collision-free spec)
+    "dedup_exact_digest" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
 
     "dedup_minhash_sig" -> {

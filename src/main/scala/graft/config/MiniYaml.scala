@@ -1,0 +1,140 @@
+package graft.config
+
+/** Dependency-free parser for the YAML subset the reference's `synch.yaml`
+  * actually uses (/root/reference/synch.yaml): nested maps by indentation,
+  * block lists of scalars and of maps, quoted/plain scalars, `# comments`,
+  * empty values. Deliberately NOT a general YAML implementation — no
+  * anchors, flow collections, multi-line scalars, or type tags; the build
+  * has zero external dependencies, and config files are the one place a
+  * hand-rolled parser is both small and fully testable.
+  */
+object MiniYaml {
+
+  sealed trait Node {
+    def get(key: String): Option[Node] = this match {
+      case YMap(e) => e.collectFirst { case (k, v) if k == key => v }
+      case _ => None
+    }
+    def items: Seq[Node] = this match {
+      case YList(xs) => xs
+      case _ => Nil
+    }
+    def scalar: Option[String] = this match {
+      case YScalar(v) => v
+      case _ => None
+    }
+    def str(key: String, default: String = ""): String =
+      get(key).flatMap(_.scalar).getOrElse(default)
+    def int(key: String, default: Int): Int =
+      get(key).flatMap(_.scalar).map(_.toInt).getOrElse(default)
+    def bool(key: String, default: Boolean): Boolean =
+      get(key).flatMap(_.scalar).map(_.toBoolean).getOrElse(default)
+    def strings(key: String): Seq[String] =
+      get(key).map(_.items.flatMap(_.scalar)).getOrElse(Nil)
+  }
+  /** Entries keep document order (lists of sources/tables are ordered). */
+  final case class YMap(entries: Seq[(String, Node)]) extends Node
+  final case class YList(xs: Seq[Node]) extends Node
+  final case class YScalar(value: Option[String]) extends Node
+
+  private final case class Line(indent: Int, text: String)
+
+  def parse(text: String): Node = {
+    val lines = text.linesIterator
+      .map(stripComment)
+      .filter(_.trim.nonEmpty)
+      .map { raw =>
+        val indent = raw.takeWhile(_ == ' ').length
+        Line(indent, raw.trim)
+      }
+      .toVector
+    if (lines.isEmpty) YScalar(None) else parseBlock(lines)
+  }
+
+  /** Drop a ` # comment` tail (quote-aware) and full-line comments. */
+  private def stripComment(raw: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < raw.length) {
+      raw.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '#' if !inS && !inD && (i == 0 || raw.charAt(i - 1).isWhitespace) =>
+          return raw.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    raw
+  }
+
+  private def parseBlock(lines: Vector[Line]): Node =
+    if (lines.head.text.startsWith("-")) parseList(lines) else parseMap(lines)
+
+  /** A line opens a mapping iff it has a `key:` head (colon followed by
+    * space or end-of-line). Bare scalars like `127.0.0.1:5000` do not. */
+  private def mapKeySplit(text: String): Option[(String, String)] = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case ':' if !inS && !inD &&
+            (i == text.length - 1 || text.charAt(i + 1) == ' ') =>
+          return Some((text.substring(0, i).trim, text.substring(i + 1).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def cleanScalar(s: String): YScalar = {
+    val t = s.trim
+    if (t.isEmpty || t == "null" || t == "~") YScalar(None)
+    else if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+      (t.head == '\'' && t.last == '\''))) YScalar(Some(t.substring(1, t.length - 1)))
+    else YScalar(Some(t))
+  }
+
+  private def parseList(lines: Vector[Line]): YList = {
+    val base = lines.head.indent
+    // group: each item starts at a base-indent dash line
+    val starts = lines.zipWithIndex.collect {
+      case (Line(i, t), idx) if i == base && t.startsWith("-") => idx
+    }
+    val items = starts.zipWithIndex.map { case (s, k) =>
+      val end = if (k + 1 < starts.length) starts(k + 1) else lines.length
+      val head = lines(s)
+      val rest = head.text.drop(1).trim
+      val tail = lines.slice(s + 1, end)
+      if (rest.isEmpty) {
+        if (tail.isEmpty) YScalar(None) else parseBlock(tail)
+      } else if (mapKeySplit(rest).isDefined) {
+        // `- key: value` — the dash consumes two columns of indentation
+        parseBlock(Line(base + 2, rest) +: tail)
+      } else cleanScalar(rest)
+    }
+    YList(items)
+  }
+
+  private def parseMap(lines: Vector[Line]): YMap = {
+    val base = lines.head.indent
+    val starts = lines.zipWithIndex.collect {
+      case (Line(i, _), idx) if i == base => idx
+    }
+    val entries = starts.zipWithIndex.map { case (s, k) =>
+      val end = if (k + 1 < starts.length) starts(k + 1) else lines.length
+      val (key, value) = mapKeySplit(lines(s).text).getOrElse(
+        throw new IllegalArgumentException(s"not a mapping line: '${lines(s).text}'"))
+      val children = lines.slice(s + 1, end)
+      val node =
+        if (value.nonEmpty) cleanScalar(value)
+        else if (children.nonEmpty) parseBlock(children)
+        else YScalar(None)
+      key -> node
+    }
+    YMap(entries)
+  }
+}

@@ -54,6 +54,60 @@ final case class SyncConfig(core: CoreConfig, sources: Seq[SourceConfig]) {
 
 object SyncConfig {
 
+  /** Loader for the reference's own `synch.yaml` shape
+    * (/root/reference/synch.yaml; accessors synch/settings.py:33-95) via
+    * the dependency-free [[MiniYaml]] subset parser — a reference user
+    * can point the engine at their existing config file.
+    *
+    * Broker/transport sections (redis/kafka/clickhouse/mail) configure
+    * infrastructure the Spark engine replaces with checkpointed streams
+    * and JDBC sinks; they parse fine and are ignored here.
+    */
+  def fromYaml(text: String): SyncConfig = {
+    val root = MiniYaml.parse(text)
+    val core = root.get("core").map { c =>
+      CoreConfig(
+        insertNum = c.int("insert_num", 20000),
+        insertIntervalSec = c.int("insert_interval", 60),
+        skipError = c.bool("skip_error", default = false),
+        monitoring = c.bool("monitoring", default = true))
+    }.getOrElse(CoreConfig())
+
+    val sources = root.get("source_dbs").map(_.items).getOrElse(Nil).map { s =>
+      val dbType = s.str("db_type", "mysql")
+      val host = s.str("host", "localhost")
+      val port = s.int("port", if (dbType == "postgres") 5432 else 3306)
+      val scheme = if (dbType == "postgres") "postgresql" else dbType
+      val databases = s.get("databases").map(_.items).getOrElse(Nil).map { d =>
+        val tables = d.get("tables").map(_.items).getOrElse(Nil).map { t =>
+          TableConfig(
+            table = t.str("table"),
+            engine = Engine.withName(t.str("clickhouse_engine", "MergeTree")),
+            autoFullEtl = t.bool("auto_full_etl", default = true),
+            signColumn = t.str("sign_column", "sign"),
+            versionColumn = t.str("version_column", "version"),
+            partitionBy = t.get("partition_by").flatMap(_.scalar),
+            engineSettings = t.get("settings").flatMap(_.scalar),
+            skipDecimal = t.bool("skip_decimal", default = false),
+            pk = t.strings("pk"))
+        }
+        DatabaseConfig(d.str("database"), tables)
+      }
+      SourceConfig(
+        alias = s.str("alias"),
+        dbType = dbType,
+        url = s.get("url").flatMap(_.scalar)
+          .getOrElse(s"jdbc:$scheme://$host:$port"),
+        user = s.str("user"),
+        password = s.str("password"),
+        databases = databases,
+        skipDmls = s.strings("skip_dmls").toSet,
+        skipDeleteTables = s.strings("skip_delete_tables").toSet,
+        skipUpdateTables = s.strings("skip_update_tables").toSet)
+    }
+    SyncConfig(core, sources)
+  }
+
   /** Flat-properties loader, e.g.
     * {{{
     * core.insert_num=20000

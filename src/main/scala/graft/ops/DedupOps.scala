@@ -23,11 +23,23 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Exact dedup by full content: keep the lowest-id doc per distinct text.
-    * At 100 TB, group on a content digest rather than the raw text so the
-    * shuffle carries ~16 bytes per row instead of the document body.
+    * Use [[exactByDigest]] at scale — this form shuffles the full text.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact dedup, 100 TB form: group on a SHA-256 content digest so the
+    * shuffle carries 64 hex bytes per row instead of the document body.
+    * Collision probability at 2^60 documents is ≈ 2^-136 — far below
+    * hardware error rates — so digest-equality IS content-equality for
+    * any physical corpus; output matches [[exact]] row-for-row.
+    */
+  def exactByDigest(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), sha2(col(textCol), 256).as("_digest"))
+      .groupBy(col("_digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 

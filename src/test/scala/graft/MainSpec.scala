@@ -26,4 +26,25 @@ class MainSpec extends SparkSpec {
     // check mode runs the A5 comparison without throwing
     Main.main(Array("check", cfgPath, "unused", s"$root/state"))
   }
+
+  test("Main accepts a synch.yaml-shaped config") {
+    val root = Files.createTempDirectory("mainyaml").toString
+    val yaml =
+      s"""core:
+         |  insert_num: 100
+         |source_dbs:
+         |  - db_type: mysql
+         |    alias: pq
+         |    url: parquet:$sf
+         |    databases:
+         |      - database: db
+         |        tables:
+         |          - table: region
+         |            clickhouse_engine: MergeTree
+         |""".stripMargin
+    val cfgPath = s"$root/graft.yaml"
+    Files.write(Paths.get(cfgPath), yaml.getBytes)
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
+    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+  }
 }

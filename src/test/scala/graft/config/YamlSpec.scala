@@ -1,0 +1,116 @@
+package graft.config
+
+import graft.model.Engine
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MiniYaml subset parser + synch.yaml-shaped config loading. */
+class YamlSpec extends AnyFunSuite {
+
+  test("parses the reference synch.yaml shape into SyncConfig") {
+    val yaml =
+      """core:
+        |  debug: true # prints SQL when on
+        |  insert_num: 500
+        |  insert_interval: 5
+        |  monitoring: true
+        |
+        |redis:
+        |  host: cache-host
+        |  port: 6379
+        |  password:
+        |  sentinel_hosts:
+        |    - 10.0.0.1:5000
+        |    - 10.0.0.2:5001
+        |
+        |source_dbs:
+        |  - db_type: mysql
+        |    alias: primary_mysql
+        |    broker_type: kafka
+        |    host: db1.internal
+        |    port: 3307
+        |    user: repl
+        |    password: "s3cret#notacomment"
+        |    skip_dmls:
+        |      - delete
+        |    skip_delete_tables:
+        |      - audit_log
+        |    databases:
+        |      - database: shop
+        |        auto_create: true
+        |        tables:
+        |          - table: orders
+        |            skip_decimal: false
+        |            auto_full_etl: true
+        |            clickhouse_engine: ReplacingMergeTree
+        |            partition_by:
+        |            settings: index_granularity=4096
+        |            sign_column: sign
+        |            version_column: updated_at
+        |          - table: customers
+        |            clickhouse_engine: CollapsingMergeTree
+        |            pk:
+        |              - tenant_id
+        |              - customer_id
+        |  - db_type: postgres
+        |    alias: analytics_pg
+        |    host: db2.internal
+        |    user: sync
+        |    password: ''
+        |    databases:
+        |      - database: warehouse
+        |        tables:
+        |          - table: facts
+        |            auto_full_etl: false
+        |
+        |clickhouse:
+        |  hosts:
+        |    - ch1:9000
+        |  user: default
+        |""".stripMargin
+
+    val cfg = SyncConfig.fromYaml(yaml)
+    assert(cfg.core.insertNum == 500)
+    assert(cfg.core.insertIntervalSec == 5)
+    assert(cfg.core.monitoring)
+
+    assert(cfg.sources.size == 2)
+    val my = cfg.sources.head
+    assert(my.alias == "primary_mysql")
+    assert(my.url == "jdbc:mysql://db1.internal:3307")
+    assert(my.password == "s3cret#notacomment") // '#' inside quotes kept
+    assert(my.skipDmls == Set("delete"))
+    assert(my.skipDeleteTables == Set("audit_log"))
+    val shop = my.databases.head
+    assert(shop.database == "shop")
+    assert(shop.tables.map(_.table) == Seq("orders", "customers"))
+    val orders = shop.tables.head
+    assert(orders.engine == Engine.ReplacingMergeTree)
+    assert(orders.versionColumn == "updated_at")
+    assert(orders.partitionBy.isEmpty) // empty value → None
+    assert(orders.engineSettings.contains("index_granularity=4096"))
+    val customers = shop.tables(1)
+    assert(customers.engine == Engine.CollapsingMergeTree)
+    assert(customers.pk == Seq("tenant_id", "customer_id"))
+
+    val pg = cfg.sources(1)
+    assert(pg.dbType == "postgres")
+    assert(pg.url == "jdbc:postgresql://db2.internal:5432") // default port
+    assert(pg.password == "")
+    assert(!pg.databases.head.tables.head.autoFullEtl)
+  }
+
+  test("scalar lists with colons, comments, null markers") {
+    val n = MiniYaml.parse(
+      """hosts:
+        |  - 10.0.0.1:5000 # first
+        |  - 10.0.0.2:5001
+        |empty:
+        |nothing: null
+        |quoted: "a: b # c"
+        |""".stripMargin)
+    assert(n.strings("hosts") == Seq("10.0.0.1:5000", "10.0.0.2:5001"))
+    assert(n.get("empty").flatMap(_.scalar).isEmpty)
+    assert(n.get("nothing").flatMap(_.scalar).isEmpty)
+    assert(n.str("quoted") == "a: b # c")
+  }
+}

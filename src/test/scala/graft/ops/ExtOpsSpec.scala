@@ -161,5 +161,8 @@ class ExtOpsSpec extends SparkSpec {
     val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet
     assert(out == Set((5L, 2L), (7L, 1L)))
+    // digest form is row-identical
+    val dig = DedupOps.exactByDigest(docs).as[(Long, Long)].collect().toSet
+    assert(dig == out)
   }
 }

@@ -147,6 +147,26 @@ class ConsumeSpec extends SparkSpec {
     assert(finalState == Set((1L, 11.0)))
   }
 
+  test("skip-error mode isolates a failing table and applies the rest (C3)") {
+    val root = Files.createTempDirectory("skiperr").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val tables = Seq(
+      TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree),
+      // PK column that doesn't exist → this table's apply throws
+      TableSync("db", "bad", valueSchema, Seq("no_such_col"), Engine.MergeTree))
+    writeBatch(eventsDir, "b0.json", Seq(
+      ev("mt", "insert", 1, 10.0, 100),
+      ev("bad", "insert", 2, 20.0, 100)))
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      tables, s"$root/state", s"$root/ckpt", skipError = true)
+    q.processAllAvailable(); q.stop()
+    val mt = Consume.currentState(tables.head,
+      new ParquetStateStore(spark, s"$root/state/db/mt")).get
+    assert(mt.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // the failing table produced no state, and the stream completed anyway
+    assert(new ParquetStateStore(spark, s"$root/state/db/bad").isEmpty)
+  }
+
   test("MergeTree micro-batch writes scale with batch size, not state size") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when}
