@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the properties that make these queries
+  * scale (pushdown, pruning, broadcast dimension joins, pre-shuffle window
+  * limits) are asserted, not assumed — a refactor that silently loses one
+  * fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q1: shipdate filter is pushed to the parquet scan; schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // projection pruning: the scan must not read unused lineitem columns
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"),
+      s"scan reads unused columns:\n$p")
+  }
+
+  test("q5: dimension chain broadcasts; only the fact join shuffles") {
+    val p = plan("q5_region_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected broadcast dimension joins, got $broadcasts:\n$p")
+  }
+
+  test("a2 dedup: window top-1 is planned with a pre-shuffle group limit") {
+    val p = plan("a2_dedup_pk")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number()=1 should plan WindowGroupLimit (map-side top-1):\n$p")
+  }
+
+  test("q3 top-k: global sort is a TakeOrderedAndProject, not a full sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"limit+orderBy degenerated:\n$p")
+  }
+
+  test("minhash signatures hash-aggregate with map-side partial combine") {
+    val p = plan("dedup_minhash_sig")
+    assert(p.contains("HashAggregate"), s"signature agg should hash-aggregate:\n$p")
+    assert(p.contains("partial_min"),
+      s"k permutation minima must partial-aggregate before the exchange:\n$p")
+  }
+}

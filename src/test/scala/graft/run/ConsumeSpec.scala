@@ -203,6 +203,46 @@ class ConsumeSpec extends SparkSpec {
     assert(after.filter(col("id") <= 10 && col("amount") === -1.0).count() == 10)
   }
 
+  test("bootstrap snapshots empty stores once and is idempotent (C4)") {
+    val root = Files.createTempDirectory("bootstrap").toString
+    val tables = Seq(TableSync("db", "orders", null, Seq("o_orderkey"), Engine.MergeTree))
+    val snapshots = Map("orders" ->
+      (FullEtl.ParquetSource(s"$sf/orders.parquet"): FullEtl.Source))
+    Consume.bootstrap(spark, tables, root, snapshots)
+    val store = new ParquetStateStore(spark, s"$root/db/orders")
+    val n = Consume.currentState(tables.head, store).get.count()
+    assert(n == 1500)
+    // second bootstrap is a no-op (store non-empty)
+    Consume.bootstrap(spark, tables, root, snapshots)
+    assert(store.latestVersion.contains(0L))
+    assert(Consume.currentState(tables.head, store).get.count() == n)
+  }
+
+  test("two sources run as genuinely concurrent queries (C5)") {
+    val root = Files.createTempDirectory("multisrc").toString
+    val dirs = Seq("s1", "s2").map { s =>
+      val d = s"$root/$s"; Files.createDirectories(Paths.get(d)); d
+    }
+    writeBatch(dirs.head, "b0.json", Seq(ev("mt", "insert", 1, 1.0, 100)))
+    writeBatch(dirs(1), "b0.json", Seq(ev("mt", "insert", 2, 2.0, 100)))
+    val table = TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree)
+    val queries = dirs.zipWithIndex.map { case (d, i) =>
+      Consume.start(spark, EventSource.files(spark, d), Seq(table),
+        s"$root/state$i", s"$root/ckpt$i", triggerInterval = "250 milliseconds")
+    }
+    Lifecycle.withGracefulShutdown(queries)
+    try {
+      assert(queries.forall(_.isActive)) // both live at once
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    val ids = (0 to 1).map { i =>
+      Consume.currentState(table,
+        new ParquetStateStore(spark, s"$root/state$i/db/mt")).get
+        .select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(ids == Seq(Set(1L), Set(2L)))
+  }
+
   test("wire serde round-trips through serialize/parse") {
     import spark.implicits._
     val raw = Seq(ev("mt", "insert", 5, 50.5, 123)).toDF("json")
