@@ -20,7 +20,8 @@ object Bench {
     "q4_exists_orders", "q7_window_running", "q8_rollup_revenue",
     "q9_distinct_agg", "q10_except", "q11_topk_per_group",
     "s3_snapshot_sign", "t2_filter_tables", "t3_filter_dml",
-    "t4_split_updates", "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
+    "t4_split_updates", "t6_normalize", "t7_decimal_stringify",
+    "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
     "a4_apply_order", "a5_count_check",
     "engine_mergetree", "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
     "dedup_exact", "dedup_exact_digest", "dedup_minhash_sig", "dedup_minhash_pairs",

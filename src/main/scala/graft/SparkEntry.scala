@@ -226,6 +226,25 @@ object SparkEntry {
           col("apply_rank"))
     }),
 
+    // T6: bytes/JSON normalization — binary column decoded to UTF-8,
+    // nested struct re-serialized as a JSON string
+    "t6_normalize" -> ((s, dir) => {
+      val base = changelog(s, dir).select(col("event_id"),
+        col("tbl").cast("binary").as("tbl_bin"),
+        struct(col("pk"), col("tbl")).as("nested"))
+      CdcOps.normalizeValues(base)
+        .select(col("event_id"), col("tbl_bin").as("tbl_str"),
+          col("nested").as("nested_json"))
+    }),
+
+    // T7: skip_decimal compat — decimals rendered as exact strings
+    "t7_decimal_stringify" -> ((s, dir) => {
+      CdcOps.stringifyDecimals(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            dec2(col("o_totalprice")).as("price_dec")))
+        .select(col("o_orderkey"), col("price_dec").as("price_str"))
+    }),
+
     // A5: count verification across all tables
     "a5_count_check" -> ((s, dir) => {
       Tables.names.map { name =>
@@ -517,6 +536,17 @@ object SparkEntry {
         |       CAST(row_number() OVER (
         |         PARTITION BY tbl ORDER BY action_seq, ts, event_id) AS INT) AS apply_rank
         |FROM split""".stripMargin),
+
+    "t6_normalize" -> (CL +
+      """
+        |SELECT event_id, tbl AS tbl_str,
+        |       to_json(struct_pack(pk := pk, tbl := tbl)) AS nested_json
+        |FROM changelog""".stripMargin),
+
+    "t7_decimal_stringify" ->
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str
+        |FROM orders""".stripMargin,
 
     "a5_count_check" ->
       ("SELECT * FROM (" +
