@@ -364,6 +364,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents"))),
 
+    // deterministic content-stable train/val/test assignment
+    "split_assign" -> ((s, dir) =>
+      CorpusOps.splitAssign(t(s, dir, "documents"))),
+
+    // corpus-level boilerplate detection (fraction of shared n-grams)
+    "text_boilerplate" -> ((s, dir) =>
+      CorpusOps.duplicatedNgramFraction(t(s, dir, "documents"))),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -807,6 +815,31 @@ object SparkEntry {
       s"""WITH ${OracleSql.toksCte(lower = true)}
          |SELECT doc_id, ${OracleSql.ph("array_to_string(tk, ' ')")} AS fingerprint
          |FROM toks""".stripMargin
+    },
+
+    "split_assign" -> {
+      val bucket = s"(${OracleSql.ph("CAST(doc_id AS VARCHAR)")}) % 100"
+      s"""SELECT doc_id, CAST($bucket AS INT) AS bucket,
+         |       CASE WHEN $bucket < 98 THEN 'train'
+         |            WHEN $bucket < 99 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "text_boilerplate" -> {
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh AS (SELECT doc_id, list_distinct(${OracleSql.shingles(3)}) AS sh FROM toks),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |dfreq AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+         |per AS (SELECT i.doc_id, COUNT(*) AS n_grams,
+         |        SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS n_dup
+         |        FROM inv i JOIN dfreq f USING (g) GROUP BY i.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+         |       round(CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+         |             / greatest(coalesce(p.n_grams, 0), 1), 6) AS dup_fraction
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
     },
 
     "session_stats" ->

@@ -18,7 +18,8 @@ import scala.collection.mutable
 object Monitor {
 
   final case class BatchMetric(queryName: String, batchId: Long,
-                               numEvents: Long, timestampMs: Long)
+                               numEvents: Long, timestampMs: Long,
+                               error: Option[String] = None)
 
   /** Attach an observation named `graft_monitor` counting events. */
   def observed(df: DataFrame): DataFrame =
@@ -30,7 +31,17 @@ object Monitor {
     val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    /** C6 — error alerting: a terminal failure becomes a metric row with
+      * the exception recorded (the reference mails it; here it lands in
+      * the same monitoring stream/table for the operator's alerting to
+      * pick up). */
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      e.exception.foreach { err =>
+        metrics.synchronized {
+          metrics += BatchMetric(e.id.toString, batchId = -1L,
+            numEvents = 0L, System.currentTimeMillis(), error = Some(err))
+        }
+      }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val observed = Option(p.observedMetrics.get("graft_monitor"))
@@ -51,11 +62,19 @@ object Monitor {
     */
   final class PersistingListener(spark: SparkSession, path: String)
       extends CollectingListener {
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      super.onQueryProgress(e)
+    private def persistLast(): Unit = {
       val m = metrics.synchronized(metrics.last)
       spark.createDataFrame(Seq(m))
         .write.mode("append").parquet(path)
+    }
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      super.onQueryProgress(e)
+      persistLast()
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      val before = metrics.synchronized(metrics.size)
+      super.onQueryTerminated(e)
+      if (metrics.synchronized(metrics.size) > before) persistLast()
     }
   }
 

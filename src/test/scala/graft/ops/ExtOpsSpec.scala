@@ -157,6 +157,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("split assignment is deterministic, content-stable and exhaustive") {
+    val docs = Tables(spark, sf, "documents")
+    val out = CorpusOps.splitAssign(docs)
+    assert(out.count() == docs.count())
+    // every row lands in exactly one named split
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == docs.count())
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    // stable under corpus growth: the same doc keeps its split in a subset
+    val subset = CorpusOps.splitAssign(docs.limit(100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+  }
+
+  test("boilerplate fraction flags shared n-grams and keeps short docs") {
+    val docs = Seq(
+      (1L, "common boiler plate text here"),
+      (2L, "common boiler plate text there"),
+      (3L, "completely unique words nothing shared"),
+      (4L, "ab") // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.duplicatedNgramFraction(docs, n = 3)
+      .select("doc_id", "n_grams", "n_dup", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2 share "common boiler plate" and "boiler plate text"
+    assert(out(1L)._3 == 2 && out(1L)._2 == 3)
+    assert(out(2L)._3 == 2)
+    assert(out(3L)._3 == 0 && out(3L)._4 == 0.0)
+    assert(out(4L)._2 == 0 && out(4L)._4 == 0.0) // present, zeroed
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet

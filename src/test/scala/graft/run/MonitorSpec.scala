@@ -36,4 +36,27 @@ class MonitorSpec extends SparkSpec {
       assert(rows.exists(_.numEvents == 3L))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("terminal query failure is recorded as an error metric (C6)") {
+    val listener = new Monitor.CollectingListener
+    spark.streams.addListener(listener)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("boom")
+        }.start()
+      input.addData(1L)
+      intercept[Exception] { q.awaitTermination(30000) }
+
+      val deadline = System.currentTimeMillis() + 20000
+      def errors = listener.metrics.synchronized(
+        listener.metrics.filter(_.error.isDefined).toList)
+      while (errors.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(errors.nonEmpty, "no error metric recorded")
+      assert(errors.head.error.get.contains("boom"))
+    } finally spark.streams.removeListener(listener)
+  }
 }
