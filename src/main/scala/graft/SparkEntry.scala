@@ -364,6 +364,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents"))),
 
+    // winnowing (MOSS) local fingerprints for passage-overlap detection
+    "text_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(t(s, dir, "documents"))),
+
     // deterministic content-stable train/val/test assignment
     "split_assign" -> ((s, dir) =>
       CorpusOps.splitAssign(t(s, dir, "documents"))),
@@ -815,6 +819,19 @@ object SparkEntry {
       s"""WITH ${OracleSql.toksCte(lower = true)}
          |SELECT doc_id, ${OracleSql.ph("array_to_string(tk, ' ')")} AS fingerprint
          |FROM toks""".stripMargin
+    },
+
+    "text_winnow" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |h AS (SELECT doc_id,
+         |        list_transform(${OracleSql.shingles(3)}, s -> ${OracleSql.ph("s")}) AS hs,
+         |        greatest(len(tk) - 2, 0) AS m
+         |      FROM toks),
+         |w AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, greatest(m - 3, 0) + 1),
+         |          i -> list_min(hs[CAST(i AS INT) : CAST(i AS INT) + 3]))) AS fps
+         |      FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
     },
 
     "split_assign" -> {

@@ -121,4 +121,30 @@ object TextOps {
                   textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       polyHash(concat_ws(" ", tokens(lower(col(textCol))))).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS scheme): hash the ordered word n-gram sequence, slide a
+    * `window` over the hashes, keep each window's minimum, emit the
+    * distinct minima as (doc, fp) rows. Guarantees any shared run of
+    * ≥ window+n-1 tokens yields a shared fingerprint, with a ~2/(window+1)
+    * selection density — the standard local fingerprinting for partial /
+    * passage-level overlap detection (exact docs share all fps, disjoint
+    * docs share none). Documents shorter than one full window emit no
+    * rows. Narrow per-row computation; joins on `fp` are blocked
+    * equi-joins like every other near-dup family here.
+    */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val hashes = transform(shingles(toks, n), s => polyHash(s))
+    // #windows = max(#hashes - window + 1, 0); #hashes = max(#toks-n+1, 0)
+    val m = greatest(size(toks) - lit(n - 1), lit(0))
+    val cnt = greatest(m - lit(window - 1), lit(0))
+    val mins = when(cnt > 0,
+      transform(sequence(lit(1), cnt),
+        i => array_min(slice(hashes, i, lit(window)))))
+      .otherwise(array().cast("array<bigint>"))
+    docs.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
 }

@@ -191,6 +191,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L)._2 == 0 && out(4L)._4 == 0.0) // present, zeroed
   }
 
+  test("winnowing: identical docs share all fingerprints, short docs emit none") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "totally different words appear in this one here"),
+      (4L, "too short") // < n+window-1 tokens → no full window
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) == fps(2L) && fps(1L).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(!fps.contains(4L))
+    // guaranteed detection: docs sharing a run of ≥ window+n-1 = 6 tokens
+    val overlap = Seq(
+      (10L, "one two three four five six seven unique1 unique2"),
+      (11L, "zz one two three four five six seven other words")
+    ).toDF("doc_id", "text")
+    val ofps = TextOps.winnowFingerprints(overlap)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((ofps(10L) & ofps(11L)).nonEmpty)
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet
