@@ -9,16 +9,19 @@ import graft.streaming.EventSource
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 
-/** CLI entry point mirroring the reference's commands
-  * (`synch {etl|produce|consume|check}`, synch/cli.py:21-34) over the
-  * typed [[SyncConfig]].
+/** CLI entry point mirroring the reference's commands and selectors
+  * (`synch --alias A {etl|produce|consume|check} --schema S -t T --renew
+  * --last-msg-id M`, synch/cli.py:21-110) over the typed [[SyncConfig]].
   *
   * Source URLs decide the transport: `jdbc:*` → partitioned JDBC;
   * `parquet:<dir>` → parquet directory (hermetic runs). The consume broker
   * is a directory of ChangeEvent JSON (`file:<dir>`) or a Kafka bootstrap
   * (`kafka:<servers>/<topic>`).
   *
-  * Usage: `graft.Main <etl|produce|consume|check> <config.properties> [broker] [stateRoot]`
+  * Usage:
+  * `graft.Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint]
+  *  [stateRoot] [lastBatchId] [--alias=A] [--schema=S] [--table=t1,t2]
+  *  [--renew] [--last-batch=N]`
   */
 object Main {
 
@@ -52,63 +55,97 @@ object Main {
       partitionColumn = None)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint] [stateRoot] [lastBatchId]")
-    val mode = args(0)
+    // `--key=value` / `--flag` selectors can appear anywhere; positionals
+    // keep their order (mode, config, broker/checkpoint, stateRoot, ...).
+    val (flagArgs, pos) = args.partition(_.startsWith("--"))
+    val flags: Map[String, String] = flagArgs.map { f =>
+      val kv = f.stripPrefix("--").split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "true")
+    }.toMap
+    require(pos.length >= 2,
+      "usage: Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint] " +
+        "[stateRoot] [lastBatchId] [--alias=A] [--schema=S] [--table=t1,t2] " +
+        "[--renew] [--last-batch=N]")
+    val mode = pos(0)
     // .yaml/.yml configs use the reference's own synch.yaml shape;
     // anything else is the flat-properties form.
     val cfg =
-      if (args(1).endsWith(".yaml") || args(1).endsWith(".yml"))
+      if (pos(1).endsWith(".yaml") || pos(1).endsWith(".yml"))
         SyncConfig.fromYaml(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1))),
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pos(1))),
           "UTF-8"))
-      else SyncConfig.fromProperties(loadProps(args(1)))
+      else SyncConfig.fromProperties(loadProps(pos(1)))
     val preexisting = SparkSession.getActiveSession
     val spark = preexisting.getOrElse(
       Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))
+
+    /** The reference's CLI selectors: --alias, --schema, -t/--table. */
+    def selected: Seq[(graft.config.SourceConfig, graft.config.DatabaseConfig, graft.config.TableConfig)] =
+      for {
+        src <- cfg.sources if flags.get("alias").forall(_ == src.alias)
+        d <- src.databases if flags.get("schema").forall(_ == d.database)
+        t <- d.tables if flags.get("table").forall(_.split(',').contains(t.table))
+      } yield (src, d, t)
+
+    def syncTables: Seq[(graft.config.SourceConfig, TableSync)] =
+      selected.map { case (src, d, t) =>
+        val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
+        src -> TableSync(d.database, t.table, schema,
+          syncPk(src, d.database, t, schema), t.engine)
+      }
+
+    def deleteDir(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
 
     mode match {
       case "etl" =>
         // The snapshot lands as the store's batch-0 changelog delta (action/
         // event_unixtime/action_seq stamped), so a later `consume` can append
-        // deltas on top without a state rewrite.
-        for (src <- cfg.sources; d <- src.databases; t <- d.tables if t.autoFullEtl) {
-          val target = s"${args.lift(3).getOrElse("/tmp/graft_state")}/${d.database}/${t.table}/v=0"
+        // deltas on top without a state rewrite. --renew drops the whole
+        // store first (reference `etl --renew`: drop target tables).
+        val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
+        for ((src, d, t) <- selected if t.autoFullEtl) {
+          val store = s"$stateRoot/${d.database}/${t.table}"
+          if (flags.contains("renew")) deleteDir(store)
           val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
           val snap = Consume.snapshotAsChangelog(
             if (t.engine == Engine.CollapsingMergeTree) CdcOps.withSnapshotSign(snap0) else snap0)
-          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(target)
-          val c = spark.read.parquet(target).count()
+          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/v=0")
+          val c = spark.read.parquet(s"$store/v=0").count()
           println(s"[etl] ${d.database}.${t.table}: ${snap0.count()} -> $c rows")
         }
 
       case "check" =>
-        for (src <- cfg.sources; d <- src.databases; t <- d.tables) {
-          val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
-          val store = new ParquetStateStore(spark, s"$stateRoot/${d.database}/${t.table}")
-          val sourceDf = FullEtl.read(spark, source(src, d.database, t.table))
-          val sync = TableSync(d.database, t.table, sourceDf.schema,
-            syncPk(src, d.database, t, sourceDf.schema), t.engine)
+        val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
+        for ((src, sync) <- syncTables) {
+          val store = new ParquetStateStore(spark, s"$stateRoot/${sync.schema}/${sync.table}")
+          val sourceDf = FullEtl.read(spark, source(src, sync.schema, sync.table))
           Consume.currentState(sync, store) match {
             case Some(tgt) =>
-              val res = CdcOps.countCheck(Seq((s"${d.database}.${t.table}", sourceDf, tgt)))
+              val res = CdcOps.countCheck(Seq((s"${sync.schema}.${sync.table}", sourceDf, tgt)))
               res.show(false)
-            case None => println(s"[check] ${d.database}.${t.table}: target missing")
+            case None => println(s"[check] ${sync.schema}.${sync.table}: target missing")
           }
         }
 
       case "consume" =>
-        val broker = args(2).stripPrefix("file:")
-        val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
-        val tables = for (src <- cfg.sources; d <- src.databases; t <- d.tables) yield {
-          val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
-          TableSync(d.database, t.table, schema, syncPk(src, d.database, t, schema), t.engine)
+        val broker = pos(2).stripPrefix("file:")
+        val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
+        val byTable = syncTables
+        val tables = byTable.map(_._2)
+        val ckpt = s"$stateRoot/_checkpoint"
+        // --last-batch=N: the reference's `consume --last-msg-id` — rewind
+        // before starting so batches > N replay from the broker.
+        flags.get("last-batch").foreach { n =>
+          Resume.rewind(spark, ckpt, stateRoot, tables, n.toLong)
         }
         Consume.bootstrap(spark, tables, stateRoot,
-          tables.map(t => t.table ->
-            source(cfg.sources.head, t.schema, t.table)).toMap)
+          byTable.map { case (src, t) => t.table -> source(src, t.schema, t.table) }.toMap)
         val q = Consume.start(spark, EventSource.files(spark, broker), tables,
-          stateRoot, s"$stateRoot/_checkpoint", skipError = cfg.core.skipError)
+          stateRoot, ckpt, skipError = cfg.core.skipError)
         Lifecycle.withGracefulShutdown(Seq(q))
         q.awaitTermination()
 
@@ -116,20 +153,17 @@ object Main {
       // `rewind <config> <checkpoint> <stateRoot> <lastBatchId>` — the next
       // `consume` replays everything after that batch.
       case "rewind" =>
-        val ckpt = args(2)
-        val stateRoot = args.lift(3).getOrElse("/tmp/graft_state")
-        val lastBatch = args.lift(4).map(_.toLong).getOrElse(0L)
-        val tables = for (src <- cfg.sources; d <- src.databases; t <- d.tables) yield {
-          val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
-          TableSync(d.database, t.table, schema, syncPk(src, d.database, t, schema), t.engine)
-        }
-        val removed = Resume.rewind(spark, ckpt, stateRoot, tables, lastBatch)
+        val ckpt = pos(2)
+        val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
+        val lastBatch = pos.lift(4).map(_.toLong)
+          .orElse(flags.get("last-batch").map(_.toLong)).getOrElse(0L)
+        val removed = Resume.rewind(spark, ckpt, stateRoot, syncTables.map(_._2), lastBatch)
         println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
           s"state truncated to batch $lastBatch")
 
       case "produce" =>
-        val broker = args(2).stripPrefix("file:")
-        val raw = EventSource.files(spark, args.lift(3).getOrElse("/tmp/graft_raw"))
+        val broker = pos(2).stripPrefix("file:")
+        val raw = EventSource.files(spark, pos.lift(3).getOrElse("/tmp/graft_raw"))
         val src = cfg.sources.head
         val events = Produce.normalize(raw,
           schemas = src.databases.map(_.database),
@@ -142,6 +176,7 @@ object Main {
 
       case other => sys.error(s"unknown mode $other")
     }
-    if ((mode == "etl" || mode == "check") && preexisting.isEmpty) spark.stop()
+    if ((mode == "etl" || mode == "check" || mode == "rewind") && preexisting.isEmpty)
+      spark.stop()
   }
 }

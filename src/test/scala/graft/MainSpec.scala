@@ -27,6 +27,34 @@ class MainSpec extends SparkSpec {
     Main.main(Array("check", cfgPath, "unused", s"$root/state"))
   }
 
+  test("CLI selectors limit etl to --table; --renew drops the store first") {
+    val root = Files.createTempDirectory("mainsel").toString
+    val props =
+      s"""source.0.alias=pq
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db
+         |source.0.database.0.table.0=orders
+         |source.0.database.0.table.1=region
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--table=region"))
+    assert(!Files.exists(Paths.get(s"$root/state/db/orders")))
+    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+
+    // leave a stale delta behind; --renew must clear it
+    Files.createDirectories(Paths.get(s"$root/state/db/region/v=7"))
+    Files.write(Paths.get(s"$root/state/db/region/v=7/junk"), "x".getBytes)
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--table=region", "--renew"))
+    assert(!Files.exists(Paths.get(s"$root/state/db/region/v=7")))
+    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+
+    // selector that matches nothing is a quiet no-op
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--schema=absent"))
+  }
+
   test("Main accepts a synch.yaml-shaped config") {
     val root = Files.createTempDirectory("mainyaml").toString
     val yaml =
