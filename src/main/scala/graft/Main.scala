@@ -111,11 +111,18 @@ object Main {
           val store = s"$stateRoot/${d.database}/${t.table}"
           if (flags.contains("renew")) deleteDir(store)
           val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
-          val snap = Consume.snapshotAsChangelog(
+          val stamped = Consume.snapshotAsChangelog(
             if (t.engine == Engine.CollapsingMergeTree) CdcOps.withSnapshotSign(snap0) else snap0)
+          // MergeTree deltas carry the arrival batch; the snapshot is batch 0
+          val snap =
+            if (t.engine == Engine.MergeTree)
+              stamped.withColumn("_batch", org.apache.spark.sql.functions.lit(0L))
+            else stamped
           snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/v=0")
+          // count the WRITTEN parquet only — a source count() would scan
+          // the production table a second time just for a log line
           val c = spark.read.parquet(s"$store/v=0").count()
-          println(s"[etl] ${d.database}.${t.table}: ${snap0.count()} -> $c rows")
+          println(s"[etl] ${d.database}.${t.table}: $c rows")
         }
 
       case "check" =>
@@ -132,6 +139,7 @@ object Main {
         }
 
       case "consume" =>
+        require(pos.length >= 3, "usage: Main consume <config> <broker> [stateRoot] [--last-batch=N]")
         val broker = pos(2).stripPrefix("file:")
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
         val byTable = syncTables
@@ -153,6 +161,7 @@ object Main {
       // `rewind <config> <checkpoint> <stateRoot> <lastBatchId>` — the next
       // `consume` replays everything after that batch.
       case "rewind" =>
+        require(pos.length >= 3, "usage: Main rewind <config> <checkpoint> [stateRoot] [lastBatchId|--last-batch=N]")
         val ckpt = pos(2)
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
         val lastBatch = pos.lift(4).map(_.toLong)
@@ -162,6 +171,7 @@ object Main {
           s"state truncated to batch $lastBatch")
 
       case "produce" =>
+        require(pos.length >= 3, "usage: Main produce <config> <broker> [rawDir]")
         val broker = pos(2).stripPrefix("file:")
         val raw = EventSource.files(spark, pos.lift(3).getOrElse("/tmp/graft_raw"))
         val src = cfg.sources.head

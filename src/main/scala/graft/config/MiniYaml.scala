@@ -121,8 +121,11 @@ object MiniYaml {
 
   private def parseMap(lines: Vector[Line]): YMap = {
     val base = lines.head.indent
+    // dash lines at the parent key's own indent (zero-indent list style,
+    // which PyYAML accepts) belong to the preceding key's value, not to
+    // the map — only non-dash lines open entries
     val starts = lines.zipWithIndex.collect {
-      case (Line(i, _), idx) if i == base => idx
+      case (Line(i, t), idx) if i == base && !t.startsWith("-") => idx
     }
     val entries = starts.zipWithIndex.map { case (s, k) =>
       val end = if (k + 1 < starts.length) starts(k + 1) else lines.length

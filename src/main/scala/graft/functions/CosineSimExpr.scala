@@ -18,6 +18,19 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine requires array<float|double> on both sides, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -22,6 +22,9 @@ case class LangScoresExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_lang_scores"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    LangScoresExpr.checkTokens(child, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     LangScoresExpr.scores(input.asInstanceOf[ArrayData])
 
@@ -43,6 +46,9 @@ case class LangBestExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LangScoresExpr.bestType
   override def prettyName: String = "graft_lang_best"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    LangScoresExpr.checkTokens(child, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     LangScoresExpr.best(input.asInstanceOf[ArrayData])
 
@@ -54,6 +60,15 @@ case class LangBestExpr(child: Expression) extends UnaryExpression {
 }
 
 object LangScoresExpr {
+
+  private[functions] def checkTokens(child: Expression, name: String) =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$name requires array<string> tokens, got ${other.catalogString}")
+    }
 
   /** Tiny per-language stopword lists for the n-gram/stopword heuristic
     * language guesser. Shared verbatim with the oracle SQL (single source

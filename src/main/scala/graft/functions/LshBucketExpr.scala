@@ -25,6 +25,15 @@ case class LshBucketExpr(child: Expression, planes: Int, dims: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float> or array<double>, got ${other.catalogString}")
+    }
+
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

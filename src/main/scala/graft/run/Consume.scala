@@ -53,17 +53,20 @@ object Consume {
     * Every engine — including MergeTree — appends an O(batch)-sized delta;
     * nothing ever rewrites O(state) bytes inside a micro-batch. MergeTree's
     * eager delete-then-insert contract (reference merge_tree.py:60-85) is
-    * realized at read time by [[SinkStrategy.replacingResolve]] (latest
-    * action per PK; deletes vanish — exactly the post-flush table state)
-    * and made cheap again by periodic [[compact]]. The batch is deduped
-    * per PK first so the delta carries at most one row per touched key.
+    * realized at read time by [[mergeTreeResolve]] and made cheap again by
+    * periodic [[compact]]. The batch is deduped per PK first so the delta
+    * carries at most one row per touched key; the batch id is stamped on
+    * MergeTree deltas because eager apply is ARRIVAL-ordered — a later
+    * batch's delete must beat an earlier insert even when their event
+    * timestamps tie or arrive out of order.
     */
   def applyBatch(spark: SparkSession, t: TableSync, store: ParquetStateStore,
                  changelog: DataFrame, batchId: Long): Unit = {
     val keys = SinkKeys(t.pkCols)
     t.engine match {
       case Engine.MergeTree =>
-        store.append(SinkStrategy.latestPerKey(changelog, keys), batchId)
+        store.append(SinkStrategy.latestPerKey(changelog, keys)
+          .withColumn("_batch", lit(batchId)), batchId)
       case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
         store.append(CdcOps.withCollapsingSign(changelog), batchId)
       case Engine.ReplacingMergeTree =>
@@ -71,11 +74,27 @@ object Consume {
     }
   }
 
+  /** MergeTree read-time resolution: batch (arrival) order dominates,
+    * event time and action_seq break ties within a batch — the exact
+    * order the reference's eager per-batch flush applies. Keeps the
+    * `_batch` column so compacted bases and fresh deltas share a schema.
+    */
+  private def mergeTreeResolve(log: DataFrame, keys: SinkKeys): DataFrame = {
+    // a log written by `etl` alone predates any batch — treat it as batch 0
+    val withBatch =
+      if (log.columns.contains("_batch")) log else log.withColumn("_batch", lit(0L))
+    SinkStrategy.replacingResolve(withBatch,
+      SinkKeys(keys.pkCols, versionCol = "_batch",
+        tieBreakers = keys.versionCol +: keys.tieBreakers))
+  }
+
   /** Read-time view of a table's current state, per engine (SURVEY §7.3). */
   def currentState(t: TableSync, store: ParquetStateStore): Option[DataFrame] = {
     val keys = SinkKeys(t.pkCols)
     t.engine match {
-      case Engine.MergeTree | Engine.ReplacingMergeTree =>
+      case Engine.MergeTree =>
+        store.readLog().map(mergeTreeResolve(_, keys).drop("_batch"))
+      case Engine.ReplacingMergeTree =>
         store.readLog().map(SinkStrategy.replacingResolve(_, keys))
       case Engine.CollapsingMergeTree =>
         store.readLog().map(SinkStrategy.collapsingResolve(_, keys))
@@ -142,7 +161,12 @@ object Consume {
     * so compaction is a no-op there.
     */
   def compact(t: TableSync, store: ParquetStateStore): Unit = t.engine match {
-    case Engine.MergeTree | Engine.ReplacingMergeTree =>
+    case Engine.MergeTree =>
+      // resolve WITH _batch so the compacted base and later deltas keep
+      // one schema (and arrival order stays total across compactions)
+      store.readLog().map(mergeTreeResolve(_, SinkKeys(t.pkCols)))
+        .foreach(store.compact)
+    case Engine.ReplacingMergeTree =>
       currentState(t, store).foreach(store.compact)
     case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
       currentState(t, store).foreach(resolved =>
@@ -180,18 +204,24 @@ object Consume {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
+          // Each future catches its own error so the barrier always waits
+          // for EVERY table before the cache is released — failing fast
+          // would orphan in-flight siblings onto an unpersisted batch.
           val applies = tables.map { t =>
             Future {
-              try applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId)
+              try { applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId); None }
               catch {
                 case e: Exception if skipError =>
                   // C3 skip-error mode: continue with the next table
                   System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
+                  None
+                case e: Exception => Some(e)
               }
             }(applyPool)
           }
-          Await.result(Future.sequence(applies)(
-            scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf)
+          val errors = Await.result(Future.sequence(applies)(
+            scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf).flatten
+          errors.headOption.foreach(e => throw e)
           ddlSink.foreach(run =>
             tables.map(_.schema).distinct.foreach(db =>
               applyDdl(cached, db, run, skipError)))

@@ -26,9 +26,17 @@ object Monitor {
     df.observe("graft_monitor", count(lit(1)).as("events"))
 
   /** Collects per-batch metrics in memory; for durable metrics use
-    * [[PersistingListener]]. */
-  class CollectingListener extends StreamingQueryListener {
+    * [[PersistingListener]]. The buffer is bounded (oldest rows drop once
+    * `maxRetained` is hit) so a weeks-long 1 s-trigger stream cannot grow
+    * driver heap without bound.
+    */
+  class CollectingListener(maxRetained: Int = 10000) extends StreamingQueryListener {
     val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
+
+    protected def record(m: BatchMetric): Unit = metrics.synchronized {
+      metrics += m
+      if (metrics.size > maxRetained) metrics.remove(0, metrics.size - maxRetained)
+    }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     /** C6 — error alerting: a terminal failure becomes a metric row with
@@ -37,20 +45,16 @@ object Monitor {
       * pick up). */
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       e.exception.foreach { err =>
-        metrics.synchronized {
-          metrics += BatchMetric(e.id.toString, batchId = -1L,
-            numEvents = 0L, System.currentTimeMillis(), error = Some(err))
-        }
+        record(BatchMetric(e.id.toString, batchId = -1L,
+          numEvents = 0L, System.currentTimeMillis(), error = Some(err)))
       }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val observed = Option(p.observedMetrics.get("graft_monitor"))
       val events = observed.map(_.getAs[Long]("events"))
         .getOrElse(p.numInputRows)
-      metrics.synchronized {
-        metrics += BatchMetric(Option(p.name).getOrElse(p.id.toString),
-          p.batchId, events, System.currentTimeMillis())
-      }
+      record(BatchMetric(Option(p.name).getOrElse(p.id.toString),
+        p.batchId, events, System.currentTimeMillis()))
     }
   }
 

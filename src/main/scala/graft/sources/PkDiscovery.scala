@@ -17,20 +17,34 @@ import scala.collection.mutable
   */
 object PkDiscovery {
 
+  private def viaMetadata(conn: Connection, catalog: String, schema: String,
+                          table: String): Seq[String] =
+    try {
+      val rs = conn.getMetaData.getPrimaryKeys(catalog, schema, table)
+      val buf = mutable.Buffer.empty[(Short, String)]
+      try {
+        while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      } finally rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    } catch { case _: Exception => Nil }
+
   /** PK column names in ordinal (KEY_SEQ) order via driver metadata;
-    * falls back to information_schema when the driver returns nothing.
+    * falls back to catalog queries when the driver returns nothing.
+    *
+    * `schema` is the logical database name, which MySQL exposes as the
+    * JDBC *schema* but Postgres exposes as the *catalog* (its JDBC schema
+    * is `public`/search_path) — both placements are tried, then a
+    * wildcard, then the dialect catalog queries.
     */
   def primaryKeys(conn: Connection, schema: Option[String], table: String): Seq[String] = {
-    val viaMeta =
-      try {
-        val rs = conn.getMetaData.getPrimaryKeys(null, schema.orNull, table)
-        val buf = mutable.Buffer.empty[(Short, String)]
-        try {
-          while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
-        } finally rs.close()
-        buf.sortBy(_._1).map(_._2).toSeq
-      } catch { case _: Exception => Nil }
-    if (viaMeta.nonEmpty) viaMeta else infoSchemaPks(conn, schema, table)
+    val s = schema.orNull
+    Seq(
+      () => viaMetadata(conn, null, s, table),
+      () => viaMetadata(conn, s, null, table),      // Postgres: db = catalog
+      () => viaMetadata(conn, null, null, table),
+      () => infoSchemaPks(conn, schema, table),
+      () => pgCatalogPks(conn, table))
+      .iterator.map(_.apply()).find(_.nonEmpty).getOrElse(Nil)
   }
 
   /** information_schema fallback, parameter-bound (MySQL grammar; the
@@ -44,6 +58,25 @@ object PkDiscovery {
       try {
         ps.setString(1, schema.getOrElse(""))
         ps.setString(2, table)
+        val rs = ps.executeQuery()
+        val buf = mutable.Buffer.empty[String]
+        try { while (rs.next()) buf += rs.getString(1) } finally rs.close()
+        buf.toSeq
+      } finally ps.close()
+    } catch { case _: Exception => Nil }
+
+  /** Postgres catalog fallback — the reference's own query shape
+    * (pg_index/pg_attribute, synch/reader/postgres.py:59-66), key columns
+    * in index order. */
+  def pgCatalogPks(conn: Connection, table: String): Seq[String] =
+    try {
+      val ps = conn.prepareStatement(
+        "SELECT a.attname FROM pg_index i " +
+          "JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey) " +
+          "WHERE i.indrelid = CAST(? AS regclass) AND i.indisprimary " +
+          "ORDER BY array_position(i.indkey, a.attnum)")
+      try {
+        ps.setString(1, table)
         val rs = ps.executeQuery()
         val buf = mutable.Buffer.empty[String]
         try { while (rs.next()) buf += rs.getString(1) } finally rs.close()

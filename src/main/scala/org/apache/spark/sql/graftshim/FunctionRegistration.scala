@@ -15,7 +15,9 @@ object FunctionRegistration {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
-  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  /** The single function registry — both the imperative registration and
+    * [[graft.GraftExtensions]] iterate this. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_polyhash", "polynomial rolling hash mod 1e9+7",
       exprs => PolyHashExpr(exprs.head)),
     ("graft_word_grams", "distinct word n-grams: graft_word_grams(text, n)",

@@ -99,6 +99,24 @@ class YamlSpec extends AnyFunSuite {
     assert(!pg.databases.head.tables.head.autoFullEtl)
   }
 
+  test("zero-indent block lists parse as the preceding key's value") {
+    val cfg = SyncConfig.fromYaml(
+      """core:
+        |  insert_num: 7
+        |source_dbs:
+        |- db_type: mysql
+        |  alias: flat
+        |  host: h
+        |  databases:
+        |  - database: d
+        |    tables:
+        |    - table: t1
+        |""".stripMargin)
+    assert(cfg.sources.size == 1)
+    assert(cfg.sources.head.alias == "flat")
+    assert(cfg.sources.head.databases.head.tables.map(_.table) == Seq("t1"))
+  }
+
   test("scalar lists with colons, comments, null markers") {
     val n = MiniYaml.parse(
       """hosts:

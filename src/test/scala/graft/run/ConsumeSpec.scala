@@ -167,6 +167,37 @@ class ConsumeSpec extends SparkSpec {
     assert(new ParquetStateStore(spark, s"$root/state/db/bad").isEmpty)
   }
 
+  test("MergeTree: later-batch delete beats equal/older-timestamp insert (arrival order)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val root = Files.createTempDirectory("mtorder").toString
+    val t = TableSync("db", "o", valueSchema, Seq("id"), Engine.MergeTree)
+    val store = new ParquetStateStore(spark, s"$root/db/o")
+    def batch(rows: Seq[(Long, Double, String, Long)]) =
+      rows.toDF("id", "amount", "action", "event_unixtime")
+        .withColumn("action_seq", when(col("action") === "delete", 1).otherwise(2))
+    def ids: Set[Long] = Consume.currentState(t, store).get
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    // same event second, split across batches: the reference's eager flush
+    // applies batch 1's delete AFTER batch 0's insert → row gone
+    Consume.applyBatch(spark, t, store, batch(Seq((1L, 10.0, "insert", 100L))), 0L)
+    Consume.applyBatch(spark, t, store, batch(Seq((1L, 10.0, "delete", 100L))), 1L)
+    assert(ids == Set.empty[Long])
+
+    // out-of-order event time: a later batch's delete with an OLDER
+    // timestamp still wins (arrival order, not event order)
+    Consume.applyBatch(spark, t, store, batch(Seq((2L, 20.0, "insert", 200L))), 2L)
+    Consume.applyBatch(spark, t, store, batch(Seq((2L, 20.0, "delete", 50L))), 3L)
+    assert(ids == Set.empty[Long])
+
+    // compaction preserves the resolution and later batches still apply
+    Consume.compact(t, store)
+    assert(ids == Set.empty[Long])
+    Consume.applyBatch(spark, t, store, batch(Seq((1L, 11.0, "insert", 10L))), 4L)
+    assert(ids == Set(1L))
+  }
+
   test("MergeTree micro-batch writes scale with batch size, not state size") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when}
