@@ -368,6 +368,10 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprints(t(s, dir, "documents"))),
 
+    // URL/email token detection (quality & PII-ish filtering)
+    "text_webmarks" -> ((s, dir) =>
+      TextOps.webMarks(t(s, dir, "documents"))),
+
     // deterministic content-stable train/val/test assignment
     "split_assign" -> ((s, dir) =>
       CorpusOps.splitAssign(t(s, dir, "documents"))),
@@ -818,6 +822,18 @@ object SparkEntry {
     "text_fingerprint" -> {
       s"""WITH ${OracleSql.toksCte(lower = true)}
          |SELECT doc_id, ${OracleSql.ph("array_to_string(tk, ' ')")} AS fingerprint
+         |FROM toks""".stripMargin
+    },
+
+    "text_webmarks" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)}
+         |SELECT doc_id,
+         |  CAST(len(list_filter(tk, t -> starts_with(t, 'http://')
+         |       OR starts_with(t, 'https://') OR starts_with(t, 'www.'))) AS BIGINT) AS n_urls,
+         |  CAST(len(list_filter(tk, t -> contains(t, '@') AND contains(t, '.'))) AS BIGINT) AS n_emails,
+         |  (len(list_filter(tk, t -> starts_with(t, 'http://')
+         |       OR starts_with(t, 'https://') OR starts_with(t, 'www.')))
+         |   + len(list_filter(tk, t -> contains(t, '@') AND contains(t, '.')))) > 0 AS has_web
          |FROM toks""".stripMargin
     },
 

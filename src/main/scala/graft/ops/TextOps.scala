@@ -115,6 +115,23 @@ object TextOps {
         round(col("score"), 6).as("score"))
   }
 
+  /** Web-artifact detection for quality/PII filtering: counts of
+    * URL-looking and email-looking tokens (prefix/containment tests —
+    * deliberately regex-free so the oracle twin is engine-portable and
+    * the hot path stays in simple string predicates).
+    */
+  def webMarks(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    docs.select(col(idCol), toks.as("_t"))
+      .withColumn("n_urls", size(filter(col("_t"), t =>
+        t.startsWith("http://") || t.startsWith("https://") || t.startsWith("www."))).cast("long"))
+      .withColumn("n_emails", size(filter(col("_t"), t =>
+        t.contains("@") && t.contains("."))).cast("long"))
+      .withColumn("has_web", (col("n_urls") + col("n_emails")) > 0)
+      .drop("_t")
+  }
+
   /** Polynomial-rolling-hash fingerprint of the normalized (lowercased,
     * whitespace-collapsed) document text. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",
