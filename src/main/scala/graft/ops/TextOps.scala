@@ -153,15 +153,9 @@ object TextOps {
   def winnowFingerprints(docs: DataFrame, n: Int = 3, window: Int = 4,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val hashes = transform(shingles(toks, n), s => polyHash(s))
-    // #windows = max(#hashes - window + 1, 0); #hashes = max(#toks-n+1, 0)
-    val m = greatest(size(toks) - lit(n - 1), lit(0))
-    val cnt = greatest(m - lit(window - 1), lit(0))
-    val mins = when(cnt > 0,
-      transform(sequence(lit(1), cnt),
-        i => array_min(slice(hashes, i, lit(window)))))
-      .otherwise(array().cast("array<bigint>"))
-    docs.select(col(idCol), explode(array_distinct(mins)).as("fp"))
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val fps = ColumnBridge.column(graft.functions.WinnowExpr(
+      ColumnBridge.expression(tokens(lower(col(textCol)))), n, window))
+    docs.select(col(idCol), explode(fps).as("fp"))
   }
 }
