@@ -75,14 +75,28 @@ object DedupOps {
 
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 band bucket;
     * verified with exact Jaccard over shingle sets ≥ `threshold`.
+    *
+    * `maxBucket` caps the blocking-bucket size: a band bucket holding more
+    * than `maxBucket` documents (a giant duplicate cluster) is dropped
+    * from candidate generation, bounding the self-join at O(n·maxBucket)
+    * instead of the cluster's n². At corpus scale, route such clusters to
+    * [[exactByDigest]] first — they are exact-dup families, not near-dups.
     */
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3, k: Int = 8,
                  bands: Int = 4, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     val ex = shingleRows(docs, n, idCol, textCol)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val expl = minhashSignatures(docs, n, k, bands, idCol, textCol)
+    val expl0 = minhashSignatures(docs, n, k, bands, idCol, textCol)
       .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val expl =
+      if (maxBucket == Int.MaxValue) expl0
+      else expl0.join(
+        expl0.groupBy(col("band_idx"), col("bucket"))
+          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
+          .select(col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
     val cands = expl.as("a").join(expl.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bucket") === col("b.bucket") &&

@@ -50,6 +50,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash LSH maxBucket drops giant duplicate clusters from blocking") {
+    val cluster = (1L to 30L).map(i => (i, "same text repeated in every copy"))
+    val distinct = Seq((100L, "a genuinely different document body"),
+      (101L, "a genuinely different document text"))
+    val docs = (cluster ++ distinct).toDF("doc_id", "text")
+    val uncapped = DedupOps.minhashLsh(docs, threshold = 0.0)
+    assert(uncapped.count() >= 30L * 29 / 2) // the cluster dominates
+    val capped = DedupOps.minhashLsh(docs, threshold = 0.0, maxBucket = 10)
+    val cappedPairs = capped.select("id1", "id2").as[(Long, Long)].collect()
+    // cluster buckets (30 docs) dropped; only small-bucket candidates remain
+    assert(cappedPairs.forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+
   test("simhash of identical docs is identical; pairs respect hamming bound") {
     val docs = Seq(
       (1L, "one two three four five six"),
