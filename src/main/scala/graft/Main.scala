@@ -102,10 +102,11 @@ object Main {
 
     mode match {
       case "etl" =>
-        // The snapshot lands as the store's batch-0 changelog delta (action/
-        // event_unixtime/action_seq stamped), so a later `consume` can append
-        // deltas on top without a state rewrite. --renew drops the whole
-        // store first (reference `etl --renew`: drop target tables).
+        // The snapshot lands as the store's version -1 changelog delta
+        // (action/event_unixtime/action_seq stamped), so a later `consume`
+        // appends deltas on top without a state rewrite — and without
+        // colliding with the stream's first micro-batch id 0. --renew drops
+        // the whole store first (reference `etl --renew`: drop target tables).
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
         for ((src, d, t) <- selected if t.autoFullEtl) {
           val store = s"$stateRoot/${d.database}/${t.table}"
@@ -113,15 +114,15 @@ object Main {
           val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
           val stamped = Consume.snapshotAsChangelog(
             if (t.engine == Engine.CollapsingMergeTree) CdcOps.withSnapshotSign(snap0) else snap0)
-          // MergeTree deltas carry the arrival batch; the snapshot is batch 0
+          // MergeTree deltas carry the arrival batch; the snapshot is batch -1
           val snap =
             if (t.engine == Engine.MergeTree)
-              stamped.withColumn("_batch", org.apache.spark.sql.functions.lit(0L))
+              stamped.withColumn("_batch", org.apache.spark.sql.functions.lit(-1L))
             else stamped
-          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/v=0")
+          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/v=-1")
           // count the WRITTEN parquet only — a source count() would scan
           // the production table a second time just for a log line
-          val c = spark.read.parquet(s"$store/v=0").count()
+          val c = spark.read.parquet(s"$store/v=-1").count()
           println(s"[etl] ${d.database}.${t.table}: $c rows")
         }
 

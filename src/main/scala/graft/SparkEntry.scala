@@ -588,6 +588,7 @@ object SparkEntry {
         |SELECT tbl, pk, event_id, action, value, epoch_us(ts) AS ts_us
         |FROM ranked WHERE rn = 1 AND action <> 'delete'""".stripMargin),
 
+    // visible value = latest sign=+1 row; cancels vote in net only
     "engine_collapsing" -> (CL + """,
         |signed AS (
         |  SELECT *, CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
@@ -596,7 +597,7 @@ object SparkEntry {
         |latest AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY tbl, pk ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM signed)
+        |  FROM signed WHERE sign > 0)
         |SELECT l.tbl, l.pk, l.event_id, l.action, l.value,
         |       epoch_us(l.ts) AS ts_us, l.sign
         |FROM latest l JOIN net n ON l.tbl = n.tbl AND l.pk = n.pk

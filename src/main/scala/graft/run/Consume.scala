@@ -10,7 +10,16 @@ import org.apache.spark.sql.types.StructType
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-/** Per-table sync configuration (reference synch.yaml:43-57). */
+/** Per-table sync configuration (reference synch.yaml:43-57).
+  *
+  * `versionColumn`: a REAL column of the source row (reference: "need
+  * real in source db, usually `updated_at`") used as the resolve version
+  * for Replacing/VersionedCollapsing. It is essential for
+  * VersionedCollapsing: a delete event's before-image carries the version
+  * of the row it cancels, which is what lets the -1 row meet its +1
+  * partner — stamping event time as the version would cancel nothing.
+  * Unset → event arrival time orders (fine for Replacing/MergeTree).
+  */
 final case class TableSync(
     schema: String,
     table: String,
@@ -18,7 +27,8 @@ final case class TableSync(
     pkCols: Seq[String],
     engine: Engine.Value = Engine.MergeTree,
     skipDelete: Boolean = false,
-    skipUpdate: Boolean = false)
+    skipUpdate: Boolean = false,
+    versionColumn: Option[String] = None)
 
 /** The apply loop (reference `synch consume`,
   * synch/replication/continuous.py:41-170) as one Structured Streaming
@@ -60,9 +70,17 @@ object Consume {
     * batch's delete must beat an earlier insert even when their event
     * timestamps tie or arrive out of order.
     */
+  /** Resolve ordering for a table: the configured version column when
+    * set, else event arrival time; arrival metadata breaks ties. */
+  def keysFor(t: TableSync): SinkKeys = t.versionColumn match {
+    case Some(v) => SinkKeys(t.pkCols, versionCol = v,
+      tieBreakers = Seq("event_unixtime", "action_seq"))
+    case None => SinkKeys(t.pkCols)
+  }
+
   def applyBatch(spark: SparkSession, t: TableSync, store: ParquetStateStore,
                  changelog: DataFrame, batchId: Long): Unit = {
-    val keys = SinkKeys(t.pkCols)
+    val keys = keysFor(t)
     t.engine match {
       case Engine.MergeTree =>
         store.append(SinkStrategy.latestPerKey(changelog, keys)
@@ -90,7 +108,7 @@ object Consume {
 
   /** Read-time view of a table's current state, per engine (SURVEY §7.3). */
   def currentState(t: TableSync, store: ParquetStateStore): Option[DataFrame] = {
-    val keys = SinkKeys(t.pkCols)
+    val keys = keysFor(t)
     t.engine match {
       case Engine.MergeTree =>
         store.readLog().map(mergeTreeResolve(_, keys).drop("_batch"))
@@ -112,7 +130,9 @@ object Consume {
     */
   def applyDdl(batch: DataFrame, db: String,
                runDdl: String => Unit, skipError: Boolean): Unit = {
-    val ddls = batch.filter(col("action") === "query")
+    // only this schema's DDL: without the filter a statement from schema A
+    // would be re-rendered and executed against every configured schema
+    val ddls = batch.filter(col("action") === "query" && col("schema") === db)
       .select(col("values"), col("event_unixtime"))
       .orderBy(col("event_unixtime"))
       .collect()
@@ -141,14 +161,17 @@ object Consume {
 
   /** C4 — bootstrap: snapshot any table whose store is still empty before
     * the stream starts (reference auto_full_etl, synch/replication/
-    * etl.py:27-33). */
+    * etl.py:27-33). The snapshot lands as version -1: the stream's FIRST
+    * micro-batch is id 0, and writing the snapshot as 0 would make the
+    * batch-id idempotence silently swallow that batch's events.
+    */
   def bootstrap(spark: SparkSession, tables: Seq[TableSync], stateRoot: String,
                 snapshots: Map[String, graft.run.FullEtl.Source]): Unit =
     tables.foreach { t =>
       val store = new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")
       if (store.isEmpty) snapshots.get(t.table).foreach { src =>
         applyBatch(spark, t, store, snapshotAsChangelog(FullEtl.read(spark, src)),
-          batchId = 0L)
+          batchId = -1L)
       }
     }
 
@@ -164,7 +187,7 @@ object Consume {
     case Engine.MergeTree =>
       // resolve WITH _batch so the compacted base and later deltas keep
       // one schema (and arrival order stays total across compactions)
-      store.readLog().map(mergeTreeResolve(_, SinkKeys(t.pkCols)))
+      store.readLog().map(mergeTreeResolve(_, keysFor(t)))
         .foreach(store.compact)
     case Engine.ReplacingMergeTree =>
       currentState(t, store).foreach(store.compact)

@@ -36,7 +36,9 @@ object FullEtl {
             .option("dbtable", s"(SELECT MIN($pk) lo, MAX($pk) hi FROM ${j.table}) b")
             .option("user", j.user).option("password", j.password)
             .load().collect().head
-          base.option("partitionColumn", pk)
+          // empty table → NULL bounds → plain single-partition scan
+          if (bounds.isNullAt(0) || bounds.isNullAt(1)) base.load()
+          else base.option("partitionColumn", pk)
             .option("lowerBound", bounds.get(0).toString)
             .option("upperBound", bounds.get(1).toString)
             .option("numPartitions", j.numPartitions)

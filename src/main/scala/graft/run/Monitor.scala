@@ -76,9 +76,10 @@ object Monitor {
       persistLast()
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      val before = metrics.synchronized(metrics.size)
       super.onQueryTerminated(e)
-      if (metrics.synchronized(metrics.size) > before) persistLast()
+      // super records iff there was an exception; the trimmed buffer keeps
+      // the newest rows, so `last` is that error row regardless of cap
+      if (e.exception.isDefined) persistLast()
     }
   }
 

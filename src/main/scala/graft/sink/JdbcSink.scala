@@ -2,7 +2,6 @@ package graft.sink
 
 import graft.ddl.ClickHouseDdl
 import graft.model.Engine
-import graft.ops.CdcOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.sql.{Connection, DriverManager}
@@ -73,14 +72,21 @@ object JdbcSink {
   /** Apply one deduplicated micro-batch of one table through JDBC:
     * deletes first, then time-ordered inserts (reference flush order,
     * synch/replication/continuous.py:102-139).
+    *
+    * The delete list covers EVERY touched key, not just keys whose final
+    * action is delete: plain MergeTree does not dedup, so an update
+    * (delete+insert pair collapsed to its insert half by latestPerKey)
+    * must still delete the pre-existing row or the insert duplicates it —
+    * the same anti-join-on-touched-keys contract as
+    * [[SinkStrategy.mergeTreeApply]].
     */
   def applyMergeTreeBatch(changelog: DataFrame, t: JdbcTarget, table: String,
                           pk: Seq[String]): Unit = {
     val latest = SinkStrategy.latestPerKey(changelog,
       SinkKeys(pk, versionCol = "event_unixtime", tieBreakers = Seq("action_seq")))
-    val deletes = latest.filter(col("action") === "delete")
-      .select(pk.map(col): _*).collect().map(_.toSeq.map(v => v: Any).toSeq).toSeq
-    deleteKeys(t, table, pk, deletes)
+    val touched = latest.select(pk.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSeq
+    deleteKeys(t, table, pk, touched)
     val inserts = latest.filter(col("action") =!= "delete")
       .orderBy(col("event_unixtime"), col("action_seq"))
       .drop("action", "event_unixtime", "action_seq")

@@ -5,24 +5,60 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Minimal multi-versioned parquet "table" used as the local stand-in for a
   * transactional sink (Delta/Iceberg/JDBC in production). Each commit
-  * writes a fresh `v=<n>` directory and readers always see the highest
-  * complete version — Spark cannot overwrite a directory it is currently
-  * reading, and a plain overwrite is not atomic; version directories give
-  * snapshot isolation with O(1) metadata.
+  * writes a fresh `v=<n>` directory and readers always see committed
+  * versions only — a directory counts as committed iff Spark's `_SUCCESS`
+  * marker landed, so a crash mid-write leaves an ignorable partial dir
+  * rather than a phantom commit.
   *
-  * Also the idempotence point for streaming: `commit(batchId)` is a no-op
-  * if that batch id was already committed, which upgrades foreachBatch's
+  * Also the idempotence point for streaming: `append(batchId)` is a no-op
+  * iff that batch id was already *committed*, which upgrades foreachBatch's
   * at-least-once replay to effectively-once (reference's analogue:
-  * broker.commit after flush, synch/replication/continuous.py:163).
+  * broker.commit after flush, synch/replication/continuous.py:163); a
+  * replay over a partial dir rewrites it.
+  *
+  * Single writer assumed (one streaming query owns a store) — matching a
+  * per-table sink; concurrent readers see the last committed version.
   */
 final class ParquetStateStore(spark: SparkSession, root: String) {
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def committed(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
+
+  private val CompactTmpPrefix = ".compact_tmp_v="
+
+  /** Complete (or discard) an in-flight compaction swap. The compaction's
+    * logical commit point is the [[CompactedMarker]] inside the fully
+    * written tmp dir: once present, the tmp IS the state through version
+    * K, so recovery deletes every superseded `v<=K` dir and renames the
+    * tmp into place; without the marker the tmp is garbage from a crashed
+    * write and is dropped. Every listing runs this first, so a reader
+    * never observes a half-swapped store.
+    */
+  private def recoverCompaction(): Unit = {
+    val dir = new Path(root)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(CompactTmpPrefix))
+      .foreach { s =>
+        val keep = s.getPath.getName.stripPrefix(CompactTmpPrefix).toLong
+        if (fs.exists(new Path(s.getPath, CompactedMarker))) {
+          fs.listStatus(dir).toSeq
+            .filter(v => v.isDirectory && v.getPath.getName.startsWith("v=") &&
+              v.getPath.getName.stripPrefix("v=").toLong <= keep)
+            .foreach(v => fs.delete(v.getPath, true))
+          fs.rename(s.getPath, new Path(s"$root/v=$keep"))
+        } else fs.delete(s.getPath, true)
+        ()
+      }
+  }
+
   private def versions: Seq[(Long, Path)] = {
+    recoverCompaction()
     val dir = new Path(root)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        committed(s.getPath))
       .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s.getPath))
       .sortBy(_._1)
   }
@@ -44,21 +80,43 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     }
   }
 
-  /** Append-only log flavor: one subdir per batch, read() unions all. */
+  /** Append-only log flavor: one subdir per batch, read() unions all.
+    * Overwrite (not ErrorIfExists): the only way the dir can pre-exist
+    * without being committed is a crashed write of this same batch. */
   def append(df: DataFrame, batchId: Long): Unit = {
     val p = new Path(s"$root/v=$batchId")
-    if (!fs.exists(p)) df.write.mode(SaveMode.ErrorIfExists).parquet(p.toString)
+    if (!committed(p)) df.write.mode(SaveMode.Overwrite).parquet(p.toString)
   }
 
-  def readLog(): Option[DataFrame] =
-    if (versions.isEmpty) None else Some(spark.read.parquet(s"$root/v=*"))
+  /** Committed versions, schema-merged: a snapshot base written before a
+    * schema-carrying delta (e.g. MergeTree's `_batch` stamp) must not
+    * decide the union schema alone. */
+  def readLog(): Option[DataFrame] = {
+    val vs = versions
+    if (vs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(_._2.toString): _*))
+  }
 
   /** Drop versions with id > `batchId` — the state-side half of a resume
     * rewind ([[graft.run.Resume]]): batch-id idempotence would otherwise
-    * skip the replayed batches.
+    * skip the replayed batches. Refuses when the surviving data lives in
+    * a compaction newer than the target batch — that directory holds rows
+    * from batches ≤ `batchId`, and deleting it would lose them (recover
+    * via `etl --renew` + fresh consume instead).
     */
-  def truncateAfter(batchId: Long): Unit =
-    versions.filter(_._1 > batchId).foreach { case (_, p) => fs.delete(p, true) }
+  def truncateAfter(batchId: Long): Unit = {
+    val doomed = versions.filter(_._1 > batchId)
+    doomed.find { case (_, p) => fs.exists(new Path(p, CompactedMarker)) }
+      .foreach { case (v, _) =>
+        throw new IllegalStateException(
+          s"cannot rewind to batch $batchId: version $v is a compaction " +
+            "containing earlier batches; re-bootstrap the store instead")
+      }
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  private val CompactedMarker = "_graft_compacted"
 
   /** Compact the append-only log: materialize `resolved` as the single
     * surviving version (keeping the latest version number so batch-id
@@ -66,16 +124,26 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     * analogue of ClickHouse's background merge / OPTIMIZE: read-time
     * resolution cost stays O(base + recent deltas) instead of O(history).
     *
+    * Crash-safe: the replacement is fully written under a tmp name that
+    * encodes its target version, then logically committed by dropping the
+    * [[CompactedMarker]] into it; [[recoverCompaction]] completes the
+    * physical swap (or discards an uncommitted tmp) on the next access,
+    * so no crash point loses data or exposes a partial store. The marker
+    * also travels with the compacted dir so a later rewind knows it spans
+    * earlier batches.
+    *
     * Correctness relies on the resolve functions being idempotent over
     * their own output (resolved rows keep pk/version/sign columns), which
     * [[SinkStrategy]] guarantees and ConsumeSpec asserts.
     */
   def compact(resolved: DataFrame): Unit = {
-    val keep = latestVersion.getOrElse(0L)
-    val tmp = new Path(s"$root/.compact_tmp")
+    val vs = versions
+    if (vs.isEmpty) return
+    val keep = vs.last._1
+    val tmp = new Path(s"$root/$CompactTmpPrefix$keep")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     resolved.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    versions.foreach { case (_, p) => fs.delete(p, true) }
-    fs.rename(tmp, new Path(s"$root/v=$keep"))
+    fs.create(new Path(tmp, CompactedMarker), true).close() // logical commit
+    recoverCompaction() // physical swap, crash-resumable
   }
 }

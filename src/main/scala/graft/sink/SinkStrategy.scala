@@ -87,11 +87,15 @@ object SinkStrategy {
   def collapsingResolve(log: DataFrame, k: SinkKeys,
                         signCol: String = "sign"): DataFrame = {
     val valueCols = log.columns.filterNot(c => k.pkCols.contains(c))
+    // visible value = latest +1 row: cancel (-1) rows vote in the net sum
+    // but must not donate their (stale/tombstone) row image, so the max_by
+    // key is nulled for them (max_by ignores null keys)
+    val pos = col(signCol) > 0
     log.filter(col(signCol) =!= 0)
       .groupBy(k.pkCols.map(col): _*)
       .agg(sum(col(signCol).cast("long")).as("_net"),
-           max_by(struct(valueCols.map(col): _*),
-             struct((k.versionCol +: k.tieBreakers).map(col): _*)).as("_last"))
+           max_by(when(pos, struct(valueCols.map(col): _*)),
+             when(pos, struct((k.versionCol +: k.tieBreakers).map(col): _*))).as("_last"))
       .filter(col("_net") > 0)
       .select(k.pkCols.map(col) ++ valueCols.map(c => col(s"_last.$c").as(c)): _*)
   }

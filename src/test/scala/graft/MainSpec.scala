@@ -20,7 +20,7 @@ class MainSpec extends SparkSpec {
     Files.write(Paths.get(cfgPath), props.getBytes)
 
     Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
-    val orders = spark.read.parquet(s"$root/state/db/orders/v=0")
+    val orders = spark.read.parquet(s"$root/state/db/orders/v=-1")
     assert(orders.count() == 1500)
 
     // check mode runs the A5 comparison without throwing
@@ -42,14 +42,14 @@ class MainSpec extends SparkSpec {
 
     Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--table=region"))
     assert(!Files.exists(Paths.get(s"$root/state/db/orders")))
-    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
 
     // leave a stale delta behind; --renew must clear it
     Files.createDirectories(Paths.get(s"$root/state/db/region/v=7"))
     Files.write(Paths.get(s"$root/state/db/region/v=7/junk"), "x".getBytes)
     Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--table=region", "--renew"))
     assert(!Files.exists(Paths.get(s"$root/state/db/region/v=7")))
-    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
 
     // selector that matches nothing is a quiet no-op
     Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--schema=absent"))
@@ -73,6 +73,6 @@ class MainSpec extends SparkSpec {
     val cfgPath = s"$root/graft.yaml"
     Files.write(Paths.get(cfgPath), yaml.getBytes)
     Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
-    assert(spark.read.parquet(s"$root/state/db/region/v=0").count() == 5)
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
   }
 }

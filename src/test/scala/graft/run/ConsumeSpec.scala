@@ -243,9 +243,10 @@ class ConsumeSpec extends SparkSpec {
     val store = new ParquetStateStore(spark, s"$root/db/orders")
     val n = Consume.currentState(tables.head, store).get.count()
     assert(n == 1500)
-    // second bootstrap is a no-op (store non-empty)
+    // second bootstrap is a no-op (store non-empty); snapshot is v=-1 so
+    // the stream's first micro-batch (id 0) is not swallowed
     Consume.bootstrap(spark, tables, root, snapshots)
-    assert(store.latestVersion.contains(0L))
+    assert(store.latestVersion.contains(-1L))
     assert(Consume.currentState(tables.head, store).get.count() == n)
   }
 
@@ -272,6 +273,83 @@ class ConsumeSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet
     }
     assert(ids == Seq(Set(1L), Set(2L)))
+  }
+
+  test("compactEvery folds the log on a batch cadence inside the stream") {
+    val root = Files.createTempDirectory("compactevery").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val tables = Seq(TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree))
+    writeBatch(eventsDir, "b0.json", Seq(ev("mt", "insert", 1, 10.0, 100)))
+    writeBatch(eventsDir, "b1.json", Seq(ev("mt", "insert", 2, 20.0, 200)))
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      tables, s"$root/state", s"$root/ckpt",
+      triggerInterval = "250 milliseconds", compactEvery = 1)
+    q.processAllAvailable(); q.stop()
+    val store = new ParquetStateStore(spark, s"$root/state/db/mt")
+    // every batch compacted: exactly one surviving version, full state
+    assert(store.latestVersion.isDefined)
+    val ids = Consume.currentState(tables.head, store).get
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+    val versionDirs = Files.list(Paths.get(s"$root/state/db/mt")).toArray
+      .map(_.toString).count(_.contains("v="))
+    assert(versionDirs == 1, s"expected a single compacted version, got $versionDirs")
+  }
+
+  test("VersionedCollapsing with a real version column cancels deletes and updates") {
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val root = Files.createTempDirectory("vercol").toString
+    val vs = StructType(Seq(StructField("id", LongType),
+      StructField("ver", LongType), StructField("amount", DoubleType)))
+    val t = TableSync("db", "vc", vs, Seq("id"),
+      Engine.VersionedCollapsingMergeTree, versionColumn = Some("ver"))
+    val store = new ParquetStateStore(spark, s"$root/db/vc")
+    def batch(rows: Seq[(Long, Long, Double, String, Long)]) =
+      rows.toDF("id", "ver", "amount", "action", "event_unixtime")
+        .withColumn("action_seq", when(col("action") === "delete", 1).otherwise(2))
+    def state = Consume.currentState(t, store).get
+      .select("id", "ver", "amount").as[(Long, Long, Double)].collect().toSet
+
+    Consume.applyBatch(spark, t, store,
+      batch(Seq((1L, 1L, 10.0, "insert", 100L))), 0L)
+    assert(state == Set((1L, 1L, 10.0)))
+    // wire-format update: delete carries the BEFORE image (old version),
+    // insert the after image — the -1 cancels the +1 of the same version
+    Consume.applyBatch(spark, t, store,
+      batch(Seq((1L, 1L, 10.0, "delete", 200L), (1L, 2L, 11.0, "insert", 200L))), 1L)
+    assert(state == Set((1L, 2L, 11.0)))
+    // final delete cancels the current version → row disappears
+    Consume.applyBatch(spark, t, store,
+      batch(Seq((1L, 2L, 11.0, "delete", 300L))), 2L)
+    assert(state == Set.empty[(Long, Long, Double)])
+  }
+
+  test("engine resolves are permutation-invariant over the log") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val rows = Seq(
+      (1L, 10.0, "insert", 100L), (1L, 11.0, "insert", 200L),
+      (2L, 20.0, "insert", 100L), (2L, 20.0, "delete", 300L),
+      (3L, 30.0, "insert", 250L))
+    def logOf(rs: Seq[(Long, Double, String, Long)]) =
+      rs.toDF("id", "amount", "action", "event_unixtime")
+        .withColumn("action_seq", when(col("action") === "delete", 1).otherwise(2))
+    val keys = graft.sink.SinkKeys(Seq("id"))
+    def resolvedSets(rs: Seq[(Long, Double, String, Long)]) = {
+      val log = logOf(rs)
+      val signed = graft.ops.CdcOps.withCollapsingSign(log)
+      Seq(
+        graft.sink.SinkStrategy.replacingResolve(log, keys),
+        graft.sink.SinkStrategy.collapsingResolve(signed, keys),
+        graft.sink.SinkStrategy.versionedCollapsingResolve(signed, keys)
+      ).map(_.select("id", "amount").as[(Long, Double)].collect().toSet)
+    }
+    val base = resolvedSets(rows)
+    Seq(rows.reverse, scala.util.Random.shuffle(rows)).foreach { perm =>
+      assert(resolvedSets(perm) == base, s"order-dependent resolve for $perm")
+    }
+    assert(base.head == Set((1L, 11.0), (3L, 30.0))) // replacing view
   }
 
   test("wire serde round-trips through serialize/parse") {

@@ -36,6 +36,24 @@ class ResumeSpec extends SparkSpec {
     assert(Files.exists(Paths.get(ckpt, "metadata"))) // non-batch files untouched
   }
 
+  test("rewind refuses to truncate a compaction spanning earlier batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("rewindguard").toString
+    val t = TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree)
+    val store = new graft.sink.ParquetStateStore(spark, s"$root/db/mt")
+    def batch(id: Long, ts: Long) =
+      Seq((id, 1.0, "insert", ts)).toDF("id", "amount", "action", "event_unixtime")
+        .withColumn("action_seq", org.apache.spark.sql.functions.lit(2))
+    Consume.applyBatch(spark, t, store, batch(1, 100), 0L)
+    Consume.applyBatch(spark, t, store, batch(2, 200), 5L)
+    Consume.compact(t, store) // folds batches 0..5 into v=5
+    // truncating past the compaction would delete batch-0 data too
+    intercept[IllegalStateException] { store.truncateAfter(2L) }
+    // truncation at/after the compaction point is fine
+    store.truncateAfter(5L)
+    assert(Consume.currentState(t, store).get.count() == 2)
+  }
+
   test("rewind replays later batches through a restarted consume") {
     val root = Files.createTempDirectory("rewind").toString
     val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
