@@ -91,7 +91,9 @@ object Main {
       selected.map { case (src, d, t) =>
         val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
         src -> TableSync(d.database, t.table, schema,
-          syncPk(src, d.database, t, schema), t.engine)
+          syncPk(src, d.database, t, schema), t.engine,
+          // only a REAL source column can order the resolves
+          versionColumn = Some(t.versionColumn).filter(schema.fieldNames.contains))
       }
 
     def deleteDir(path: String): Unit = {
