@@ -39,23 +39,38 @@ object AlterParser {
   private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
 
   private val NotNullRe = """(?is).*\bnot\s+null\b.*""".r
-  private val DefaultRe = """(?is).*\bdefault\s+(?:'([^']*)'|(\S+)).*""".r
+  private val DefaultRe = """(?is).*?\bdefault\s+(?:'([^']*)'|(\S+)).*""".r
   private val CommentRe = """(?is).*\bcomment\s+'([^']*)'.*""".r
   private val AfterRe = """(?is).*\bafter\s+""" + Ident + """.*"""
+
+  /** ADD/DROP words that open non-column subcommands — those statements
+    * must be dropped as unparseable, not misread as a column named
+    * `INDEX` (the reference's converter handles column ops only too). */
+  private val NonColumnWords = Set(
+    "index", "key", "primary", "unique", "constraint", "foreign",
+    "fulltext", "spatial", "partition", "check")
+
+  private def isColumnIdent(ident: String): Boolean =
+    ident.startsWith("`") || !NonColumnWords.contains(ident.toLowerCase)
 
   private def stripSchema(table: String): String = {
     val t = table.split('.').last
     if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
   }
 
+  // Constraint detection must not read inside COMMENT '...' literals
+  // ("COMMENT 'not null by default'" is documentation, not a constraint).
+  private val CommentLiteral = """(?is)\bcomment\s+'(?:[^']|'')*'""".r
+
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
-    val notNull = NotNullRe.matches(rest)
-    val default = rest match {
-      case DefaultRe(q, bare) => Option(q).orElse(Option(bare))
+    val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
+    val bare = CommentLiteral.replaceAllIn(rest, "")
+    val notNull = NotNullRe.matches(bare)
+    val default = bare match {
+      case DefaultRe(q, b) => Option(q).orElse(Option(b))
       case _ => None
     }
-    val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
-    val after = AfterRe.r.findFirstMatchIn(rest).map(_.group(1))
+    val after = AfterRe.r.findFirstMatchIn(bare).map(_.group(1))
     (notNull, default, comment, after)
   }
 
@@ -63,15 +78,15 @@ object AlterParser {
     case Head(table, body) =>
       val t = stripSchema(table)
       body match {
-        case Add(name, dt, rest) =>
+        case Add(name, dt, rest) if isColumnIdent(name) =>
           val (nn, d, c, pos) = tail(rest)
           Some(ParsedAlter(t, AddColumn(name, dt, nn, d, c, pos)))
-        case Change(oldN, newN, _) =>
+        case Change(oldN, newN, _) if isColumnIdent(oldN) =>
           Some(ParsedAlter(t, ChangeColumn(oldN, newN)))
-        case Modify(name, dt, rest) =>
+        case Modify(name, dt, rest) if isColumnIdent(name) =>
           val (nn, d, c, _) = tail(rest)
           Some(ParsedAlter(t, ModifyColumn(name, dt, nn, d, c)))
-        case Drop(name) =>
+        case Drop(name) if isColumnIdent(name) =>
           Some(ParsedAlter(t, DropColumn(name)))
         case _ => None
       }

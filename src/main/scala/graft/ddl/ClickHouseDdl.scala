@@ -37,18 +37,24 @@ object ClickHouseDdl {
 
   private def engineClause(engine: Engine.Value, sign: String, version: String,
                            cluster: Option[String], db: String, table: String): String = {
-    val name = engine match {
-      case Engine.MergeTree => "MergeTree"
-      case Engine.ReplacingMergeTree => s"ReplacingMergeTree($version)"
-      case Engine.CollapsingMergeTree => s"CollapsingMergeTree($sign)"
-      case Engine.VersionedCollapsingMergeTree => s"VersionedCollapsingMergeTree($sign, $version)"
+    val (base, args) = engine match {
+      case Engine.MergeTree => ("MergeTree", "")
+      case Engine.ReplacingMergeTree => ("ReplacingMergeTree", version)
+      case Engine.CollapsingMergeTree => ("CollapsingMergeTree", sign)
+      case Engine.VersionedCollapsingMergeTree => ("VersionedCollapsingMergeTree", s"$sign, $version")
     }
-    // On a cluster the reference swaps in ReplicatedMergeTree with the
-    // standard zk path macros (synch/writer/__init__.py:93-94).
+    // On a cluster the reference swaps in the Replicated twin of EVERY
+    // engine with the standard zk path macros (synch/writer/
+    // __init__.py:93-94); the engine's own args follow the replication
+    // args. A non-replicated engine under ON CLUSTER would give each
+    // replica an independent table and reads would miss data.
     cluster match {
-      case Some(_) if engine == Engine.MergeTree =>
-        s"ReplicatedMergeTree('/clickhouse/tables/{shard}/$db/$table', '{replica}')"
-      case _ => name
+      case Some(_) =>
+        val zk = s"'/clickhouse/tables/{shard}/$db/$table', '{replica}'"
+        val all = if (args.isEmpty) zk else s"$zk, $args"
+        s"Replicated$base($all)"
+      case None =>
+        if (args.isEmpty) base else s"$base($args)"
     }
   }
 

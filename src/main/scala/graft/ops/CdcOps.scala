@@ -81,12 +81,19 @@ object CdcOps {
                    actionCol: String = "action",
                    seqCol: String = "action_seq"): DataFrame = {
     val a = col(actionCol)
+    // non-DML actions (DDL "query" rows, action_seq 0) pass through
+    // untouched — rewriting them to inserts would turn an ALTER statement
+    // into a data row and lose it from the DDL path
     val halves = when(a === "update",
         array(lit("delete"), lit("insert")))
       .when(a === "delete", array(lit("delete")))
-      .otherwise(array(lit("insert")))
+      .when(a === "insert", array(lit("insert")))
+      .otherwise(array(a))
     df.withColumn("_half", explode(halves))
-      .withColumn(seqCol, when(col("_half") === "delete", 1).otherwise(2))
+      .withColumn(seqCol,
+        when(col("_half") === "delete", 1)
+          .when(col("_half") === "insert", 2)
+          .otherwise(col(seqCol)))
       .withColumn(actionCol, col("_half"))
       .drop("_half")
   }
@@ -103,7 +110,7 @@ object CdcOps {
   def dedupByPk(df: DataFrame,
                 pkCols: Seq[String],
                 orderCols: Seq[String] = Seq("event_unixtime"),
-                extraPartition: Seq[String] = Seq("table", "action")): DataFrame = {
+                extraPartition: Seq[String] = Seq("schema", "table", "action")): DataFrame = {
     val w = Window
       .partitionBy((extraPartition ++ pkCols).map(col): _*)
       .orderBy(orderCols.map(c => col(c).desc): _*)
@@ -121,7 +128,7 @@ object CdcOps {
   def dedupByPkSalted(df: DataFrame,
                       pkCols: Seq[String],
                       orderCols: Seq[String] = Seq("event_unixtime"),
-                      extraPartition: Seq[String] = Seq("table", "action"),
+                      extraPartition: Seq[String] = Seq("schema", "table", "action"),
                       saltBuckets: Int = 16): DataFrame = {
     val keys = extraPartition ++ pkCols
     val ord = struct(orderCols.map(col): _*)
@@ -153,7 +160,7 @@ object CdcOps {
     * replay inside a micro-batch.
     */
   def applyOrder(df: DataFrame,
-                 partitionCols: Seq[String] = Seq("table"),
+                 partitionCols: Seq[String] = Seq("schema", "table"),
                  seqCol: String = "action_seq",
                  orderCols: Seq[String] = Seq("event_unixtime")): DataFrame = {
     val w = Window.partitionBy(partitionCols.map(col): _*)
@@ -171,7 +178,7 @@ object CdcOps {
     */
   def microBatchId(df: DataFrame,
                    insertNum: Int,
-                   partitionCols: Seq[String] = Seq("table"),
+                   partitionCols: Seq[String] = Seq("schema", "table"),
                    orderCols: Seq[String] = Seq("event_unixtime")): DataFrame = {
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
@@ -216,7 +223,9 @@ object CdcOps {
   // A5 — count verification (`synch check`, synch/cli.py:94-110)
   /** Compare row counts of two sides; one row per table. */
   def countCheck(pairs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
-    val spark = pairs.head._2.sparkSession
+    val spark = pairs.headOption.map(_._2.sparkSession)
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession)
+      .getOrElse(throw new IllegalStateException("no active SparkSession"))
     import spark.implicits._
     pairs.map { case (name, src, tgt) =>
       val s = src.count(); val t = tgt.count()

@@ -53,6 +53,9 @@ object DedupOps {
   /** MinHash signature (k minima) + LSH band buckets per document. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k): bands>k degenerates every bucket " +
+        "to a constant (O(n^2) candidates); a remainder silently drops minima")
     val rowsPerBand = k / bands
     val ex = shingleRows(docs, n, idCol, textCol)
       .withColumn("h", polyHash(col("g")))

@@ -131,9 +131,14 @@ object SimilarityOps {
               nprobe: Int = 4, iters: Int = 3, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     // Deterministic seeding: the nlist lowest-id corpus vectors.
+    // (element-wise widening: the column may be array<float> or array<double>)
     var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect().zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Float](0).map(_.toDouble))
+        (i, r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case other => other.toString.toDouble
+        })
       }.toSeq
 
     // Fixed Lloyd iterations; mean per (centroid, dim) via explode+avg —

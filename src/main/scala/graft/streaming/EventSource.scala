@@ -42,9 +42,15 @@ object EventSource {
         .text(dir)
         .select(col("value").as("json")))
 
-  /** Wire deserialization (operator T8): JSON → typed event columns. */
+  /** Wire deserialization (operator T8): JSON → typed event columns.
+    * Records `from_json` cannot parse (null struct) are DROPPED, not
+    * forwarded as all-null event rows — matching the reference's
+    * log-and-drop contract for malformed broker records; count the
+    * stream with [[graft.run.Monitor.observed]] to surface the gap.
+    */
   def parse(raw: DataFrame): DataFrame =
     raw.select(from_json(col("json"), ChangeEvent.wireSchema).as("e"))
+      .filter(col("e").isNotNull && col("e.action").isNotNull)
       .select(col("e.schema").as("schema"), col("e.table").as("table"),
         col("e.action").as("action"), col("e.values").as("values"),
         col("e.event_unixtime").as("event_unixtime"),

@@ -17,12 +17,13 @@ object StreamOps {
     */
   def sessionStats(events: DataFrame, gap: String = "30 minutes",
                    watermark: String = "1 hour",
-                   userCol: String = "user_id", tsCol: String = "ts"): DataFrame =
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(col(userCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
       .select(col(userCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -40,12 +41,13 @@ object StreamOps {
 
   /** Tumbling-window event counts per type — the monitoring-style rollup. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",
-                     watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
+                     watermark: String = "1 hour", tsCol: String = "ts",
+                     typeCol: String = "event_type"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
-        col("event_type"))
+        col(typeCol))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("window.start").as("window_start"), col("event_type"),
+      .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"))
 }

@@ -37,6 +37,19 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(sql.contains("SETTINGS index_granularity=8192"))
   }
 
+  test("every engine gets its Replicated twin on a cluster") {
+    val zk = "'/clickhouse/tables/{shard}/db/t', '{replica}'"
+    val rt = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      Engine.ReplacingMergeTree, versionColumn = "ver", cluster = Some("c1"))
+    assert(rt.contains(s"ReplicatedReplacingMergeTree($zk, ver)"))
+    val ct = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      Engine.CollapsingMergeTree, cluster = Some("c1"))
+    assert(ct.contains(s"ReplicatedCollapsingMergeTree($zk, sign)"))
+    val vt = ClickHouseDdl.createTable("db", "t", schema, Seq("id"),
+      Engine.VersionedCollapsingMergeTree, cluster = Some("c1"))
+    assert(vt.contains(s"ReplicatedVersionedCollapsingMergeTree($zk, sign, version)"))
+  }
+
   test("distributed proxy and database DDL") {
     assert(ClickHouseDdl.createDistributed("db", "t", "_all", "c1", "rand()") ==
       "CREATE TABLE IF NOT EXISTS db.t_all ON CLUSTER c1 AS db.t ENGINE = Distributed(c1, db, t, rand())")

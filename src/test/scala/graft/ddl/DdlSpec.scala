@@ -62,6 +62,33 @@ class DdlSpec extends AnyFunSuite {
     assert(AlterParser.toClickHouse("test", "alter table test engine=InnoDB").isEmpty)
   }
 
+  test("non-column ADD/DROP subcommands are dropped, not misread as columns") {
+    // routine MySQL index DDL must not fabricate a column named INDEX/KEY
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add index idx_name (col)").isEmpty)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add unique key uq_name (a, b)").isEmpty)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add primary key (id)").isEmpty)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add constraint fk foreign key (a) references o(b)").isEmpty)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test drop index idx_name").isEmpty)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test drop primary key").isEmpty)
+    // a backticked column named `index` is still a column
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add `index` int null")
+      .contains(("test", "alter table test.test add column `index` Nullable(Int32)")))
+  }
+
+  test("constraint words inside COMMENT literals are not constraints") {
+    assert(AlterParser.toClickHouse("test",
+      "alter table test modify column note varchar(20) comment 'value is not null by default here'")
+      .contains(("test",
+        "alter table test.test modify column note Nullable(String) comment 'value is not null by default here'")))
+  }
+
   test("type map: MySQL -> ClickHouse and Spark") {
     assert(TypeMap.toClickHouse("tinyint") == "Int8")
     assert(TypeMap.toClickHouse("mediumint") == "Int32")

@@ -52,16 +52,36 @@ class CdcOpsSpec extends SparkSpec {
 
   test("A4 applyOrder ranks deletes before inserts, then by time") {
     val ranked = CdcOps.applyOrder(CdcOps.splitUpdates(events))
-    val aRanks = ranked.filter(col("table") === "a")
+    // default partitioning is (schema, table): db.a and x.a rank separately
+    val aRanks = ranked.filter(col("schema") === "db" && col("table") === "a")
       .orderBy("apply_rank")
       .select("action", "event_unixtime").as[(String, Long)].collect().toSeq
     assert(aRanks.takeWhile(_._1 == "delete").nonEmpty)
     assert(aRanks == aRanks.sortBy(r => (if (r._1 == "delete") 1 else 2, r._2)))
   }
 
+  test("T4 splitUpdates passes DDL query events through untouched") {
+    val withDdl = Seq(
+      ("db", "a", "insert", 1L, 100L, 2),
+      ("db", "a", "query", 0L, 150L, 0)
+    ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+    val out = CdcOps.splitUpdates(withDdl)
+      .select("action", "action_seq").as[(String, Int)].collect().toSet
+    assert(out == Set(("insert", 2), ("query", 0)))
+  }
+
+  test("A2 dedupByPk default partitioning separates schemas") {
+    val twoSchemas = Seq(
+      ("db1", "users", "insert", 1L, 10L, 2),
+      ("db2", "users", "insert", 1L, 5L, 2)
+    ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+    // same table name + pk in different schemas must BOTH survive
+    assert(CdcOps.dedupByPk(twoSchemas, pkCols = Seq("pk")).count() == 2)
+  }
+
   test("A1 microBatchId caps batch size") {
     val out = CdcOps.microBatchId(events, insertNum = 2)
-    val sizes = out.groupBy("table", "batch_id").count()
+    val sizes = out.groupBy("schema", "table", "batch_id").count()
       .select("count").as[Long].collect()
     assert(sizes.forall(_ <= 2))
   }
