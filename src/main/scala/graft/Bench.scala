@@ -28,7 +28,7 @@ object Bench {
     "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
-    "split_assign", "text_boilerplate", "text_winnow", "text_webmarks",
+    "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta")
 
   def main(args: Array[String]): Unit = {

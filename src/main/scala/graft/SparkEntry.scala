@@ -380,6 +380,10 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       CorpusOps.duplicatedNgramFraction(t(s, dir, "documents"))),
 
+    // vocabulary head by document frequency (tokenizer/stopword prep)
+    "corpus_vocab" -> ((s, dir) =>
+      CorpusOps.vocabulary(t(s, dir, "documents"), k = 20)),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -858,6 +862,15 @@ object SparkEntry {
          |            WHEN $bucket < 99 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "corpus_vocab" -> {
+      s"""WITH raw AS (SELECT doc_id, unnest(${OracleSql.tokens("lower(text)")}) AS term
+         |             FROM documents)
+         |SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+         |FROM raw GROUP BY term
+         |ORDER BY df DESC, tf DESC, term ASC
+         |LIMIT 20""".stripMargin
     },
 
     "text_boilerplate" -> {

@@ -35,6 +35,22 @@ object CorpusOps {
       (if (fractions.size == 1) lit(fractions.head._1) else split).as("split"))
   }
 
+  /** Corpus vocabulary head: the `k` highest-document-frequency terms with
+    * their document and occurrence counts — the standard first look at a
+    * corpus before tokenizer training / stopword selection. One exploded
+    * pass, one hash-aggregate with map-side combine, one top-k.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 20, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val raw = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    raw.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"),
+        count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Boilerplate/duplication score: the fraction of a document's distinct
     * word n-grams that occur in more than `dfCap` documents. High values
     * flag template/near-boilerplate text — the corpus-level complement to
