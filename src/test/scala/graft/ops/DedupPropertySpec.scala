@@ -31,6 +31,16 @@ class DedupPropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSet
 
+  private def runSalted(rows: Seq[(Long, String, Long, Long)]): Set[(Long, String, Long, Long)] =
+    CdcOps.dedupByPkSalted(
+      rows.toDF("pk", "action", "event_unixtime", "offset"),
+      pkCols = Seq("pk"),
+      orderCols = Seq("event_unixtime", "offset"),
+      extraPartition = Seq("action"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
   test("dedupByPk is permutation-invariant and idempotent (20 seeded cases)") {
     (1 to 20).foreach { seed =>
       val rnd = new Random(seed)
@@ -41,6 +51,13 @@ class DedupPropertySpec extends SparkSpec {
       // reference semantics: exactly one survivor per (action, pk) present
       val keys = batch.map(b => (b._2, b._1)).toSet
       assert(once.map(o => (o._2, o._1)) == keys, s"key coverage at seed $seed")
+    }
+  }
+
+  test("salted two-phase dedup equals the single-window form (10 seeded cases)") {
+    (1 to 10).foreach { seed =>
+      val batch = genBatch(new Random(seed))
+      assert(runSalted(batch) == run(batch), s"salted divergence at seed $seed")
     }
   }
 }

@@ -33,6 +33,26 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = StreamOps.dedupEvents(
+      input.toDF().toDF("event_id", "ts"), idCols = Seq("event_id"),
+      watermark = "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // replay of event 1 in a later batch is dropped; 3 is new
+      input.addData((1L, ts(2)), (3L, ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("tumbling windowed counts") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
