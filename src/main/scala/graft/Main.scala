@@ -54,6 +54,20 @@ object Main {
     else FullEtl.JdbcSource(cfg.url, s"$db.$table", cfg.user, cfg.password,
       partitionColumn = None)
 
+  /** Broker transport from the CLI arg: `kafka:<servers>/<topic>` → Kafka
+    * (count cap = core.insert_num, the A1 contract); anything else is a
+    * JSON-event directory.
+    */
+  def eventStream(spark: SparkSession, broker: String,
+                  cfg: SyncConfig): org.apache.spark.sql.DataFrame =
+    if (broker.startsWith("kafka:")) {
+      val rest = broker.stripPrefix("kafka:")
+      val slash = rest.lastIndexOf('/')
+      require(slash > 0, s"kafka broker must be kafka:<servers>/<topic>: $broker")
+      EventSource.kafka(spark, rest.substring(0, slash), rest.substring(slash + 1),
+        maxOffsetsPerTrigger = cfg.maxOffsetsPerTrigger)
+    } else EventSource.files(spark, broker.stripPrefix("file:"))
+
   def main(args: Array[String]): Unit = {
     // `--key=value` / `--flag` selectors can appear anywhere; positionals
     // keep their order (mode, config, broker/checkpoint, stateRoot, ...).
@@ -114,8 +128,10 @@ object Main {
           val store = s"$stateRoot/${d.database}/${t.table}"
           if (flags.contains("renew")) deleteDir(store)
           val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
+          val signed = t.engine == Engine.CollapsingMergeTree ||
+            t.engine == Engine.VersionedCollapsingMergeTree
           val stamped = Consume.snapshotAsChangelog(
-            if (t.engine == Engine.CollapsingMergeTree) CdcOps.withSnapshotSign(snap0) else snap0)
+            if (signed) CdcOps.withSnapshotSign(snap0) else snap0)
           // MergeTree deltas carry the arrival batch; the snapshot is batch -1
           val snap =
             if (t.engine == Engine.MergeTree)
@@ -143,7 +159,6 @@ object Main {
 
       case "consume" =>
         require(pos.length >= 3, "usage: Main consume <config> <broker> [stateRoot] [--last-batch=N]")
-        val broker = pos(2).stripPrefix("file:")
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
         val byTable = syncTables
         val tables = byTable.map(_._2)
@@ -153,10 +168,19 @@ object Main {
         flags.get("last-batch").foreach { n =>
           Resume.rewind(spark, ckpt, stateRoot, tables, n.toLong)
         }
+        // auto_full_etl=false opts a table out of the automatic snapshot
+        // (reference synch.yaml semantics) — run `etl` manually for those
+        val autoEtl = selected.collect {
+          case (_, d, t) if t.autoFullEtl => (d.database, t.table)
+        }.toSet
         Consume.bootstrap(spark, tables, stateRoot,
-          byTable.map { case (src, t) => t.table -> source(src, t.schema, t.table) }.toMap)
-        val q = Consume.start(spark, EventSource.files(spark, broker), tables,
-          stateRoot, ckpt, skipError = cfg.core.skipError)
+          byTable.collect {
+            case (src, t) if autoEtl((t.schema, t.table)) =>
+              (t.schema, t.table) -> source(src, t.schema, t.table)
+          }.toMap)
+        val q = Consume.start(spark, eventStream(spark, pos(2), cfg), tables,
+          stateRoot, ckpt, triggerInterval = cfg.triggerInterval,
+          skipError = cfg.core.skipError)
         Lifecycle.withGracefulShutdown(Seq(q))
         q.awaitTermination()
 
@@ -174,16 +198,33 @@ object Main {
           s"state truncated to batch $lastBatch")
 
       case "produce" =>
-        require(pos.length >= 3, "usage: Main produce <config> <broker> [rawDir]")
-        val broker = pos(2).stripPrefix("file:")
+        require(pos.length >= 3, "usage: Main produce <config> <broker> [rawDir] [--alias=A]")
         val raw = EventSource.files(spark, pos.lift(3).getOrElse("/tmp/graft_raw"))
-        val src = cfg.sources.head
+        // --alias selects the source whose filters apply (reference: one
+        // producer per source alias)
+        val src = cfg.sources.find(s => flags.get("alias").forall(_ == s.alias))
+          .getOrElse(sys.error(
+            s"no source matches alias ${flags.getOrElse("alias", "<any>")}"))
         val events = Produce.normalize(raw,
           schemas = src.databases.map(_.database),
           skipDmls = src.skipDmls,
           skipDeleteTables = src.skipDeleteTables,
           skipUpdateTables = src.skipUpdateTables)
-        val q = Produce.toFiles(spark, events, broker, s"$broker/_checkpoint")
+        val broker = pos(2)
+        val q =
+          if (broker.startsWith("kafka:")) {
+            val rest = broker.stripPrefix("kafka:")
+            val slash = rest.lastIndexOf('/')
+            require(slash > 0, s"kafka broker must be kafka:<servers>/<topic>: $broker")
+            Produce.toKafka(spark, events, rest.substring(0, slash),
+              rest.substring(slash + 1),
+              s"/tmp/graft_produce_ckpt/${src.alias}",
+              triggerInterval = cfg.triggerInterval)
+          } else {
+            val dir = broker.stripPrefix("file:")
+            Produce.toFiles(spark, events, dir, s"$dir/_checkpoint",
+              triggerInterval = cfg.triggerInterval)
+          }
         Lifecycle.withGracefulShutdown(Seq(q))
         q.awaitTermination()
 

@@ -112,8 +112,11 @@ object MiniYaml {
       if (rest.isEmpty) {
         if (tail.isEmpty) YScalar(None) else parseBlock(tail)
       } else if (mapKeySplit(rest).isDefined) {
-        // `- key: value` — the dash consumes two columns of indentation
-        parseBlock(Line(base + 2, rest) +: tail)
+        // the synthesized first line sits at the REAL column of its first
+        // key ("-  key:" with extra padding sets the item's indent), so
+        // sibling keys on following lines group with it
+        val pad = head.text.drop(1).takeWhile(_ == ' ').length
+        parseBlock(Line(base + 1 + pad, rest) +: tail)
       } else cleanScalar(rest)
     }
     YList(items)

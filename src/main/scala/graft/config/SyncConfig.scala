@@ -158,9 +158,9 @@ object SyncConfig {
           user = p(s"source.$i.user"),
           password = p(s"source.$i.password"),
           databases = databases,
-          skipDmls = p(s"source.$i.skip_dmls").split(',').filter(_.nonEmpty).toSet,
-          skipDeleteTables = p(s"source.$i.skip_delete_tables").split(',').filter(_.nonEmpty).toSet,
-          skipUpdateTables = p(s"source.$i.skip_update_tables").split(',').filter(_.nonEmpty).toSet)
+          skipDmls = p(s"source.$i.skip_dmls").split(',').map(_.trim).filter(_.nonEmpty).toSet,
+          skipDeleteTables = p(s"source.$i.skip_delete_tables").split(',').map(_.trim).filter(_.nonEmpty).toSet,
+          skipUpdateTables = p(s"source.$i.skip_update_tables").split(',').map(_.trim).filter(_.nonEmpty).toSet)
       }.toSeq
     SyncConfig(core, sources)
   }

@@ -36,13 +36,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
     case _ => false
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSimExpr.cos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSimExpr.cos($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""java.lang.Double $r = graft.functions.CosineSimExpr.cos(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): CosineSimExpr =
@@ -50,7 +58,17 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 object CosineSimExpr {
-  def cos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  /** Boxed so null can propagate exactly like the HOF form: `zip_with`
+    * pads mismatched lengths with null and a null element nullifies the
+    * fold, so length mismatch or any null element → NULL result. */
+  def cos(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    if (a.numElements() != b.numElements()) return null
+    var j = 0
+    val m = a.numElements()
+    while (j < m) {
+      if (a.isNullAt(j) || b.isNullAt(j)) return null
+      j += 1
+    }
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0

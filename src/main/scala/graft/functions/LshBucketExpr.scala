@@ -58,6 +58,15 @@ object LshBucketExpr {
     ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
 
   def bucket(v: ArrayData, planes: Int, dims: Int, isFloat: Boolean): Long = {
+    // HOF parity: zip_with pads a length mismatch with nulls and a null
+    // element nullifies the dot fold, so every plane's sign test falls to
+    // the otherwise-0 branch — the whole bucket is 0
+    if (v.numElements() != dims) return 0L
+    var j = 0
+    while (j < dims) {
+      if (v.isNullAt(j)) return 0L
+      j += 1
+    }
     val n = math.min(dims, v.numElements())
     var acc = 0L
     var p = 0

@@ -53,7 +53,8 @@ object WinnowExpr {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        val u = toks.getUTF8String(i + j) // null tokens contribute nothing
+        if (u != null) sb.append(u.toString)
         j += 1
       }
       hashes(i) = PolyHashExpr.hash(sb.toString)

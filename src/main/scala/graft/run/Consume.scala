@@ -166,10 +166,12 @@ object Consume {
     * batch-id idempotence silently swallow that batch's events.
     */
   def bootstrap(spark: SparkSession, tables: Seq[TableSync], stateRoot: String,
-                snapshots: Map[String, graft.run.FullEtl.Source]): Unit =
+                snapshots: Map[(String, String), graft.run.FullEtl.Source]): Unit =
     tables.foreach { t =>
       val store = new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")
-      if (store.isEmpty) snapshots.get(t.table).foreach { src =>
+      // keyed by (schema, table): same-named tables in different schemas
+      // must not share a snapshot source
+      if (store.isEmpty) snapshots.get((t.schema, t.table)).foreach { src =>
         applyBatch(spark, t, store, snapshotAsChangelog(FullEtl.read(spark, src)),
           batchId = -1L)
       }

@@ -117,6 +117,17 @@ class YamlSpec extends AnyFunSuite {
     assert(cfg.sources.head.databases.head.tables.map(_.table) == Seq("t1"))
   }
 
+  test("extra padding after the list dash keeps sibling keys in the item") {
+    val cfg = SyncConfig.fromYaml(
+      """source_dbs:
+        |  -  db_type: mysql
+        |     alias: padded
+        |     host: h
+        |""".stripMargin)
+    assert(cfg.sources.head.alias == "padded")
+    assert(cfg.sources.head.url == "jdbc:mysql://h:3306")
+  }
+
   test("scalar lists with colons, comments, null markers") {
     val n = MiniYaml.parse(
       """hosts:

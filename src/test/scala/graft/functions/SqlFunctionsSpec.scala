@@ -42,6 +42,20 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(withBoth.filter(col("sc") =!= col("hof")).count() == 0)
   }
 
+  test("cosine and lsh bucket follow HOF null/length semantics") {
+    FunctionRegistration.register(spark)
+    // null element or length mismatch → NULL, like fold(zip_with(...))
+    assert(spark.sql(
+      "SELECT graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))")
+      .collect().head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_cosine(array(1.0D), array(1.0D, 2.0D))")
+      .collect().head.isNullAt(0))
+    // lsh bucket of a wrong-length vector: every plane's dot is null → 0
+    assert(spark.sql("SELECT graft_lsh_bucket(array(1.0D, 2.0D), 4, 64)")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("polyhash equals the portable HOF formulation") {
     import org.apache.spark.sql.functions._
     val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")

@@ -237,7 +237,7 @@ class ConsumeSpec extends SparkSpec {
   test("bootstrap snapshots empty stores once and is idempotent (C4)") {
     val root = Files.createTempDirectory("bootstrap").toString
     val tables = Seq(TableSync("db", "orders", null, Seq("o_orderkey"), Engine.MergeTree))
-    val snapshots = Map("orders" ->
+    val snapshots = Map(("db", "orders") ->
       (FullEtl.ParquetSource(s"$sf/orders.parquet"): FullEtl.Source))
     Consume.bootstrap(spark, tables, root, snapshots)
     val store = new ParquetStateStore(spark, s"$root/db/orders")
