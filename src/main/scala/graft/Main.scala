@@ -43,16 +43,38 @@ object Main {
     graft.sources.PkDiscovery.resolve(
       t.pk,
       if (src.url.startsWith("jdbc:"))
-        graft.sources.PkDiscovery.forJdbc(src.url, src.user, src.password,
-          Some(db), t.table)
+        graft.sources.PkDiscovery.forJdbc(jdbcUrl(src, db), src.user, src.password,
+          if (src.dbType == "postgres") Some("public") else Some(db), t.table)
       else Nil,
       schema.fieldNames.toSeq, s"$db.${t.table}")
+
+  /** Postgres JDBC scopes a connection to ONE database, so the configured
+    * database must ride in the URL path (`jdbc:postgresql://host:port/<db>`)
+    * — the reference connects per-database the same way
+    * (synch/reader/postgres.py). A URL that already names a database is
+    * kept as-is. MySQL URLs need no path; `db.table` selects the database.
+    */
+  def jdbcUrl(cfg: graft.config.SourceConfig, db: String): String =
+    if (cfg.dbType == "postgres") {
+      val (base, query) = cfg.url.span(_ != '?')
+      val hostPart = base.stripPrefix("jdbc:postgresql://").stripSuffix("/")
+      if (hostPart.contains("/")) cfg.url
+      else s"${base.stripSuffix("/")}/$db$query"
+    } else cfg.url
+
+  /** The relation name the JDBC reader sees: Postgres resolves `a.b` as
+    * schema `a` INSIDE the connected database, so qualify with the actual
+    * schema (public) — the database is already in the URL. MySQL treats
+    * the qualifier as the database, matching the reference's `db.table`.
+    */
+  def dbtable(cfg: graft.config.SourceConfig, db: String, table: String): String =
+    if (cfg.dbType == "postgres") s"public.$table" else s"$db.$table"
 
   def source(cfg: graft.config.SourceConfig, db: String, table: String): FullEtl.Source =
     if (cfg.url.startsWith("parquet:"))
       FullEtl.ParquetSource(s"${cfg.url.stripPrefix("parquet:")}/$table.parquet")
-    else FullEtl.JdbcSource(cfg.url, s"$db.$table", cfg.user, cfg.password,
-      partitionColumn = None)
+    else FullEtl.JdbcSource(jdbcUrl(cfg, db), dbtable(cfg, db, table),
+      cfg.user, cfg.password, partitionColumn = None)
 
   /** Broker transport from the CLI arg: `kafka:<servers>/<topic>` → Kafka
     * (count cap = core.insert_num, the A1 contract); anything else is a
@@ -71,7 +93,19 @@ object Main {
   def main(args: Array[String]): Unit = {
     // `--key=value` / `--flag` selectors can appear anywhere; positionals
     // keep their order (mode, config, broker/checkpoint, stateRoot, ...).
-    val (flagArgs, pos) = args.partition(_.startsWith("--"))
+    // The reference's short `-t T` is accepted as an alias for --table
+    // (both `-t orders` and `-t=orders`); any other single-dash arg is
+    // rejected rather than silently consumed as a positional.
+    val expanded = args.toSeq.foldLeft(Vector.empty[String]) {
+      case (acc, "-t") => acc :+ "--table" // value folds in on the next arg
+      case (acc, a) if a.startsWith("-t=") => acc :+ s"--table=${a.drop(3)}"
+      case (acc, a) if a.startsWith("-") && !a.startsWith("--") =>
+        sys.error(s"unknown flag $a (did you mean -$a or --${a.stripPrefix("-")}?)")
+      case (acc, a) if acc.lastOption.contains("--table") =>
+        acc.init :+ s"--table=$a"
+      case (acc, a) => acc :+ a
+    }
+    val (flagArgs, pos) = expanded.partition(_.startsWith("--"))
     val flags: Map[String, String] = flagArgs.map { f =>
       val kv = f.stripPrefix("--").split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "true")

@@ -82,7 +82,10 @@ object SyncConfig {
         val tables = d.get("tables").map(_.items).getOrElse(Nil).map { t =>
           TableConfig(
             table = t.str("table"),
-            engine = Engine.withName(t.str("clickhouse_engine", "MergeTree")),
+            // reference parity: a missing or empty clickhouse_engine means
+            // ReplacingMergeTree (synch.yaml:48 "default ReplacingMergeTree";
+            // synch/factory.py:71-72 maps engine None to the Replacing writer)
+            engine = Engine.withName(t.str("clickhouse_engine", "ReplacingMergeTree")),
             autoFullEtl = t.bool("auto_full_etl", default = true),
             signColumn = t.str("sign_column", "sign"),
             versionColumn = t.str("version_column", "version"),

@@ -89,11 +89,16 @@ object CdcOps {
       .when(a === "delete", array(lit("delete")))
       .when(a === "insert", array(lit("insert")))
       .otherwise(array(a))
+    // pass-through rows keep their incoming seq when the column exists;
+    // a changelog without one gets the reference's DDL seq (0) — never
+    // reference col(seqCol) blindly: inputs like Changelog.fromEvents
+    // carry no action_seq and the unresolved column kills the whole query
+    val passThroughSeq = if (df.columns.contains(seqCol)) col(seqCol) else lit(0)
     df.withColumn("_half", explode(halves))
       .withColumn(seqCol,
         when(col("_half") === "delete", 1)
           .when(col("_half") === "insert", 2)
-          .otherwise(col(seqCol)))
+          .otherwise(passThroughSeq))
       .withColumn(actionCol, col("_half"))
       .drop("_half")
   }

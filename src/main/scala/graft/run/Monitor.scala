@@ -33,9 +33,16 @@ object Monitor {
   class CollectingListener(maxRetained: Int = 10000) extends StreamingQueryListener {
     val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
 
-    protected def record(m: BatchMetric): Unit = metrics.synchronized {
-      metrics += m
-      if (metrics.size > maxRetained) metrics.remove(0, metrics.size - maxRetained)
+    /** Returns the metric it appended so subclasses can act on exactly
+      * that row — re-reading `metrics.last` outside the lock races with
+      * concurrent callbacks from other queries.
+      */
+    protected def record(m: BatchMetric): BatchMetric = {
+      metrics.synchronized {
+        metrics += m
+        if (metrics.size > maxRetained) metrics.remove(0, metrics.size - maxRetained)
+      }
+      m
     }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -66,20 +73,15 @@ object Monitor {
     */
   final class PersistingListener(spark: SparkSession, path: String)
       extends CollectingListener {
-    private def persistLast(): Unit = {
-      val m = metrics.synchronized(metrics.last)
-      spark.createDataFrame(Seq(m))
+    // Persist exactly the row this callback recorded — progress rows and
+    // error rows both flow through record(), and using its return value
+    // (not metrics.last) keeps concurrent queries from duplicating or
+    // dropping each other's rows.
+    override protected def record(m: BatchMetric): BatchMetric = {
+      val appended = super.record(m)
+      spark.createDataFrame(Seq(appended))
         .write.mode("append").parquet(path)
-    }
-    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      super.onQueryProgress(e)
-      persistLast()
-    }
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      super.onQueryTerminated(e)
-      // super records iff there was an exception; the trimmed buffer keeps
-      // the newest rows, so `last` is that error row regardless of cap
-      if (e.exception.isDefined) persistLast()
+      appended
     }
   }
 

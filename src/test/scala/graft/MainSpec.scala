@@ -55,6 +55,54 @@ class MainSpec extends SparkSpec {
     Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--schema=absent"))
   }
 
+  test("-t is accepted as the reference's --table alias; unknown short flags rejected") {
+    val root = Files.createTempDirectory("maintee").toString
+    val props =
+      s"""source.0.alias=pq
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db
+         |source.0.database.0.table.0=orders
+         |source.0.database.0.table.1=region
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+
+    // both short forms select only `region`
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "-t", "region"))
+    assert(!Files.exists(Paths.get(s"$root/state/db/orders")))
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state2", "-t=region"))
+    assert(!Files.exists(Paths.get(s"$root/state2/db/orders")))
+
+    // a single-dash flag we don't know must fail loudly, not become a
+    // positional that silently changes which directories are touched
+    val err = intercept[RuntimeException] {
+      Main.main(Array("etl", cfgPath, "-x", s"$root/state3"))
+    }
+    assert(err.getMessage.contains("-x"))
+  }
+
+  test("postgres sources get a per-database URL and schema-qualified dbtable") {
+    val pg = graft.config.SourceConfig(
+      alias = "pg", dbType = "postgres",
+      url = "jdbc:postgresql://db2.internal:5432",
+      user = "u", password = "p", databases = Nil)
+    // database rides in the URL path (postgres scopes a connection to one
+    // database); relation is qualified by the SCHEMA, not the database
+    assert(Main.jdbcUrl(pg, "warehouse") == "jdbc:postgresql://db2.internal:5432/warehouse")
+    assert(Main.dbtable(pg, "warehouse", "facts") == "public.facts")
+    // explicit database in the URL is kept; query string survives
+    assert(Main.jdbcUrl(pg.copy(url = "jdbc:postgresql://h:5/mydb"), "w")
+      == "jdbc:postgresql://h:5/mydb")
+    assert(Main.jdbcUrl(pg.copy(url = "jdbc:postgresql://h:5?ssl=true"), "w")
+      == "jdbc:postgresql://h:5/w?ssl=true")
+    // mysql keeps db.table and an unqualified URL
+    val my = pg.copy(dbType = "mysql", url = "jdbc:mysql://h:3306")
+    assert(Main.jdbcUrl(my, "shop") == "jdbc:mysql://h:3306")
+    assert(Main.dbtable(my, "shop", "orders") == "shop.orders")
+  }
+
   test("Main accepts a synch.yaml-shaped config") {
     val root = Files.createTempDirectory("mainyaml").toString
     val yaml =

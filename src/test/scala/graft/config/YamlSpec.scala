@@ -99,6 +99,29 @@ class YamlSpec extends AnyFunSuite {
     assert(!pg.databases.head.tables.head.autoFullEtl)
   }
 
+  test("missing or empty clickhouse_engine defaults to ReplacingMergeTree") {
+    // reference parity: synch.yaml:48 documents the default as
+    // ReplacingMergeTree and factory.py:71-72 maps engine None to it
+    val cfg = SyncConfig.fromYaml(
+      """source_dbs:
+        |  - db_type: mysql
+        |    alias: a
+        |    host: h
+        |    databases:
+        |      - database: d
+        |        tables:
+        |          - table: omitted
+        |          - table: empty
+        |            clickhouse_engine:
+        |          - table: explicit
+        |            clickhouse_engine: MergeTree
+        |""".stripMargin)
+    val tables = cfg.sources.head.databases.head.tables
+    assert(tables.find(_.table == "omitted").get.engine == Engine.ReplacingMergeTree)
+    assert(tables.find(_.table == "empty").get.engine == Engine.ReplacingMergeTree)
+    assert(tables.find(_.table == "explicit").get.engine == Engine.MergeTree)
+  }
+
   test("zero-indent block lists parse as the preceding key's value") {
     val cfg = SyncConfig.fromYaml(
       """core:

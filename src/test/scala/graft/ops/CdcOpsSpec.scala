@@ -70,6 +70,18 @@ class CdcOpsSpec extends SparkSpec {
     assert(out == Set(("insert", 2), ("query", 0)))
   }
 
+  test("T4 splitUpdates works on a changelog WITHOUT an action_seq column") {
+    // the SparkEntry fixtures derive changelogs from `events` with no
+    // action_seq; splitUpdates must synthesize it, not resolve col() on it
+    val bare = Seq(
+      ("a", "update", 1L, 200L),
+      ("a", "other", 2L, 150L) // non-DML pass-through gets DDL seq 0
+    ).toDF("table", "action", "pk", "event_unixtime")
+    val out = CdcOps.splitUpdates(bare)
+      .select("action", "action_seq").as[(String, Int)].collect().toSet
+    assert(out == Set(("delete", 1), ("insert", 2), ("other", 0)))
+  }
+
   test("A2 dedupByPk default partitioning separates schemas") {
     val twoSchemas = Seq(
       ("db1", "users", "insert", 1L, 10L, 2),
