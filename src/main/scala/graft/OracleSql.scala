@@ -91,6 +91,32 @@ object OracleSql {
        |  (a, x) -> a*2 + x)""".stripMargin
   }
 
+  /** CTE chain `toks → sh0 → sigs → expl → pairs` producing the MinHash
+    * LSH candidate pair list (id1 < id2) over `documents` — the shared
+    * blocking front-end of `dedup_minhash_pairs` and the connected-
+    * component queries. */
+  def minhashPairsCte: String =
+    s"""${toksCte(lower = false)},
+       |sh0 AS (SELECT doc_id, list_distinct(${shingles(3)}) AS sh FROM toks),
+       |sigs AS (SELECT doc_id, sh, ${minhash(8)} AS mh FROM sh0),
+       |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
+       |         FROM (SELECT doc_id, ${bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |          FROM expl a JOIN expl b
+       |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Recursive min-label closure over the `pairs` CTE: every document's
+    * smallest reachable doc_id (= duplicate-cluster component). The
+    * `r.c < e.dst` guard prunes propagation to strictly-smaller labels. */
+  def componentsCte: String =
+    s"""e AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |       UNION SELECT id2, id1 FROM pairs),
+       |r(id, c) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.c FROM r JOIN e ON e.src = r.id WHERE r.c < e.dst),
+       |comp AS (SELECT id AS doc_id, min(c) AS component FROM r GROUP BY id)""".stripMargin
+
   /** Per-language stopword score columns over the `tk` list. */
   def langScores: String =
     TextOps.stopwords.map { case (lang, words) =>

@@ -387,6 +387,47 @@ object SparkEntry {
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
+    // duplicate-cluster resolution: pair list → connected components
+    // (transitive closure of "A≈B"); every doc gets its cluster's min id
+    "dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      GraphOps.components(docs,
+        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+    }),
+
+    // dedup endgame: one surviving doc per duplicate cluster + cluster size
+    "dedup_keep_one" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      GraphOps.keepOne(docs,
+        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+    }),
+
+    // backward as-of join (events ← most recent order at-or-before ts):
+    // union-merge plan, one exchange, no row amplification
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      JoinOps.asofJoin(ev, t(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"),
+          tsUs(col("o_orderdate")).as("o_orderdate_us"))
+    }),
+
+    // deterministic hash-ordered stratified sample (k docs per language)
+    "sample_stratified" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), k = 20)),
+
+    // exact per-language token-length quantiles (corpus sizing)
+    "corpus_quantiles" -> ((s, dir) =>
+      CorpusOps.lengthQuantiles(t(s, dir, "documents"))),
+
+    // Gopher/C4-style within-document repetition metrics
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"))),
+
     "multimodal_meta" -> ((s, dir) =>
       MultimodalOps.blobMetaSql(t(s, dir, "documents")))
   )
@@ -908,6 +949,77 @@ object SparkEntry {
         |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},
+         |${OracleSql.componentsCte}
+         |SELECT doc_id, component FROM comp""".stripMargin,
+
+    "dedup_keep_one" ->
+      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},
+         |${OracleSql.componentsCte}
+         |SELECT component AS keep_id, COUNT(*) AS n_members
+         |FROM comp GROUP BY component""".stripMargin,
+
+    // reference (row-amplifying) formulation of the same as-of semantics;
+    // the engine's union-merge plan must agree row-for-row
+    "asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |         o.o_orderkey, o.o_totalprice,
+        |         epoch_us(o.o_orderdate) AS o_orderdate_us,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice, o_orderdate_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "sample_stratified" -> {
+      val h = OracleSql.ph("CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT lang, doc_id, $h AS hh FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY hh ASC, doc_id ASC) AS INT) AS pick_rank
+         |      FROM h)
+         |SELECT lang, pick_rank, doc_id FROM r WHERE pick_rank <= 20""".stripMargin
+    },
+
+    "corpus_quantiles" ->
+      s"""WITH n AS (SELECT lang, CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS nt
+         |           FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  round(quantile_cont(nt, 0.25), 6) AS p25,
+         |  round(quantile_cont(nt, 0.5), 6) AS p50,
+         |  round(quantile_cont(nt, 0.75), 6) AS p75,
+         |  round(quantile_cont(nt, 0.95), 6) AS p95
+         |FROM n GROUP BY lang""".stripMargin,
+
+    "text_repetition" -> {
+      val bigrams = {
+        // shingles() reads the token list column `tk`
+        OracleSql.shingles(2)
+      }
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |wc AS (SELECT doc_id, t, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+         |w AS (SELECT doc_id, SUM(c) AS n_words, MAX(c) AS topw FROM wc GROUP BY doc_id),
+         |bc AS (SELECT doc_id, t, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest($bigrams) AS t FROM toks) GROUP BY 1, 2),
+         |b AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS topb,
+         |      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb FROM bc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+         |  round(CAST(coalesce(w.topw, 0) AS DOUBLE)
+         |        / greatest(coalesce(w.n_words, 0), 1), 6) AS top_word_frac,
+         |  CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  round(CAST(coalesce(b.topb, 0) AS DOUBLE)
+         |        / greatest(coalesce(b.n_bigrams, 0), 1), 6) AS top_bigram_frac,
+         |  round(CAST(coalesce(b.dupb, 0) AS DOUBLE)
+         |        / greatest(coalesce(b.n_bigrams, 0), 1), 6) AS dup_bigram_frac
+         |FROM documents d
+         |LEFT JOIN w ON d.doc_id = w.doc_id
+         |LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin
+    },
 
     "multimodal_meta" -> {
       val h = OracleSql.ph("text")

@@ -39,11 +39,17 @@ object CrossHash {
   def tokens(text: Column): Column =
     filter(split(trim(text), " "), t => length(t) > 0)
 
-  /** Word n-gram shingles of a token array. */
-  def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+  /** Word n-gram shingles of a token array. Documents shorter than n
+    * tokens yield an EMPTY array — the guard matters because
+    * `sequence(1, 0)` is the DESCENDING sequence [1, 0], not empty, and
+    * would probe element_at(toks, 0). */
+  def shingles(toks: Column, n: Int): Column = {
+    val m = size(toks) - lit(n - 1)
+    when(m >= 1,
+      transform(sequence(lit(1), m),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** Distinct word n-grams straight from text — native single-pass twin of
     * `array_distinct(shingles(tokens(text), n))` for hot paths. */

@@ -51,6 +51,48 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Deterministic stratified sample: the `k` documents per stratum with
+    * the smallest content-stable hash — a reproducible "random" pick that
+    * never changes for a document when the corpus around it grows (the
+    * property `df.stat.sampleBy` cannot give you). One keyed window; at
+    * scale the per-stratum top-k plans as a pre-shuffle group-limit, so
+    * only ≤k rows per stratum per map task reach the exchange.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int,
+                       strataCol: String = "lang",
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(polyHash(col(idCol).cast("string")).asc, col(idCol).asc)
+    docs.select(col(strataCol), col(idCol),
+        polyHash(col(idCol).cast("string")).as("_h"))
+      .withColumn("pick_rank", row_number().over(w).cast("int"))
+      .filter(col("pick_rank") <= k)
+      .select(col(strataCol), col("pick_rank"), col(idCol))
+  }
+
+  /** Exact token-length quantiles per stratum (corpus sizing / truncation
+    * budgets). Uses the exact `percentile` aggregate — one keyed shuffle;
+    * per-group state is the sorted length multiset, bounded by the stratum
+    * row count. For 100 TB corpora swap in `percentile_approx` (t-digest,
+    * constant memory) — same call shape, declared tolerance.
+    */
+  def lengthQuantiles(docs: DataFrame,
+                      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                      strataCol: String = "lang",
+                      textCol: String = "text"): DataFrame = {
+    val n = size(tokens(col(textCol)))
+    val pct = percentile(col("_n"), lit(qs.toArray))
+    docs.select(col(strataCol), n.cast("long").as("_n"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), pct.as("_q"))
+      .select(col(strataCol) +: col("n_docs") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          round(element_at(col("_q"), i + 1), 6)
+            .as(s"p${(q * 100).round.toInt}")
+        }: _*)
+  }
+
   /** Boilerplate/duplication score: the fraction of a document's distinct
     * word n-grams that occur in more than `dfCap` documents. High values
     * flag template/near-boilerplate text — the corpus-level complement to

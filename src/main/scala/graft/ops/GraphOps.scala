@@ -1,0 +1,114 @@
+package graft.ops
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn a pairwise near-duplicate edge list
+  * (from [[DedupOps.minhashLsh]], [[DedupOps.simhashPairs]], ...) into
+  * connected components and pick one canonical survivor per cluster — the
+  * endgame of corpus dedup, where "A≈B, B≈C" must collapse {A,B,C} to one
+  * document even though A and C never formed a pair.
+  *
+  * Scale design: iterative min-label propagation over the *pair-induced
+  * subgraph only*. At corpus scale the near-dup pair list is orders of
+  * magnitude smaller than the corpus (pairs are already blocked/verified),
+  * so each iteration shuffles O(|pairs|) rows, never O(corpus). Documents
+  * untouched by any pair are singletons and join back in one broadcast-able
+  * pass at the end. Each iteration is lineage-truncated (local checkpoint)
+  * so the plan stays constant-size, and the previous iteration's blocks are
+  * freed as soon as the next is materialized — no cache leak across rounds.
+  * Label propagation converges in O(component diameter) rounds; near-dup
+  * clusters are dense (diameter 2-4 in practice). For adversarial
+  * long-chain graphs the alternating large-star/small-star variant
+  * (Kiveris et al., "Connected Components in MapReduce") bounds rounds at
+  * O(log n) — the loop below is the same shuffle shape, so swapping the
+  * propagation step is local.
+  */
+object GraphOps {
+
+  /** Minimum-reachable-id connected components over an undirected edge
+    * list. Returns one row per node in `nodes`: (id, comp) where `comp` is
+    * the smallest node id in the component. Deterministic for any input
+    * order (min is order-insensitive).
+    *
+    * The returned frame is backed by the final round's materialized local
+    * checkpoint — O(|nodes|) rows, spillable storage — which stays alive
+    * until the caller is done with it (session end, or
+    * `df.queryExecution.analyzed` LogicalRDD unpersist); every
+    * intermediate round is freed inside the loop.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String = "id", srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 50): DataFrame = {
+    // both directions once, deduped — propagation reads this every round
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+
+    val freed = ListBuffer.empty[RDD[_]]
+    def checkpointed(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true) // materialize + cut lineage
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => freed += lr.rdd
+        case _ => ()
+      }
+      out
+    }
+
+    var cur = checkpointed(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
+    // min-propagation only ever lowers labels, so the label sum strictly
+    // decreases until the fixpoint — a single scalar convergence probe
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    var curSum = labelSum(cur)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = und.join(cur, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = checkpointed(
+        cur.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
+      val nextSum = labelSum(next)
+      if (nextSum == curSum) converged = true
+      else { curSum = nextSum }
+      // previous round's blocks are dead either way (next is materialized
+      // with lineage cut); keep only the newest checkpoint alive
+      freed.dropRight(1).foreach(_.unpersist(false))
+      freed.remove(0, freed.size - 1)
+      cur = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    cur
+  }
+
+  /** Component assignment for a whole corpus: every document gets a
+    * `component` (= min doc_id of its duplicate cluster; itself when it has
+    * no near-dup pair). `pairs` must carry two id columns.
+    */
+  def components(docs: DataFrame, pairs: DataFrame,
+                 idCol: String = "doc_id", id1Col: String = "id1",
+                 id2Col: String = "id2"): DataFrame = {
+    val touched = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id"))).distinct()
+    val sub = connectedComponents(touched, pairs, "id", id1Col, id2Col)
+    // subgraph results are small (pair-touched docs only) → broadcast-able
+    docs.select(col(idCol))
+      .join(sub.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component"))
+  }
+
+  /** One survivor per duplicate cluster: the minimum doc id, with the
+    * cluster size. Singletons survive with n_members = 1.
+    */
+  def keepOne(docs: DataFrame, pairs: DataFrame,
+              idCol: String = "doc_id", id1Col: String = "id1",
+              id2Col: String = "id2"): DataFrame =
+    components(docs, pairs, idCol, id1Col, id2Col)
+      .groupBy(col("component").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

@@ -158,4 +158,42 @@ object TextOps {
       ColumnBridge.expression(tokens(lower(col(textCol)))), n, window))
     docs.select(col(idCol), explode(fps).as("fp"))
   }
+
+  /** Within-document repetition metrics (the Gopher/C4 quality-rule
+    * family): top-word fraction, top-bigram fraction, and the fraction of
+    * bigram occurrences that are duplicates inside the same document.
+    * High values flag degenerate generated/boilerplate text that plain
+    * length/stopword rules miss.
+    *
+    * Shape: explode → (doc, term) keyed count → (doc) rollup — two keyed
+    * hash-aggregates with map-side partial combine, linear in corpus token
+    * count, whole-stage codegen. (A narrow no-shuffle alternative — sort
+    * each doc's token array and fold run-lengths — trades shuffle for
+    * per-row O(L log L); the exploded form wins once aggregate pushdown
+    * halves the exchange.)
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+    def counted(expl: Column) = base.select(col(idCol), explode(expl).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val words = counted(col("_tk"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("_topw"))
+    val bigrams = counted(shingles(col("_tk"), 2))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("_topb"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("_dupb"))
+    def frac(num: Column, den: Column) =
+      round(num.cast("double") / greatest(den, lit(1L)), 6)
+    docs.select(col(idCol))
+      .join(words, Seq(idCol), "left")
+      .join(bigrams, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_words", "_topw", "n_bigrams", "_topb", "_dupb"))
+      .select(col(idCol), col("n_words"),
+        frac(col("_topw"), col("n_words")).as("top_word_frac"),
+        col("n_bigrams"),
+        frac(col("_topb"), col("n_bigrams")).as("top_bigram_frac"),
+        frac(col("_dupb"), col("n_bigrams")).as("dup_bigram_frac"))
+  }
 }

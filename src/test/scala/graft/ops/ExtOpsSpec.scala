@@ -234,4 +234,45 @@ class ExtOpsSpec extends SparkSpec {
     val dig = DedupOps.exactByDigest(docs).as[(Long, Long)].collect().toSet
     assert(dig == out)
   }
+
+  test("stratified sample: exactly k per stratum, deterministic, growth-stable") {
+    val docs = Tables(spark, sf, "documents")
+    val out = CorpusOps.stratifiedSample(docs, k = 5)
+      .as[(String, Int, Long)].collect()
+    val perLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 5))
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.sameElements(1 to 5)))
+    // growth stability: the picked SET for a stratum only shrinks-or-keeps
+    // when other strata change — rerun over a corpus with extra docs of a
+    // DIFFERENT lang and the 'en' picks must be unchanged
+    val extra = Seq((100001L, "filler filler", "xx", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val grown = CorpusOps.stratifiedSample(docs.unionByName(extra), k = 5)
+      .as[(String, Int, Long)].collect()
+    assert(grown.filter(_._1 == "en").toSet == out.filter(_._1 == "en").toSet)
+  }
+
+  test("length quantiles: monotone per stratum and exact on a known fixture") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, "a b c d e f"), (4L, "a")
+    ).map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val row = CorpusOps.lengthQuantiles(docs, qs = Seq(0.25, 0.5, 0.75))
+      .as[(String, Long, Double, Double, Double)].collect().head
+    // token counts {1,2,4,6}: p25 = 1.75, p50 = 3.0, p75 = 4.5 (linear interp)
+    assert(row == (("en", 4L, 1.75d, 3.0d, 4.5d)))
+  }
+
+  test("repetition stats flag degenerate repeated text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1
+      (2L, "the quick brown fox jumps"),    // all distinct
+      (3L, "")                              // empty → zeros, no crash
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs)
+      .as[(Long, Long, Double, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 1.0d, 3L, 1.0d, 1.0d)))
+    assert(out(2L)._2 == 5L && out(2L)._3 == 0.2d && out(2L)._6 == 0.0d)
+    assert(out(3L) == ((3L, 0L, 0.0d, 0L, 0.0d, 0.0d)))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: multi-hop chain collapses to one min label") {
+    // 1-2-3-4-5 chain plus isolated 10: propagation needs several rounds
+    // (diameter 4), exercising the convergence loop, not just one step
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L)).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L))
+  }
+
+  test("connectedComponents: two components, direction-insensitive edges") {
+    val nodes = Seq(7L, 3L, 9L, 20L, 21L).toDF("id")
+    val edges = Seq((9L, 3L), (3L, 7L), (21L, 20L)).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components/keepOne agree with a union-find reference on a dense real pair graph") {
+    // simhash pairs over the sf0.001 documents: a dense duplicate graph
+    // (the oracle-gated queries use the sparse minhash pairs; this covers
+    // the dense regime against an independent driver-side union-find)
+    val docs = Tables(spark, sf, "documents")
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 3, bands = 4)
+      .select(col("id1"), col("id2"))
+    val got = GraphOps.components(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+
+    // independent reference: path-compressed union-find over collected pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val edgeList = pairs.as[(Long, Long)].collect()
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = docs.select(col("doc_id")).as[Long].collect()
+    val want = allIds.map(id => id -> find(id)).toMap
+    assert(got == want)
+
+    val survivors = GraphOps.keepOne(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    val wantSizes = want.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    assert(survivors == wantSizes)
+    assert(survivors.values.sum == allIds.length)
+    // every survivor is its own component representative
+    survivors.keys.foreach(k => assert(want(k) == k))
+  }
+
+  test("connectedComponents handles an empty edge list (all singletons)") {
+    val nodes = Seq(4L, 8L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(4L -> 4L, 8L -> 8L))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    // (event, key, ts)
+    ("e1", 1L, 100L), ("e2", 1L, 250L), ("e3", 1L, 50L),
+    ("e4", 2L, 500L), ("e5", 3L, 10L)
+  ).toDF("ev", "k", "ts")
+
+  private def right = Seq(
+    // (key, ts, id, price)
+    (1L, 100L, 11L, 1.0), (1L, 200L, 12L, 2.0),
+    (2L, 400L, 21L, 3.0), (2L, 600L, 22L, 4.0)
+  ).toDF("rk", "rts", "oid", "price")
+
+  test("backward as-of picks the most recent right row at-or-before leftTs") {
+    val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid")
+      .select("ev", "oid", "price").as[(String, Long, Double)]
+      .collect().map { case (e, o, p) => e -> ((o, p)) }.toMap
+    // e1 at ts=100 matches the rts=100 row INCLUSIVELY; e2 the rts=200 row;
+    // e3 precedes every right row and is dropped (inner); e4 gets rts=400;
+    // e5's key has no right rows at all
+    assert(out == Map("e1" -> (11L, 1.0), "e2" -> (12L, 2.0), "e4" -> (21L, 3.0)))
+  }
+
+  test("keepUnmatched retains left rows with null payload") {
+    val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid",
+        keepUnmatched = true)
+    assert(out.count() == 5)
+    val unmatched = out.filter(col("oid").isNull)
+      .select("ev").as[String].collect().toSet
+    assert(unmatched == Set("e3", "e5"))
+  }
+
+  test("ties on (key, rightTs) resolve to the largest tieBreak value") {
+    val dupRight = Seq((1L, 100L, 11L, 1.0), (1L, 100L, 19L, 9.0))
+      .toDF("rk", "rts", "oid", "price")
+    val out = JoinOps.asofJoin(Seq(("e1", 1L, 150L)).toDF("ev", "k", "ts"),
+        dupRight, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid")
+      .select("oid", "price").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((19L, 9.0)))
+  }
+
+  test("as-of agrees with the naive row-amplifying formulation on real tables") {
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = graft.Tables(spark, sf, "orders")
+    val fast = JoinOps.asofJoin(ev, ord, "user_id", "o_custkey",
+        "ts", "o_orderdate",
+        payloadCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+        tieBreak = "o_orderkey")
+      .select("event_id", "o_orderkey")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val naive = ev.join(ord,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("event_id", "o_orderkey")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("asofJoin plans a single exchange (no join amplification)") {
+    val plan = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one exchange for the right-side (key, ts) pre-aggregate feeding the
+    // union, one for the merge window partition — never a per-pair join
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
