@@ -44,20 +44,27 @@ object GraphOps {
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 50): DataFrame = {
-    // both directions once, deduped — propagation reads this every round
+    val freed = ListBuffer.empty[RDD[_]]
+    def track(df: DataFrame): Option[RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    def checkpointed(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true) // materialize + cut lineage
+      track(out).foreach(freed += _)
+      out
+    }
+
+    // both directions once, deduped — materialized ONCE up front: the
+    // propagation join and the convergence probe read it every round, and
+    // an upstream pair pipeline (minhash, simhash...) must not re-execute
+    // per iteration
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-
-    val freed = ListBuffer.empty[RDD[_]]
-    def checkpointed(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true) // materialize + cut lineage
-      out.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => freed += lr.rdd
-        case _ => ()
-      }
-      out
-    }
+      .localCheckpoint(true)
+    val undRdd = track(und)
 
     var cur = checkpointed(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     // min-propagation only ever lowers labels, so the label sum strictly
@@ -82,6 +89,7 @@ object GraphOps {
       cur = next
       it += 1
     }
+    undRdd.foreach(_.unpersist(false)) // edge blocks are dead past the loop
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     cur
   }
@@ -93,9 +101,17 @@ object GraphOps {
   def components(docs: DataFrame, pairs: DataFrame,
                  idCol: String = "doc_id", id1Col: String = "id1",
                  id2Col: String = "id2"): DataFrame = {
-    val touched = pairs.select(col(id1Col).as("id"))
-      .union(pairs.select(col(id2Col).as("id"))).distinct()
-    val sub = connectedComponents(touched, pairs, "id", id1Col, id2Col)
+    // run the (expensive) pair pipeline exactly once — node derivation,
+    // edge mirroring and every propagation round read this checkpoint
+    val p = pairs.select(col(id1Col), col(id2Col)).localCheckpoint(true)
+    val touched = p.select(col(id1Col).as("id"))
+      .union(p.select(col(id2Col).as("id"))).distinct()
+    val sub = connectedComponents(touched, p, "id", id1Col, id2Col)
+    // sub is eagerly materialized; the raw pair blocks can go
+    p.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     // subgraph results are small (pair-touched docs only) → broadcast-able
     docs.select(col(idCol))
       .join(sub.withColumnRenamed("id", idCol), Seq(idCol), "left")
