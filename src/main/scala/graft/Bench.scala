@@ -30,8 +30,8 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta",
-    "dedup_components", "dedup_keep_one", "asof_join",
-    "sample_stratified", "corpus_quantiles", "text_repetition")
+    "dedup_components", "dedup_keep_one", "asof_join", "range_join",
+    "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

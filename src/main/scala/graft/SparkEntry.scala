@@ -428,6 +428,29 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
 
+    // bucketed point-in-interval range join (attribution: events inside a
+    // 2h window after a same-user purchase) — equi-join on (key, bucket),
+    // never a nested-loop
+    "range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("event_type"), col("user_id"),
+        tsUs(col("ts")).as("ts_us"))
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          tsUs(col("ts")).as("start_us"),
+          (tsUs(col("ts")) + lit(7200000000L)).as("end_us"))
+      JoinOps.rangeJoin(pts, iv, "ts_us", "start_us", "end_us",
+          bucket = 3600000000L, leftKey = Some("user_id"),
+          rightKey = Some("p_user"))
+        .filter(col("event_id") =!= col("purchase_id"))
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("ts_us"), col("purchase_id"), col("start_us"))
+    }),
+
+    // deterministic concat-and-chunk sequence packing (2048-token windows)
+    "corpus_pack" -> ((s, dir) =>
+      CorpusOps.packSequences(t(s, dir, "documents"), capacity = 2048)),
+
     "multimodal_meta" -> ((s, dir) =>
       MultimodalOps.blobMetaSql(t(s, dir, "documents")))
   )
@@ -1020,6 +1043,32 @@ object SparkEntry {
          |LEFT JOIN w ON d.doc_id = w.doc_id
          |LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin
     },
+
+    // reference formulation: plain key + BETWEEN join; the bucketed plan
+    // must agree row-for-row
+    "range_join" ->
+      """WITH p AS (SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |i AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |             epoch_us(ts) AS start_us, epoch_us(ts) + 7200000000 AS end_us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.event_type, p.user_id, p.ts_us,
+        |       i.purchase_id, i.start_us
+        |FROM p JOIN i ON p.user_id = i.p_user
+        |             AND p.ts_us BETWEEN i.start_us AND i.end_us
+        |WHERE p.event_id <> i.purchase_id""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH n AS (SELECT lang, doc_id,
+         |           CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (SELECT lang, doc_id, n_tokens,
+         |      CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |      FROM n)
+         |SELECT lang, doc_id, n_tokens, start_off,
+         |       CAST(start_off // 2048 AS BIGINT) AS chunk_id
+         |FROM o""".stripMargin,
 
     "multimodal_meta" -> {
       val h = OracleSql.ph("text")

@@ -93,6 +93,38 @@ object CorpusOps {
         }: _*)
   }
 
+  /** Concat-and-chunk sequence packing (the standard LLM pre-training
+    * batching scheme): documents are laid out back-to-back in `orderCol`
+    * order within each stratum, and every document is assigned the
+    * context-window chunk its first token lands in
+    * (`chunk_id = start_offset div capacity`). Deterministic — no RNG, no
+    * row-order dependence — so shards are reproducible across runs and
+    * cluster sizes.
+    *
+    * Parallelism comes from the strata: the running offset is a per-
+    * stratum window cumsum (one keyed sort). Pack by split/source/shard —
+    * a `None` stratum is a single global sequence and therefore a single
+    * sort task; fine for one shard, wrong for a whole corpus.
+    */
+  def packSequences(docs: DataFrame, capacity: Long,
+                    strataCol: Option[String] = Some("lang"),
+                    orderCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol.map(col).toSeq: _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keep = strataCol.map(col).toSeq :+ col(orderCol)
+    docs.select(keep :+ size(tokens(col(textCol))).cast("long").as("n_tokens"): _*)
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // offsets are non-negative, so exact integer floor is plain div
+      .withColumn("chunk_id",
+        ((col("start_off") - pmod(col("start_off"), lit(capacity))) / lit(capacity))
+          .cast("long"))
+  }
+
   /** Boilerplate/duplication score: the fraction of a document's distinct
     * word n-grams that occur in more than `dfCap` documents. High values
     * flag template/near-boilerplate text — the corpus-level complement to

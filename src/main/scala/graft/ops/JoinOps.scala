@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,5 +72,60 @@ object JoinOps {
       .drop("_k", "_t", "_tag", "_r", "_l", "_m")
     if (keepUnmatched) out
     else out.filter(col(payloadCols.head).isNotNull)
+  }
+
+  /** Point-in-interval range join: pair each left row (a point `leftTs`)
+    * with every right row whose `[startTs, endTs]` interval contains it,
+    * under an optional equality key.
+    *
+    * Catalyst plans a raw `l.k = r.k AND ts BETWEEN s AND e` as a hash
+    * join on the key with the range as a residual — fine with a selective
+    * key, but a low-cardinality/absent key degenerates to
+    * BroadcastNestedLoopJoin. This operator buckets time instead: points
+    * land in bucket `ts div B`, intervals explode to the buckets they
+    * overlap, and the join is a plain equi-join on (key, bucket) with the
+    * exact BETWEEN as a residual filter. Interval expansion is bounded by
+    * `maxBuckets` (len/B + 1 per interval) — choose B near the typical
+    * interval length so the blow-up factor stays ~2. Each (point,
+    * interval) pair meets in exactly one bucket (the point's), so no
+    * dedup pass is needed.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftTs: String, startTs: String, endTs: String,
+                bucket: Long, leftKey: Option[String] = None,
+                rightKey: Option[String] = None,
+                maxBuckets: Int = 1024): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    require(Set(leftTs, startTs, endTs).size == 3,
+      "leftTs/startTs/endTs column names must be distinct")
+    // exact floor division for ANY long (double division loses integer
+    // precision past 2^53 — ns-scale epochs would misbucket at boundaries;
+    // `div` alone truncates toward zero, wrong for pre-epoch values)
+    def floorDiv(c: Column): Column = {
+      val l = c.cast("long")
+      ((l - pmod(l, lit(bucket))).cast("decimal(38,0)") / lit(bucket)).cast("long")
+    }
+    val lb = left.withColumn("_b", floorDiv(col(leftTs)))
+    val rb = right
+      .withColumn("_bs", floorDiv(col(startTs)))
+      .withColumn("_be", floorDiv(col(endTs)))
+      .filter(col("_be") >= col("_bs")) // empty/backward intervals match nothing
+      .withColumn("_nb", (col("_be") - col("_bs") + 1).cast("int"))
+      .withColumn("_b", explode(when(col("_nb") <= maxBuckets,
+        sequence(col("_bs"), col("_be"))).otherwise(
+        // pathological mega-interval: fail loud instead of exploding the
+        // cluster — callers pick a coarser bucket for such data
+        raise_error(concat(lit(s"rangeJoin: interval spans > $maxBuckets buckets; "),
+          lit(s"increase bucket width (current $bucket)"))))))
+      .drop("_bs", "_be", "_nb")
+    val keyCond = (leftKey, rightKey) match {
+      case (Some(lk), Some(rk)) => col(lk) === col(rk)
+      case (None, None) => lit(true)
+      case _ => throw new IllegalArgumentException("both or neither join key")
+    }
+    lb.join(rb, lb("_b") === rb("_b") && keyCond &&
+        col(leftTs).cast("long").between(col(startTs).cast("long"),
+          col(endTs).cast("long")))
+      .drop("_b")
   }
 }

@@ -262,6 +262,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(row == (("en", 4L, 1.75d, 3.0d, 4.5d)))
   }
 
+  test("sequence packing: contiguous offsets, capacity-aligned chunks") {
+    val docs = Seq(
+      (1L, "a b c", "en"),        // 3 tokens, start 0, chunk 0
+      (2L, "d e f g", "en"),      // 4 tokens, start 3, chunk 0
+      (3L, "h i", "en"),          // 2 tokens, start 7, chunk 1 (cap 5)
+      (4L, "x", "fr")             // separate stratum restarts at 0
+    ).toDF("doc_id", "text", "lang")
+    val out = CorpusOps.packSequences(docs, capacity = 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._1, r._3, r._4, r._5))).toMap
+    assert(out(1L) == (("en", 3L, 0L, 0L)))
+    assert(out(2L) == (("en", 4L, 3L, 0L)))
+    assert(out(3L) == (("en", 2L, 7L, 1L)))
+    assert(out(4L) == (("fr", 1L, 0L, 0L)))
+  }
+
   test("repetition stats flag degenerate repeated text") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1

@@ -69,6 +69,65 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("rangeJoin: inclusive bounds, bucket-boundary crossing, key isolation") {
+    val pts = Seq(
+      ("p1", 1L, 100L), ("p2", 1L, 150L), ("p3", 1L, 151L),
+      ("p4", 2L, 120L), ("p5", 1L, 99L)
+    ).toDF("pid", "k", "t")
+    val ivs = Seq(
+      ("i1", 1L, 100L, 150L), // [100,150] spans buckets 10..15 at width 10
+      ("i2", 2L, 110L, 130L)
+    ).toDF("iid", "ik", "s", "e")
+    val out = JoinOps.rangeJoin(pts, ivs, "t", "s", "e", bucket = 10L,
+        leftKey = Some("k"), rightKey = Some("ik"))
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    // p1 at start bound and p2 at end bound are IN; p3 (end+1) and p5
+    // (start-1) are out; p4 matches only its own key's interval
+    assert(out == Set(("p1", "i1"), ("p2", "i1"), ("p4", "i2")))
+  }
+
+  test("rangeJoin without keys and duplicate-free across bucket overlap") {
+    val pts = Seq(("p1", 105L), ("p2", 500L)).toDF("pid", "t")
+    val ivs = Seq(("i1", 90L, 210L)).toDF("iid", "s", "e")
+    val rows = JoinOps.rangeJoin(pts, ivs, "t", "s", "e", bucket = 10L)
+      .select("pid", "iid").as[(String, String)].collect()
+    // the interval explodes over 13 buckets, but (p1, i1) appears ONCE —
+    // a pair meets only in the point's bucket
+    assert(rows.toSeq == Seq(("p1", "i1")))
+  }
+
+  test("rangeJoin agrees with the naive BETWEEN join on real events") {
+    val ev = graft.Tables(spark, sf, "events")
+    val pts = ev.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t"))
+    val ivs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("iid"), col("user_id").as("ik"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 7200000000L).as("e"))
+    val fast = JoinOps.rangeJoin(pts, ivs, "t", "s", "e",
+        bucket = 3600000000L, leftKey = Some("user_id"), rightKey = Some("ik"))
+      .select("event_id", "iid")
+    val naive = pts.join(ivs, col("user_id") === col("ik") &&
+        col("t").between(col("s"), col("e")))
+      .select("event_id", "iid")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.count() > 0)
+    // and the plan is an equi-join, not a nested loop
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("rangeJoin fails loud on an interval wider than maxBuckets") {
+    val pts = Seq(("p1", 5L)).toDF("pid", "t")
+    val ivs = Seq(("i1", 0L, 1000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      JoinOps.rangeJoin(pts, ivs, "t", "s", "e", bucket = 1L, maxBuckets = 4)
+        .collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("rangeJoin"))
+  }
+
   test("asofJoin plans a single exchange (no join amplification)") {
     val plan = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
         payloadCols = Seq("oid", "price"), tieBreak = "oid")
