@@ -31,7 +31,8 @@ object Bench {
     "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta",
     "dedup_components", "dedup_keep_one", "asof_join", "range_join",
-    "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition")
+    "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition",
+    "text_decontaminate", "text_pii", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -428,6 +428,36 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(t(s, dir, "documents"))),
 
+    // Eval set = every 17th document — the "benchmark" whose 5-grams must
+    // not leak into training data. Hits are dominated by the eval docs
+    // themselves plus their near-copies; bystander overlap at n=5 is rare.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0),
+        n = 5, minHits = 1)
+    }),
+
+    // The synthetic corpus carries no real PII, so the fixture plants a
+    // deterministic email / IP / account-number per document (built from
+    // doc_id identically here and in the oracle SQL) before redacting.
+    "text_pii" -> ((s, dir) =>
+      TextOps.piiRedact(t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail.example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 acct "), (lit(10000000L) + col("doc_id") * 7).cast("string"))
+          .as("text")))),
+
+    // Recurring-crawl dedup: 80% of docs (doc_id % 10 < 8) are the
+    // already-ingested corpus; the new batch (every 3rd doc, overlapping
+    // the corpus) is deduped internally and anti-joined against the
+    // corpus digests — survivors are batch docs the corpus never saw
+    // (doc_id % 30 ∈ {9, 18}; scale-proportional at every sf).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incremental(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 10 < 8))
+    }),
+
     // bucketed point-in-interval range join (attribution: events inside a
     // 2h window after a same-user purchase) — equi-join on (key, bucket),
     // never a nested-loop
@@ -1043,6 +1073,44 @@ object SparkEntry {
          |LEFT JOIN w ON d.doc_id = w.doc_id
          |LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin
     },
+
+    "text_decontaminate" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |sh AS (SELECT doc_id, list_distinct(${OracleSql.shingles(5)}) AS sh FROM toks),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+         |dg AS (SELECT doc_id, unnest(sh) AS g FROM sh)
+         |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM dg JOIN ev ON dg.g = ev.g
+         |GROUP BY dg.doc_id HAVING count(*) >= 1""".stripMargin
+    },
+
+    "text_pii" -> {
+      // DuckDB single-quoted literals keep backslashes verbatim, so the
+      // Scala-side patterns embed unchanged — same regex, both engines.
+      val email = TextOps.emailRe
+      val ip = TextOps.ipv4Re
+      val num = TextOps.numRunRe
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |       || '@mail.example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |       || '.7 acct ' || CAST(10000000 + doc_id * 7 AS VARCHAR) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_numbers,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g')
+         |    AS redacted
+         |FROM p""".stripMargin
+    },
+
+    "dedup_incremental" ->
+      s"""WITH b AS (SELECT min(doc_id) AS doc_id, sha256(text) AS digest
+         |           FROM documents WHERE doc_id % 3 = 0 GROUP BY sha256(text))
+         |SELECT doc_id, digest FROM b
+         |WHERE NOT EXISTS (SELECT 1 FROM documents c
+         |                  WHERE c.doc_id % 10 < 8 AND sha256(c.text) = b.digest)""".stripMargin,
 
     // reference formulation: plain key + BETWEEN join; the bucketed plan
     // must agree row-for-row

@@ -43,6 +43,28 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Incremental exact dedup — the recurring-crawl shape: dedup a new
+    * `batch` of documents internally (keep the lowest id per distinct
+    * content) and against an already-ingested `corpus`, keeping only
+    * batch documents whose content digest the corpus has never seen.
+    *
+    * Scale: both sides reduce to 64-hex-byte digests before any exchange,
+    * so the anti-join shuffles digests + ids, never document bodies. The
+    * corpus side at 100 TB is itself huge — a shuffled hash anti-join on
+    * the digest key is the right plan (both sides hash-partition on
+    * `digest`; AQE picks broadcast automatically when the corpus digest
+    * set is small). Collision math as in [[exactByDigest]].
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val batchD = batch
+      .select(col(idCol), sha2(col(textCol), 256).as("digest"))
+      .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+    val corpusD = corpus.select(sha2(col(textCol), 256).as("digest"))
+    batchD.join(corpusD, Seq("digest"), "left_anti")
+      .select(col(idCol), col("digest"))
+  }
+
   /** Distinct (doc, word-n-gram-shingle) rows — the shared base of the
     * near-dup variants. One narrow pass; the arrays never leave the scan
     * stage. */

@@ -159,6 +159,64 @@ object TextOps {
     docs.select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** Benchmark decontamination (the training-data hygiene step from the
+    * GPT-3/PaLM reports): flag corpus documents that share at least
+    * `minHits` distinct word `n`-grams with any document of an
+    * evaluation/benchmark set. Output: one row per contaminated document
+    * — (id, n_hits = distinct overlapping n-grams).
+    *
+    * Scale shape: benchmarks are thousands of documents while the corpus
+    * is billions, so the eval side's distinct n-grams are broadcast; the
+    * corpus side is one narrow explode → broadcast-hash join → keyed count
+    * with map-side partial aggregation. No shuffle ever carries document
+    * text and nothing is all-pairs. [[graft.functions.WordGramsExpr]]
+    * emits *distinct* grams per document in a single codegen'd pass, so
+    * the count is a distinct-hit count without a dedup step.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                    minHits: Int = 1, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(wordGrams(lower(col(textCol)), n)).as("g"))
+      .distinct()
+    docs.select(col(idCol), explode(wordGrams(lower(col(textCol)), n)).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Email-looking spans: local@domain.tld (letters/digits/._%+- local
+    * part). Kept RE2-compatible (no backrefs/lookaround) so the DuckDB
+    * oracle runs the identical pattern. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4-looking spans (word-bounded). */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Long bare digit runs (7+): phone/account/SSN-ish identifiers. Word
+    * bounds keep IP octets (≤3 digits between dots) and digits embedded in
+    * alphanumeric tokens from matching. */
+  val numRunRe = "\\b\\d{7,}\\b"
+
+  /** PII detection + redaction: count email / IPv4 / long-number spans and
+    * rewrite them to `<EMAIL>` / `<IP>` / `<NUM>` placeholders (applied in
+    * that order; counts are measured on the original text). Pure narrow
+    * regexp expressions — fully pipelined in the scan stage, no shuffle;
+    * the patterns are RE2-safe so the oracle twin runs them verbatim.
+    */
+  def piiRedact(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(numRunRe)).cast("long").as("n_numbers"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), lit(emailRe), lit("<EMAIL>")),
+          lit(ipv4Re), lit("<IP>")),
+        lit(numRunRe), lit("<NUM>")).as("redacted"))
+
   /** Within-document repetition metrics (the Gopher/C4 quality-rule
     * family): top-word fraction, top-bigram fraction, and the fraction of
     * bigram occurrences that are duplicates inside the same document.

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decontamination, PII redaction, and incremental dedup — synthetic
+  * fixtures with known answers (the oracle gate covers the parquet
+  * corpus; these pin the operator semantics directly).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: flags docs sharing >= minHits n-grams with the eval set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains eval 5-gram
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "quick brown fox jumps over and over again"), // shares one 5-gram
+      (4L, "short doc")                                   // < n tokens: no grams
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "the quick brown fox jumps over me")).toDF("doc_id", "text")
+
+    val hits = TextOps.decontaminate(docs, eval_, n = 5, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown fox jumps" + "quick brown fox jumps over";
+    // doc 3 shares only "quick brown fox jumps over"
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+
+    val strict = TextOps.decontaminate(docs, eval_, n = 5, minHits = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(strict == Map(1L -> 2L))
+  }
+
+  test("decontaminate: n-gram hits are distinct per doc (repetition does not inflate)") {
+    val docs = Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text")
+    val eval_ = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val hits = TextOps.decontaminate(docs, eval_, n = 3, minHits = 1)
+      .as[(Long, Long)].collect().toMap
+    // "a b c" occurs 3x in doc 1 but is ONE distinct contaminated gram
+    assert(hits == Map(1L -> 1L))
+  }
+
+  test("piiRedact: counts and redacts emails, IPs, and long digit runs") {
+    val docs = Seq(
+      (1L, "mail a.user+tag@sub.example.org or admin@x.io from 192.168.0.1 acct 12345678"),
+      (2L, "no pii here, just 123 and 1.2 numbers"),
+      (3L, "v4 10.0.0.255 twice 10.0.0.254 and phone 5551234567")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail <EMAIL> or <EMAIL> from <IP> acct <NUM>")
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here, just 123 and 1.2 numbers")))
+    assert(out(3L)._2 == 2 && out(3L)._3 == 1)
+    assert(out(3L)._4 == "v4 <IP> twice <IP> and phone <NUM>")
+  }
+
+  test("piiRedact: IP octets are not double-counted as digit runs") {
+    val docs = Seq((1L, "ip 10.20.30.40 end")).toDF("doc_id", "text")
+    val r = TextOps.piiRedact(docs).collect().head
+    assert(r.getLong(2) == 1 && r.getLong(3) == 0) // 1 IP, 0 bare digit runs
+  }
+
+  test("incremental: batch dedups internally then anti-joins corpus digests") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // already in corpus → dropped
+      (11L, "gamma"),  // new, first copy
+      (12L, "gamma"),  // within-batch duplicate → collapsed into 11
+      (13L, "delta")   // new
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.incremental(batch, corpus)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(kept.sameElements(Array(11L, 13L)))
+  }
+
+  test("incremental: empty corpus keeps the whole deduped batch") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val kept = DedupOps.incremental(batch, corpus)
+      .select(col("doc_id")).as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L)))
+  }
+}
