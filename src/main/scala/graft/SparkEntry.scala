@@ -447,6 +447,24 @@ object SparkEntry {
           lit(".7 acct "), (lit(10000000L) + col("doc_id") * 7).cast("string"))
           .as("text")))),
 
+    // C4/Gopher-style keep/drop decision layer; thresholds bracket the
+    // fixture corpus distribution (n_tokens 10..99, avg_len 3.7..5.3,
+    // distinct_ratio 0.28..1.0) so every rule fires on a real subset.
+    "corpus_filter" -> ((s, dir) =>
+      TextOps.corpusFilter(t(s, dir, "documents"),
+        minTokens = 25L, maxTokens = 90L, minAvgLen = 4.0, maxAvgLen = 5.0,
+        minDistinctRatio = 0.35, minStopRatio = 0.01, maxWebMarks = 0L)),
+
+    // Cross-corpus near-dup: the batch (every 3rd doc) is screened against
+    // the ingested corpus (80% of docs) — LSH candidates across sides
+    // only, exact Jaccard verification; overlap docs surface as
+    // jaccard=1.0 self-matches.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incrementalNearLsh(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 10 < 8), threshold = 0.0)
+    }),
+
     // Recurring-crawl dedup: 80% of docs (doc_id % 10 < 8) are the
     // already-ingested corpus; the new batch (every 3rd doc, overlapping
     // the corpus) is deduped internally and anti-joined against the
@@ -1103,6 +1121,49 @@ object SparkEntry {
          |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g')
          |    AS redacted
          |FROM p""".stripMargin
+    },
+
+    "corpus_filter" -> {
+      s"""WITH base AS (SELECT doc_id, ${OracleSql.tokens("lower(text)")} AS tk FROM documents),
+         |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
+         |        / greatest(len(tk), 1) AS avg_len,
+         |      CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dr,
+         |      CAST(len(list_filter(tk, t -> list_contains(${OracleSql.allStopList}, t))) AS DOUBLE)
+         |        / greatest(len(tk), 1) AS sr,
+         |      len(list_filter(tk, t -> starts_with(t, 'http://') OR starts_with(t, 'https://')
+         |        OR starts_with(t, 'www.') OR (contains(t, '@') AND contains(t, '.')))) AS web
+         |      FROM base),
+         |f AS (SELECT doc_id, n AS n_tokens, n < 25 AS f_short, n > 90 AS f_long,
+         |      (avg_len < 4.0 OR avg_len > 5.0) AS f_word_len,
+         |      dr < 0.35 AS f_low_distinct, sr < 0.01 AS f_low_stopword,
+         |      web > 0 AS f_web FROM m)
+         |SELECT doc_id, n_tokens, f_short, f_long, f_word_len, f_low_distinct,
+         |       f_low_stopword, f_web,
+         |       NOT (f_short OR f_long OR f_word_len OR f_low_distinct
+         |            OR f_low_stopword OR f_web) AS keep
+         |FROM f""".stripMargin
+    },
+
+    "dedup_incremental_near" -> {
+      val li = "len(list_intersect(s1, s2))"
+      val un = s"len(s1) + len(s2) - $li"
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(${OracleSql.shingles(3)}) AS sh FROM toks),
+         |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
+         |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
+         |         FROM (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+         |          FROM expl a JOIN expl b
+         |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |          WHERE a.doc_id % 3 = 0 AND b.doc_id % 10 < 8),
+         |j AS (SELECT p.batch_id, p.corpus_id, x.sh AS s1, y.sh AS s2
+         |      FROM pairs p JOIN sh0 x ON x.doc_id = p.batch_id
+         |                   JOIN sh0 y ON y.doc_id = p.corpus_id)
+         |SELECT batch_id, corpus_id, CAST($li AS INT) AS inter, CAST($un AS INT) AS uni,
+         |       round(CAST($li AS DOUBLE) / ($un), 6) AS jaccard
+         |FROM j WHERE $un > 0 AND CAST($li AS DOUBLE) / ($un) >= 0.0""".stripMargin
     },
 
     "dedup_incremental" ->

@@ -65,6 +65,65 @@ object DedupOps {
       .select(col(idCol), col("digest"))
   }
 
+  /** Incremental NEAR-dup — [[incremental]]'s fuzzy sibling: flag new
+    * `batch` documents that are near-duplicates (MinHash-LSH candidates,
+    * verified exact n-gram Jaccard ≥ `threshold`) of any already-ingested
+    * `corpus` document. Returns verified cross-side pairs
+    * (batch_id, corpus_id, inter, uni, jaccard).
+    *
+    * Scale: candidates are generated ONLY across sides — batch band
+    * buckets equi-join corpus band buckets — never within a side, so a
+    * recurring crawl pays O(|batch|) signature work plus one blocked join
+    * against the corpus bucket index (which a real deployment computes
+    * once and persists; it is pure column arithmetic over the corpus).
+    * `maxBucket` drops hot corpus buckets exactly as in [[minhashLsh]].
+    * Jaccard verification touches only candidate pairs' shingle rows.
+    */
+  def incrementalNearLsh(batch: DataFrame, corpus: DataFrame,
+                         threshold: Double, n: Int = 3, k: Int = 8,
+                         bands: Int = 4, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    def explBuckets(docs: DataFrame) =
+      minhashSignatures(docs, n, k, bands, idCol, textCol)
+        .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val be = explBuckets(batch)
+    val ce0 = explBuckets(corpus)
+    val ce =
+      if (maxBucket == Int.MaxValue) ce0
+      else ce0.join(
+        ce0.groupBy(col("band_idx"), col("bucket"))
+          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
+          .select(col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
+    val cands = be.as("a").join(ce.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"))
+      .distinct()
+    val bex = shingleRows(batch, n, idCol, textCol).toDF("batch_id", "g")
+    val cex = shingleRows(corpus, n, idCol, textCol).toDF("_cid", "g2")
+    val bsz = bex.groupBy(col("batch_id")).agg(count(lit(1)).as("sz1"))
+    val csz = cex.groupBy(col("_cid").as("corpus_id")).agg(count(lit(1)).as("sz2"))
+    val inter = cands.join(bex, "batch_id")
+      .join(cex, col("corpus_id") === col("_cid") && col("g") === col("g2"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    cands
+      .join(inter, Seq("batch_id", "corpus_id"), "left")
+      .na.fill(0L, Seq("inter_cnt"))
+      .join(bsz, "batch_id")
+      .join(csz, "corpus_id")
+      .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
+      .filter(col("uni_cnt") > 0)
+      .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        col("inter_cnt").cast("int").as("inter"),
+        col("uni_cnt").cast("int").as("uni"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Distinct (doc, word-n-gram-shingle) rows — the shared base of the
     * near-dup variants. One narrow pass; the arrays never leave the scan
     * stage. */

@@ -217,6 +217,46 @@ object TextOps {
           lit(ipv4Re), lit("<IP>")),
         lit(numRunRe), lit("<NUM>")).as("redacted"))
 
+  /** Composite quality filter — the C4/Gopher-style keep/drop decision
+    * layer over the scalar signals: token-count bounds, mean-word-length
+    * band, distinct-token ratio, stopword-ratio floor, and web-artifact
+    * cap, each surfaced as its own flag plus the final `keep` verdict
+    * (kept docs fire no flag). One narrow pass — every signal reduces a
+    * token array produced once per row; nothing shuffles, the filter
+    * pipelines inside the scan stage at any corpus size. Ratio rules
+    * compare IEEE doubles built from exact integer counts, so the
+    * decision is bit-reproducible across engines (same division, same
+    * comparison — no rounding step involved).
+    */
+  def corpusFilter(docs: DataFrame,
+                   minTokens: Long = 10L, maxTokens: Long = 100000L,
+                   minAvgLen: Double = 2.0, maxAvgLen: Double = 12.0,
+                   minDistinctRatio: Double = 0.1, minStopRatio: Double = 0.0,
+                   maxWebMarks: Long = Long.MaxValue,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val allStop = stopwords.flatMap(_._2).distinct
+    def ratio(num: Column, den: Column) = num.cast("double") / greatest(den, lit(1L))
+    val flagged = docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+      .withColumn("_n", size(col("_tk")).cast("long"))
+      .withColumn("_avg", ratio(
+        aggregate(col("_tk"), lit(0L), (a, x) => a + length(x)), col("_n")))
+      .withColumn("_dr", ratio(size(array_distinct(col("_tk"))).cast("long"), col("_n")))
+      .withColumn("_sr", ratio(countIn(col("_tk"), allStop).cast("long"), col("_n")))
+      .withColumn("_web", size(filter(col("_tk"), t =>
+        t.startsWith("http://") || t.startsWith("https://") || t.startsWith("www.") ||
+          (t.contains("@") && t.contains(".")))).cast("long"))
+      .select(col(idCol), col("_n").as("n_tokens"),
+        (col("_n") < minTokens).as("f_short"),
+        (col("_n") > maxTokens).as("f_long"),
+        (col("_avg") < minAvgLen || col("_avg") > maxAvgLen).as("f_word_len"),
+        (col("_dr") < minDistinctRatio).as("f_low_distinct"),
+        (col("_sr") < minStopRatio).as("f_low_stopword"),
+        (col("_web") > maxWebMarks).as("f_web"))
+    flagged.withColumn("keep",
+      !(col("f_short") || col("f_long") || col("f_word_len") ||
+        col("f_low_distinct") || col("f_low_stopword") || col("f_web")))
+  }
+
   /** Within-document repetition metrics (the Gopher/C4 quality-rule
     * family): top-word fraction, top-bigram fraction, and the fraction of
     * bigram occurrences that are duplicates inside the same document.

@@ -74,6 +74,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.sameElements(Array(11L, 13L)))
   }
 
+  test("corpusFilter: each rule fires independently and keep = no flag") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today fine"), // clean
+      (2L, "tiny"),                                                    // f_short
+      (3L, "aa " * 40 + "aa"),                                         // f_low_distinct + f_word_len
+      (4L, "the antidisestablishmentarianism of extraordinarily incomprehensible " +
+        "internationalization considerations notwithstanding hereinafter whereupon"), // f_word_len
+      (5L, "visit www.spam.example now for the greatest deals around here") // f_web
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusFilter(docs, minTokens = 5L, maxTokens = 100L,
+      minAvgLen = 3.0, maxAvgLen = 8.0, minDistinctRatio = 0.5,
+      minStopRatio = 0.0, maxWebMarks = 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[String] =
+      Seq("f_short", "f_long", "f_word_len", "f_low_distinct", "f_web")
+        .filter(f => out(id).getBoolean(out(id).fieldIndex(f)))
+    assert(out(1L).getBoolean(out(1L).fieldIndex("keep")))
+    assert(flags(2L) == Seq("f_short"))
+    assert(flags(3L) == Seq("f_word_len", "f_low_distinct"))
+    assert(flags(4L) == Seq("f_word_len"))
+    assert(flags(5L) == Seq("f_web"))
+    assert(Seq(2L, 3L, 4L, 5L).forall(id => !out(id).getBoolean(out(id).fieldIndex("keep"))))
+  }
+
+  test("incrementalNearLsh: flags batch docs near-duplicating the corpus, across sides only") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+      (11L, "completely different content in every single position"),
+      (12L, "alpha beta gamma delta epsilon zeta eta iota")   // near-dup of 1 too
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalNearLsh(batch, corpus, threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id")).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L), (12L, 1L)))
+    // batch docs 10 and 12 are identical to each other — but within-side
+    // pairs must NOT appear (that's minhashLsh's job, not the cross join)
+    assert(!pairs.exists(p => p._1 >= 10 && p._2 >= 10))
+  }
+
   test("incremental: empty corpus keeps the whole deduped batch") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val batch = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
