@@ -46,4 +46,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"),
       s"k permutation minima must partial-aggregate before the exchange:\n$p")
   }
+
+  test("decontaminate: eval-set n-grams broadcast (corpus side never shuffles text)") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast — a shuffled join ships the corpus grams:\n$p")
+    assert(p.contains("partial_count"),
+      s"hit counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("dedup_incremental: digest anti-join, no document text in the exchange") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"), s"corpus screening must plan an anti-join:\n$p")
+    // the exchange carries (digest, id) — never the document body
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"anti-join exchange must carry digests, not text:\n$exchangeLines")
+  }
+
+  test("corpus_filter and text_pii: single narrow pass, zero exchanges") {
+    for (name <- Seq("corpus_filter", "text_pii")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name is per-row scoring — any shuffle is a regression:\n$p")
+      // executedPlan.toString marks whole-stage-codegen spans as "*(n)"
+      assert(p.contains("*("), s"$name fell out of codegen entirely:\n$p")
+    }
+  }
 }
