@@ -49,9 +49,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: spin executors + codegen + parquet reader paths once.
+    // Warmup: spin executors + codegen + parquet reader paths + the noop
+    // write command once, through one scan-heavy and one join-heavy plan,
+    // so the timed loop measures the operators rather than JVM/JIT init.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    for (w <- Seq("q1_pricing_summary", "q5_region_revenue"))
+      SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * (Kiveris et al., "Connected Components in MapReduce") bounds rounds at
   * O(log n) — the loop below is the same shuffle shape, so swapping the
   * propagation step is local.
+  *
+  * Small-graph fast path: when the materialized edge list is under
+  * `spark.graft.cc.localEdgeThreshold` directed edges (default 4M ≈ 64 MB
+  * on the driver), the multi-round shuffle loop costs more in fixed
+  * per-job overhead than the whole graph is worth. Like a broadcast join
+  * choosing a hash table over a shuffle below a size threshold, we then
+  * collect the (already blocked + verified, id-only) edges and run
+  * path-compressed union-find on the driver — one job instead of
+  * 3×rounds — and ship the label table back as a broadcast join. The
+  * distributed loop remains the path for corpus-scale pair lists.
   */
 object GraphOps {
 
@@ -34,8 +44,9 @@ object GraphOps {
     * the smallest node id in the component. Deterministic for any input
     * order (min is order-insensitive).
     *
-    * The returned frame is backed by the final round's materialized local
-    * checkpoint — O(|nodes|) rows, spillable storage — which stays alive
+    * The returned frame is backed by a materialized local checkpoint (the
+    * final round's, or the union-find fast path's label join) —
+    * O(|nodes|) rows, spillable storage — which stays alive
     * until the caller is done with it (session end, or
     * `df.queryExecution.analyzed` LogicalRDD unpersist); every
     * intermediate round is freed inside the loop.
@@ -66,6 +77,15 @@ object GraphOps {
       .localCheckpoint(true)
     val undRdd = track(und)
 
+    val localThreshold = nodes.sparkSession.conf
+      .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
+      .getOrElse(4000000L)
+    if (und.count() <= localThreshold) {
+      val out = localComponents(nodes, und, idCol)
+      undRdd.foreach(_.unpersist(false))
+      return out
+    }
+
     var cur = checkpointed(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
     // min-propagation only ever lowers labels, so the label sum strictly
     // decreases until the fixpoint — a single scalar convergence probe
@@ -92,6 +112,51 @@ object GraphOps {
     undRdd.foreach(_.unpersist(false)) // edge blocks are dead past the loop
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     cur
+  }
+
+  /** Driver-side path-compressed union-find over a collected (id-only)
+    * edge list, returned as a broadcast-joinable label table. Roots are
+    * always the smaller id, so `find` yields the component minimum —
+    * identical labels to the distributed min-propagation loop. External
+    * row values of every atomic Spark type are `Comparable`, so one
+    * ordering covers long/int/string/decimal/timestamp ids.
+    */
+  private def localComponents(nodes: DataFrame, und: DataFrame,
+                              idCol: String): DataFrame = {
+    val spark = nodes.sparkSession
+    val lt = (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    und.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList
+    parent.keysIterator.foreach(x =>
+      rows.add(org.apache.spark.sql.Row(x, find(x))))
+    val labels = spark.createDataFrame(rows, schema)
+    // materialize + cut lineage, mirroring the distributed path's output
+    // contract: callers may unpersist the upstream pair checkpoint as soon
+    // as this returns
+    nodes.select(col(idCol).as("id"))
+      .join(broadcast(labels), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint(true)
   }
 
   /** Component assignment for a whole corpus: every document gets a

@@ -59,6 +59,28 @@ class GraphOpsSpec extends SparkSpec {
     survivors.keys.foreach(k => assert(want(k) == k))
   }
 
+  test("distributed loop and union-find fast path agree (threshold forced to 0)") {
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 10L)).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    val localOut = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val distOut = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(distOut == localOut)
+      assert(distOut == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("union-find fast path labels string ids by lexicographic minimum") {
+    val nodes = Seq("b", "a", "c", "z").toDF("id")
+    val edges = Seq(("b", "a"), ("c", "b")).toDF("src", "dst")
+    val out = GraphOps.connectedComponents(nodes, edges)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
+
   test("connectedComponents handles an empty edge list (all singletons)") {
     val nodes = Seq(4L, 8L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
