@@ -33,7 +33,8 @@ object Bench {
     "dedup_components", "dedup_keep_one", "asof_join", "range_join",
     "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition",
     "text_decontaminate", "text_pii", "dedup_incremental",
-    "corpus_filter", "dedup_incremental_near")
+    "corpus_filter", "dedup_incremental_near",
+    "corpus_mixture", "text_classifier", "embed_project")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

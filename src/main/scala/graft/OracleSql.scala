@@ -77,6 +77,12 @@ object OracleSql {
     s"($dot / (sqrt(${norm(a)}) * sqrt(${norm(b)})))"
   }
 
+  /** Deterministic LCG weight in [-0.5, 0.5) for an integer index
+    * expression — the dyadic-rational mirror of
+    * [[graft.functions.LshBucketExpr.hyperplane]]. */
+  def lcgUnit(idx: String): String =
+    s"(CAST((1103515245*($idx)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)"
+
   /** LSH bucket of `vec` via deterministic LCG hyperplanes. */
   def lshBucket(vec: String, planes: Int, dims: Int): String = {
     val dot =

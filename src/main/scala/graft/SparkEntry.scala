@@ -384,6 +384,21 @@ object SparkEntry {
     "corpus_vocab" -> ((s, dir) =>
       CorpusOps.vocabulary(t(s, dir, "documents"), k = 20)),
 
+    // deterministic domain-mixture resampling (downweight src0, thin src1)
+    "corpus_mixture" -> ((s, dir) =>
+      CorpusOps.mixtureSample(t(s, dir, "documents"),
+        rates = Map("src0" -> 0.5, "src1" -> 0.25))),
+
+    // fastText-style hashing-trick quality classifier (linear skeleton)
+    "text_classifier" -> ((s, dir) =>
+      TextOps.classifierScore(t(s, dir, "documents"))),
+
+    // random-projection embedding compression (JL sketch, 64 -> 8 dims);
+    // exploded to rows for the oracle hash gate (array cells don't hash)
+    "embed_project" -> ((s, dir) =>
+      SimilarityOps.projectEmbeddings(t(s, dir, "embeddings"), k = 8, dims = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("plane", "pv")))),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -983,6 +998,41 @@ object SparkEntry {
          |FROM raw GROUP BY term
          |ORDER BY df DESC, tf DESC, term ASC
          |LIMIT 20""".stripMargin
+    },
+
+    "corpus_mixture" -> {
+      val u = s"(${OracleSql.ph("CAST(doc_id AS VARCHAR) || ':mix'")}) % 1000000"
+      s"""WITH u AS (SELECT doc_id, source, CAST($u AS INT) AS u_bucket FROM documents)
+         |SELECT doc_id, source, u_bucket FROM u
+         |WHERE u_bucket < (CASE source WHEN 'src0' THEN 500000
+         |                              WHEN 'src1' THEN 250000
+         |                              ELSE 1000000 END)""".stripMargin
+    },
+
+    "text_classifier" -> {
+      val w = OracleSql.lcgUnit(s"(${OracleSql.ph("t")}) % 1024")
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |s AS (SELECT doc_id,
+         |      CASE WHEN len(tk) > 0 THEN
+         |        0.0 + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(tk, t -> $w)), (a, x) -> a + x)
+         |          / len(tk)
+         |      ELSE 0.0 END AS logit FROM toks)
+         |SELECT doc_id, round(logit, 6) AS clf_logit, logit > 0 AS clf_keep
+         |FROM s""".stripMargin
+    },
+
+    "embed_project" -> {
+      val w = OracleSql.lcgUnit("pl*64+d")
+      s"""WITH p AS (SELECT vec_id,
+         |  list_transform(range(0, 8), pl ->
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 64), d ->
+         |        CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) * $w)),
+         |      (s, v) -> s + v), 6)) AS proj
+         |FROM embeddings)
+         |SELECT vec_id, CAST(i AS INT) AS plane, proj[CAST(i AS INT)+1] AS pv
+         |FROM p, range(0, 8) t(i)""".stripMargin
     },
 
     "text_boilerplate" -> {

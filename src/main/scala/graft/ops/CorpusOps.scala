@@ -35,6 +35,38 @@ object CorpusOps {
       (if (fractions.size == 1) lit(fractions.head._1) else split).as("split"))
   }
 
+  /** Deterministic domain-mixture resampling: downsample each stratum
+    * (source/domain) to a target rate so the surviving corpus matches a
+    * desired mixture — the standard final step of an LLM data pipeline
+    * (e.g. downweight web crawl, keep all books/code). Keep decisions are
+    * per-document Bernoulli trials driven by a content-stable hash, so
+    * they are reproducible across runs, engines and cluster sizes, and a
+    * document's fate never changes when the corpus around it grows —
+    * exactly what RNG-based `sample()` cannot guarantee. A pure narrow
+    * filter: no shuffle, no state; at 100 TB it runs at scan speed and
+    * composes with partition pruning on the stratum column.
+    *
+    * `rates` maps stratum value → keep rate in [0, 1]; absent strata use
+    * `defaultRate`. The keep test is exact integer arithmetic:
+    * `polyHash(id:salt) mod 1e6 < rate·1e6` (rates are exact at 1e-6
+    * granularity, matching the oracle bit-for-bit).
+    */
+  def mixtureSample(docs: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double = 1.0,
+                    strataCol: String = "source", idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "keep rates must be in [0, 1]")
+    val u = polyHash(concat(col(idCol).cast("string"), lit(":" + salt))) % lit(1000000L)
+    def thr(rate: Double): Column = lit(math.round(rate * 1000000L))
+    val cut = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (s, r)) =>
+        when(col(strataCol) === s, thr(r)).otherwise(acc)
+      }
+    docs.select(col(idCol), col(strataCol), u.cast("int").as("u_bucket"))
+      .filter(col("u_bucket") < coalesce(cut, thr(defaultRate)))
+  }
+
   /** Corpus vocabulary head: the `k` highest-document-frequency terms with
     * their document and occurrence counts — the standard first look at a
     * corpus before tokenizer training / stopword selection. One exploded

@@ -64,6 +64,40 @@ object SimilarityOps {
         acc * lit(2L) + when(dot >= 0, 1L).otherwise(lit(0L))
       })
 
+  /** Random-projection compression of an embedding column: each vector is
+    * projected onto `k` deterministic LCG hyperplanes (the same planes as
+    * [[lshBucket]] — which is exactly this projection's sign bits). The
+    * standard pre-ANN / pre-storage dimensionality reduction: by
+    * Johnson–Lindenstrauss, k projections preserve pairwise geometry to
+    * within ~sqrt(1/k), and determinism makes compressed shards
+    * reproducible across runs and cluster sizes. A pure narrow projection
+    * — one codegen'd loop per row ([[graft.functions.ProjectEmbedExpr]]),
+    * no join, no shuffle — so it streams over a 100 TB corpus at scan
+    * speed. Output doubles are rounded to 6 places for the portable
+    * surface (inputs to both engines are bit-identical dyadic folds).
+    */
+  def projectEmbeddings(vecs: DataFrame, k: Int = 8, dims: Int = 64,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val proj = ColumnBridge.column(graft.functions.ProjectEmbedExpr(
+      ColumnBridge.expression(col(vecCol)), k, dims))
+    vecs.select(col(idCol),
+      transform(proj, x => round(x, 6)).as("proj"))
+  }
+
+  /** Portable HOF twin of the projection inside [[projectEmbeddings]]
+    * (unrounded) — the executable spec the native expression is
+    * parity-tested against; the oracle SQL mirrors this form.
+    */
+  def projectHof(vec: org.apache.spark.sql.Column, k: Int, dims: Int): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      pl => aggregate(
+        zip_with(vec, sequence(lit(0), lit(dims - 1)),
+          (x, d) => x.cast("double") * hyperplane(pl.cast("long"), d.cast("long"), dims)),
+        lit(0.0d), (s, v) => s + v))
+
   /** Per-row similarity-to-centroid structs, orderable as (sim desc, cid
     * asc): centroids are driver-side constants, so each struct is a pure
     * narrow projection — nlist codegen'd cosine calls per row, no join,

@@ -257,6 +257,39 @@ object TextOps {
         col("f_low_distinct") || col("f_low_stopword") || col("f_web")))
   }
 
+  /** Hashing-trick linear text classifier — the fastText-style model-based
+    * quality filter of CCNet/LLaMA-class pipelines, with the model reduced
+    * to its deterministic skeleton: each token maps to one of `dims`
+    * feature buckets via the portable polynomial hash, each bucket carries
+    * a fixed LCG-derived weight in [-0.5, 0.5), and the document logit is
+    * the mean bucket weight plus `bias`. Swapping in real learned weights
+    * is a one-line change (join or literal map); the Spark-side shape is
+    * what matters at 100 TB: a pure narrow projection, no shuffle, one
+    * sequential fold per document in the scan stage.
+    *
+    * Exact cross-engine parity: the weight is a dyadic rational, the fold
+    * is a strict left fold in token order, and the mean divides by the
+    * token count — the oracle's list_reduce computes bit-identical
+    * doubles. Empty documents score `bias` alone.
+    */
+  def classifierScore(docs: DataFrame, dims: Int = 1024, bias: Double = 0.0,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    def weight(t: Column): Column = {
+      val lcg = (lit(1103515245L) * (polyHash(t) % lit(dims.toLong)) + lit(12345L)) % lit(2147483648L)
+      lcg.cast("double") / lit(2147483648.0d) - lit(0.5d)
+    }
+    docs.select(col(idCol), tk.as("_tk"))
+      .withColumn("clf_logit",
+        when(size(col("_tk")) > 0,
+          lit(bias) + aggregate(col("_tk"), lit(0.0d), (a, t) => a + weight(t))
+            / size(col("_tk")).cast("double"))
+          .otherwise(lit(bias)))
+      .select(col(idCol), round(col("clf_logit"), 6).as("clf_logit"),
+        (col("clf_logit") > 0).as("clf_keep"))
+  }
+
   /** Within-document repetition metrics (the Gopher/C4 quality-rule
     * family): top-word fraction, top-bigram fraction, and the fraction of
     * bigram occurrences that are duplicates inside the same document.

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, WinnowExpr, WordGramsExpr}
+import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, ProjectEmbedExpr, WinnowExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,7 +32,9 @@ object FunctionRegistration {
     ("graft_lang_scores", "per-language stopword hit counts over a token array",
       exprs => LangScoresExpr(exprs.head)),
     ("graft_winnow", "winnowing fingerprints: graft_winnow(tokens, n, window)",
-      exprs => WinnowExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
+      exprs => WinnowExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))),
+    ("graft_project_embed", "random-projection sketch: graft_project_embed(vec, planes, dims)",
+      exprs => ProjectEmbedExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v
