@@ -102,9 +102,14 @@ object Main {
       case (acc, a) if a.startsWith("-") && !a.startsWith("--") =>
         sys.error(s"unknown flag $a (did you mean -$a or --${a.stripPrefix("-")}?)")
       case (acc, a) if acc.lastOption.contains("--table") =>
+        // a flag here means -t had no value — fail loud, never fold a
+        // flag into the table list or let a bare --table parse as "true"
+        if (a.startsWith("-")) sys.error(s"-t requires a table list, got $a")
         acc.init :+ s"--table=$a"
       case (acc, a) => acc :+ a
     }
+    if (expanded.lastOption.contains("--table"))
+      sys.error("-t requires a table list value")
     val (flagArgs, pos) = expanded.partition(_.startsWith("--"))
     val flags: Map[String, String] = flagArgs.map { f =>
       val kv = f.stripPrefix("--").split("=", 2)

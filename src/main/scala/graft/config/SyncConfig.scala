@@ -54,6 +54,14 @@ final case class SyncConfig(core: CoreConfig, sources: Seq[SourceConfig]) {
 
 object SyncConfig {
 
+  /** Reference parity for BOTH loaders: a missing or empty engine means
+    * ReplacingMergeTree (synch.yaml:48 "default ReplacingMergeTree";
+    * synch/factory.py:71-72 maps engine None to the Replacing writer).
+    */
+  private def engineOf(raw: Option[String]): Engine.Value =
+    raw.map(_.trim).filter(_.nonEmpty).map(Engine.withName)
+      .getOrElse(Engine.ReplacingMergeTree)
+
   /** Loader for the reference's own `synch.yaml` shape
     * (/root/reference/synch.yaml; accessors synch/settings.py:33-95) via
     * the dependency-free [[MiniYaml]] subset parser — a reference user
@@ -82,10 +90,7 @@ object SyncConfig {
         val tables = d.get("tables").map(_.items).getOrElse(Nil).map { t =>
           TableConfig(
             table = t.str("table"),
-            // reference parity: a missing or empty clickhouse_engine means
-            // ReplacingMergeTree (synch.yaml:48 "default ReplacingMergeTree";
-            // synch/factory.py:71-72 maps engine None to the Replacing writer)
-            engine = Engine.withName(t.str("clickhouse_engine", "ReplacingMergeTree")),
+            engine = engineOf(Some(t.str("clickhouse_engine", ""))),
             autoFullEtl = t.bool("auto_full_etl", default = true),
             signColumn = t.str("sign_column", "sign"),
             versionColumn = t.str("version_column", "version"),
@@ -143,7 +148,7 @@ object SyncConfig {
                 val base = s"source.$i.database.$d.table.$t"
                 TableConfig(
                   table = p(base),
-                  engine = Engine.withName(p(s"$base.engine", "MergeTree")),
+                  engine = engineOf(props.get(s"$base.engine")),
                   autoFullEtl = p(s"$base.auto_full_etl", "true").toBoolean,
                   signColumn = p(s"$base.sign_column", "sign"),
                   versionColumn = p(s"$base.version_column", "version"),

@@ -95,7 +95,7 @@ object CorpusOps {
                        idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
-      .orderBy(polyHash(col(idCol).cast("string")).asc, col(idCol).asc)
+      .orderBy(col("_h").asc, col(idCol).asc)
     docs.select(col(strataCol), col(idCol),
         polyHash(col(idCol).cast("string")).as("_h"))
       .withColumn("pick_rank", row_number().over(w).cast("int"))
@@ -151,10 +151,8 @@ object CorpusOps {
     val keep = strataCol.map(col).toSeq :+ col(orderCol)
     docs.select(keep :+ size(tokens(col(textCol))).cast("long").as("n_tokens"): _*)
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      // offsets are non-negative, so exact integer floor is plain div
       .withColumn("chunk_id",
-        ((col("start_off") - pmod(col("start_off"), lit(capacity))) / lit(capacity))
-          .cast("long"))
+        graft.functions.IntMath.floorDiv(col("start_off"), capacity))
   }
 
   /** Boilerplate/duplication score: the fraction of a document's distinct

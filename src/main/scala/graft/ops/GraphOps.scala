@@ -41,8 +41,10 @@ object GraphOps {
 
   /** Minimum-reachable-id connected components over an undirected edge
     * list. Returns one row per node in `nodes`: (id, comp) where `comp` is
-    * the smallest node id in the component. Deterministic for any input
-    * order (min is order-insensitive).
+    * the smallest id reachable through the edge list (edge endpoints need
+    * not appear in `nodes`; they conduct connectivity and may supply the
+    * min label, but only `nodes` rows come back). Deterministic for any
+    * input order (min is order-insensitive).
     *
     * The returned frame is backed by a materialized local checkpoint (the
     * final round's, or the union-find fast path's label join) —
@@ -86,12 +88,26 @@ object GraphOps {
       return out
     }
 
-    var cur = checkpointed(nodes.select(col(idCol).as("id"), col(idCol).as("comp")))
-    // min-propagation only ever lowers labels, so the label sum strictly
-    // decreases until the fixpoint — a single scalar convergence probe
+    // seed EVERY edge endpoint alongside the nodes, so the label table
+    // never grows mid-loop: the sum probe's soundness (labels only ever
+    // lower; rows never appear) and parity with the union-find path's
+    // transitive-through-foreign-endpoint semantics both depend on it
+    val seed = nodes.select(col(idCol).as("id"))
+      .union(und.select(col("src").as("id")))
+      .distinct()
+    var cur = checkpointed(seed.select(col("id"), col("id").as("comp")))
+    val integralId = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // integral ids: min-propagation only ever lowers labels, so the label
+    // sum strictly decreases until the fixpoint — a single scalar probe.
+    // other id types (string, decimal, ...): sum is meaningless — probe by
+    // joining consecutive rounds and looking for any changed label.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-    var curSum = labelSum(cur)
+    var curSum = if (integralId) labelSum(cur) else 0L
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -99,9 +115,15 @@ object GraphOps {
         .select(col("dst").as("id"), col("comp"))
       val next = checkpointed(
         cur.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      val nextSum = labelSum(next)
-      if (nextSum == curSum) converged = true
-      else { curSum = nextSum }
+      if (integralId) {
+        val nextSum = labelSum(next)
+        if (nextSum == curSum) converged = true
+        else { curSum = nextSum }
+      } else {
+        converged = next
+          .join(cur.select(col("id"), col("comp").as("_prev")), Seq("id"))
+          .filter(!(col("comp") <=> col("_prev"))).isEmpty
+      }
       // previous round's blocks are dead either way (next is materialized
       // with lineage cut); keep only the newest checkpoint alive
       freed.dropRight(1).foreach(_.unpersist(false))
@@ -111,7 +133,14 @@ object GraphOps {
     }
     undRdd.foreach(_.unpersist(false)) // edge blocks are dead past the loop
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    cur
+    // only `nodes` rows come back (foreign endpoints conducted; they are
+    // not part of the answer); materialized so callers may unpersist
+    // upstream checkpoints as soon as this returns
+    val out = cur.join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    freed.foreach(_.unpersist(false))
+    freed.clear()
+    out
   }
 
   /** Driver-side path-compressed union-find over a collected (id-only)

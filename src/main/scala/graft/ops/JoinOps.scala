@@ -65,13 +65,15 @@ object JoinOps {
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
 
-    val out = lStructCols.foldLeft(merged) { (df, c) =>
+    val widened = lStructCols.foldLeft(merged) { (df, c) =>
         df.withColumn(c, col("_l").getField(c))
       }
       .withColumns(payloadCols.map(c => c -> col("_m").getField(c)).toMap)
-      .drop("_k", "_t", "_tag", "_r", "_l", "_m")
-    if (keepUnmatched) out
-    else out.filter(col(payloadCols.head).isNotNull)
+    // inner as-of drops rows with no matched right ROW — the struct's
+    // nullness, not a payload field's (a matched row may carry null values
+    // in any payload column)
+    val out = if (keepUnmatched) widened else widened.filter(col("_m").isNotNull)
+    out.drop("_k", "_t", "_tag", "_r", "_l", "_m")
   }
 
   /** Point-in-interval range join: pair each left row (a point `leftTs`)
@@ -98,13 +100,7 @@ object JoinOps {
     require(bucket > 0, "bucket width must be positive")
     require(Set(leftTs, startTs, endTs).size == 3,
       "leftTs/startTs/endTs column names must be distinct")
-    // exact floor division for ANY long (double division loses integer
-    // precision past 2^53 — ns-scale epochs would misbucket at boundaries;
-    // `div` alone truncates toward zero, wrong for pre-epoch values)
-    def floorDiv(c: Column): Column = {
-      val l = c.cast("long")
-      ((l - pmod(l, lit(bucket))).cast("decimal(38,0)") / lit(bucket)).cast("long")
-    }
+    def floorDiv(c: Column): Column = graft.functions.IntMath.floorDiv(c, bucket)
     val lb = left.withColumn("_b", floorDiv(col(leftTs)))
     val rb = right
       .withColumn("_bs", floorDiv(col(startTs)))

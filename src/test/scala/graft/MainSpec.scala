@@ -81,6 +81,18 @@ class MainSpec extends SparkSpec {
       Main.main(Array("etl", cfgPath, "-x", s"$root/state3"))
     }
     assert(err.getMessage.contains("-x"))
+
+    // -t with no value (trailing, or followed by another flag) must fail
+    // loudly, not select zero tables or swallow the next flag
+    val trailing = intercept[RuntimeException] {
+      Main.main(Array("etl", cfgPath, "unused", s"$root/state4", "-t"))
+    }
+    assert(trailing.getMessage.contains("-t requires"))
+    val flagNext = intercept[RuntimeException] {
+      Main.main(Array("etl", cfgPath, "unused", s"$root/state5", "-t", "--renew"))
+    }
+    assert(flagNext.getMessage.contains("-t requires"))
+    assert(!Files.exists(Paths.get(s"$root/state4")) && !Files.exists(Paths.get(s"$root/state5")))
   }
 
   test("postgres sources get a per-database URL and schema-qualified dbtable") {

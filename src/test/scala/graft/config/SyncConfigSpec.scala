@@ -30,6 +30,18 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(tables.map(_.table) == Seq("orders", "lineitem"))
     assert(tables.head.engine == Engine.ReplacingMergeTree)
     assert(tables.head.versionColumn == "updated_at")
-    assert(tables(1).engine == Engine.MergeTree)
+    // missing engine key: same reference-parity default as the YAML loader
+    // (synch/factory.py:71-72 maps engine None to the Replacing writer)
+    assert(tables(1).engine == Engine.ReplacingMergeTree)
+  }
+
+  test("empty engine value falls back to ReplacingMergeTree, not a crash") {
+    val cfg = SyncConfig.fromProperties(Map(
+      "source.0.alias" -> "m", "source.0.db_type" -> "mysql",
+      "source.0.url" -> "jdbc:mysql://h:3306",
+      "source.0.database.0" -> "test",
+      "source.0.database.0.table.0" -> "orders",
+      "source.0.database.0.table.0.engine" -> "  "))
+    assert(cfg.sources.head.databases.head.tables.head.engine == Engine.ReplacingMergeTree)
   }
 }

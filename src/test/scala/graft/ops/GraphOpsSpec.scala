@@ -81,6 +81,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
+  test("distributed loop handles string ids (join-probe convergence, multi-hop)") {
+    // diameter-4 chain: the sum probe is meaningless for strings; the
+    // join-based probe must run the full propagation, not stop after one hop
+    val nodes = Seq("e", "d", "c", "b", "a", "q").toDF("id")
+    val edges = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")).toDF("src", "dst")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val out = GraphOps.connectedComponents(nodes, edges)
+        .as[(String, String)].collect().toMap
+      assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+        "e" -> "a", "q" -> "q"))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("edge endpoints absent from nodes conduct connectivity on both paths") {
+    // 1 and 2 are connected only THROUGH foreign node 99; 0 supplies the
+    // min label from outside nodes; only nodes rows come back
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 99L), (99L, 2L), (2L, 0L)).toDF("src", "dst")
+    val localOut = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(localOut == Map(1L -> 0L, 2L -> 0L))
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val distOut = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(distOut == localOut)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connectedComponents handles an empty edge list (all singletons)") {
     val nodes = Seq(4L, 8L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

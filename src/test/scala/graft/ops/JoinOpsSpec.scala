@@ -39,6 +39,18 @@ class JoinOpsSpec extends SparkSpec {
     assert(unmatched == Set("e3", "e5"))
   }
 
+  test("inner as-of keeps a matched right row whose payload value is null") {
+    // matched-ness is the matched ROW's existence, not a payload field's
+    // nullness: oid is null in the only right row, yet e1 matched it
+    val r = Seq((1L, 100L, Option.empty[java.lang.Long], 5.0))
+      .toDF("rk", "rts", "oid", "price")
+    val out = JoinOps.asofJoin(Seq(("e1", 1L, 150L)).toDF("ev", "k", "ts"),
+        r, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "price")
+      .select("ev", "price").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("e1", 5.0)))
+  }
+
   test("ties on (key, rightTs) resolve to the largest tieBreak value") {
     val dupRight = Seq((1L, 100L, 11L, 1.0), (1L, 100L, 19L, 9.0))
       .toDF("rk", "rts", "oid", "price")
