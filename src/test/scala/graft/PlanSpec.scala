@@ -73,4 +73,22 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("*("), s"$name fell out of codegen entirely:\n$p")
     }
   }
+
+  test("mixture, classifier, embedding sketch: narrow scan-speed passes, zero exchanges") {
+    for (name <- Seq("corpus_mixture", "text_classifier", "embed_project")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name must stream at scan speed — any shuffle is a regression:\n$p")
+      assert(p.contains("*("), s"$name fell out of codegen entirely:\n$p")
+    }
+  }
+
+  test("corpus_mixture: the keep predicate reaches the scan as a data filter") {
+    val p = plan("corpus_mixture")
+    // the Bernoulli test is a Filter over the scan output (not post-agg),
+    // and the scan reads only the columns the operator needs
+    assert(p.contains("Filter"), s"mixture keep-test missing from plan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"),
+      s"scan reads unused document columns:\n$p")
+  }
 }
