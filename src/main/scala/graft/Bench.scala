@@ -34,7 +34,8 @@ object Bench {
     "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition",
     "text_decontaminate", "text_pii", "dedup_incremental",
     "corpus_filter", "dedup_incremental_near",
-    "corpus_mixture", "text_classifier", "embed_project")
+    "corpus_mixture", "text_classifier", "embed_project",
+    "dedup_incremental_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

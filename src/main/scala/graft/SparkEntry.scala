@@ -491,6 +491,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 < 8))
     }),
 
+    // same contract through the Bloom prescreen (definite-new digests skip
+    // the anti-join; might-contain hits verify exactly) — row-identical
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.incrementalBloom(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 10 < 8), expectedItems = 100000L)
+    }),
+
     // bucketed point-in-interval range join (attribution: events inside a
     // 2h window after a same-user purchase) — equi-join on (key, bucket),
     // never a nested-loop
@@ -1217,6 +1225,14 @@ object SparkEntry {
     },
 
     "dedup_incremental" ->
+      s"""WITH b AS (SELECT min(doc_id) AS doc_id, sha256(text) AS digest
+         |           FROM documents WHERE doc_id % 3 = 0 GROUP BY sha256(text))
+         |SELECT doc_id, digest FROM b
+         |WHERE NOT EXISTS (SELECT 1 FROM documents c
+         |                  WHERE c.doc_id % 10 < 8 AND sha256(c.text) = b.digest)""".stripMargin,
+
+    // the Bloom prescreen is an internal optimization — exact anti-join twin
+    "dedup_incremental_bloom" ->
       s"""WITH b AS (SELECT min(doc_id) AS doc_id, sha256(text) AS digest
          |           FROM documents WHERE doc_id % 3 = 0 GROUP BY sha256(text))
          |SELECT doc_id, digest FROM b

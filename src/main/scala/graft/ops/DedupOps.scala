@@ -65,6 +65,57 @@ object DedupOps {
       .select(col(idCol), col("digest"))
   }
 
+  /** [[incremental]] with a Bloom-filter prescreen — the shape that wins
+    * when the ingested corpus dwarfs every batch (the steady state of a
+    * recurring crawl): build a Bloom filter over the corpus digests once
+    * (distributed `bloom_filter_agg`, bit-OR merge — order-insensitive,
+    * deterministic), broadcast its bytes, and split the batch with a
+    * narrow `might_contain` pass. Definite-new digests (no false
+    * negatives exist) skip the join entirely; only the `might_contain`
+    * hits — true dups plus an `fpp` sliver of the batch — pay the exact
+    * digest anti-join. Result is row-identical to [[incremental]].
+    *
+    * Sizing: the filter costs ~`-ln(fpp)/ln²2` bits per expected item
+    * (≈7.3 bits at 3%) — 1 B corpus digests ≈ 0.9 GB, the practical
+    * broadcast ceiling; beyond that, partition the corpus and OR-merge
+    * per-range filters, or fall back to [[incremental]]'s shuffled
+    * anti-join. The single-value driver fetch of the filter bytes is the
+    * broadcast-variable pattern, not a per-row collect.
+    */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       expectedItems: Long = 1000000L,
+                       fpp: Double = 0.03): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val batchD = batch
+      .select(col(idCol), sha2(col(textCol), 256).as("digest"))
+      .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+    val corpusD = corpus.select(sha2(col(textCol), 256).as("digest"))
+    val numBits = math.max(64L,
+      math.ceil(expectedItems * -math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("digest"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression()
+    val bloomBytes = corpusD.select(ColumnBridge.column(aggExpr).as("_bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bloomBytes == null) // empty corpus: aggregate yields null — all new
+      return batchD.select(col(idCol), col("digest"))
+    val mightContain = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("digest")))))
+    val definiteNew = batchD.filter(!mightContain)
+    val verified = batchD.filter(mightContain)
+      .join(corpusD, Seq("digest"), "left_anti")
+    definiteNew.select(col(idCol), col("digest"))
+      .unionByName(verified.select(col(idCol), col("digest")))
+  }
+
   /** Incremental NEAR-dup — [[incremental]]'s fuzzy sibling: flag new
     * `batch` documents that are near-duplicates (MinHash-LSH candidates,
     * verified exact n-gram Jaccard ≥ `threshold`) of any already-ingested

@@ -116,6 +116,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 10 && p._2 >= 10))
   }
 
+  test("incrementalBloom is row-identical to incremental on the real corpus") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
+    val exact = DedupOps.incremental(batch, corpus)
+      .as[(Long, String)].collect().toSet
+    // tiny filter (64 bits) forces a high false-positive rate: the exact
+    // verification of might-contain hits must still erase every FP
+    for (items <- Seq(100000L, 1L)) {
+      val got = DedupOps.incrementalBloom(batch, corpus, expectedItems = items)
+        .as[(Long, String)].collect().toSet
+      assert(got == exact, s"expectedItems=$items diverged")
+    }
+  }
+
+  test("incrementalBloom: empty corpus keeps the whole deduped batch (null filter)") {
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("doc_id", "text")
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = DedupOps.incrementalBloom(batch, corpus).as[(Long, String)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("incremental: empty corpus keeps the whole deduped batch") {
     val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val batch = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
