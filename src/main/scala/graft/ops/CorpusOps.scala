@@ -155,6 +155,31 @@ object CorpusOps {
         graft.functions.IntMath.floorDiv(col("start_off"), capacity))
   }
 
+  /** Deterministic shard export — the last mile of a training-data
+    * pipeline: write the corpus as `nShards` stable shards, one file per
+    * shard, rows ordered inside each file. Shard membership is the
+    * content-stable hash (`polyHash(id) mod nShards`), so re-exports and
+    * different cluster sizes produce byte-stable shard membership and a
+    * document never migrates when the corpus grows.
+    *
+    * Shape: one hash repartition on the shard key (all rows of a shard
+    * land in one task because equal keys co-locate), an in-partition sort
+    * (no global sort), and a directory-per-shard write. At 100 TB pick
+    * `nShards` so a shard fits a trainer's reader budget; for multi-file
+    * shards compose with `maxRecordsPerFile` instead of one-file-per-
+    * shard.
+    */
+  def exportShards(docs: DataFrame, path: String, nShards: Int,
+                   idCol: String = "doc_id"): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    docs
+      .withColumn("shard",
+        pmod(polyHash(col(idCol).cast("string")), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Boilerplate/duplication score: the fraction of a document's distinct
     * word n-grams that occur in more than `dfCap` documents. High values
     * flag template/near-boilerplate text — the corpus-level complement to

@@ -72,4 +72,27 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.contains(("view", 1L)))
     } finally q.stop()
   }
+
+  test("narrow corpus ops compose with streams and match their batch twins") {
+    // classifierScore and corpusFilter are pure narrow passes, so they run
+    // unchanged on a streaming DataFrame (append mode, no state) — the
+    // streaming ingest path of a training-data pipeline reuses the exact
+    // batch operators
+    implicit val sc = spark.sqlContext
+    val rows = Seq((1L, "alpha beta gamma alpha"), (2L, ""), (3L, "the of and to in"))
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.ops.TextOps.classifierScore(
+      input.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory")
+      .queryName("clf_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream")
+        .as[(Long, Double, Boolean)].collect().toSet
+      val batch = graft.ops.TextOps.classifierScore(rows.toDF("doc_id", "text"))
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
