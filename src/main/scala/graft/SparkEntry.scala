@@ -393,6 +393,14 @@ object SparkEntry {
     "text_classifier" -> ((s, dir) =>
       TextOps.classifierScore(t(s, dir, "documents"))),
 
+    // BPE tokenizer prep: top adjacent-pair counts (first merge statistic)
+    "corpus_bpe_pairs" -> ((s, dir) =>
+      CorpusOps.bpePairCandidates(t(s, dir, "documents"), k = 20)),
+
+    // per-label embedding centroids (nearest-centroid / drift monitoring)
+    "embed_centroids" -> ((s, dir) =>
+      SimilarityOps.labelCentroids(t(s, dir, "embeddings"))),
+
     // random-projection embedding compression (JL sketch, 64 -> 8 dims);
     // exploded to rows for the oracle hash gate (array cells don't hash)
     "embed_project" -> ((s, dir) =>
@@ -1015,6 +1023,29 @@ object SparkEntry {
          |WHERE u_bucket < (CASE source WHEN 'src0' THEN 500000
          |                              WHEN 'src1' THEN 250000
          |                              ELSE 1000000 END)""".stripMargin
+    },
+
+    "corpus_bpe_pairs" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |p AS (SELECT unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |        i -> struct_pack(left_tok := tk[CAST(i AS INT)],
+         |                         right_tok := tk[CAST(i AS INT)+1]))) AS pr
+         |      FROM toks)
+         |SELECT pr.left_tok AS left_tok, pr.right_tok AS right_tok,
+         |       COUNT(*) AS n_pairs
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, left_tok ASC, right_tok ASC
+         |LIMIT 20""".stripMargin
+    },
+
+    "embed_centroids" -> {
+      s"""WITH e AS (SELECT label, vec_id, CAST(d AS INT) AS dim,
+         |      CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) AS x
+         |      FROM embeddings, range(0, 64) t(d))
+         |SELECT label, dim, COUNT(*) AS n_vecs,
+         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(x ORDER BY vec_id)), (a, v) -> a + v) / COUNT(*), 6) AS centroid
+         |FROM e GROUP BY label, dim""".stripMargin
     },
 
     "text_classifier" -> {

@@ -155,6 +155,29 @@ object CorpusOps {
         graft.functions.IntMath.floorDiv(col("start_off"), capacity))
   }
 
+  /** Top merge candidates for BPE-style tokenizer training: the `k`
+    * highest-frequency adjacent token pairs in the corpus — exactly the
+    * statistic the first BPE merge step maximizes (and re-runs of this op
+    * over re-tokenized text drive subsequent merges). One shingle pass,
+    * one keyed hash-aggregate with map-side partial combine, one top-k —
+    * the same 100 TB shape as [[vocabulary]].
+    */
+  def bpePairCandidates(docs: DataFrame, k: Int = 20,
+                        textCol: String = "text"): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("left_tok"),
+          element_at(tk, i + 1).as("right_tok"))))
+      .otherwise(array().cast("array<struct<left_tok:string,right_tok:string>>"))
+    docs.select(explode(pairs).as("_p"))
+      .select(col("_p.left_tok").as("left_tok"), col("_p.right_tok").as("right_tok"))
+      .groupBy(col("left_tok"), col("right_tok"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("left_tok").asc, col("right_tok").asc)
+      .limit(k)
+  }
+
   /** Deterministic shard export — the last mile of a training-data
     * pipeline: write the corpus as `nShards` stable shards, one file per
     * shard, rows ordered inside each file. Shard membership is the

@@ -86,6 +86,30 @@ object SimilarityOps {
       transform(proj, x => round(x, 6)).as("proj"))
   }
 
+  /** Per-label centroids of an embedding column, exploded to (label, dim,
+    * centroid) rows — class centroids for nearest-centroid classification,
+    * k-means seeding, or embedding-drift monitoring.
+    *
+    * Scale note: the sum is an ORDERED fold over `collect_list` sorted by
+    * vec id, which makes the floating-point result bit-reproducible (and
+    * oracle-comparable) but forbids map-side partial aggregation — each
+    * (label, dim) group's values meet in one task. At 100 TB swap the
+    * fold for a plain `sum` (partial-agg friendly, error ~1e-13 relative)
+    * — same call shape, declared tolerance; dims are independent rows
+    * either way, so parallelism is label×dims regardless.
+    */
+  def labelCentroids(vecs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame =
+    vecs.select(col(labelCol).as("label"), col(idCol).as("_vid"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        aggregate(sort_array(collect_list(struct(col("_vid"), col("_x")))),
+          lit(0.0d), (a, s) => a + s.getField("_x").cast("double")).as("_sum"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("_sum") / col("n_vecs"), 6).as("centroid"))
+
   /** Portable HOF twin of the projection inside [[projectEmbeddings]]
     * (unrounded) — the executable spec the native expression is
     * parity-tested against; the oracle SQL mirrors this form.

@@ -60,6 +60,31 @@ class MixtureClassifierSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("bpePairCandidates counts adjacent pairs; short docs contribute none") {
+    val d = Seq(
+      (1L, "a b a b c"),   // pairs: (a,b) x2, (b,a), (b,c)
+      (2L, "a b"),         // (a,b)
+      (3L, "solo"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.bpePairCandidates(d, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out.head == (("a", "b", 3L)))
+    assert(out.toSet == Set(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
+  test("labelCentroids: elementwise means per label over the fixture") {
+    val v = Seq(
+      (1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelCentroids(v)
+      .as[(Int, Int, Long, Double)].collect()
+      .map { case (l, d, n, c) => (l, d) -> ((n, c)) }.toMap
+    assert(out == Map(
+      (0, 0) -> ((2L, 2.0)), (0, 1) -> ((2L, 4.0)),
+      (1, 0) -> ((1L, 10.0)), (1, 1) -> ((1L, 20.0))))
+  }
+
   test("projectEmbeddings native expr equals the portable HOF formulation") {
     val emb = graft.Tables(spark, sf, "embeddings").limit(200)
     val native = SimilarityOps.projectEmbeddings(emb, k = 8, dims = 64)
