@@ -368,6 +368,11 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprints(t(s, dir, "documents"))),
 
+    // passage-duplication pairs: docs sharing >=2 winnow fingerprints,
+    // df-capped inverted-index blocking (never all-pairs)
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(t(s, dir, "documents"), minShared = 2, maxDf = 64)),
+
     // URL/email token detection (quality & PII-ish filtering)
     "text_webmarks" -> ((s, dir) =>
       TextOps.webMarks(t(s, dir, "documents"))),
@@ -531,7 +536,20 @@ object SparkEntry {
       CorpusOps.packSequences(t(s, dir, "documents"), capacity = 2048)),
 
     "multimodal_meta" -> ((s, dir) =>
-      MultimodalOps.blobMetaSql(t(s, dir, "documents")))
+      // the real mapPartitions decode path (per-partition codec init);
+      // blobMetaSql is its pure-SQL twin (parity-tested in ExtOpsSpec)
+      MultimodalOps.decodeMeta(
+        MultimodalOps.withBlob(t(s, dir, "documents")),
+        new MultimodalOps.StubDecoder)),
+
+    // frame sampling: every 256-byte window as a "frame" (video-frame
+    // extraction plumbing); bytes projected to string for the hash gate
+    // (fixture text is ASCII, so byte and char windows coincide)
+    "multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+        MultimodalOps.withBlob(t(s, dir, "documents")), stride = 1)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame_text")))
   )
 
   // =====================================================================
@@ -998,6 +1016,25 @@ object SparkEntry {
          |SELECT doc_id, unnest(fps) AS fp FROM w""".stripMargin
     },
 
+    "dedup_winnow_pairs" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |h AS (SELECT doc_id,
+         |        list_transform(${OracleSql.shingles(3)}, s -> ${OracleSql.ph("s")}) AS hs,
+         |        greatest(len(tk) - 2, 0) AS m
+         |      FROM toks),
+         |w AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, greatest(m - 3, 0) + 1),
+         |          i -> list_min(hs[CAST(i AS INT) : CAST(i AS INT) + 3]))) AS fps
+         |      FROM h),
+         |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+         |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 64),
+         |ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2""".stripMargin
+    },
+
     "split_assign" -> {
       val bucket = s"(${OracleSql.ph("CAST(doc_id AS VARCHAR)")}) % 100"
       s"""SELECT doc_id, CAST($bucket AS INT) AS bucket,
@@ -1305,6 +1342,12 @@ object SparkEntry {
          |  CAST(($h // 1024) % 1024 AS INT) AS height,
          |  CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames
          |FROM documents""".stripMargin
-    }
+    },
+
+    "multimodal_frames" ->
+      """SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
+        |       substring(d.text, CAST(f.i * 256 + 1 AS INT), 256) AS frame_text
+        |FROM documents d,
+        |     LATERAL unnest(range(0, greatest(octet_length(encode(d.text)) // 256, 1))) AS f(i)""".stripMargin
   )
 }

@@ -58,6 +58,13 @@ object CrossHash {
     ColumnBridge.column(WordGramsExpr(ColumnBridge.expression(text), n))
   }
 
+  /** Every word n-gram occurrence in order (non-distinct) — the counting
+    * form frequency statistics (BPE merge candidates) need. */
+  def wordGramsAll(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(WordGramsExpr(ColumnBridge.expression(text), n, distinct = false))
+  }
+
   /** MinHash signature (array of k minima) over an array of shingles. */
   def minHash(shingleArr: Column, k: Int = 8): Column =
     transform(sequence(lit(0), lit(k - 1)), j =>

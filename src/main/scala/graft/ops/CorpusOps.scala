@@ -164,16 +164,15 @@ object CorpusOps {
     */
   def bpePairCandidates(docs: DataFrame, k: Int = 20,
                         textCol: String = "text"): DataFrame = {
-    val tk = tokens(lower(col(textCol)))
-    val pairs = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => struct(element_at(tk, i).as("left_tok"),
-          element_at(tk, i + 1).as("right_tok"))))
-      .otherwise(array().cast("array<struct<left_tok:string,right_tok:string>>"))
-    docs.select(explode(pairs).as("_p"))
-      .select(col("_p.left_tok").as("left_tok"), col("_p.right_tok").as("right_tok"))
-      .groupBy(col("left_tok"), col("right_tok"))
+    // Non-distinct bigrams from one codegen'd pass (the interpreted
+    // transform/element_at chain re-tokenized the document per element —
+    // measured >10x slower); tokens never contain spaces, so splitting
+    // the gram back apart after the aggregate is exact.
+    docs.select(explode(wordGramsAll(lower(col(textCol)), 2)).as("_g"))
+      .groupBy(col("_g"))
       .agg(count(lit(1)).as("n_pairs"))
+      .select(split(col("_g"), " ").getItem(0).as("left_tok"),
+        split(col("_g"), " ").getItem(1).as("right_tok"), col("n_pairs"))
       .orderBy(col("n_pairs").desc, col("left_tok").asc, col("right_tok").asc)
       .limit(k)
   }

@@ -159,6 +159,41 @@ object TextOps {
     docs.select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** Passage-level duplication candidates: document pairs sharing at
+    * least `minShared` distinct winnowing fingerprints — the
+    * copied-paragraph / shared-boilerplate detector that whole-document
+    * dedup misses (exact substring dedup's blocked approximation: any
+    * shared run of ≥ window+n-1 tokens is guaranteed a shared
+    * fingerprint, so long copied passages surface with high shared
+    * counts).
+    *
+    * Scale shape: candidate generation is a blocked equi-join on `fp`
+    * (inverted-index blocking, like the MinHash/SimHash families — never
+    * all-pairs), with fingerprints whose document frequency exceeds
+    * `maxDf` dropped first: a fingerprint appearing in d documents
+    * induces d² candidate rows, and high-df fingerprints are corpus
+    * boilerplate, not passage copies. The cap keeps per-fingerprint work
+    * O(maxDf²) while shared counts over surviving fingerprints stay
+    * exact. Shared text never shuffles — only (fp, id) pairs do.
+    */
+  def winnowPairs(docs: DataFrame, n: Int = 3, window: Int = 4,
+                  minShared: Int = 2, maxDf: Int = 64,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = winnowFingerprints(docs, n, window, idCol, textCol)
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("fp"))
+    val f = fps.join(rare, "fp")
+    val a = f.select(col("fp"), col(idCol).as("id_a"))
+    val b = f.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Benchmark decontamination (the training-data hygiene step from the
     * GPT-3/PaLM reports): flag corpus documents that share at least
     * `minHits` distinct word `n`-grams with any document of an

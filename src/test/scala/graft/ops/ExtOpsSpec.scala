@@ -226,6 +226,29 @@ class ExtOpsSpec extends SparkSpec {
     assert((ofps(10L) & ofps(11L)).nonEmpty)
   }
 
+  test("winnowPairs finds shared-passage pairs; df cap drops boilerplate fps") {
+    val passage = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, s"intro words here $passage closing remarks"),
+      (2L, s"$passage and then some completely different tail content"),
+      (3L, "nothing in common with anybody else at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 >= 2) // long shared run → several shared minima
+    // a fingerprint present in every doc is boilerplate: with maxDf = 1
+    // nothing survives blocking, so no pairs at all
+    val boiler = Seq(
+      (1L, passage), (2L, passage), (3L, passage)
+    ).toDF("doc_id", "text")
+    assert(TextOps.winnowPairs(boiler, minShared = 1, maxDf = 1).isEmpty)
+    // identical pair below the cap is found with all fps shared
+    val twin = TextOps.winnowPairs(boiler.where("doc_id <= 2"), minShared = 1, maxDf = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(twin.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet
