@@ -377,6 +377,12 @@ object SparkEntry {
     "text_webmarks" -> ((s, dir) =>
       TextOps.webMarks(t(s, dir, "documents"))),
 
+    // corpus-relative rare-token (OOV-rate) stats; the corpus is its own
+    // lexicon. 10% threshold brackets the fixture df distribution (one
+    // token at 5% df, the rest >= 75%) so the rule actually fires
+    "text_oov" -> ((s, dir) =>
+      TextOps.oovStats(t(s, dir, "documents"), maxDfFraction = 0.1)),
+
     // deterministic content-stable train/val/test assignment
     "split_assign" -> ((s, dir) =>
       CorpusOps.splitAssign(t(s, dir, "documents"))),
@@ -1001,6 +1007,25 @@ object SparkEntry {
          |       OR starts_with(t, 'https://') OR starts_with(t, 'www.')))
          |   + len(list_filter(tk, t -> contains(t, '@') AND contains(t, '.')))) > 0 AS has_web
          |FROM toks""".stripMargin
+    },
+
+    "text_oov" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |ti AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_inst
+         |       FROM ti GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*) AS df FROM pd GROUP BY 1),
+         |agg AS (SELECT pd.doc_id,
+         |          CAST(sum(pd.n_inst) AS BIGINT) AS n_tokens,
+         |          CAST(sum(CASE WHEN dfq.df <= 0.1 * (SELECT count(*) FROM documents)
+         |                        THEN pd.n_inst ELSE 0 END) AS BIGINT) AS n_rare
+         |        FROM pd JOIN dfq USING (tok) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  coalesce(a.n_rare, CAST(0 AS BIGINT)) AS n_rare,
+         |  round(CAST(coalesce(a.n_rare, 0) AS DOUBLE)
+         |        / greatest(coalesce(a.n_tokens, 0), 1), 6) AS rare_fraction
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
 
     "text_winnow" -> {

@@ -194,6 +194,40 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Corpus-relative rare-token statistics — the OOV-rate quality signal
+    * (CCNet-style corpus-relative filtering): per document, the token
+    * instances whose corpus document frequency is at or below
+    * `maxDfFraction` of the corpus size, and their fraction. High rare
+    * fractions flag gibberish, OCR noise, and code/markup salad without
+    * any external lexicon — the corpus itself is the reference.
+    *
+    * Scale shape: explode → per-(doc, token) count (one keyed shuffle
+    * with map-side combine collapsing instances), document frequency
+    * from those TYPE rows (second keyed shuffle — one row per type, not
+    * per instance), join back on token and re-aggregate per doc. The
+    * corpus size joins in as a broadcast single-row aggregate (no
+    * driver-side count job), and no shuffle ever carries text.
+    */
+  def oovStats(docs: DataFrame, maxDfFraction: Double = 0.005,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val inst = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+    val perDocTok = inst.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("_n"))
+    val dfTbl = perDocTok.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
+    val agg = perDocTok.join(dfTbl, "tok")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(sum(col("_n")).as("n_tokens"),
+        sum(when(col("_df") <= col("_ndocs") * lit(maxDfFraction), col("_n"))
+          .otherwise(lit(0L))).as("n_rare"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("rare_fraction",
+        round(col("n_rare").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
   /** Benchmark decontamination (the training-data hygiene step from the
     * GPT-3/PaLM reports): flag corpus documents that share at least
     * `minHits` distinct word `n`-grams with any document of an

@@ -249,6 +249,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(twin.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
 
+  test("oovStats: corpus-relative rarity, zero-token docs kept") {
+    // 10 docs: "common" appears in all, "rare7" only in doc 7
+    val docs = (1L to 10L).map(i =>
+      (i, if (i == 7L) "common rare7 common" else "common common")).toDF("doc_id", "text")
+    // threshold 0.15 * 10 docs = df <= 1.5 → only rare7 (df 1) is rare
+    val out = TextOps.oovStats(docs, maxDfFraction = 0.15)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(7L)._2 == 3 && out(7L)._3 == 1 && out(7L)._4 == 0.333333)
+    assert(out(1L)._3 == 0 && out(1L)._4 == 0.0)
+    // empty-text doc keeps a row with zeros
+    val withEmpty = docs.union(Seq((11L, "")).toDF("doc_id", "text"))
+    val e = TextOps.oovStats(withEmpty, maxDfFraction = 0.15)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(e(11L)._2 == 0 && e(11L)._3 == 0 && e(11L)._4 == 0.0)
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((5L, "same"), (9L, "same"), (7L, "other")).toDF("doc_id", "text")
     val out = DedupOps.exact(docs).as[(Long, Long)].collect().toSet
