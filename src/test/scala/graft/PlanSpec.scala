@@ -83,6 +83,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: blocked equi-joins only — no nested-loop, no text in exchanges") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be fp-blocked, never all-pairs:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"pair exchanges must carry (fp, id), not document text:\n$exchangeLines")
+    assert(p.contains("partial_count"),
+      s"shared-fp counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("bpe pairs: one codegen'd gram pass, partial-agg, top-k not full sort") {
+    val p = plan("corpus_bpe_pairs")
+    assert(p.contains("graft_word_grams"), s"pair source must be the native expression:\n$p")
+    assert(p.contains("partial_count"), s"pair counting must partial-aggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
+  }
+
+  test("oovStats: no exchange carries text; df join keyed on token") {
+    val p = plan("text_oov")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"),
+      s"oov shuffles must carry (id, token, count) triples, not text:\n$exchangeLines")
+    assert(p.contains("partial_count"),
+      s"instance collapse must partial-aggregate before the exchange:\n$p")
+  }
+
   test("corpus_mixture: the keep predicate reaches the scan as a data filter") {
     val p = plan("corpus_mixture")
     // the Bernoulli test is a Filter over the scan output (not post-agg),
