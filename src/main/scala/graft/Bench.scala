@@ -18,7 +18,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q2_part_supplier", "q3_top_orders", "q5_region_revenue",
     "q4_exists_orders", "q7_window_running", "q8_rollup_revenue",
-    "q9_distinct_agg", "q10_except", "q11_topk_per_group",
+    "q9_distinct_agg", "q10_except", "q11_topk_per_group", "q12_correlated_avg",
     "s3_snapshot_sign", "t2_filter_tables", "t3_filter_dml",
     "t4_split_updates", "t6_normalize", "t7_decimal_stringify",
     "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",

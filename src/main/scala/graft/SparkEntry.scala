@@ -147,6 +147,23 @@ object SparkEntry {
           col("o_orderkey"), col("o_totalprice"))
     }),
 
+    "q12_correlated_avg" -> ((s, dir) => {
+      // TPC-H q17 shape — correlated scalar subquery (rows below 1/5 of
+      // their part's average quantity), declared in the decorrelated
+      // aggregate-join form Catalyst's subquery rewrite produces. The
+      // avg comparison is multiplied through (5·qty·cnt < sum) so the
+      // whole predicate stays in exact DECIMAL arithmetic — no division,
+      // no float-order dependence on either engine.
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum(dec2(col("l_quantity"))).as("_sum_qty"), count(lit(1)).as("_cnt"))
+      li.join(pa, col("l_partkey") === col("_pk"))
+        .filter(dec2(col("l_quantity")) * lit(5) * col("_cnt") < col("_sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          coalesce(sum(dec2(col("l_extendedprice"))).cast("double"), lit(0.0d))
+            .as("small_revenue"))
+    }),
+
     // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
     // S3/T1: full-snapshot scan + computed sign column
     "s3_snapshot_sign" -> ((s, dir) => {
@@ -648,6 +665,16 @@ object SparkEntry {
         |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |      FROM orders)
         |WHERE rnk <= 2""".stripMargin,
+
+    "q12_correlated_avg" ->
+      """WITH pa AS (SELECT l_partkey AS _pk,
+        |        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS _sum_qty,
+        |        COUNT(*) AS _cnt
+        |      FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_small,
+        |       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS small_revenue
+        |FROM lineitem l JOIN pa ON l.l_partkey = pa._pk
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pa._cnt < pa._sum_qty""".stripMargin,
 
     "s3_snapshot_sign" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
