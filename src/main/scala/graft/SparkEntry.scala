@@ -853,12 +853,23 @@ object SparkEntry {
     },
 
     "dedup_ngram_jaccard" -> {
+      // mirrors the Spark op's maxDf=1000 blocking exactly: candidates
+      // need a shared shingle with df <= 1000, then Jaccard is scored
+      // over ALL shingles — so the oracle stays row-identical at every
+      // scale factor, including where the cap actually bites
       s"""WITH ${OracleSql.toksCte(lower = false)},
          |sh0 AS (SELECT doc_id, list_distinct(tk) AS sh FROM toks),
          |inv AS (SELECT doc_id, len(sh) AS l, unnest(sh) AS g FROM sh0),
-         |pc AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter,
+         |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+         |binv AS (SELECT inv.doc_id, inv.g FROM inv JOIN keep USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM binv a JOIN binv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |pc AS (SELECT c.id1, c.id2, count(*) AS inter,
          |       any_value(a.l) AS l1, any_value(b.l) AS l2
-         |       FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |       FROM cand c
+         |       JOIN inv a ON a.doc_id = c.id1
+         |       JOIN inv b ON b.doc_id = c.id2 AND b.g = a.g
+         |       GROUP BY 1, 2)
          |SELECT id1, id2, CAST(inter AS INT) AS inter,
          |       CAST(l1 + l2 - inter AS INT) AS uni,
          |       round(CAST(inter AS DOUBLE) / (l1 + l2 - inter), 6) AS jaccard

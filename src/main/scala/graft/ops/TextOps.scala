@@ -374,13 +374,15 @@ object TextOps {
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
-    def counted(expl: Column) = base.select(col(idCol), explode(expl).as("t"))
+    def counted(expl: Column) = docs.select(col(idCol), explode(expl).as("t"))
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-    val words = counted(col("_tk"))
+    val words = counted(tokens(lower(col(textCol))))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_words"), max(col("c")).as("_topw"))
-    val bigrams = counted(shingles(col("_tk"), 2))
+    // native non-distinct bigram pass (same "a b" gram strings as
+    // shingles(tokens(...), 2), one codegen loop instead of an
+    // interpreted transform per row)
+    val bigrams = counted(wordGramsAll(lower(col(textCol)), 2))
       .groupBy(col(idCol))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("_topb"),
         sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("_dupb"))
