@@ -435,6 +435,11 @@ object SparkEntry {
       SimilarityOps.projectEmbeddings(t(s, dir, "embeddings"), k = 8, dims = 64)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("plane", "pv")))),
 
+    // scalar int8 quantization (per-vector min/max codes — the 4x storage
+    // compression step before IVF/PQ; exact floor semantics cross-engine)
+    "embed_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeEmbeddings(t(s, dir, "embeddings"))),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -1172,6 +1177,19 @@ object SparkEntry {
          |FROM embeddings)
          |SELECT vec_id, CAST(i AS INT) AS plane, proj[CAST(i AS INT)+1] AS pv
          |FROM p, range(0, 8) t(i)""".stripMargin
+    },
+
+    "embed_quantize" -> {
+      """SELECT vec_id, CAST(d AS INT) AS dim,
+        |  CAST(CASE WHEN vmax > vmin
+        |    THEN least(floor((x - vmin) * 255 / (vmax - vmin)), 255)
+        |    ELSE 0 END AS INT) AS q,
+        |  vmin, vmax
+        |FROM (SELECT vec_id,
+        |        CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        |        CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |        CAST(embedding[CAST(d AS INT)+1] AS DOUBLE) AS x, d
+        |      FROM embeddings, range(0, 64) t(d))""".stripMargin
     },
 
     "text_boilerplate" -> {

@@ -86,6 +86,31 @@ object SimilarityOps {
       transform(proj, x => round(x, 6)).as("proj"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the storage half
+    * of the large-scale ANN playbook (4× over float32, before IVF/PQ):
+    * per-vector min/max scaling to [0, 255] codes via `floor`, exploded
+    * to (vec_id, dim, q, vmin, vmax) rows so the original value is
+    * recoverable to within one step. Every operation (min/max, widen,
+    * subtract, scale, divide, floor) is exact IEEE double arithmetic
+    * with no round-half ambiguity, so an external engine reproduces the
+    * codes bit-for-bit from the formula alone. A pure narrow projection
+    * — streams over a 100 TB corpus at scan speed, no join, no shuffle.
+    * Degenerate constant vectors (vmax == vmin) quantize to 0.
+    */
+  def quantizeEmbeddings(vecs: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val vmin = array_min(col(vecCol)).cast("double")
+    val vmax = array_max(col(vecCol)).cast("double")
+    vecs.select(col(idCol), vmin.as("vmin"), vmax.as("vmax"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .select(col(idCol), col("dim"),
+        when(col("vmax") > col("vmin"),
+          least(floor((col("_x").cast("double") - col("vmin")) * lit(255.0d)
+            / (col("vmax") - col("vmin"))), lit(255.0d)))
+          .otherwise(lit(0.0d)).cast("int").as("q"),
+        col("vmin"), col("vmax"))
+  }
+
   /** Per-label centroids of an embedding column, exploded to (label, dim,
     * centroid) rows — class centroids for nearest-centroid classification,
     * k-means seeding, or embedding-drift monitoring.

@@ -249,6 +249,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(twin.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
 
+  test("quantizeEmbeddings: codes in [0,255], extremes map to ends, constant vec to 0") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f, 0.25f)),
+      (2L, Seq(3.0f, 3.0f, 3.0f, 3.0f)) // constant → all 0
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.quantizeEmbeddings(vecs)
+      .as[(Long, Int, Int, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val v1 = out(1L)
+    assert(v1.forall(r => r._3 >= 0 && r._3 <= 255))
+    assert(v1(0)._3 == 0)          // min element → 0
+    assert(v1(2)._3 >= 254)        // max element → top code (FP div may dip 1)
+    assert(v1(1)._3 == 127)        // midpoint → floor(127.5)
+    assert(v1.head._4 == 0.0 && v1.head._5 == 1.0)
+    assert(out(2L).forall(_._3 == 0))
+    // round trip: dequantized value within one step of the original
+    v1.foreach { case (_, d, q, mn, mx) =>
+      val x = Seq(0.0, 0.5, 1.0, 0.25)(d)
+      assert(math.abs(mn + q * (mx - mn) / 255.0 - x) <= (mx - mn) / 255.0 + 1e-12)
+    }
+  }
+
   test("oovStats: corpus-relative rarity, zero-token docs kept") {
     // 10 docs: "common" appears in all, "rare7" only in doc 7
     val docs = (1L to 10L).map(i =>
