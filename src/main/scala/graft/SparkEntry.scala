@@ -440,6 +440,14 @@ object SparkEntry {
     "embed_quantize" -> ((s, dir) =>
       SimilarityOps.quantizeEmbeddings(t(s, dir, "embeddings"))),
 
+    // product-quantization ANN: corpus scanned as 8x4-bit codes with a
+    // per-query ADC lookup table (the memory-compression search tier;
+    // fixed LCG codebooks — cross-engine reproducible)
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
+    }),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -1177,6 +1185,36 @@ object SparkEntry {
          |FROM embeddings)
          |SELECT vec_id, CAST(i AS INT) AS plane, proj[CAST(i AS INT)+1] AS pv
          |FROM p, range(0, 8) t(i)""".stripMargin
+    },
+
+    "ann_pq_topk" -> {
+      // per-subspace distance list of `embedding`'s slice s to each of
+      // the 16 LCG centroids, in code order (the exact fold the Spark
+      // sliceDist chain performs)
+      def dl(s: Int): String = {
+        val xd = s"CAST(embedding[CAST(${s * 8} + d AS INT)+1] AS DOUBLE)"
+        val w = OracleSql.lcgUnit(s"((${s}*16+c)*8+d)")
+        s"list_transform(range(0, 16), c -> list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(0, 8), d -> (($xd - $w) * ($xd - $w)))), (a, x) -> a + x))"
+      }
+      val codeCols = (0 until 8).map(s =>
+        s"CAST(list_position(${dl(s)}, list_min(${dl(s)})) - 1 AS INT) AS c$s")
+        .mkString(",\n  ")
+      val tabCols = (0 until 8).map(s => s"${dl(s)} AS t$s").mkString(",\n  ")
+      val adcExpr = (0 until 8).map(s => s"t$s[c$s+1]").mkString(" + ")
+      s"""WITH codes AS (SELECT vec_id AS neighbor_id,
+         |  $codeCols
+         |FROM embeddings),
+         |qt AS (SELECT vec_id AS query_id,
+         |  $tabCols
+         |FROM embeddings WHERE vec_id < 8),
+         |pairs AS (SELECT query_id, neighbor_id, $adcExpr AS adc
+         |          FROM qt, codes WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc ASC, neighbor_id ASC) AS rnk FROM pairs)
+         |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, round(adc, 6) AS adc
+         |FROM r WHERE rnk <= 10""".stripMargin
     },
 
     "embed_quantize" -> {

@@ -267,6 +267,79 @@ object SimilarityOps {
                    vecCol: String = "embedding"): DataFrame =
     probeTopK(queries, corpus, lcgCentroids(nlist, dims), k, nprobe, idCol, vecCol)
 
+  /** PQ codebooks: `m` subspaces × `ncode` centroids over `sub`-dim
+    * slices, derived from the deterministic LCG (same generator as the
+    * LSH hyperplanes / fixed IVF centroids) — every value is a dyadic
+    * rational, so an external engine reproduces the codebooks from the
+    * formula alone. Production swaps these for per-subspace k-means
+    * codebooks trained offline; nothing downstream changes.
+    */
+  def pqCodebooks(m: Int, ncode: Int, sub: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(s => (0 until ncode).map(c =>
+      (0 until sub).map(d => graft.functions.LshBucketExpr.hyperplane(
+        (s.toLong * ncode + c) * sub + d))))
+
+  /** Squared L2 distance of subspace `s` of `vec` to one centroid, as a
+    * left-associated chain seeded with 0.0 (the exact fold order the
+    * oracle's list_reduce mirrors — bit-identical IEEE). */
+  private def sliceDist(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
+                        cent: Seq[Double]): org.apache.spark.sql.Column =
+    (0 until sub).map { d =>
+      val x = element_at(vec, s * sub + d + 1).cast("double") - lit(cent(d))
+      x * x
+    }.foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
+
+  /** Per-subspace PQ code (argmin centroid) as a narrow column. */
+  private def pqCode(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
+                     book: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    array_min(array(book.zipWithIndex.map { case (cv, c) =>
+      struct(sliceDist(vec, s, sub, cv).as("d"), lit(c).as("c"))
+    }: _*)).getField("c")
+
+  /** Product-quantization ANN top-k — the memory-compression search tier
+    * for corpora whose float vectors no longer fit the cluster: each
+    * corpus vector is encoded once into `m` subspace codes (here 8×16 —
+    * 4 bits/subspace, 64× smaller than float32), and each query scans
+    * CODES, not vectors, with an asymmetric-distance (ADC) lookup table
+    * of `m`×`ncode` precomputed subspace distances.
+    *
+    * Scale shape: encoding is a narrow scan-speed projection (codebooks
+    * are literals — no join, no shuffle, like [[nearestCentroid]]); the
+    * scan side is a broadcast of the tiny query table against the
+    * code-only corpus projection — the shuffle carries (query_id,
+    * neighbor_id, adc) and the window is the same pre-shuffle
+    * group-limited top-k as every other ANN tier here. Compose with the
+    * IVF probe for sublinear scans (IVF-ADC); approximate by
+    * construction — recall depends on codebook fit, rank ties broken by
+    * neighbor id.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+             ncode: Int = 16, dims: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, "dims must divide into m subspaces")
+    val sub = dims / m
+    val books = pqCodebooks(m, ncode, sub)
+    val codes = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until m).map(s => pqCode(col(vecCol), s, sub, books(s)).as(s"_c$s")): _*)
+    // per-query ADC tables: distances from the query's slice s to every
+    // centroid of subspace s, in code order
+    val qtabs = queries.select(col(idCol).as("query_id") +:
+      (0 until m).map(s => array(books(s).map(cv =>
+        sliceDist(col(vecCol), s, sub, cv)): _*).as(s"_t$s")): _*)
+    val adc = (0 until m).map(s =>
+        element_at(col(s"_t$s"), col(s"_c$s").cast("int") + 1))
+      .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
+    val joined = broadcast(qtabs).crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** ANN top-k restricted to the query's LSH bucket. Approximate: recall
     * depends on `planes`; exact within the bucket.
     */

@@ -249,6 +249,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(twin.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
   }
 
+  test("pqTopK: k rows per query; an exact duplicate achieves the minimum ADC") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 3L)
+    // plant an exact twin of the query under a fresh id
+    val twin = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val out = SimilarityOps.pqTopK(q,
+        emb.select(col("vec_id"), col("embedding")).unionByName(twin), k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.length == 5 && out.map(_._2).toSeq == (1 to 5))
+    // the twin's codes are the argmins of the query's own ADC tables, so
+    // nothing can score below it; rank-1 adc == the twin's adc
+    val twinAdc = out.find(_._3 == 1000003L).map(_._4)
+    assert(twinAdc.contains(out.head._4),
+      s"duplicate must achieve the minimal ADC: $twinAdc vs ${out.head._4}")
+  }
+
   test("quantizeEmbeddings: codes in [0,255], extremes map to ends, constant vec to 0") {
     val vecs = Seq(
       (1L, Seq(0.0f, 0.5f, 1.0f, 0.25f)),
