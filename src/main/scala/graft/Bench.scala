@@ -26,7 +26,7 @@ object Bench {
     "engine_mergetree", "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
     "dedup_exact", "dedup_exact_digest", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
-    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta",

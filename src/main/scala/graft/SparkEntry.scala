@@ -448,6 +448,14 @@ object SparkEntry {
       SimilarityOps.pqTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
     }),
 
+    // IVF-PQ composition: nprobe inverted lists prune the scan, ADC
+    // codes rank inside the probed lists (sublinear AND compressed —
+    // the faiss-default shape)
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopK(emb.filter(col("vec_id") < 8), emb, k = 10)
+    }),
+
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
@@ -1215,6 +1223,58 @@ object SparkEntry {
          |        ORDER BY adc ASC, neighbor_id ASC) AS rnk FROM pairs)
          |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, round(adc, 6) AS adc
          |FROM r WHERE rnk <= 10""".stripMargin
+    },
+
+    "ann_ivfpq_topk" -> {
+      // coarse cosine quantizer (as in ann_ivf_topk) + the PQ code/ADC
+      // fragments (as in ann_pq_topk), composed
+      def dl(s: Int): String = {
+        val xd = s"CAST(embedding[CAST(${s * 8} + d AS INT)+1] AS DOUBLE)"
+        val w = OracleSql.lcgUnit(s"((${s}*16+c)*8+d)")
+        s"list_transform(range(0, 16), c -> list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(0, 8), d -> (($xd - $w) * ($xd - $w)))), (a, x) -> a + x))"
+      }
+      val codeCols = (0 until 8).map(s =>
+        s"CAST(list_position(${dl(s)}, list_min(${dl(s)})) - 1 AS INT) AS c$s")
+        .mkString(",\n  ")
+      val tabCols = (0 until 8).map(s => s"${dl(s)} AS t$s").mkString(",\n  ")
+      val adcExpr = (0 until 8).map(s => s"q.t$s[l.c$s+1]").mkString(" + ")
+      val cosAssign = OracleSql.cosine("e.embedding", "c.cvec")
+      s"""WITH cents AS (
+         |  SELECT CAST(c AS INT) AS cid,
+         |         list_transform(range(0, 64), d ->
+         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |  FROM range(0, 8) t(c)),
+         |asgn AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |codes AS (SELECT vec_id,
+         |  $codeCols
+         |FROM embeddings),
+         |lists AS (SELECT a.vec_id AS neighbor_id, a.cid,
+         |          c0, c1, c2, c3, c4, c5, c6, c7
+         |          FROM asgn a JOIN codes USING (vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) e, cents c) WHERE rn <= 2),
+         |qt AS (SELECT vec_id AS query_id,
+         |  $tabCols
+         |FROM embeddings WHERE vec_id < 8),
+         |j AS (SELECT p.query_id, l.neighbor_id, $adcExpr AS adc
+         |      FROM probes p
+         |      JOIN lists l ON p.cid = l.cid AND p.query_id <> l.neighbor_id
+         |      JOIN qt q ON q.query_id = p.query_id),
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(adc, 6) AS adc
+         |FROM r WHERE rank <= 10""".stripMargin
     },
 
     "embed_quantize" -> {

@@ -340,6 +340,50 @@ object SimilarityOps {
         col("neighbor_id"), round(col("adc"), 6).as("adc"))
   }
 
+  /** IVF-ADC (IVF-PQ) ANN top-k — the standard corpus-scale composition:
+    * the coarse quantizer prunes the scan to each query's `nprobe`
+    * inverted lists (sublinear scan), and distances inside the probed
+    * lists come from PQ codes via the query's ADC tables (compressed
+    * memory). Coarse assignment is the cosine argmax used by the IVF
+    * tier; in-list ranking is subspace-L2 ADC — both from fixed LCG
+    * parameters here (cross-engine reproducible); production trains
+    * both offline and nothing downstream changes.
+    *
+    * Scale shape: both encodings are narrow scan-speed projections; the
+    * probe is an equi-join on `cid` against a code-only corpus
+    * projection; the top-k window group-limits before its exchange.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 8, nprobe: Int = 2, m: Int = 8, ncode: Int = 16,
+                dims: Int = 64, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, "dims must divide into m subspaces")
+    val sub = dims / m
+    val cents = lcgCentroids(nlist, dims)
+    val books = pqCodebooks(m, ncode, sub)
+    val lists = corpus.select(col(idCol).as("neighbor_id") +:
+      nearestCentroid(col(vecCol), cents).as("cid") +:
+      (0 until m).map(s => pqCode(col(vecCol), s, sub, books(s)).as(s"_c$s")): _*)
+    val probes = queries.select(col(idCol).as("query_id") +:
+        explode(slice(array_sort(array(centroidStructs(col(vecCol), cents): _*)),
+          1, nprobe)).as("_p") +:
+        (0 until m).map(s => array(books(s).map(cv =>
+          sliceDist(col(vecCol), s, sub, cv)): _*).as(s"_t$s")): _*)
+      .withColumn("cid", col("_p.cid")).drop("_p")
+    val adc = (0 until m).map(s =>
+        element_at(col(s"_t$s"), col(s"_c$s").cast("int") + 1))
+      .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), round(col("adc"), 6).as("adc"))
+  }
+
   /** ANN top-k restricted to the query's LSH bucket. Approximate: recall
     * depends on `planes`; exact within the bucket.
     */

@@ -110,6 +110,23 @@ class PlanSpec extends SparkSpec {
       s"instance collapse must partial-aggregate before the exchange:\n$p")
   }
 
+  test("pq ANN tiers: code-only scan exchanges, pre-shuffle top-k, equi-join probe") {
+    val pq = plan("ann_pq_topk")
+    assert(pq.contains("WindowGroupLimit"),
+      s"per-query top-k must group-limit before the exchange:\n$pq")
+    assert(!pq.contains("SortMergeJoin"),
+      s"the code scan is a broadcast of the tiny query table, never a sorted shuffle:\n$pq")
+    // the ranking exchange carries (query_id, neighbor_id, adc) — codes,
+    // never corpus float vectors
+    val ex = pq.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("embedding#"),
+      s"ADC ranking must shuffle scores, not vectors:\n$ex")
+    val ivfpq = plan("ann_ivfpq_topk")
+    assert(ivfpq.contains("BroadcastHashJoin"),
+      s"the probe must be an equi-join on cid (broadcast probes):\n$ivfpq")
+    assert(ivfpq.contains("WindowGroupLimit"), s"top-k degenerated:\n$ivfpq")
+  }
+
   test("corpus_mixture: the keep predicate reaches the scan as a data filter") {
     val p = plan("corpus_mixture")
     // the Bernoulli test is a Filter over the scan output (not post-agg),

@@ -265,6 +265,26 @@ class ExtOpsSpec extends SparkSpec {
       s"duplicate must achieve the minimal ADC: $twinAdc vs ${out.head._4}")
   }
 
+  test("ivfPqTopK: duplicate lands in the rank-1 probed list and achieves minimal ADC") {
+    val emb = Tables(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 3L)
+    val twin = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val out = SimilarityOps.ivfPqTopK(q,
+        emb.select(col("vec_id"), col("embedding")).unionByName(twin), k = 5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.nonEmpty && out.map(_._2).toSeq == (1 to out.length))
+    // identical vector → identical coarse assignment (always probed) and
+    // argmin codes of the query's own ADC tables → nothing scores below it
+    val twinAdc = out.find(_._3 == 1000003L).map(_._4)
+    assert(twinAdc.contains(out.head._4),
+      s"duplicate must achieve the minimal ADC: $twinAdc vs ${out.head._4}")
+    // probing prunes: results are a subset of the full-scan PQ ranking's pool
+    val full = SimilarityOps.pqTopK(q,
+        emb.select(col("vec_id"), col("embedding")).unionByName(twin), k = 1000000)
+      .as[(Long, Int, Long, Double)].collect().map(r => r._3 -> r._4).toMap
+    out.foreach { case (_, _, n, adc) => assert(full(n) == adc) }
+  }
+
   test("quantizeEmbeddings: codes in [0,255], extremes map to ends, constant vec to 0") {
     val vecs = Seq(
       (1L, Seq(0.0f, 0.5f, 1.0f, 0.25f)),
