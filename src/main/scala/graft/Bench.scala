@@ -69,12 +69,16 @@ object Bench {
         }
       // one untimed pass per query: whole-stage codegen compiles each
       // query's unique generated class on first execution (measured
-      // 3-10x the steady-state cost); the timed pass is the per-batch
-      // cost a pipeline actually pays when the query runs repeatedly
+      // 3-10x the steady-state cost); then take the MIN of two timed
+      // passes — the per-batch cost a pipeline actually pays when the
+      // query runs repeatedly, with GC/AQE scheduling noise (measured
+      // up to ±30% run-to-run) filtered out
       run()
-      val t0 = System.nanoTime()
-      run()
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }

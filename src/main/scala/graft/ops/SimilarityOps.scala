@@ -282,19 +282,40 @@ object SimilarityOps {
   /** Squared L2 distance of subspace `s` of `vec` to one centroid, as a
     * left-associated chain seeded with 0.0 (the exact fold order the
     * oracle's list_reduce mirrors — bit-identical IEEE). */
-  private def sliceDist(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
-                        cent: Seq[Double]): org.apache.spark.sql.Column =
+  private[ops] def sliceDist(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
+                             cent: Seq[Double]): org.apache.spark.sql.Column =
     (0 until sub).map { d =>
       val x = element_at(vec, s * sub + d + 1).cast("double") - lit(cent(d))
       x * x
     }.foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
 
-  /** Per-subspace PQ code (argmin centroid) as a narrow column. */
-  private def pqCode(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
-                     book: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+  /** Per-subspace PQ code (argmin centroid) as a declarative struct-min
+    * chain — kept as the executable spec [[graft.functions.PqCodesExpr]]
+    * is parity-tested against (the oracle SQL mirrors this form); the
+    * hot encode path uses the native expression via [[pqCodes]]. */
+  private[ops] def pqCodeHof(vec: org.apache.spark.sql.Column, s: Int, sub: Int,
+                             book: Seq[Seq[Double]]): org.apache.spark.sql.Column =
     array_min(array(book.zipWithIndex.map { case (cv, c) =>
       struct(sliceDist(vec, s, sub, cv).as("d"), lit(c).as("c"))
     }: _*)).getField("c")
+
+  /** All `m` PQ codes in one native codegen'd pass (array<int>). */
+  def pqCodes(vec: org.apache.spark.sql.Column, m: Int, ncode: Int,
+              sub: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.PqCodesExpr(
+      ColumnBridge.expression(vec), m, ncode, sub))
+  }
+
+  /** The query's m×ncode ADC distance tables in one native node
+    * (array<array<double>>) — one plan node instead of m·ncode·sub,
+    * which is what keeps driver-side planning O(1) in the PQ shape. */
+  def pqAdcTabs(vec: org.apache.spark.sql.Column, m: Int, ncode: Int,
+                sub: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAdcTabsExpr(
+      ColumnBridge.expression(vec), m, ncode, sub))
+  }
 
   /** Product-quantization ANN top-k — the memory-compression search tier
     * for corpora whose float vectors no longer fit the cluster: each
@@ -318,16 +339,15 @@ object SimilarityOps {
              vecCol: String = "embedding"): DataFrame = {
     require(dims % m == 0, "dims must divide into m subspaces")
     val sub = dims / m
-    val books = pqCodebooks(m, ncode, sub)
-    val codes = corpus.select(col(idCol).as("neighbor_id") +:
-      (0 until m).map(s => pqCode(col(vecCol), s, sub, books(s)).as(s"_c$s")): _*)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), m, ncode, sub).as("_codes"))
     // per-query ADC tables: distances from the query's slice s to every
     // centroid of subspace s, in code order
-    val qtabs = queries.select(col(idCol).as("query_id") +:
-      (0 until m).map(s => array(books(s).map(cv =>
-        sliceDist(col(vecCol), s, sub, cv)): _*).as(s"_t$s")): _*)
+    val qtabs = queries.select(col(idCol).as("query_id"),
+      pqAdcTabs(col(vecCol), m, ncode, sub).as("_tabs"))
     val adc = (0 until m).map(s =>
-        element_at(col(s"_t$s"), col(s"_c$s").cast("int") + 1))
+        element_at(element_at(col("_tabs"), s + 1),
+          element_at(col("_codes"), s + 1) + 1))
       .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
     val joined = broadcast(qtabs).crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -360,18 +380,17 @@ object SimilarityOps {
     require(dims % m == 0, "dims must divide into m subspaces")
     val sub = dims / m
     val cents = lcgCentroids(nlist, dims)
-    val books = pqCodebooks(m, ncode, sub)
-    val lists = corpus.select(col(idCol).as("neighbor_id") +:
-      nearestCentroid(col(vecCol), cents).as("cid") +:
-      (0 until m).map(s => pqCode(col(vecCol), s, sub, books(s)).as(s"_c$s")): _*)
-    val probes = queries.select(col(idCol).as("query_id") +:
+    val lists = corpus.select(col(idCol).as("neighbor_id"),
+      nearestCentroid(col(vecCol), cents).as("cid"),
+      pqCodes(col(vecCol), m, ncode, sub).as("_codes"))
+    val probes = queries.select(col(idCol).as("query_id"),
         explode(slice(array_sort(array(centroidStructs(col(vecCol), cents): _*)),
-          1, nprobe)).as("_p") +:
-        (0 until m).map(s => array(books(s).map(cv =>
-          sliceDist(col(vecCol), s, sub, cv)): _*).as(s"_t$s")): _*)
+          1, nprobe)).as("_p"),
+        pqAdcTabs(col(vecCol), m, ncode, sub).as("_tabs"))
       .withColumn("cid", col("_p.cid")).drop("_p")
     val adc = (0 until m).map(s =>
-        element_at(col(s"_t$s"), col(s"_c$s").cast("int") + 1))
+        element_at(element_at(col("_tabs"), s + 1),
+          element_at(col("_codes"), s + 1) + 1))
       .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
     val joined = broadcast(probes).join(lists, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

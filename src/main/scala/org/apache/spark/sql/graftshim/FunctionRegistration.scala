@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, ProjectEmbedExpr, WinnowExpr, WordGramsExpr}
+import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, PqAdcTabsExpr, PqCodesExpr, ProjectEmbedExpr, WinnowExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -34,7 +34,11 @@ object FunctionRegistration {
     ("graft_winnow", "winnowing fingerprints: graft_winnow(tokens, n, window)",
       exprs => WinnowExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))),
     ("graft_project_embed", "random-projection sketch: graft_project_embed(vec, planes, dims)",
-      exprs => ProjectEmbedExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))))
+      exprs => ProjectEmbedExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))),
+    ("graft_pq_codes", "product-quantization codes: graft_pq_codes(vec, m, ncode, sub)",
+      exprs => PqCodesExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))),
+    ("graft_pq_adc_tabs", "PQ ADC distance tables: graft_pq_adc_tabs(vec, m, ncode, sub)",
+      exprs => PqAdcTabsExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v

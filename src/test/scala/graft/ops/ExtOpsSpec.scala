@@ -265,6 +265,29 @@ class ExtOpsSpec extends SparkSpec {
       s"duplicate must achieve the minimal ADC: $twinAdc vs ${out.head._4}")
   }
 
+  test("PqCodesExpr: native codes match the declarative struct-argmin chain") {
+    val emb = Tables(spark, sf, "embeddings").limit(200)
+    val books = SimilarityOps.pqCodebooks(8, 16, 8)
+    val native = SimilarityOps.pqCodes(col("embedding"), 8, 16, 8)
+    val chain = (0 until 8).map(s =>
+      SimilarityOps.pqCodeHof(col("embedding"), s, 8, books(s)).cast("int"))
+    val mismatches = emb.select(col("vec_id"), native.as("n"),
+        array(chain: _*).as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mismatches == 0)
+  }
+
+  test("PqAdcTabsExpr: native ADC tables match the declarative fold chains") {
+    val emb = Tables(spark, sf, "embeddings").limit(200)
+    val books = SimilarityOps.pqCodebooks(8, 16, 8)
+    val native = SimilarityOps.pqAdcTabs(col("embedding"), 8, 16, 8)
+    val chain = array((0 until 8).map(s => array(books(s).map(cv =>
+      SimilarityOps.sliceDist(col("embedding"), s, 8, cv)): _*)): _*)
+    val mismatches = emb.select(native.as("n"), chain.as("h"))
+      .filter(col("n") =!= col("h")).count()
+    assert(mismatches == 0)
+  }
+
   test("ivfPqTopK: duplicate lands in the rank-1 probed list and achieves minimal ADC") {
     val emb = Tables(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 3L)
