@@ -30,7 +30,7 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta",
-    "dedup_components", "dedup_keep_one", "asof_join", "range_join",
+    "dedup_components", "dedup_keep_one", "asof_join", "asof_join_forward", "range_join",
     "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition",
     "text_decontaminate", "text_pii", "dedup_incremental",
     "corpus_filter", "dedup_incremental_near",

@@ -488,6 +488,22 @@ object SparkEntry {
           tsUs(col("o_orderdate")).as("o_orderdate_us"))
     }),
 
+    // forward as-of: each order's FIRST event at-or-after its date (same
+    // union-merge plan scanning time descending; this orientation is the
+    // nonempty one on the fixture — orders predate every event)
+    "asof_join_forward" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      JoinOps.asofJoin(o, t(s, dir, "events"),
+          leftKey = "o_custkey", rightKey = "user_id",
+          leftTs = "o_orderdate", rightTs = "ts",
+          payloadCols = Seq("event_id", "ts"),
+          tieBreak = "event_id", direction = "forward")
+        .select(col("o_orderkey"), col("o_custkey"),
+          tsUs(col("o_orderdate")).as("o_orderdate_us"),
+          col("event_id"), tsUs(col("ts")).as("event_ts_us"))
+    }),
+
     // deterministic hash-ordered stratified sample (k docs per language)
     "sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSample(t(s, dir, "documents"), k = 20)),
@@ -1349,6 +1365,18 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice, o_orderdate_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |         epoch_us(o.o_orderdate) AS o_orderdate_us,
+        |         e.event_id, epoch_us(e.ts) AS event_ts_us,
+        |         row_number() OVER (PARTITION BY o.o_orderkey
+        |           ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
+        |SELECT o_orderkey, o_custkey, o_orderdate_us, event_id, event_ts_us
         |FROM j WHERE rn = 1""".stripMargin,
 
     "sample_stratified" -> {

@@ -21,19 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
-  /** Backward (most-recent-at-or-before) as-of join.
+  /** As-of join, backward (default) or forward.
     *
-    * For each left row, attaches `payloadCols` from the right row with the
-    * largest `rightTs <= leftTs` and equal join key. Ties among right rows
-    * on (key, ts) are broken deterministically by the largest `tieBreak`
-    * column. Left rows with no matching right row are kept with null
-    * payload when `keepUnmatched`, dropped otherwise (inner as-of).
+    * Backward: for each left row, attaches `payloadCols` from the right
+    * row with the largest `rightTs <= leftTs` and equal join key.
+    * Forward (`direction = "forward"`): the smallest `rightTs >= leftTs`
+    * — the same union-merge plan scanning time descending instead of
+    * ascending (pandas merge_asof's direction knob). Ties among right
+    * rows on (key, ts) are broken deterministically by the largest
+    * `tieBreak` column. Left rows with no matching right row are kept
+    * with null payload when `keepUnmatched`, dropped otherwise (inner
+    * as-of).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                payloadCols: Seq[String], tieBreak: String,
-               keepUnmatched: Boolean = false): DataFrame = {
+               keepUnmatched: Boolean = false,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
       s"payload columns ${payloadCols.mkString(",")} must not collide with left columns")
@@ -55,11 +62,15 @@ object JoinOps {
       lit(1).as("_tag"), lit(null).cast(rType).as("_r"),
       struct(lStructCols.map(col): _*).as("_l"))
 
-    // right rows sort before left rows at equal ts (_tag 0 < 1): backward
-    // as-of is INCLUSIVE of a right row at exactly leftTs. Left rows tying
-    // on (key, ts) are interchangeable for the window (their _r is null
-    // and ignored), so the result is deterministic despite the tie.
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+    // right rows sort before left rows at equal ts (_tag 0 < 1): the
+    // as-of is INCLUSIVE of a right row at exactly leftTs. Backward
+    // scans time ascending (last right seen = most recent ≤ leftTs);
+    // forward scans descending (last right seen = nearest ≥ leftTs).
+    // Left rows tying on (key, ts) are interchangeable for the window
+    // (their _r is null and ignored), so the result is deterministic
+    // despite the tie.
+    val tsOrder = if (direction == "backward") col("_t").asc else col("_t").desc
+    val w = Window.partitionBy(col("_k")).orderBy(tsOrder, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val merged = rTagged.unionByName(lTagged)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))

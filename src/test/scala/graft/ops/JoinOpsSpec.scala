@@ -29,6 +29,37 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Map("e1" -> (11L, 1.0), "e2" -> (12L, 2.0), "e4" -> (21L, 3.0)))
   }
 
+  test("forward as-of picks the nearest right row at-or-after leftTs") {
+    val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid",
+        direction = "forward")
+      .select("ev", "oid", "price").as[(String, Long, Double)]
+      .collect().map { case (e, o, p) => e -> ((o, p)) }.toMap
+    // e1 at ts=100 matches rts=100 INCLUSIVELY; e2 at 250 has no later
+    // right row for key 1 and drops (inner); e3 at 50 gets rts=100;
+    // e4 at 500 gets rts=600; e5's key has no right rows
+    assert(out == Map("e1" -> (11L, 1.0), "e3" -> (11L, 1.0), "e4" -> (22L, 4.0)))
+  }
+
+  test("forward as-of agrees with the naive formulation on real tables") {
+    // orders predate every event, so forward-match orders → first event
+    // at-or-after the order date (the nonempty direction on this data)
+    val orders = graft.Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")).limit(2000)
+    val ev = graft.Tables(spark, sf, "events")
+    val fast = JoinOps.asofJoin(orders, ev, "o_custkey", "user_id",
+        "o_orderdate", "ts", Seq("event_id"), tieBreak = "event_id",
+        direction = "forward")
+      .select("o_orderkey", "event_id").as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("ts").asc, col("event_id").desc)
+    val naive = orders.join(ev, col("o_custkey") === col("user_id") &&
+        col("ts") >= col("o_orderdate"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_orderkey", "event_id").as[(Long, Long)].collect().toMap
+    assert(fast == naive && fast.nonEmpty)
+  }
+
   test("keepUnmatched retains left rows with null payload") {
     val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
         payloadCols = Seq("oid", "price"), tieBreak = "oid",
