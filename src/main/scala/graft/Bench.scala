@@ -19,6 +19,7 @@ object Bench {
     "q1_pricing_summary", "q2_part_supplier", "q3_top_orders", "q5_region_revenue",
     "q4_exists_orders", "q7_window_running", "q8_rollup_revenue",
     "q9_distinct_agg", "q10_except", "q11_topk_per_group", "q12_correlated_avg",
+    "q13_disjunctive",
     "s3_snapshot_sign", "t2_filter_tables", "t3_filter_dml",
     "t4_split_updates", "t6_normalize", "t7_decimal_stringify",
     "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
@@ -30,7 +31,8 @@ object Bench {
     "text_langid", "text_quality", "text_tokens", "text_fingerprint", "text_tfidf",
     "split_assign", "text_boilerplate", "text_winnow", "text_webmarks", "corpus_vocab",
     "session_stats", "multimodal_meta",
-    "dedup_components", "dedup_keep_one", "asof_join", "asof_join_forward", "range_join",
+    "dedup_components", "dedup_keep_one", "asof_join", "asof_join_forward",
+    "asof_join_nearest", "range_join",
     "sample_stratified", "corpus_quantiles", "corpus_pack", "text_repetition",
     "text_decontaminate", "text_pii", "dedup_incremental",
     "corpus_filter", "dedup_incremental_near",

@@ -164,6 +164,25 @@ object SparkEntry {
             .as("small_revenue"))
     }),
 
+    "q13_disjunctive" -> ((s, dir) => {
+      // TPC-H q19 shape — OR-of-ANDs across both join sides: Catalyst
+      // extracts the common l/p-side conjuncts for pushdown below the
+      // join while the residual disjunction stays on the join output
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(p, col("p_partkey") === col("l_partkey") && (
+          (col("p_brand") === "Brand#4" &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" &&
+            col("l_quantity").between(20, 30))))
+        .agg(count(lit(1)).as("n_items"),
+          coalesce(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
+            .cast("double"), lit(0.0d)).as("revenue"))
+    }),
+
     // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
     // S3/T1: full-snapshot scan + computed sign column
     "s3_snapshot_sign" -> ((s, dir) => {
@@ -504,6 +523,24 @@ object SparkEntry {
           col("event_id"), tsUs(col("ts")).as("event_ts_us"))
     }),
 
+    // nearest as-of: each event's closest same-user purchase by absolute
+    // gap (both scan directions live inside the events time range;
+    // backward preferred on exact ties)
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_event_id"))
+      JoinOps.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")), purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTs = "ts", rightTs = "p_ts",
+          payloadCols = Seq("p_event_id", "p_ts"),
+          tieBreak = "p_event_id", direction = "nearest")
+        .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+          col("p_event_id"), tsUs(col("p_ts")).as("p_ts_us"))
+    }),
+
     // deterministic hash-ordered stratified sample (k docs per language)
     "sample_stratified" -> ((s, dir) =>
       CorpusOps.stratifiedSample(t(s, dir, "documents"), k = 20)),
@@ -712,6 +749,15 @@ object SparkEntry {
         |       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS small_revenue
         |FROM lineitem l JOIN pa ON l.l_partkey = pa._pk
         |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pa._cnt < pa._sum_qty""".stripMargin,
+
+    "q13_disjunctive" ->
+      """SELECT COUNT(*) AS n_items,
+        |       CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 0) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "s3_snapshot_sign" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -1377,6 +1423,20 @@ object SparkEntry {
         |  FROM orders o JOIN events e
         |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate)
         |SELECT o_orderkey, o_custkey, o_orderdate_us, event_id, event_ts_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |         p.p_event_id, epoch_us(p.p_ts) AS p_ts_us,
+        |         row_number() OVER (PARTITION BY e.event_id ORDER BY
+        |           abs(epoch_us(p.p_ts) - epoch_us(e.ts)) ASC,
+        |           CASE WHEN p.p_ts <= e.ts THEN 0 ELSE 1 END ASC,
+        |           p.p_event_id DESC) AS rn
+        |  FROM events e JOIN p ON e.user_id = p.p_user)
+        |SELECT event_id, user_id, ts_us, p_event_id, p_ts_us
         |FROM j WHERE rn = 1""".stripMargin,
 
     "sample_stratified" -> {

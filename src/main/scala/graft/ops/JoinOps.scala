@@ -21,17 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object JoinOps {
 
-  /** As-of join, backward (default) or forward.
+  /** As-of join, backward (default), forward, or nearest.
     *
     * Backward: for each left row, attaches `payloadCols` from the right
     * row with the largest `rightTs <= leftTs` and equal join key.
     * Forward (`direction = "forward"`): the smallest `rightTs >= leftTs`
     * — the same union-merge plan scanning time descending instead of
-    * ascending (pandas merge_asof's direction knob). Ties among right
-    * rows on (key, ts) are broken deterministically by the largest
-    * `tieBreak` column. Left rows with no matching right row are kept
-    * with null payload when `keepUnmatched`, dropped otherwise (inner
-    * as-of).
+    * ascending. Nearest (`direction = "nearest"`): whichever of the two
+    * is closer by absolute gap, preferring backward on an exact tie
+    * (pandas merge_asof's direction knob, all three values) — still one
+    * exchange; the partition is sorted twice, once per scan direction.
+    * Ties among right rows on (key, ts) are broken deterministically by
+    * the largest `tieBreak` column. Left rows with no matching right row
+    * are kept with null payload when `keepUnmatched`, dropped otherwise
+    * (inner as-of). Timestamp gaps compare as exact epoch microseconds;
+    * numeric timestamps compare natively.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
@@ -39,16 +43,20 @@ object JoinOps {
                payloadCols: Seq[String], tieBreak: String,
                keepUnmatched: Boolean = false,
                direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
       s"payload columns ${payloadCols.mkString(",")} must not collide with left columns")
+    require(!payloadCols.contains("_rt") && tieBreak != "_rt",
+      "_rt is reserved for the internal right-timestamp field")
     // one right row per (key, ts): the tie-break winner. Keyed aggregate
     // with map-side partial combine; also what makes the merge window
-    // deterministic (no equal sort keys on the tagged right side).
+    // deterministic (no equal sort keys on the tagged right side). The
+    // struct carries the right timestamp in trailing field _rt (constant
+    // within a group, so it never affects the max) for nearest's gaps.
     val payload = struct((tieBreak +: payloadCols.filterNot(_ == tieBreak))
-      .map(col): _*)
+      .map(col) :+ col(rightTs).as("_rt"): _*)
     val r1 = right.groupBy(col(rightKey).as("_k"), col(rightTs).as("_t"))
       .agg(max(payload).as("_r"))
     val rType = r1.schema("_r").dataType
@@ -69,12 +77,38 @@ object JoinOps {
     // Left rows tying on (key, ts) are interchangeable for the window
     // (their _r is null and ignored), so the result is deterministic
     // despite the tie.
-    val tsOrder = if (direction == "backward") col("_t").asc else col("_t").desc
-    val w = Window.partitionBy(col("_k")).orderBy(tsOrder, col("_tag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = rTagged.unionByName(lTagged)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1)
+    val union = rTagged.unionByName(lTagged)
+    // exact gap arithmetic: epoch micros for timestamps, native otherwise
+    def gapNum(c: Column): Column = left.schema(leftTs).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp_ltz"))
+      case org.apache.spark.sql.types.DateType => unix_date(c.cast("date")).cast("long")
+      case _ => c
+    }
+    def windowed(order: Column): Column = {
+      val w = Window.partitionBy(col("_k")).orderBy(order, col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("_r"), ignoreNulls = true).over(w)
+    }
+    val merged = (direction match {
+      case "backward" =>
+        union.withColumn("_m", windowed(col("_t").asc))
+      case "forward" =>
+        union.withColumn("_m", windowed(col("_t").desc))
+      case _ =>
+        val gb = gapNum(col("_t")) - gapNum(col("_mb").getField("_rt"))
+        val gf = gapNum(col("_mf").getField("_rt")) - gapNum(col("_t"))
+        union
+          .withColumn("_mb", windowed(col("_t").asc))
+          .withColumn("_mf", windowed(col("_t").desc))
+          .withColumn("_m",
+            when(col("_mb").isNull, col("_mf"))
+              .when(col("_mf").isNull, col("_mb"))
+              .when(gf < gb, col("_mf"))
+              .otherwise(col("_mb"))) // exact tie → backward
+          .drop("_mb", "_mf")
+    }).filter(col("_tag") === 1)
 
     val widened = lStructCols.foldLeft(merged) { (df, c) =>
         df.withColumn(c, col("_l").getField(c))

@@ -60,6 +60,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("nearest as-of picks the smaller absolute gap, backward on ties") {
+    val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
+        payloadCols = Seq("oid", "price"), tieBreak = "oid",
+        direction = "nearest")
+      .select("ev", "oid").as[(String, Long)].collect().toMap
+    // e1 ts=100: backward rts=100 gap 0 wins over forward rts=200;
+    // e2 ts=250: backward 200 (gap 50), no forward → 12;
+    // e3 ts=50: only forward 100 → 11;
+    // e4 ts=500: backward 400 (gap 100) exactly ties forward 600 (gap 100)
+    //           → backward preferred → 21; e5: no right rows at all
+    assert(out == Map("e1" -> 11L, "e2" -> 12L, "e3" -> 11L, "e4" -> 21L))
+    // exact-tie preference flips with the data: forward strictly closer
+    val r2 = Seq((2L, 420L, 31L, 1.0), (2L, 560L, 32L, 2.0))
+      .toDF("rk", "rts", "oid", "price")
+    val n2 = JoinOps.asofJoin(Seq(("x", 2L, 500L)).toDF("ev", "k", "ts"),
+        r2, "k", "rk", "ts", "rts", Seq("oid", "price"), tieBreak = "oid",
+        direction = "nearest")
+      .select("oid").as[Long].collect().toSeq
+    assert(n2 == Seq(32L)) // gap 60 forward < gap 80 backward
+  }
+
   test("keepUnmatched retains left rows with null payload") {
     val out = JoinOps.asofJoin(left, right, "k", "rk", "ts", "rts",
         payloadCols = Seq("oid", "price"), tieBreak = "oid",
