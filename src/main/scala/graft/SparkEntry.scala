@@ -385,6 +385,12 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) =>
       DedupOps.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3)),
 
+    // SemDeDup: cluster-blocked semantic dedup — keep the first example
+    // of each in-cluster near-duplicate family (fixed LCG quantizer)
+    "dedup_semantic" -> ((s, dir) =>
+      DedupOps.semDedup(t(s, dir, "embeddings"), threshold = 0.3,
+        nlist = 8, dims = 64)),
+
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
 
@@ -1052,6 +1058,28 @@ object SparkEntry {
          |SELECT a.vec_id AS id1, b.vec_id AS id2, round($cos, 6) AS cos
          |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $cos >= 0.3""".stripMargin
+    },
+
+    "dedup_semantic" -> {
+      val cosAssign = OracleSql.cosine("e.embedding", "c.cvec")
+      val cosPair = OracleSql.cosine("a.embedding", "b.embedding")
+      s"""WITH cents AS (
+         |  SELECT CAST(c AS INT) AS cid,
+         |         list_transform(range(0, 64), d ->
+         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |  FROM range(0, 8) t(c)),
+         |asgn AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) WHERE rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT a.vec_id FROM asgn a JOIN asgn b
+         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE $cosPair >= 0.3)
+         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+         |FROM asgn a LEFT JOIN drp d USING (vec_id)""".stripMargin
     },
 
     "text_tfidf" -> {

@@ -386,6 +386,44 @@ object DedupOps {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup at
+    * the embedding level: cluster the corpus with a coarse quantizer,
+    * then inside each cluster drop every example that is within cosine
+    * `threshold` of an earlier (lower-id) example, keeping the first of
+    * each semantic-duplicate family. This is the paper's per-cluster
+    * upper-triangular similarity thresholding with id order standing in
+    * for the paper's (arbitrary) example order; the quantizer here is the
+    * deterministic LCG centroid set shared with the IVF tier
+    * ([[SimilarityOps.lcgCentroids]] — train-once-offline pattern), so
+    * the whole decision is cross-engine reproducible.
+    *
+    * Returns every input row as (idCol, cid, keep) — the keep/drop
+    * verdict per example plus its cluster for audit.
+    *
+    * Scale shape: assignment is a narrow shuffle-free argmax projection
+    * (centroids are literals); pair generation is blocked by `cid` — the
+    * paper's own trick for making semantic dedup tractable: pairs only
+    * form inside a cluster, so work is Σ|cluster|², controlled by nlist
+    * (production sizes nlist ~ √N to keep clusters ~√N). The verdict join
+    * back is keyed on id. No all-pairs, and only (id, cid) pairs plus the
+    * in-cluster vectors ever shuffle.
+    */
+  def semDedup(embs: DataFrame, threshold: Double, nlist: Int = 8,
+               dims: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cents = SimilarityOps.lcgCentroids(nlist, dims)
+    val assigned = embs.select(col(idCol), col(vecCol),
+      SimilarityOps.nearestCentroid(col(vecCol), cents).as("cid"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col(s"b.$idCol") < col(s"a.$idCol"))
+      .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+      .select(col(s"a.$idCol").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_dup", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("_dup").isNull.as("keep"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold within blocking key
     * `blockCol` (e.g. a coarse cluster/label or LSH bucket) — the blocked
     * form of brute-force pair generation.

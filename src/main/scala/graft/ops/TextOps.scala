@@ -201,25 +201,30 @@ object TextOps {
     * fractions flag gibberish, OCR noise, and code/markup salad without
     * any external lexicon — the corpus itself is the reference.
     *
-    * Scale shape: explode → per-(doc, token) count (one keyed shuffle
-    * with map-side combine collapsing instances), document frequency
-    * from those TYPE rows (second keyed shuffle — one row per type, not
-    * per instance), join back on token and re-aggregate per doc. The
-    * corpus size joins in as a broadcast single-row aggregate (no
-    * driver-side count job), and no shuffle ever carries text.
+    * Scale shape: rare tokens are the unbounded tail, but COMMON tokens
+    * (df above the fraction threshold) are bounded independent of corpus
+    * size — at most (avg distinct tokens per doc) / maxDfFraction types
+    * can each appear in more than that fraction of documents. So instead
+    * of joining the per-(doc, token) table back on token (a wide type-row
+    * re-shuffle that grows with the corpus), build the small common set
+    * (type dedup + df count: two keyed shuffles over type rows) and
+    * broadcast it; rare instances are then the complement in one narrow
+    * broadcast join + per-doc count with map-side combine. The corpus
+    * size folds in as a broadcast single-row aggregate (no driver-side
+    * count job), and no shuffle ever carries text.
     */
   def oovStats(docs: DataFrame, maxDfFraction: Double = 0.005,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val inst = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-    val perDocTok = inst.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("_n"))
-    val dfTbl = perDocTok.groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    val dfTbl = inst.distinct().groupBy(col("tok")).agg(count(lit(1)).as("_df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
-    val agg = perDocTok.join(dfTbl, "tok")
-      .crossJoin(broadcast(nDocs))
+    val common = dfTbl.crossJoin(broadcast(nDocs))
+      .filter(col("_df") > col("_ndocs") * lit(maxDfFraction))
+      .select(col("tok"), lit(1).as("_common"))
+    val agg = inst.join(broadcast(common), Seq("tok"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("_n")).as("n_tokens"),
-        sum(when(col("_df") <= col("_ndocs") * lit(maxDfFraction), col("_n"))
-          .otherwise(lit(0L))).as("n_rare"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_common").isNull, lit(1L)).otherwise(lit(0L))).as("n_rare"))
     docs.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -101,13 +101,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k degenerated to a global sort:\n$p")
   }
 
-  test("oovStats: no exchange carries text; df join keyed on token") {
+  test("oovStats: no exchange carries text; common set broadcast, never re-shuffled") {
     val p = plan("text_oov")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchangeLines.contains("text#"),
-      s"oov shuffles must carry (id, token, count) triples, not text:\n$exchangeLines")
+      s"oov shuffles must carry (id, token) rows, not text:\n$exchangeLines")
     assert(p.contains("partial_count"),
-      s"instance collapse must partial-aggregate before the exchange:\n$p")
+      s"per-doc counting must partial-aggregate before the exchange:\n$p")
+    // the bounded common-token set joins the instance stream as a broadcast
+    // hash join — the instance table is never re-shuffled on token
+    assert(p.contains("BroadcastHashJoin"),
+      s"common-set membership must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"instance rows must never sort-merge against the common set:\n$p")
   }
 
   test("pq ANN tiers: code-only scan exchanges, pre-shuffle top-k, equi-join probe") {
