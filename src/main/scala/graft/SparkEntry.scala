@@ -1026,8 +1026,7 @@ object SparkEntry {
       val cosPair = OracleSql.cosine("p.qv", "a.embedding")
       s"""WITH cents AS (
          |  SELECT CAST(c AS INT) AS cid,
-         |         list_transform(range(0, 64), d ->
-         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |         list_transform(range(0, 64), d -> ${OracleSql.lcgUnit("c*64+d")}) AS cvec
          |  FROM range(0, 8) t(c)),
          |asgn AS (
          |  SELECT vec_id, embedding, cid FROM (
@@ -1065,8 +1064,7 @@ object SparkEntry {
       val cosPair = OracleSql.cosine("a.embedding", "b.embedding")
       s"""WITH cents AS (
          |  SELECT CAST(c AS INT) AS cid,
-         |         list_transform(range(0, 64), d ->
-         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |         list_transform(range(0, 64), d -> ${OracleSql.lcgUnit("c*64+d")}) AS cvec
          |  FROM range(0, 8) t(c)),
          |asgn AS (
          |  SELECT vec_id, embedding, cid FROM (
@@ -1332,8 +1330,7 @@ object SparkEntry {
       val cosAssign = OracleSql.cosine("e.embedding", "c.cvec")
       s"""WITH cents AS (
          |  SELECT CAST(c AS INT) AS cid,
-         |         list_transform(range(0, 64), d ->
-         |           CAST((1103515245*(c*64+d)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5) AS cvec
+         |         list_transform(range(0, 64), d -> ${OracleSql.lcgUnit("c*64+d")}) AS cvec
          |  FROM range(0, 8) t(c)),
          |asgn AS (
          |  SELECT vec_id, cid FROM (

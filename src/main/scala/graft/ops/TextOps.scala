@@ -212,6 +212,15 @@ object TextOps {
     * broadcast join + per-doc count with map-side combine. The corpus
     * size folds in as a broadcast single-row aggregate (no driver-side
     * count job), and no shuffle ever carries text.
+    *
+    * Sizing constraint: the broadcast common set holds at most
+    * (avg distinct tokens per doc) / `maxDfFraction` token types — 200×
+    * the per-doc average at the 0.005 default. On a very diverse corpus
+    * (large per-doc vocabularies, tiny `maxDfFraction`) that bound can
+    * exceed the broadcast limit; raise `maxDfFraction` (the set shrinks
+    * as 1/fraction) before reaching for a shuffle join — a common set
+    * that can't broadcast means the threshold no longer separates
+    * "common" from the tail at all.
     */
   def oovStats(docs: DataFrame, maxDfFraction: Double = 0.005,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
