@@ -398,6 +398,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(4L) == (("fr", 1L, 0L, 0L)))
   }
 
+  test("semDedup: duplicates in a shared cluster drop, lowest id survives") {
+    // identical vectors must land in the same centroid cell and dedup
+    // within it; the orthogonal-ish singleton survives untouched
+    val v = Seq(1f, 0f, 0f, 0f)
+    val w = Seq(0f, 1f, 0f, 0f)
+    val embs = Seq((3L, v), (9L, v), (5L, w)).toDF("vec_id", "embedding")
+    val out = DedupOps.semDedup(embs, threshold = 0.9, nlist = 2, dims = 4)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 3, "one row per input vector")
+    assert(out(3L)._2 == out(9L)._2, "identical vectors share a centroid")
+    assert(out(3L)._3 && !out(9L)._3, "lower id keeps, duplicate drops")
+    assert(out(5L)._3, "non-duplicate survives")
+    assert(out.values.forall(r => r._2 >= 0 && r._2 < 2), "cid within nlist")
+  }
+
   test("repetition stats flag degenerate repeated text") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1
