@@ -38,7 +38,8 @@ object Bench {
     "corpus_filter", "dedup_incremental_near",
     "corpus_mixture", "text_classifier", "embed_project",
     "dedup_incremental_bloom", "corpus_bpe_pairs", "embed_centroids",
-    "dedup_winnow_pairs", "multimodal_frames", "text_oov", "embed_quantize")
+    "dedup_winnow_pairs", "multimodal_frames", "text_oov", "embed_quantize",
+    "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

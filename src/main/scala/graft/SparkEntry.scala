@@ -351,6 +351,12 @@ object SparkEntry {
       DedupOps.ngramJaccard(t(s, dir, "documents"), threshold = 0.5, n = 1,
         maxDf = 1000)),
 
+    // containment (asymmetric overlap): same df-capped blocking as the
+    // jaccard form; catches excerpt/subset pairs jaccard misses
+    "dedup_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(t(s, dir, "documents"), threshold = 0.8,
+        n = 1, maxDf = 1000)),
+
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashSignatures(t(s, dir, "documents"))),
 
@@ -369,6 +375,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(emb.filter(col("vec_id") < 8), emb, k = 10,
         planes = 4, dims = 64)
+    }),
+
+    // k-NN label propagation: majority label of the 10 nearest neighbors
+    "embed_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.knnClassify(emb.filter(col("vec_id") < 8), emb, k = 10)
     }),
 
     // IVF scale path, fixed-centroid form: the quantizer is a deterministic
@@ -422,6 +434,11 @@ object SparkEntry {
     // corpus-relative rare-token (OOV-rate) stats; the corpus is its own
     // lexicon. 10% threshold brackets the fixture df distribution (one
     // token at 5% df, the rest >= 75%) so the rule actually fires
+    // corpus-unigram LM score (CCNet perplexity proxy); the hot/tail
+    // frequency split keeps the token join skew-free at corpus scale
+    "text_unigram_lp" -> ((s, dir) =>
+      TextOps.unigramLogProb(t(s, dir, "documents"))),
+
     "text_oov" -> ((s, dir) =>
       TextOps.oovStats(t(s, dir, "documents"), maxDfFraction = 0.1)),
 
@@ -965,6 +982,28 @@ object SparkEntry {
          |FROM pc WHERE CAST(inter AS DOUBLE) / (l1 + l2 - inter) >= 0.5""".stripMargin
     },
 
+    "dedup_containment" -> {
+      // same df<=1000 blocking as dedup_ngram_jaccard; the score divides
+      // by the smaller shingle-set size instead of the union
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(tk) AS sh FROM toks),
+         |inv AS (SELECT doc_id, len(sh) AS l, unnest(sh) AS g FROM sh0),
+         |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+         |binv AS (SELECT inv.doc_id, inv.g FROM inv JOIN keep USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM binv a JOIN binv b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |pc AS (SELECT c.id1, c.id2, count(*) AS inter,
+         |       any_value(a.l) AS l1, any_value(b.l) AS l2
+         |       FROM cand c
+         |       JOIN inv a ON a.doc_id = c.id1
+         |       JOIN inv b ON b.doc_id = c.id2 AND b.g = a.g
+         |       GROUP BY 1, 2)
+         |SELECT id1, id2, CAST(inter AS INT) AS inter,
+         |       CAST(least(l1, l2) AS INT) AS min_sz,
+         |       round(CAST(inter AS DOUBLE) / least(l1, l2), 6) AS containment
+         |FROM pc WHERE CAST(inter AS DOUBLE) / least(l1, l2) >= 0.8""".stripMargin
+    },
+
     "dedup_simhash" -> {
       s"""WITH ${OracleSql.toksCte(lower = false)}
          |SELECT doc_id, ${OracleSql.simhash} AS simhash FROM toks""".stripMargin
@@ -1004,6 +1043,24 @@ object SparkEntry {
          |      FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "embed_knn_classify" -> {
+      val cos = OracleSql.cosine("q.embedding", "c.embedding")
+      s"""WITH j AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nid, c.label AS lbl, $cos AS cos
+         |  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, embeddings c
+         |  WHERE q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, nid, lbl,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nid ASC) AS rank
+         |      FROM j),
+         |v AS (SELECT query_id, lbl, count(*) AS votes
+         |      FROM r WHERE rank <= 10 GROUP BY 1, 2),
+         |p AS (SELECT query_id, lbl, votes,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl ASC) AS rn
+         |      FROM v)
+         |SELECT query_id, CAST(lbl AS INT) AS pred_label, votes
+         |FROM p WHERE rn = 1""".stripMargin
     },
 
     "ann_lsh_topk" -> {
@@ -1154,6 +1211,20 @@ object SparkEntry {
          |       OR starts_with(t, 'https://') OR starts_with(t, 'www.')))
          |   + len(list_filter(tk, t -> contains(t, '@') AND contains(t, '.')))) > 0 AS has_web
          |FROM toks""".stripMargin
+    },
+
+    "text_unigram_lp" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |ti AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |cnt AS (SELECT tok, count(*) AS c FROM ti GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+         |agg AS (SELECT ti.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        avg(-ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))) AS nll
+         |        FROM ti JOIN cnt USING (tok) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+         |  round(coalesce(a.nll, 0), 6) AS avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
 
     "text_oov" -> {

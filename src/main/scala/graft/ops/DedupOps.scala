@@ -314,6 +314,52 @@ object DedupOps {
         col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
+    * distinct word n-gram shingle sets. Containment is the asymmetric
+    * complement to Jaccard ([[ngramJaccard]]): a short document pasted
+    * inside a longer one scores ~1.0 here while its Jaccard stays low —
+    * the quote/excerpt/boilerplate-wrapper case Jaccard-only dedup
+    * misses (the measure behind suffix-style subset dedup in
+    * Lee et al. 2022, arXiv:2107.06499).
+    *
+    * Same scale shape as the capped [[ngramJaccard]] path: inverted-index
+    * blocking with hot shingles (document frequency > `maxDf`) dropped
+    * from candidate generation — mandatory here, not optional, since
+    * containment's use-case is exactly the corpora where boilerplate
+    * shingles are near-global. Scores are then exact over ALL shingles
+    * for surviving candidates; only pairs overlapping solely in
+    * hot shingles are (documentedly) missed.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                       maxDf: Int = 64, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val ex = shingleRows(docs, n, idCol, textCol)
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val blockEx = ex.join(
+      ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(col("g")),
+      "g").select(col(idCol), col("g"))
+    val cands = blockEx.toDF("ida", "g").as("a")
+      .join(blockEx.toDF("idb", "gb").as("b"),
+        col("g") === col("gb") && col("ida") < col("idb"))
+      .select(col("ida").as("id1"), col("idb").as("id2"))
+      .distinct()
+    val inter = cands.join(ex.toDF("id1", "g"), "id1")
+      .join(ex.toDF("_id2", "g2"),
+        col("id2") === col("_id2") && col("g") === col("g2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(sizes.toDF("id1", "sz1"), "id1")
+      .join(sizes.toDF("id2", "sz2"), "id2")
+      .withColumn("containment",
+        col("inter_cnt").cast("double") / least(col("sz1"), col("sz2")))
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
+        least(col("sz1"), col("sz2")).cast("int").as("min_sz"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Per-document 32-bit SimHash fingerprints: explode distinct tokens,
     * hash once, 32 signed bit-votes as grouped conditional sums. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",

@@ -36,6 +36,41 @@ object SimilarityOps {
         col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** k-NN label propagation: classify each query vector by majority vote
+    * over the labels of its `k` nearest corpus neighbors (exact cosine) —
+    * the standard embedding-space auto-labeling step for quality/domain
+    * tagging of unlabeled corpora. Ties break on (votes desc, label asc),
+    * neighbor rank ties on (cos desc, id asc) — fully deterministic.
+    * Output: (query_id, pred_label, votes).
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: the query side broadcasts,
+    * the labeled corpus is scanned once with vectors never shuffled; the
+    * per-query top-k is a group-limit (WindowGroupLimit pushes the k-cut
+    * ahead of the exchange), and the vote is a tiny keyed aggregation
+    * over ≤ |queries|·k narrow rows.
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val joined = broadcast(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+      .crossJoin(corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"),
+        col(labelCol).as("lbl")))
+      .filter(col("query_id") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val nn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    val votes = joined.withColumn("rank", row_number().over(nn))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val top = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("lbl").asc)
+    votes.withColumn("_rn", row_number().over(top)).filter(col("_rn") === 1)
+      .select(col("query_id"), col("lbl").cast("int").as("pred_label"),
+        col("votes"))
+  }
+
   /** Sign-of-projection LSH signature: `planes` deterministic hyperplanes
     * (shared with the oracle via the LCG in [[graft.functions.CrossHash]]),
     * one bit each, folded into a long bucket id. Backed by the native

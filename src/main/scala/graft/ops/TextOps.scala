@@ -242,6 +242,48 @@ object TextOps {
         round(col("n_rare").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
   }
 
+  /** Corpus-unigram LM quality score — the perplexity-proxy filter from
+    * the CCNet pipeline (Wenzek et al. 2020), with the corpus itself as
+    * the language model: per document, the mean negative log-probability
+    * of its tokens under the corpus unigram distribution. Low = fluent,
+    * high = gibberish/OCR noise relative to the corpus. Output:
+    * (id, n_tokens, avg_nll).
+    *
+    * Scale shape: the unigram table is one token-keyed count shuffle
+    * (inherent). Scoring then needs every instance row's probability —
+    * but a plain instance⋈vocab join on token is maximally skewed
+    * (every "the" instance lands on one reducer). Split by frequency
+    * instead: tokens holding more than `commonMassFraction` of total
+    * mass number at most 1/fraction types (bounded independent of corpus
+    * size), so their log-probs broadcast and the hot keys never shuffle;
+    * the tail joins by token with per-key cardinality ≤
+    * commonMassFraction·total — skew-free by construction. Both legs
+    * carry only (id, logprob); text never shuffles.
+    */
+  def unigramLogProb(docs: DataFrame, commonMassFraction: Double = 5e-4,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val inst = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+    val counts = inst.groupBy(col("tok")).agg(count(lit(1)).as("_cnt"))
+    val total = counts.agg(sum(col("_cnt")).cast("double").as("_tot"))
+    val lp = counts.crossJoin(broadcast(total))
+      .select(col("tok"), col("_cnt"), col("_tot"),
+        log(col("_cnt").cast("double") / col("_tot")).as("_lp"))
+    val hot = lp.filter(col("_cnt") > col("_tot") * lit(commonMassFraction))
+      .select(col("tok"), col("_lp"))
+    val tail = lp.filter(col("_cnt") <= col("_tot") * lit(commonMassFraction))
+      .select(col("tok"), col("_lp"))
+    val viaHot = inst.join(broadcast(hot), Seq("tok"), "left")
+    val resolved = viaHot.filter(col("_lp").isNotNull).select(col(idCol), col("_lp"))
+      .unionByName(viaHot.filter(col("_lp").isNull).drop("_lp")
+        .join(tail, Seq("tok")).select(col(idCol), col("_lp")))
+    val agg = resolved.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(-col("_lp")).as("_nll"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("_nll"), lit(0d)), 6).as("avg_nll"))
+  }
+
   /** Benchmark decontamination (the training-data hygiene step from the
     * GPT-3/PaLM reports): flag corpus documents that share at least
     * `minHits` distinct word `n`-grams with any document of an

@@ -120,6 +120,37 @@ class PlanSpec extends SparkSpec {
       s"instance rows must never sort-merge against the common set:\n$smjTok")
   }
 
+  test("unigram LM: no exchange carries text; hot tokens broadcast; map-side partials") {
+    val p = plan("text_unigram_lp")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("text#"),
+      s"unigram shuffles must carry (id, token) rows, not text:\n$ex")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded hot-token set must broadcast-join the instance stream:\n$p")
+    assert(p.contains("partial_count"),
+      s"token counting must partial-aggregate before the exchange:\n$p")
+  }
+
+  test("knn classify: broadcast query side, group-limit k-cut, vectors never shuffle") {
+    val p = plan("embed_knn_classify")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query k-cut must group-limit before the exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the scan is a broadcast of the tiny query table, never a sorted shuffle:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("embedding#") && !ex.contains("cv#") && !ex.contains("qv#"),
+      s"the vote must shuffle (query_id, label, cos) rows, not vectors:\n$ex")
+  }
+
+  test("containment: candidate blocking is df-capped; no exchange carries text") {
+    val p = plan("dedup_containment")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("text#"),
+      s"containment shuffles carry (id, shingle) rows, not text:\n$ex")
+    assert(p.contains("partial_count"),
+      s"df/intersection counts must partial-aggregate:\n$p")
+  }
+
   test("pq ANN tiers: code-only scan exchanges, pre-shuffle top-k, equi-join probe") {
     val pq = plan("ann_pq_topk")
     assert(pq.contains("WindowGroupLimit"),

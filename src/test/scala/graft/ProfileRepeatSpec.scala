@@ -10,10 +10,13 @@ class ProfileRepeatSpec extends SparkSpec {
   test("repeat timings: langid/repetition/minhash_pairs cold vs warm") {
     assume(sys.env.contains("GRAFT_PROFILE"),
       "diagnostic only - set GRAFT_PROFILE=1 to run")
-    val dir = "/root/testdata/sf0.1"
-    for (name <- Seq("text_langid", "text_repetition", "dedup_minhash_pairs",
-        "a5_count_check", "asof_join")) {
-      val times = (1 to 3).map { _ =>
+    val dir = sys.env.getOrElse("GRAFT_PROFILE_SF", "/root/testdata/sf0.1")
+    val names = sys.env.get("GRAFT_PROFILE_QUERIES")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq("text_langid", "text_repetition", "dedup_minhash_pairs",
+        "a5_count_check", "asof_join"))
+    for (name <- names) {
+      val times = (1 to 5).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -413,6 +413,64 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.values.forall(r => r._2 >= 0 && r._2 < 2), "cid within nlist")
   }
 
+  test("unigramLogProb: exact NLL on a known fixture, split-invariant, empty doc kept") {
+    // counts: a=3, b=1, c=1, total=5
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    def run(frac: Double) = TextOps.unigramLogProb(docs, commonMassFraction = frac)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val out = run(5e-4)
+    // doc1: -(2 ln(3/5) + ln(1/5)) / 3 ; doc2: -(ln(3/5) + ln(1/5)) / 2
+    assert(out(1L) == ((1L, 3L, 0.877030)))
+    assert(out(2L) == ((2L, 2L, 1.060132)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    // the hot/tail frequency split is a physical choice, never a result
+    // change: all-hot (0) and all-tail (1.0) agree with the default
+    assert(run(0.0) == out && run(1.0) == out)
+  }
+
+  test("containmentPairs: subset doc scores 1.0 where jaccard stays low; hot shingles blocked") {
+    val docs = Seq(
+      (1L, "x y z w"),  // superset
+      (2L, "x y"),      // contained: containment 1.0, jaccard 0.5
+      (3L, "q r")       // disjoint
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, threshold = 0.8, n = 1, maxDf = 10)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 2, 2, 1.0)))
+    // same pair under jaccard scores 2/4 — below a 0.8 bar
+    val jac = DedupOps.ngramJaccard(docs, threshold = 0.8, n = 1, maxDf = 10)
+    assert(jac.count() == 0)
+    // a blocking cap below the shared-shingle df hides the pair: both
+    // shared shingles (x, y) have df 2 > maxDf 1
+    val capped = DedupOps.containmentPairs(docs, threshold = 0.8, n = 1, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("knnClassify: majority label wins, ties break on smaller label") {
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f), -1)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f), 1),
+      (11L, Seq(0.9f, 0.1f, 0f, 0f), 1),
+      (12L, Seq(0.8f, 0.2f, 0f, 0f), 1),
+      (13L, Seq(0f, 1f, 0f, 0f), 2),
+      (14L, Seq(0f, 0.9f, 0.1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val k3 = SimilarityOps.knnClassify(q, corpus, k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(k3.toSeq == Seq((0L, 1, 3L)), "3 nearest are all label 1")
+    // k=5 → 3 votes for 1, 2 for 2; k=4 → 3:1; k=2 → 2:0
+    val k5 = SimilarityOps.knnClassify(q, corpus, k = 5)
+      .as[(Long, Int, Long)].collect()
+    assert(k5.toSeq == Seq((0L, 1, 3L)))
+    // force a tie: two corpus points, one of each label, equal distance
+    // patterns — tie breaks on label asc
+    val tie = SimilarityOps.knnClassify(q,
+      Seq((20L, Seq(0f, 1f, 0f, 0f), 7), (21L, Seq(0f, 0f, 1f, 0f), 3))
+        .toDF("vec_id", "embedding", "label"), k = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(tie.toSeq == Seq((0L, 3, 1L)))
+  }
+
   test("repetition stats flag degenerate repeated text") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1
