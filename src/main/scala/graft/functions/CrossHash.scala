@@ -65,12 +65,17 @@ object CrossHash {
     ColumnBridge.column(WordGramsExpr(ColumnBridge.expression(text), n, distinct = false))
   }
 
-  /** MinHash signature (array of k minima) over an array of shingles. */
-  def minHash(shingleArr: Column, k: Int = 8): Column =
-    transform(sequence(lit(0), lit(k - 1)), j =>
-      array_min(transform(shingleArr, s =>
-        (polyHash(s) * element_at(lit(A.toArray), j + 1) +
-          element_at(lit(B.toArray), j + 1)) % lit(P))))
+  /** MinHash signature (array of k minima) over an array of shingles.
+    * Backed by the native [[MinHashExpr]] (one loop per document);
+    * semantically equal to the portable HOF form the oracle mirrors:
+    * `transform(sequence(0, k-1), j -> array_min(transform(shingles,
+    * s -> (polyHash(s)*a_j + b_j) % P)))`. Empty input → sentinel minima
+    * (Long.MaxValue); filter `size > 0` first where absent-row semantics
+    * are required. */
+  def minHash(shingleArr: Column, k: Int = 8): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleArr), k))
+  }
 
   /** Powers of two as an array literal — bit tests via exact integer
     * arithmetic (h % 2p >= p), portable to any SQL dialect without shift
@@ -78,18 +83,14 @@ object CrossHash {
   val POW2: Array[Long] = (0 until 32).map(b => 1L << b).toArray
 
   /** 32-bit SimHash over *distinct* tokens: bit b is set iff more token
-    * hashes have bit b set than not. */
+    * hashes have bit b set than not. Backed by the native [[SimHashExpr]]
+    * (dedup + vote in one loop); semantically equal to the portable HOF
+    * form the oracle mirrors: `aggregate(sequence(0,31), 0, (acc,b) ->
+    * acc + if(fold(±1 votes via h % 2p >= p) > 0, 2^b, 0))` over
+    * `array_distinct(toks)`. */
   def simHash(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => polyHash(t))
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val p = element_at(lit(POW2), b.cast("int") + lit(1))
-        val votes = aggregate(hashes, lit(0L),
-          (v, h) => v + when(h % (p * lit(2L)) >= p, 1L).otherwise(lit(-1L)))
-        acc + when(votes > 0, p).otherwise(lit(0L))
-      })
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(toks)))
   }
 
   /** Exact cosine similarity between two numeric-array columns, computed

@@ -189,15 +189,15 @@ object DedupOps {
       s"bands ($bands) must divide k ($k): bands>k degenerates every bucket " +
         "to a constant (O(n^2) candidates); a remainder silently drops minima")
     val rowsPerBand = k / bands
-    val ex = shingleRows(docs, n, idCol, textCol)
-      .withColumn("h", polyHash(col("g")))
-    // k permutation minima as one hash-aggregate (map-side partial combine).
-    val aggs = (0 until k).map(j =>
-      min((col("h") * lit(A(j)) + lit(B(j))) % lit(P)).as(s"_m$j"))
-    val sig = ex.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("minhash", array((0 until k).map(j => col(s"_m$j")): _*))
-      .drop((0 until k).map(j => s"_m$j"): _*)
+    // The signature is a pure per-document function of the shingle set:
+    // one native loop per row ([[graft.functions.MinHashExpr]]) inside
+    // the scan stage — no explode, no keyed exchange. The size>0 filter
+    // keeps the explode → groupBy form's semantics (shingle-less docs
+    // emit no row).
+    val sig = docs
+      .select(col(idCol), wordGrams(col(textCol), n).as("_g"))
+      .filter(size(col("_g")) > 0)
+      .select(col(idCol), minHash(col("_g"), k).as("minhash"))
     // Band key: fold the band's rows into one bucket id (exact arithmetic;
     // tiny k-element arrays — HOF cost is negligible here).
     sig.withColumn("bands",
@@ -360,23 +360,18 @@ object DedupOps {
         round(col("containment"), 6).as("containment"))
   }
 
-  /** Per-document 32-bit SimHash fingerprints: explode distinct tokens,
-    * hash once, 32 signed bit-votes as grouped conditional sums. */
+  /** Per-document 32-bit SimHash fingerprints — a pure per-document
+    * function of the distinct-token set, so it runs as one native loop
+    * per row ([[graft.functions.SimHashExpr]]) inside the scan stage:
+    * no explode, no keyed exchange (the grouped-conditional-sums form
+    * this replaces shuffled 32 vote columns per document). The size>0
+    * filter keeps the explode → groupBy form's semantics (token-less
+    * docs emit no row). */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
-    val ex = docs.select(col(idCol), explode(wordGrams(col(textCol), 1)).as("t"))
-      .withColumn("h", polyHash(col("t")))
-    val votes = (0 until 32).map { b =>
-      val p = POW2(b)
-      sum(when(col("h") % lit(2 * p) >= lit(p), 1L).otherwise(lit(-1L))).as(s"_v$b")
-    }
-    ex.groupBy(col(idCol))
-      .agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 32).map(b =>
-          when(col(s"_v$b") > 0, lit(POW2(b))).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), wordGrams(col(textCol), 1).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col(idCol), simHash(col("_t")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using
     * band blocking: the 32-bit fingerprint is cut into `bands` slices;

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, PolyHashExpr, PqAdcTabsExpr, PqCodesExpr, ProjectEmbedExpr, WinnowExpr, WordGramsExpr}
+import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, MinHashExpr, PolyHashExpr, PqAdcTabsExpr, PqCodesExpr, ProjectEmbedExpr, SimHashExpr, WinnowExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,7 +38,11 @@ object FunctionRegistration {
     ("graft_pq_codes", "product-quantization codes: graft_pq_codes(vec, m, ncode, sub)",
       exprs => PqCodesExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))),
     ("graft_pq_adc_tabs", "PQ ADC distance tables: graft_pq_adc_tabs(vec, m, ncode, sub)",
-      exprs => PqAdcTabsExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))))
+      exprs => PqAdcTabsExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)), litInt(exprs(3)))),
+    ("graft_simhash", "32-bit SimHash of a token array's distinct elements",
+      exprs => SimHashExpr(exprs.head)),
+    ("graft_minhash", "MinHash minima array: graft_minhash(shingles, k)",
+      exprs => MinHashExpr(exprs.head, litInt(exprs(1)))))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v

@@ -40,11 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"limit+orderBy degenerated:\n$p")
   }
 
-  test("minhash signatures hash-aggregate with map-side partial combine") {
-    val p = plan("dedup_minhash_sig")
-    assert(p.contains("HashAggregate"), s"signature agg should hash-aggregate:\n$p")
-    assert(p.contains("partial_min"),
-      s"k permutation minima must partial-aggregate before the exchange:\n$p")
+  test("signature ops are narrow scan-speed passes: zero exchanges, native exprs") {
+    // a document signature is a pure per-row function of the token set —
+    // the plan must contain NO shuffle at all (the explode → groupBy
+    // formulation this guards against costs a keyed exchange)
+    for (name <- Seq("dedup_minhash_sig", "dedup_simhash")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name must be shuffle-free — signatures are per-row functions:\n$p")
+    }
+    assert(plan("dedup_minhash_sig").contains("graft_minhash"),
+      "minhash must run as the native expression")
+    assert(plan("dedup_simhash").contains("graft_simhash"),
+      "simhash must run as the native expression")
   }
 
   test("decontaminate: eval-set n-grams broadcast (corpus side never shuffles text)") {

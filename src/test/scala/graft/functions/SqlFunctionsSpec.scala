@@ -56,6 +56,44 @@ class SqlFunctionsSpec extends SparkSpec {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("native simhash and minhash equal the portable HOF formulations") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CrossHash.{A, B, P, POW2, polyHash, tokens, wordGrams}
+    val docs = graft.Tables(spark, sf, "documents").limit(200)
+    // HOF twins spelled exactly as the oracle mirrors them
+    def simHashHof(toks: org.apache.spark.sql.Column) = {
+      val hashes = transform(array_distinct(toks), t => polyHash(t))
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+        val p = element_at(lit(POW2), b.cast("int") + lit(1))
+        val votes = aggregate(hashes, lit(0L),
+          (v, h) => v + when(h % (p * lit(2L)) >= p, 1L).otherwise(lit(-1L)))
+        acc + when(votes > 0, p).otherwise(lit(0L))
+      })
+    }
+    def minHashHof(arr: org.apache.spark.sql.Column, k: Int) =
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        array_min(transform(arr, s =>
+          (polyHash(s) * element_at(lit(A.toArray), j + 1) +
+            element_at(lit(B.toArray), j + 1)) % lit(P))))
+    val both = docs.select(
+      CrossHash.simHash(tokens(col("text"))).as("sim_native"),
+      simHashHof(tokens(col("text"))).as("sim_hof"),
+      CrossHash.minHash(wordGrams(col("text"), 3), 8).as("min_native"),
+      minHashHof(wordGrams(col("text"), 3), 8).as("min_hof"))
+    assert(both.filter(col("sim_native") =!= col("sim_hof")).count() == 0)
+    assert(both.filter(col("min_native") =!= col("min_hof")).count() == 0)
+    assert(both.count() == 200)
+    // SQL registration + duplicate-dedup semantics + empty-array sentinel
+    FunctionRegistration.register(spark)
+    val dup = spark.sql(
+      "SELECT graft_simhash(array('a','a','b')), graft_simhash(array('a','b'))")
+      .collect().head
+    assert(dup.getLong(0) == dup.getLong(1), "duplicates must not re-vote")
+    val empty = spark.sql("SELECT graft_minhash(array(), 4)")
+      .collect().head.getSeq[Long](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("polyhash equals the portable HOF formulation") {
     import org.apache.spark.sql.functions._
     val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")
