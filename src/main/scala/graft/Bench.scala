@@ -39,7 +39,8 @@ object Bench {
     "corpus_mixture", "text_classifier", "embed_project",
     "dedup_incremental_bloom", "corpus_bpe_pairs", "embed_centroids",
     "dedup_winnow_pairs", "multimodal_frames", "text_oov", "embed_quantize",
-    "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment")
+    "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment",
+    "session_funnel", "session_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -501,6 +501,16 @@ object SparkEntry {
     "session_stats" -> ((s, dir) =>
       SessionOps.sessionStats(t(s, dir, "events"))),
 
+    // ordered funnel (view → click → purchase), greedy first-match:
+    // one keyed shuffle + a per-user sorted fold, no per-step self-join
+    "session_funnel" -> ((s, dir) =>
+      SessionOps.funnelStages(t(s, dir, "events"),
+        steps = Seq("view", "click", "purchase"))),
+
+    // retention triangle over epoch days; shuffles carry (user, day) only
+    "session_retention" -> ((s, dir) =>
+      SessionOps.cohortRetention(t(s, dir, "events"))),
+
     // duplicate-cluster resolution: pair list → connected components
     // (transitive closure of "A≈B"); every doc gets its cluster's min id
     "dedup_components" -> ((s, dir) => {
@@ -1483,6 +1493,34 @@ object SparkEntry {
         |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    "session_funnel" ->
+      """WITH ue AS (
+        |  SELECT user_id,
+        |         list_sort(list(struct_pack(us := epoch_us(ts),
+        |                                    eid := event_id,
+        |                                    et := event_type))) AS evs
+        |  FROM events GROUP BY 1),
+        |cd AS (
+        |  SELECT user_id,
+        |         list_transform(evs, e -> CASE WHEN e.et = 'view' THEN 1
+        |                                       WHEN e.et = 'click' THEN 2
+        |                                       WHEN e.et = 'purchase' THEN 3
+        |                                       ELSE 0 END) AS codes
+        |  FROM ue)
+        |SELECT user_id,
+        |  CAST(list_reduce(list_prepend(0, codes),
+        |    (st, x) -> CASE WHEN x = st + 1 THEN st + 1 ELSE st END) AS INT) AS stage
+        |FROM cd""".stripMargin,
+
+    "session_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT u.user_id) AS n_users
+        |FROM ud u JOIN coh c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},

@@ -36,4 +36,65 @@ object SessionOps {
           .as("duration_us"),
         // exact decimal sum → double: engine-portable determinism
         sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+
+  /** Ordered-funnel analysis: per user, how far through the `steps`
+    * sequence their event stream advances — strict order, greedy
+    * first-match (the ClickHouse `windowFunnel`-style semantics, without
+    * the time bound). stage = number of steps completed, 0..steps.length.
+    *
+    * One keyed shuffle: events collect per user into a (ts, event_id,
+    * type)-sorted array (event_id is the unique tiebreak, so the order is
+    * a deterministic total order in both engines), then a single left
+    * fold advances the stage counter — the fold is over the session's own
+    * events, so state is bounded by per-user event count (cap degenerate
+    * "bot" users upstream if that bound is at risk). No window, no
+    * self-join per step: the k-step dependency chain that makes the
+    * min-chain formulation k joins is one pass here.
+    */
+  def funnelStages(events: DataFrame, steps: Seq[String],
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.length == steps.length,
+      "funnel steps must be non-empty and distinct")
+    val sorted = events.groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"),
+        col("event_id").as("eid"),
+        col(typeCol).as("et")))).as("_evs"))
+    // each event as its 1-based step index (0 = not a funnel step)...
+    val codes = transform(col("_evs"), e =>
+      steps.zipWithIndex.foldLeft(lit(0): org.apache.spark.sql.Column) {
+        case (acc, (s, i)) => when(e.getField("et") === s, lit(i + 1)).otherwise(acc)
+      })
+    // ...then the greedy subsequence match is a fold: advance on the
+    // next expected index, ignore everything else
+    sorted
+      .withColumn("stage", aggregate(codes, lit(0),
+        (st, x) => when(x === st + lit(1), st + lit(1)).otherwise(st)))
+      .select(col(userCol), col("stage").cast("int").as("stage"))
+  }
+
+  /** Cohort retention: users are cohorted by their first active day;
+    * output one row per (cohort_day, day_offset) with the distinct users
+    * active that many days after their cohort day — the classic retention
+    * triangle. Days are epoch days (exact integer arithmetic on epoch
+    * microseconds — portable).
+    *
+    * Scale shape: every shuffle carries (user, day) pairs — two keyed
+    * aggregations and one user-keyed join; text/props never leave the
+    * scan, and the final triangle is tiny (days × days).
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val dayUs = 86400000000L
+    // exact: subtract the remainder, then the division is of an exact
+    // multiple (epoch µs < 2^53), so the double quotient is the integer
+    val day = ((us - pmod(us, lit(dayUs))) / lit(dayUs)).cast("long")
+    val ud = events.select(col(userCol), day.as("day")).distinct()
+    val coh = ud.groupBy(col(userCol)).agg(min(col("day")).as("cohort_day"))
+    ud.join(coh, userCol)
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

@@ -170,6 +170,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("funnelStages: strict order, greedy first-match, off-funnel events ignored") {
+    val base = 1700000000000000L
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("event_id", "user_id", "us", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val steps = Seq("view", "click", "purchase")
+    val events = ev(
+      // user 1: full funnel with noise interleaved
+      (1L, 1L, base, "view"), (2L, 1L, base + 1, "error"),
+      (3L, 1L, base + 2, "click"), (4L, 1L, base + 3, "purchase"),
+      // user 2: purchase BEFORE view/click — order matters, stage 1
+      (5L, 2L, base, "purchase"), (6L, 2L, base + 1, "view"),
+      // user 3: never enters the funnel
+      (7L, 3L, base, "error"),
+      // user 4: view then purchase without click — stalls at 1
+      (8L, 4L, base, "view"), (9L, 4L, base + 1, "purchase"))
+    val out = SessionOps.funnelStages(events, steps)
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 1))
+    // same-timestamp tiebreak is event_id: click(id 10) before purchase(id 11)
+    val tie = ev((10L, 9L, base, "view"), (11L, 9L, base + 1, "click"),
+      (12L, 9L, base + 1, "purchase"))
+    assert(SessionOps.funnelStages(tie, steps).as[(Long, Int)].collect().toMap
+      == Map(9L -> 3), "equal-ts events must order by event_id")
+  }
+
+  test("cohortRetention: triangle counts by first-active day") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 2 * day),            // user 1: day 0, day 2
+      (3L, 2L, 0L), (4L, 2L, 0L + 1L),            // user 2: day 0 twice
+      (5L, 3L, day), (6L, 3L, 2 * day)            // user 3: day 1, day 2
+    ).toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = SessionOps.cohortRetention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
   test("split assignment is deterministic, content-stable and exhaustive") {
     val docs = Tables(spark, sf, "documents")
     val out = CorpusOps.splitAssign(docs)
