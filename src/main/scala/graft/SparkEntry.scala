@@ -183,6 +183,29 @@ object SparkEntry {
             .cast("double"), lit(0.0d)).as("revenue"))
     }),
 
+    "q14_pivot" -> ((s, dir) => {
+      // relational PIVOT: revenue matrix status × priority. Explicit value
+      // list keeps the plan a single pass (no distinct-values pre-job);
+      // conditional partial aggregates combine map-side like any groupBy.
+      val prios = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+        "5-LOW" -> "p5_low")
+      val piv = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", prios.map(_._1))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+      prios.foldLeft(piv) { case (d, (v, n)) => d.withColumnRenamed(v, n) }
+    }),
+
+    "q15_cube" -> ((s, dir) =>
+      // CUBE grouping sets: all four (status, priority) marginals in one
+      // pass — Expand replicates each row per grouping set before ONE
+      // partial aggregate, so the shuffle stays a single keyed exchange
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))),
+
     // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
     // S3/T1: full-snapshot scan + computed sign column
     "s3_snapshot_sign" -> ((s, dir) => {
@@ -336,6 +359,11 @@ object SparkEntry {
     // instead of the document body (the 100 TB form)
     "dedup_exact_digest" -> ((s, dir) =>
       DedupOps.exactByDigest(t(s, dir, "documents"))),
+
+    // span-level exact-dup work-list: every 8-token window repeated
+    // across >= 2 distinct documents (the substring-dedup signal)
+    "dedup_substring_spans" -> ((s, dir) =>
+      DedupOps.duplicatedSpans(t(s, dir, "documents"), k = 8)),
 
     "dedup_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashSignatures(t(s, dir, "documents"))
@@ -511,6 +539,11 @@ object SparkEntry {
     "session_retention" -> ((s, dir) =>
       SessionOps.cohortRetention(t(s, dir, "events"))),
 
+    // overlapping 10-min/5-min windows, map-side window expansion — the
+    // batch twin of the streaming sliding aggregation
+    "event_rate_sliding" -> ((s, dir) =>
+      SessionOps.slidingRates(t(s, dir, "events"))),
+
     // duplicate-cluster resolution: pair list → connected components
     // (transitive closure of "A≈B"); every doc gets its cluster's min id
     "dedup_components" -> ((s, dir) => {
@@ -665,6 +698,11 @@ object SparkEntry {
     "corpus_pack" -> ((s, dir) =>
       CorpusOps.packSequences(t(s, dir, "documents"), capacity = 2048)),
 
+    // Morton-key multi-dimension layout (chars x tokens); bit-exact narrow
+    // pass — at write time the key range-partitions the corpus files
+    "corpus_zorder" -> ((s, dir) =>
+      CorpusOps.zorderLayout(t(s, dir, "documents"))),
+
     "multimodal_meta" -> ((s, dir) =>
       // the real mapPartitions decode path (per-partition codec init);
       // blobMetaSql is its pure-SQL twin (parity-tested in ExtOpsSpec)
@@ -791,6 +829,25 @@ object SparkEntry {
         |WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 11)
         |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q14_pivot" -> {
+      def cell(v: String, n: String) =
+        s"""CAST(SUM(CASE WHEN o_orderpriority = '$v'
+           |  THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS $n""".stripMargin
+      s"""SELECT o_orderstatus,
+         |  ${cell("1-URGENT", "p1_urgent")},
+         |  ${cell("2-HIGH", "p2_high")},
+         |  ${cell("3-MEDIUM", "p3_medium")},
+         |  ${cell("4-NOT SPECIFIED", "p4_not_specified")},
+         |  ${cell("5-LOW", "p5_low")}
+         |FROM orders GROUP BY o_orderstatus""".stripMargin
+    },
+
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "s3_snapshot_sign" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -940,6 +997,13 @@ object SparkEntry {
     // the digest groups exactly the content groups (collision-free spec)
     "dedup_exact_digest" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "dedup_substring_spans" ->
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |sp AS (SELECT doc_id, unnest(${OracleSql.shingles(8)}) AS span FROM toks)
+         |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+         |FROM sp GROUP BY span
+         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
 
     "dedup_minhash_sig" -> {
       s"""WITH ${OracleSql.toksCte(lower = false)},
@@ -1522,6 +1586,20 @@ object SparkEntry {
         |FROM ud u JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
 
+    // each event belongs to exactly window/slide = 2 sliding windows:
+    // the one starting at its slide-grid floor and the one before it
+    "event_rate_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+        |         epoch_us(ts) - epoch_us(ts) % 300000000 AS base
+        |  FROM events),
+        |w AS (SELECT event_type, v,
+        |             unnest([base, base - 300000000]) AS win_start_us
+        |      FROM e)
+        |SELECT win_start_us, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(v) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
     "dedup_components" ->
       s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},
          |${OracleSql.componentsCte}
@@ -1733,6 +1811,24 @@ object SparkEntry {
          |SELECT lang, doc_id, n_tokens, start_off,
          |       CAST(start_off // 2048 AS BIGINT) AS chunk_id
          |FROM o""".stripMargin,
+
+    // 16-bit Morton interleave of (clamped chars, clamped tokens);
+    // zbucket = top log2(16) bits of the 32-bit key
+    "corpus_zorder" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         least(n_chars, 65535) AS zx,
+         |         least(CAST(len(${OracleSql.tokens("text")}) AS BIGINT), 65535) AS zy
+         |  FROM documents),
+         |z AS (SELECT doc_id, zx, zy,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 16), b ->
+         |      (((zx >> b) & 1) << (2*b)) | (((zy >> b) & 1) << (2*b+1)))),
+         |    (a, v) -> a | v) AS zvalue
+         |  FROM d)
+         |SELECT doc_id, zx, zy, zvalue,
+         |       CAST(zvalue >> 28 AS INT) AS zbucket
+         |FROM z""".stripMargin,
 
     "multimodal_meta" -> {
       val h = OracleSql.ph("text")

@@ -202,6 +202,42 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 
+  /** Z-order (Morton) layout key over two numeric dimensions — the
+    * multi-dimensional clustering step before writing a corpus that is
+    * filtered along several axes at read time (length bands × token
+    * budgets, quality × language, …). Interleaving the bits of the two
+    * clamped `bits`-bit dimensions gives a single sort key whose ranges
+    * are rectangles in (x, y) space, so range-partitioned files prune on
+    * BOTH predicates from parquet min/max stats — the Delta/Iceberg
+    * OPTIMIZE ZORDER trick, as a deterministic column.
+    *
+    * Output per document: the clamped dims, the Morton key, and an
+    * equal-width key-range bucket (`zbucket = zvalue >> (2·bits − log₂
+    * buckets)`) — fully narrow, no shuffle, bit-exact across engines. At
+    * write time, layout = `repartitionByRange(col("zvalue"))` +
+    * `sortWithinPartitions` (sampled range bounds balance skewed keys;
+    * the equal-width bucket here stays deterministic for the oracle gate
+    * and for stable shard manifests).
+    */
+  def zorderLayout(docs: DataFrame, bits: Int = 16, nBuckets: Int = 16,
+                   idCol: String = "doc_id", charsCol: String = "n_chars",
+                   textCol: String = "text"): DataFrame = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (equal-width key ranges)")
+    val maxV = (1L << bits) - 1
+    val zx = least(col(charsCol).cast("long"), lit(maxV))
+    val zy = least(size(tokens(col(textCol))).cast("long"), lit(maxV))
+    val zvalue = (0 until bits).map { b =>
+      shiftleft(shiftright(col("zx"), b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(col("zy"), b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+    val bucketShift = 2 * bits - (31 - Integer.numberOfLeadingZeros(nBuckets))
+    docs.select(col(idCol), zx.as("zx"), zy.as("zy"))
+      .withColumn("zvalue", zvalue)
+      .withColumn("zbucket", shiftright(col("zvalue"), bucketShift).cast("int"))
+  }
+
   /** Boilerplate/duplication score: the fraction of a document's distinct
     * word n-grams that occur in more than `dfCap` documents. High values
     * flag template/near-boilerplate text — the corpus-level complement to

@@ -43,6 +43,39 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Exact duplicated-substring spans — the span-level signal behind
+    * suffix-array substring dedup (Lee et al. 2022, arXiv:2107.06499:
+    * training data repeats *passages* far more often than whole
+    * documents): every `k`-token window of every document, aggregated to
+    * the spans that occur in at least `minDocs` distinct documents, with
+    * their document and occurrence counts. The output is the removal
+    * work-list a span-level deduper consumes (cut or keep-first each
+    * span), and a corpus-health report on its own.
+    *
+    * Scale shape: one codegen'd sliding-window pass per document
+    * ([[graft.functions.WordGramsExpr]], non-distinct) → explode → one
+    * hash-aggregate. The group key is a k-token span (bounded ~k·avg-word
+    * bytes — NOT the unbounded document body), and the df/occurrence pair
+    * plans as partial_count + partial distinct-count with map-side
+    * combine, so the exchange carries each map-side-distinct span once
+    * per partition. The `minDocs` filter cannot push below the aggregate
+    * (df is what's being computed), but the output it gates is exactly
+    * the corpus's repeated-span mass — the thing that must be small for
+    * the corpus to be worth training on. A suffix array finds maximal
+    * repeats of any length; fixed-`k` windows are the blocked
+    * approximation that needs no global order: any repeat of length
+    * ≥ k tokens is guaranteed to surface as ≥ 1 shared window.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && minDocs > 0, "k and minDocs must be positive")
+    docs.select(col(idCol), explode(wordGramsAll(lower(col(textCol)), k)).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Incremental exact dedup — the recurring-crawl shape: dedup a new
     * `batch` of documents internally (keep the lowest id per distinct
     * content) and against an already-ingested `corpus`, keeping only

@@ -74,6 +74,37 @@ object SessionOps {
       .select(col(userCol), col("stage").cast("int").as("stage"))
   }
 
+  /** Sliding-window event rates — the batch twin of the streaming
+    * overlapping-window aggregation in [[graft.streaming.StreamOps]]
+    * (`window(ts, size, slide)` + watermark there; identical window
+    * assignment here, so backfills reconcile with the live stream
+    * row-for-row). Each event lands in `size/slide` windows; output is
+    * one row per (window start, event type) with count and exact-decimal
+    * value sum.
+    *
+    * Scale shape: the window expression expands each event to its
+    * size/slide covering windows *map-side* (a generator, not a join
+    * against a window table), then one keyed hash-aggregate with partial
+    * combine — the same plan as any groupBy, amplified only by the
+    * overlap factor. Keep size/slide small-integer-ratioed at 100 TB;
+    * the aggregate state is bounded by (windows in the time span ×
+    * types), independent of event count.
+    */
+  def slidingRates(events: DataFrame, windowSec: Long = 600, slideSec: Long = 300,
+                   typeCol: String = "event_type", tsCol: String = "ts",
+                   valueCol: String = "value"): DataFrame = {
+    require(windowSec > 0 && slideSec > 0 && windowSec % slideSec == 0,
+      "slide must divide window (Spark emits one window set per slide phase)")
+    events
+      .groupBy(window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start").cast("timestamp_ltz")).as("win_start_us"),
+        col(typeCol), col("n_events"), col("total_value"))
+  }
+
   /** Cohort retention: users are cohorted by their first active day;
     * output one row per (cohort_day, day_offset) with the distinct users
     * active that many days after their cohort day — the classic retention

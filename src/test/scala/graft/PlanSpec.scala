@@ -184,4 +184,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("n_chars"),
       s"scan reads unused document columns:\n$p")
   }
+
+  test("duplicatedSpans: one aggregate pass over bounded span keys, no joins") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"span counting is a pure groupBy — any join is a regression:\n$p")
+    assert(p.contains("partial_count"),
+      s"occurrence counting must partial-aggregate map-side:\n$p")
+    // the exchange key is the k-token span, never the document body
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("text#"),
+      s"span exchanges carry spans (bounded k tokens), not text:\n$ex")
+  }
+
+  test("corpus_zorder: the layout key is a pure narrow pass, zero exchanges") {
+    val p = plan("corpus_zorder")
+    assert(!p.contains("Exchange"),
+      s"the Morton key is per-row bit arithmetic — any shuffle is a regression:\n$p")
+    assert(p.contains("*("), s"zorder fell out of codegen entirely:\n$p")
+  }
+
+  test("event_rate_sliding: map-side window expansion + partial agg, no join") {
+    val p = plan("event_rate_sliding")
+    assert(!p.contains("Join"),
+      s"window assignment must be a generator, not a join against a window table:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-window counts must partial-aggregate before the exchange:\n$p")
+  }
+
+  test("pivot: explicit values avoid the distinct-values job; both aggs partial") {
+    val p = plan("q14_pivot")
+    // declared value list → no Expand and no eager collect of distinct
+    // priorities; the plan is group-compress (status, priority) then
+    // pivotfirst per status — the second exchange carries one row per
+    // (status, priority) group, not source rows
+    assert(!p.contains("Expand"),
+      s"pivot with a declared value list must not expand rows:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_pivotfirst"),
+      s"both pivot aggregates must combine map-side:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 2,
+      s"pivot is two keyed aggregates — extra exchanges are a regression:\n$p")
+  }
+
+  test("cube: all grouping sets share one Expand + one partial aggregate") {
+    val p = plan("q15_cube")
+    assert(p.contains("Expand"), s"CUBE must plan via Expand:\n$p")
+    assert(p.contains("partial_count"),
+      s"grouping sets must partial-aggregate before the exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"CUBE is one keyed exchange over the expanded rows:\n$p")
+  }
 }
