@@ -40,7 +40,9 @@ object Bench {
     "dedup_incremental_bloom", "corpus_bpe_pairs", "embed_centroids",
     "dedup_winnow_pairs", "multimodal_frames", "text_oov", "embed_quantize",
     "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment",
-    "session_funnel", "session_retention")
+    "session_funnel", "session_retention",
+    "q14_pivot", "q15_cube", "dedup_substring_spans", "corpus_zorder",
+    "event_rate_sliding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

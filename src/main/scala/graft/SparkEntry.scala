@@ -183,6 +183,31 @@ object SparkEntry {
             .cast("double"), lit(0.0d)).as("revenue"))
     }),
 
+    "q16_window_funcs" -> ((s, dir) => {
+      // the full ranking-window family over one customer partition: a
+      // single exchange on o_custkey feeds both sort orders (time for
+      // lag/lead/seq, price for rank/ntile/distribution)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        row_number().over(w).cast("int").as("seq"),
+        rank().over(wPrice).cast("int").as("price_rank"),
+        round(percent_rank().over(wPrice), 6).as("price_prank"),
+        ntile(4).over(wPrice).cast("int").as("price_quartile"),
+        round(cume_dist().over(wPrice), 6).as("price_cume"))
+    }),
+
+    "q17_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
     "q14_pivot" -> ((s, dir) => {
       // relational PIVOT: revenue matrix status × priority. Explicit value
       // list keeps the plan a single pass (no distinct-values pre-job);
@@ -559,6 +584,13 @@ object SparkEntry {
         DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
     }),
 
+    // near-dup graph health: documents per neighbor-degree (0 included)
+    "dedup_graph_degree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      GraphOps.degreeHistogram(docs,
+        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+    }),
+
     // backward as-of join (events ← most recent order at-or-before ts):
     // union-merge plan, one exchange, no row amplification
     "asof_join" -> ((s, dir) => {
@@ -829,6 +861,24 @@ object SparkEntry {
         |WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 11)
         |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q16_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER wt AS prev_price,
+        |  lead(o_totalprice, 1) OVER wt AS next_price,
+        |  CAST(row_number() OVER wt AS INT) AS seq,
+        |  CAST(rank() OVER wp AS INT) AS price_rank,
+        |  round(percent_rank() OVER wp, 6) AS price_prank,
+        |  CAST(ntile(4) OVER wp AS INT) AS price_quartile,
+        |  round(cume_dist() OVER wp, 6) AS price_cume
+        |FROM orders
+        |WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+
+    "q17_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "q14_pivot" -> {
       def cell(v: String, n: String) =
@@ -1610,6 +1660,16 @@ object SparkEntry {
          |${OracleSql.componentsCte}
          |SELECT component AS keep_id, COUNT(*) AS n_members
          |FROM comp GROUP BY component""".stripMargin,
+
+    "dedup_graph_degree" ->
+      s"""WITH ${OracleSql.minhashPairsCte},
+         |ends AS (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs),
+         |deg AS (SELECT id, COUNT(*) AS degree FROM ends GROUP BY id),
+         |hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree),
+         |zero AS (SELECT CAST(0 AS BIGINT) AS degree,
+         |         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_docs)
+         |SELECT degree, n_docs FROM hist
+         |UNION ALL SELECT degree, n_docs FROM zero WHERE n_docs > 0""".stripMargin,
 
     // reference (row-amplifying) formulation of the same as-of semantics;
     // the engine's union-merge plan must agree row-for-row

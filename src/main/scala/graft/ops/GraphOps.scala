@@ -221,4 +221,31 @@ object GraphOps {
     components(docs, pairs, idCol, id1Col, id2Col)
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Degree distribution of the near-dup graph — the cluster-health
+    * report read before committing to a dedup pass: how many documents
+    * have 1, 2, … near-dup neighbors (degree 0 = the clean majority,
+    * reported too). A heavy tail here means giant templates/mirrors and
+    * predicts both the dedup yield and the blocking cost ([[components]]'
+    * propagation rounds grow with the largest cluster).
+    *
+    * Scale shape: mirror pairs → one keyed count per endpoint (map-side
+    * partial) → one count per degree; shuffles carry (id) then (degree) —
+    * never text. The degree-0 row folds in as corpus_count − touched
+    * (a broadcast single-row aggregate, no driver action).
+    */
+  def degreeHistogram(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id", id1Col: String = "id1",
+                      id2Col: String = "id2"): DataFrame = {
+    val ends = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id")))
+    val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    val touched = deg.agg(count(lit(1)).as("_touched"))
+    val total = docs.agg(count(lit(1)).as("_total"))
+    val zero = total.crossJoin(touched)
+      .select(lit(0L).as("degree"), (col("_total") - col("_touched")).as("n_docs"))
+      .filter(col("n_docs") > 0)
+    hist.unionByName(zero)
+  }
 }

@@ -39,6 +39,25 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Sliding (overlapping) window rates per type — the streaming twin of
+    * [[graft.ops.SessionOps.slidingRates]], with identical window
+    * assignment, so a batch backfill reconciles with the live stream
+    * row-for-row. State is (windows open within the watermark) × types —
+    * bounded; each event updates size/slide window states map-side.
+    */
+  def slidingRates(events: DataFrame, size: String = "10 minutes",
+                   slide: String = "5 minutes", watermark: String = "1 hour",
+                   tsCol: String = "ts", typeCol: String = "event_type",
+                   valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), size, slide),
+        col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n_events"), col("total_value"))
+
   /** Tumbling-window event counts per type — the monitoring-style rollup. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",
                      watermark: String = "1 hour", tsCol: String = "ts",

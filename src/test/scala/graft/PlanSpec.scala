@@ -226,6 +226,28 @@ class PlanSpec extends SparkSpec {
       s"pivot is two keyed aggregates — extra exchanges are a regression:\n$p")
   }
 
+  test("window family: both sort orders share ONE customer exchange") {
+    val p = plan("q16_window_funcs")
+    // time-ordered (lag/lead/seq) and price-ordered (rank/ntile/dist)
+    // windows partition on the same key: re-sorting is fine, re-shuffling
+    // is a regression
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"two sort orders over one partition key need exactly one exchange:\n$p")
+    assert(p.contains("Window"), s"window operators missing:\n$p")
+  }
+
+  test("graph degree: corpus count folds in as broadcast agg, no text shuffles") {
+    val p = plan("dedup_graph_degree")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("text#"),
+      s"degree exchanges carry ids and degrees, never text:\n$ex")
+    assert(p.contains("partial_count"),
+      s"degree counting must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.linesIterator.count(_.contains("CartesianProduct")) <= 1,
+      s"only the 1x1 zero-row cross join may be non-equi:\n$p")
+  }
+
   test("cube: all grouping sets share one Expand + one partial aggregate") {
     val p = plan("q15_cube")
     assert(p.contains("Expand"), s"CUBE must plan via Expand:\n$p")

@@ -68,6 +68,19 @@ class LayoutSpanSpec extends SparkSpec {
     assert(math.abs(z(1L) - z(2L)) < math.abs(z(1L) - z(3L)))
   }
 
+  test("degreeHistogram: neighbor counts per doc, clean majority reported as degree 0") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // 1-2, 1-3, 2-3 triangle; 4-5 pair; 6 untouched
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val hist = GraphOps.degreeHistogram(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(2L -> 3L, 1L -> 2L, 0L -> 1L))
+    // no untouched docs -> no degree-0 row at all
+    val all = GraphOps.degreeHistogram(docs.filter(col("doc_id") <= 5), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(all == Map(2L -> 3L, 1L -> 2L))
+  }
+
   test("slidingRates: each event lands in exactly window/slide overlapping windows") {
     def ts(min: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
     val events = Seq(

@@ -73,6 +73,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows reconcile row-for-row with the batch twin") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(7), "view", 1.0), (2L, ts(8), "view", 2.0),
+      (3L, ts(12), "click", 4.0), (4L, ts(10), "view", 8.0))
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val slid = StreamOps.slidingRates(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"),
+      watermark = "0 seconds")
+    val q = slid.writeStream.format("memory")
+      .queryName("sliding_test").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close every open window
+      input.addData((9L, Timestamp.valueOf("2024-01-01 13:00:00"), "late", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .filter(col("event_type") =!= "late")
+        .select(unix_micros(col("window_start")), col("event_type"),
+          col("n_events"), col("total_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = graft.ops.SessionOps.slidingRates(
+        rows.toDF("event_id", "ts", "event_type", "value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch && streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("narrow corpus ops compose with streams and match their batch twins") {
     // classifierScore and corpusFilter are pure narrow passes, so they run
     // unchanged on a streaming DataFrame (append mode, no state) — the
