@@ -47,6 +47,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local iteration aid: run a comma-separated subset of the headline
+    // set (driver runs the full set — the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,7 +69,7 @@ object Bench {
     for (w <- Seq("q1_pricing_summary", "q5_region_revenue"))
       SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val results = headline.map { name =>
+    val results = only.fold(headline)(s => headline.filter(s)).map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

@@ -391,9 +391,7 @@ object SparkEntry {
       DedupOps.duplicatedSpans(t(s, dir, "documents"), k = 8)),
 
     "dedup_minhash_sig" -> ((s, dir) =>
-      DedupOps.minhashSignatures(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band_idx", "bucket")))),
+      DedupOps.minhashBandRows(t(s, dir, "documents"))),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0)),

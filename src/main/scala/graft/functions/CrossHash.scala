@@ -77,6 +77,15 @@ object CrossHash {
     ColumnBridge.column(MinHashExpr(ColumnBridge.expression(shingleArr), k))
   }
 
+  /** Fused MinHash band buckets over a shingle array — NULL for empty
+    * input (see [[MinHashBandsExpr]] for why the fusion is a plan-shape
+    * guard, not just a constant-factor win). */
+  def minHashBands(shingleArr: Column, k: Int = 8, bands: Int = 4): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      MinHashBandsExpr(ColumnBridge.expression(shingleArr), k, bands))
+  }
+
   /** Powers of two as an array literal — bit tests via exact integer
     * arithmetic (h % 2p >= p), portable to any SQL dialect without shift
     * operators on column-valued shift amounts. */

@@ -88,9 +88,9 @@ case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashExpr {
-  private val A: Array[Long] = CrossHash.A.toArray
-  private val B: Array[Long] = CrossHash.B.toArray
-  private val P: Long = CrossHash.P
+  private[functions] val A: Array[Long] = CrossHash.A.toArray
+  private[functions] val B: Array[Long] = CrossHash.B.toArray
+  private[functions] val P: Long = CrossHash.P
 
   def sig(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
@@ -107,5 +107,69 @@ object MinHashExpr {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+}
+
+/** Fused MinHash band buckets: shingles → k permutation minima → per-band
+  * bucket fold, one loop, one expression. Returns NULL for an empty
+  * shingle array (mirroring the explode → groupBy form's row-dropping),
+  * so `posexplode(graft_minhash_bands(...))` emits nothing for
+  * shingle-less documents with NO separate size filter.
+  *
+  * The fusion is not (only) a constant-factor trick — it is a plan-shape
+  * guard: a `Filter(size(...) > 0)` over an aliased signature column gets
+  * the full expression tree substituted into it by predicate pushdown,
+  * and `InferFiltersFromGenerate` + pushdown does the same below a
+  * posexplode — each duplication re-evaluates grams+minima per row
+  * (measured ~2× on the band queries). With the whole chain inside the
+  * generator and nullability carrying the drop semantics, the optimizer
+  * has nothing to duplicate.
+  *
+  * Bucket semantics are bit-identical to the HOF form the oracle mirrors:
+  * `aggregate(slice(mh, b·rows+1, rows), b, (acc, v) -> (acc·31 + v) mod P)`.
+  */
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= CrossHash.A.length,
+    s"k ($k) must be in [1, ${CrossHash.A.length}]")
+  require(bands > 0 && bands <= k && k % bands == 0,
+    s"bands ($bands) must divide k ($k)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashBandsExpr.buckets(input.asInstanceOf[ArrayData], k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinHashBandsExpr.buckets($c, $k, $bands);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+object MinHashBandsExpr {
+  /** Band buckets of the k-minima signature; null for empty input. */
+  def buckets(arr: ArrayData, k: Int, bands: Int): ArrayData = {
+    if (arr.numElements() == 0) return null
+    val mins = MinHashExpr.sig(arr, k)
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = b.toLong
+      var r = 0
+      while (r < rows) {
+        acc = (acc * 31L + mins.getLong(b * rows + r)) % MinHashExpr.P
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -169,8 +169,7 @@ object DedupOps {
                          textCol: String = "text",
                          maxBucket: Int = Int.MaxValue): DataFrame = {
     def explBuckets(docs: DataFrame) =
-      minhashSignatures(docs, n, k, bands, idCol, textCol)
-        .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+      minhashBandRows(docs, n, k, bands, idCol, textCol)
     val be = explBuckets(batch)
     val ce0 = explBuckets(corpus)
     val ce =
@@ -241,6 +240,21 @@ object DedupOps {
           (acc, v) => (acc * lit(31L) + v) % lit(P))))
   }
 
+  /** Exploded LSH band rows (id, band_idx, bucket) — the blocking index
+    * every MinHash consumer joins on. The whole grams → minima → bucket
+    * chain lives INSIDE the posexplode as one fused native expression
+    * ([[graft.functions.MinHashBandsExpr]], null for shingle-less docs):
+    * with an aliased signature column instead, `InferFiltersFromGenerate`
+    * plus predicate pushdown substitute the full chain into a
+    * size-guard Filter below the generate and re-evaluate it per row
+    * (measured ~2× on every band query at sf0.1).
+    */
+  def minhashBandRows(docs: DataFrame, n: Int = 3, k: Int = 8, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      posexplode(minHashBands(wordGrams(col(textCol), n), k, bands))
+        .as(Seq("band_idx", "bucket")))
+
   /** MinHash-LSH near-duplicate pairs: candidates share ≥1 band bucket;
     * verified with exact Jaccard over shingle sets ≥ `threshold`.
     *
@@ -256,8 +270,7 @@ object DedupOps {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val ex = shingleRows(docs, n, idCol, textCol)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val expl0 = minhashSignatures(docs, n, k, bands, idCol, textCol)
-      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val expl0 = minhashBandRows(docs, n, k, bands, idCol, textCol)
     val expl =
       if (maxBucket == Int.MaxValue) expl0
       else expl0.join(

@@ -94,6 +94,23 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(empty == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("fused minhash bands equal the signature+fold composition; null drops rows") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf, "documents").limit(200)
+    val composed = graft.ops.DedupOps
+      .minhashSignatures(docs, n = 3, k = 8, bands = 4)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bucket")))
+    val fused = graft.ops.DedupOps.minhashBandRows(docs, n = 3, k = 8, bands = 4)
+    assert(fused.count() == composed.count())
+    assert(fused.except(composed).count() == 0 && composed.except(fused).count() == 0)
+    // shingle-less docs vanish via nullability, not a separate filter
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val ids = graft.ops.DedupOps.minhashBandRows(tiny)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L))
+  }
+
   test("polyhash equals the portable HOF formulation") {
     import org.apache.spark.sql.functions._
     val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")
