@@ -42,7 +42,9 @@ object Bench {
     "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment",
     "session_funnel", "session_retention",
     "q14_pivot", "q15_cube", "dedup_substring_spans", "corpus_zorder",
-    "event_rate_sliding")
+    "event_rate_sliding",
+    "q16_window_funcs", "q17_intersect", "dedup_graph_degree",
+    "asof_join_tolerance", "text_entropy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -493,6 +493,10 @@ object SparkEntry {
     "text_oov" -> ((s, dir) =>
       TextOps.oovStats(t(s, dir, "documents"), maxDfFraction = 0.1)),
 
+    // codepoint entropy + digit/upper fractions (encoding-level quality)
+    "text_entropy" -> ((s, dir) =>
+      TextOps.charStats(t(s, dir, "documents"))),
+
     // deterministic content-stable train/val/test assignment
     "split_assign" -> ((s, dir) =>
       CorpusOps.splitAssign(t(s, dir, "documents"))),
@@ -598,6 +602,22 @@ object SparkEntry {
           leftTs = "ts", rightTs = "o_orderdate",
           payloadCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
           tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
+          col("o_orderkey"), col("o_totalprice"),
+          tsUs(col("o_orderdate")).as("o_orderdate_us"))
+    }),
+
+    // bounded-lookback as-of (pandas merge_asof tolerance): matches
+    // farther back than the bound drop. 7.5e14 µs splits the fixture's
+    // event→order gaps (7.1e14..8.5e14 — events are decades after the
+    // TPC-H order dates) so both arms are exercised.
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      JoinOps.asofJoin(ev, t(s, dir, "orders"),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+          tieBreak = "o_orderkey", tolerance = Some(750000000000000L))
         .select(col("event_id"), col("user_id"), tsUs(col("ts")).as("ts_us"),
           col("o_orderkey"), col("o_totalprice"),
           tsUs(col("o_orderdate")).as("o_orderdate_us"))
@@ -1308,6 +1328,26 @@ object SparkEntry {
          |FROM r""".stripMargin
     },
 
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text)+1),
+        |         i -> substr(text, CAST(i AS INT), 1))) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, SUM(cnt) AS n, list(cnt ORDER BY c) AS cl
+        |        FROM cc GROUP BY doc_id),
+        |e AS (SELECT doc_id, n,
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(cl, k -> -(k/n)*ln(k/n))), (a, x) -> a + x) AS ent
+        |      FROM tot)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |       round(coalesce(e.ent, 0), 6) AS char_entropy,
+        |       round(CAST(len(regexp_extract_all(d.text, '[0-9]')) AS DOUBLE)
+        |             / greatest(length(d.text), 1), 6) AS digit_frac,
+        |       round(CAST(len(regexp_extract_all(d.text, '[A-Z]')) AS DOUBLE)
+        |             / greatest(length(d.text), 1), 6) AS upper_frac
+        |FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id""".stripMargin,
+
     "text_tokens" -> {
       s"""WITH ${OracleSql.toksCte(lower = false)}
          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS ws_tokens,
@@ -1682,6 +1722,21 @@ object SparkEntry {
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
         |SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice, o_orderdate_us
         |FROM j WHERE rn = 1""".stripMargin,
+
+    // the tolerance re-ranks over the SAME candidates then drops
+    // out-of-bound winners (not "rank among in-bound") — matching the
+    // operator's null-out-after-window semantics and pandas merge_asof
+    "asof_join_tolerance" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |         o.o_orderkey, o.o_totalprice,
+        |         epoch_us(o.o_orderdate) AS o_orderdate_us,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice, o_orderdate_us
+        |FROM j WHERE rn = 1 AND ts_us - o_orderdate_us <= 750000000000000""".stripMargin,
 
     "asof_join_forward" ->
       """WITH j AS (

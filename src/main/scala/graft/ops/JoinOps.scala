@@ -36,13 +36,23 @@ object JoinOps {
     * are kept with null payload when `keepUnmatched`, dropped otherwise
     * (inner as-of). Timestamp gaps compare as exact epoch microseconds;
     * numeric timestamps compare natively.
+    *
+    * `tolerance` (same units as the gap: µs for timestamps, native for
+    * numerics) bounds the match distance — pandas merge_asof's knob: a
+    * candidate farther than the bound is no match at all. For `nearest`
+    * the bound applies per direction BEFORE choosing, so a too-far
+    * backward row never shadows an in-range forward row. The bound is a
+    * post-window null-out — plan shape (one exchange, no amplification)
+    * is unchanged.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
                payloadCols: Seq[String], tieBreak: String,
                keepUnmatched: Boolean = false,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
@@ -91,21 +101,33 @@ object JoinOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       last(col("_r"), ignoreNulls = true).over(w)
     }
+    // tolerance: null out a windowed match farther than the bound (per
+    // direction, before nearest chooses between its two candidates)
+    def bounded(m: Column, gap: Column): Column = tolerance match {
+      case None => m
+      case Some(tol) => when(m.isNotNull && gap <= lit(tol), m)
+    }
+    def backGap(m: Column) = gapNum(col("_t")) - gapNum(m.getField("_rt"))
+    def fwdGap(m: Column) = gapNum(m.getField("_rt")) - gapNum(col("_t"))
     val merged = (direction match {
       case "backward" =>
-        union.withColumn("_m", windowed(col("_t").asc))
+        union.withColumn("_m0", windowed(col("_t").asc))
+          .withColumn("_m", bounded(col("_m0"), backGap(col("_m0"))))
+          .drop("_m0")
       case "forward" =>
-        union.withColumn("_m", windowed(col("_t").desc))
+        union.withColumn("_m0", windowed(col("_t").desc))
+          .withColumn("_m", bounded(col("_m0"), fwdGap(col("_m0"))))
+          .drop("_m0")
       case _ =>
-        val gb = gapNum(col("_t")) - gapNum(col("_mb").getField("_rt"))
-        val gf = gapNum(col("_mf").getField("_rt")) - gapNum(col("_t"))
         union
           .withColumn("_mb", windowed(col("_t").asc))
           .withColumn("_mf", windowed(col("_t").desc))
+          .withColumn("_mb", bounded(col("_mb"), backGap(col("_mb"))))
+          .withColumn("_mf", bounded(col("_mf"), fwdGap(col("_mf"))))
           .withColumn("_m",
             when(col("_mb").isNull, col("_mf"))
               .when(col("_mf").isNull, col("_mb"))
-              .when(gf < gb, col("_mf"))
+              .when(fwdGap(col("_mf")) < backGap(col("_mb")), col("_mf"))
               .otherwise(col("_mb"))) // exact tie → backward
           .drop("_mb", "_mf")
     }).filter(col("_tag") === 1)

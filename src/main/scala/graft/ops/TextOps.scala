@@ -415,6 +415,32 @@ object TextOps {
         (col("clf_logit") > 0).as("clf_keep"))
   }
 
+  /** Character-distribution statistics — the encoding-level quality
+    * signals that token-level rules miss: codepoint Shannon entropy
+    * (natural language ~2.5–4.5 nats; base64/minified/OCR noise lands
+    * outside), digit fraction, and uppercase fraction. One narrow pass:
+    * entropy is the codegen'd [[graft.functions.CharEntropyExpr]] (single
+    * histogram loop per row), the fractions are regexp counts — nothing
+    * shuffles, the pass pipelines inside the scan at any corpus size.
+    * Entropy folds codepoints in ascending order (= the oracle's
+    * `list(... ORDER BY c)` fold), so the value matches cross-engine up
+    * to libm `ln`, absorbed by the rounding.
+    */
+  def charStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val ent = ColumnBridge.column(
+      graft.functions.CharEntropyExpr(ColumnBridge.expression(col(textCol))))
+    val len = greatest(length(col(textCol)).cast("long"), lit(1L))
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      round(ent, 6).as("char_entropy"),
+      round(regexp_count(col(textCol), lit("[0-9]")).cast("double") / len, 6)
+        .as("digit_frac"),
+      round(regexp_count(col(textCol), lit("[A-Z]")).cast("double") / len, 6)
+        .as("upper_frac"))
+  }
+
   /** Within-document repetition metrics (the Gopher/C4 quality-rule
     * family): top-word fraction, top-bigram fraction, and the fraction of
     * bigram occurrences that are duplicates inside the same document.

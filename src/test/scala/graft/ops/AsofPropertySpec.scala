@@ -64,4 +64,46 @@ class AsofPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("tolerance bounds each direction before nearest chooses (8 seeds)") {
+    // in-bound reference: drop each side's candidates farther than tol
+    // FIRST (for backward/forward this equals bounding the winner — the
+    // winner is that side's closest; for nearest it is the semantics that
+    // keeps an in-range forward row from being shadowed by a too-far
+    // backward one)
+    val tol = 7L
+    def boundedRight(right: Seq[(Long, Long, Long)], ts: Long, back: Boolean) =
+      right.filter(r => if (back) ts - r._2 <= tol else r._2 - ts <= tol)
+    for (seed <- 1 to 8; direction <- Seq("backward", "forward", "nearest")) {
+      val rnd = new Random(seed + 100)
+      val (left, right) = gen(rnd)
+      val got = JoinOps.asofJoin(
+          left.toDF("ev", "k", "ts"), right.toDF("rk", "rts", "oid"),
+          "k", "rk", "ts", "rts", payloadCols = Seq("oid"), tieBreak = "oid",
+          keepUnmatched = true, direction = direction, tolerance = Some(tol))
+        .select("ev", "oid").collect()
+        .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      left.foreach { case (ev, k, ts) =>
+        val rb = boundedRight(right, ts, back = true)
+        val rf = boundedRight(right, ts, back = false)
+        val want = direction match {
+          case "backward" => expect("backward", k, ts, rb)
+          case "forward" => expect("forward", k, ts, rf)
+          case _ =>
+            (expect("backward", k, ts, rb), expect("forward", k, ts, rf)) match {
+              case (None, f) => f
+              case (b, None) => b
+              case (b @ Some(_), f @ Some(_)) =>
+                // both in range: fall back to the unbounded nearest rule
+                // restricted to in-range rows on each side
+                val both = rb.filter(r => r._1 == k && r._2 <= ts) ++
+                  rf.filter(r => r._1 == k && r._2 >= ts)
+                expect("nearest", k, ts, both)
+            }
+        }
+        assert(got(ev) == want,
+          s"seed=$seed direction=$direction ev=$ev k=$k ts=$ts: got ${got(ev)}, want $want")
+      }
+    }
+  }
 }

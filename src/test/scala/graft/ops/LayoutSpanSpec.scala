@@ -68,6 +68,24 @@ class LayoutSpanSpec extends SparkSpec {
     assert(math.abs(z(1L) - z(2L)) < math.abs(z(1L) - z(3L)))
   }
 
+  test("charStats: entropy, digit and uppercase fractions are hand-checkable") {
+    val docs = Seq(
+      (1L, "aabb"),          // two symbols, p=1/2 each -> ln 2
+      (2L, "0123456789"),    // ten symbols -> ln 10, all digits
+      (3L, "AAaa"),          // half uppercase
+      (4L, "zzzz")           // single symbol -> zero entropy
+    ).toDF("doc_id", "text")
+    val out = TextOps.charStats(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == math.rint(math.log(2) * 1e6) / 1e6)
+    assert(out(2L)._3 == math.rint(math.log(10) * 1e6) / 1e6)
+    assert(out(2L)._4 == 1.0 && out(2L)._5 == 0.0)
+    assert(out(3L)._5 == 0.5)
+    assert(out(4L)._3 == 0.0)
+    assert(out(1L)._2 == 4L)
+  }
+
   test("degreeHistogram: neighbor counts per doc, clean majority reported as degree 0") {
     val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     // 1-2, 1-3, 2-3 triangle; 4-5 pair; 6 untouched
