@@ -44,7 +44,8 @@ object Bench {
     "q14_pivot", "q15_cube", "dedup_substring_spans", "corpus_zorder",
     "event_rate_sliding",
     "q16_window_funcs", "q17_intersect", "dedup_graph_degree",
-    "asof_join_tolerance", "text_entropy")
+    "asof_join_tolerance", "text_entropy",
+    "event_rate_anomaly", "session_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -571,6 +571,15 @@ object SparkEntry {
     "event_rate_sliding" -> ((s, dir) =>
       SessionOps.slidingRates(t(s, dir, "events"))),
 
+    // hourly windows deviating >2 sigma from their type's mean — the
+    // z-test multiplied through to exact integer arithmetic
+    "event_rate_anomaly" -> ((s, dir) =>
+      SessionOps.rateAnomalies(t(s, dir, "events"))),
+
+    // top-20 observed session paths (funnel discovery complement)
+    "session_paths" -> ((s, dir) =>
+      SessionOps.topPaths(t(s, dir, "events"))),
+
     // duplicate-cluster resolution: pair list → connected components
     // (transitive closure of "A≈B"); every doc gets its cluster's min id
     "dedup_components" -> ((s, dir) => {
@@ -1687,6 +1696,40 @@ object SparkEntry {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "event_rate_anomaly" ->
+      """WITH wc AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start_us,
+        |         event_type, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS n, SUM(n_events) AS s,
+        |              SUM(n_events*n_events) AS ss
+        |       FROM wc GROUP BY 1)
+        |SELECT wc.win_start_us, wc.event_type, wc.n_events
+        |FROM wc JOIN st USING (event_type)
+        |WHERE (wc.n_events*st.n - st.s)*(wc.n_events*st.n - st.s)
+        |      > 4*(st.n*st.ss - st.s*st.s)""".stripMargin,
+
+    "session_paths" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |                 THEN 1 ELSE 0 END AS ns
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT *, CAST(SUM(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |p AS (SELECT user_id, session_seq,
+        |             array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},

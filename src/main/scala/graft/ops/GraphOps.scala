@@ -232,13 +232,15 @@ object GraphOps {
     * Scale shape: mirror pairs → one keyed count per endpoint (map-side
     * partial) → one count per degree; shuffles carry (id) then (degree) —
     * never text. The degree-0 row folds in as corpus_count − touched
-    * (a broadcast single-row aggregate, no driver action).
+    * (a broadcast single-row aggregate, no driver action). Endpoints
+    * mirror via one generator over each pair row — NOT a union of two
+    * selects, which evaluates the (expensive) upstream pair pipeline
+    * once per branch.
     */
   def degreeHistogram(docs: DataFrame, pairs: DataFrame,
                       idCol: String = "doc_id", id1Col: String = "id1",
                       id2Col: String = "id2"): DataFrame = {
-    val ends = pairs.select(col(id1Col).as("id"))
-      .union(pairs.select(col(id2Col).as("id")))
+    val ends = pairs.select(explode(array(col(id1Col), col(id2Col))).as("id"))
     val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
     val touched = deg.agg(count(lit(1)).as("_touched"))

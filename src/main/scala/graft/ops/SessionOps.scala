@@ -105,6 +105,70 @@ object SessionOps {
         col(typeCol), col("n_events"), col("total_value"))
   }
 
+  /** Windowed rate anomalies — tumbling-window event counts that deviate
+    * more than `kSigma` standard deviations from their type's mean, the
+    * monitoring question asked of every event stream. The z-test runs in
+    * EXACT integer arithmetic — |c − μ| > kσ multiplied through to
+    * (c·n − s)² > k²·(n·ss − s²) over (count, sum, sum-of-squares) — so
+    * the flag is bit-reproducible across engines, no float σ anywhere.
+    *
+    * Scale shape: one keyed window-count aggregate (map-side partial),
+    * one tiny per-type stats aggregate (rows = #types — broadcasts back),
+    * one narrow filter. Windows with zero events are absent, not
+    * zero-filled (their absence also keeps them out of μ/σ); zero-fill
+    * against a generated window grid upstream if silence itself is the
+    * anomaly. Magnitude guard: c·n and n·ss must stay inside Long —
+    * holds to ~10⁹ events per window × 10⁴ windows; beyond that scale
+    * re-derive in DECIMAL.
+    */
+  def rateAnomalies(events: DataFrame, windowSec: Long = 3600, kSigma: Int = 2,
+                    typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(windowSec > 0 && kSigma > 0, "windowSec and kSigma must be positive")
+    val wc = events
+      .groupBy(window(col(tsCol), s"$windowSec seconds"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start").cast("timestamp_ltz")).as("win_start_us"),
+        col(typeCol), col("n_events"))
+    val stats = wc.groupBy(col(typeCol))
+      .agg(count(lit(1)).as("_n"), sum(col("n_events")).as("_s"),
+        sum(col("n_events") * col("n_events")).as("_ss"))
+    val dev = col("n_events") * col("_n") - col("_s")
+    wc.join(broadcast(stats), typeCol)
+      .filter(dev * dev > lit(kSigma.toLong * kSigma) *
+        (col("_n") * col("_ss") - col("_s") * col("_s")))
+      .select(col("win_start_us"), col(typeCol), col("n_events"))
+  }
+
+  /** Top-k session paths — the event-type sequences users actually take,
+    * ranked by frequency (the discovery complement to [[funnelStages]],
+    * which checks ONE predeclared sequence). Each session's path is its
+    * events in (ts, event_id) order joined with `>`.
+    *
+    * Scale shape: sessionize (one keyed window pass), one per-session
+    * collect (bounded by session length — cap degenerate bot sessions
+    * upstream), one path-keyed count with map-side combine, one top-k
+    * (TakeOrderedAndProject, no global sort). Shuffles carry event types
+    * and path strings, never payloads.
+    */
+  def topPaths(events: DataFrame, k: Int = 20, gapSeconds: Long = 1800,
+               userCol: String = "user_id", tsCol: String = "ts",
+               typeCol: String = "event_type"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val path = concat_ws(">", transform(
+      array_sort(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"),
+        col("event_id").as("eid"),
+        col(typeCol).as("et")))),
+      e => e.getField("et")))
+    sessionize(events, gapSeconds, userCol, tsCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(path.as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Cohort retention: users are cohorted by their first active day;
     * output one row per (cohort_day, day_offset) with the distinct users
     * active that many days after their cohort day — the classic retention
