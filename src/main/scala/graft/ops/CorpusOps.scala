@@ -177,6 +177,86 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Byte-pair-encoding tokenizer training — the full iterative merge
+    * loop, not just the first-merge statistic ([[bpePairCandidates]]):
+    * learn `nMerges` merges over the corpus and return them in order with
+    * their frequencies at merge time. Standard BPE over word-internal
+    * symbols: words split to characters plus a `</w>` end marker, and
+    * each round merges the most frequent adjacent symbol pair (ties break
+    * lexicographically — deterministic across runs and engines).
+    *
+    * Scale shape — the word-frequency compression that makes distributed
+    * BPE cheap: pair statistics are identical over (distinct word,
+    * count) as over the raw corpus, so the heavy corpus pass happens
+    * ONCE (explode tokens → one keyed count; vocabulary-sized output).
+    * Each of the `nMerges` rounds then runs over the cached vocab table:
+    * a per-word HOF fold applies the previous merge (greedy left-to-
+    * right — the fold's accumulator tail IS the "just merged" state),
+    * a pair explode + keyed count weighted by word frequency finds the
+    * next merge, and only the 1-row argmax ever reaches the driver.
+    * Round cost is O(vocab), independent of corpus size; the loop is
+    * driver-side control flow, never driver-side data.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 10,
+               textCol: String = "text"): Seq[(String, String, Long)] = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        // word → its character symbols + end-of-word marker (filter
+        // guards the trailing "" Java's limit=-1 split appends)
+        concat(filter(split(col("w"), ""), c => length(c) > 0),
+          array(lit("</w>"))).as("syms"),
+        col("cnt"))
+    var vocab = words.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val pairs = vocab
+        .select(posexplode(slice(col("syms"), lit(1),
+            greatest(size(col("syms")) - 1, lit(0))))
+          .as(Seq("_i", "left_sym")), col("syms"), col("cnt"))
+        .select(col("left_sym"),
+          element_at(col("syms"), col("_i") + lit(2)).as("right_sym"), col("cnt"))
+        .groupBy(col("left_sym"), col("right_sym"))
+        .agg(sum(col("cnt")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("left_sym").asc, col("right_sym").asc)
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val a: String = pairs.head.getString(0)
+        val b: String = pairs.head.getString(1)
+        val n: Long = pairs.head.getLong(2)
+        merges += ((a, b, n))
+        // greedy left-to-right merge: if the accumulator's tail is `a`
+        // and the next symbol is `b`, replace the tail with `ab` — a
+        // fresh `ab` tail can't re-merge because it no longer equals `a`
+        val merged = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        val next = vocab.select(merged.as("syms"), col("cnt")).localCheckpoint(true)
+        vocab.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        }
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    merges.toSeq
+  }
+
   /** Deterministic shard export — the last mile of a training-data
     * pipeline: write the corpus as `nShards` stable shards, one file per
     * shard, rows ordered inside each file. Shard membership is the

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import graft.functions.{CosineSimExpr, LangScoresExpr, LshBucketExpr, MinHashExpr, PolyHashExpr, PqAdcTabsExpr, PqCodesExpr, ProjectEmbedExpr, SimHashExpr, WinnowExpr, WordGramsExpr}
+import graft.functions.{CharEntropyExpr, CosineSimExpr, LangScoresExpr, LshBucketExpr, MinHashBandsExpr, MinHashExpr, PolyHashExpr, PqAdcTabsExpr, PqCodesExpr, ProjectEmbedExpr, SimHashExpr, WinnowExpr, WordGramsExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -42,7 +42,11 @@ object FunctionRegistration {
     ("graft_simhash", "32-bit SimHash of a token array's distinct elements",
       exprs => SimHashExpr(exprs.head)),
     ("graft_minhash", "MinHash minima array: graft_minhash(shingles, k)",
-      exprs => MinHashExpr(exprs.head, litInt(exprs(1)))))
+      exprs => MinHashExpr(exprs.head, litInt(exprs(1)))),
+    ("graft_minhash_bands", "fused LSH band buckets: graft_minhash_bands(shingles, k, bands); null on empty",
+      exprs => MinHashBandsExpr(exprs.head, litInt(exprs(1)), litInt(exprs(2)))),
+    ("graft_char_entropy", "Shannon entropy of a string's codepoint distribution",
+      exprs => CharEntropyExpr(exprs.head)))
 
   private def litInt(e: Expression): Int = e match {
     case Literal(v: Int, _) => v

@@ -92,6 +92,14 @@ class SqlFunctionsSpec extends SparkSpec {
     val empty = spark.sql("SELECT graft_minhash(array(), 4)")
       .collect().head.getSeq[Long](0)
     assert(empty == Seq.fill(4)(Long.MaxValue))
+    // the fused band form is SQL-visible too, null on empty input
+    val bandRow = spark.sql(
+      "SELECT graft_minhash_bands(array('a b c'), 8, 4), graft_minhash_bands(array(), 8, 4)")
+      .collect().head
+    assert(bandRow.getSeq[Long](0).length == 4 && bandRow.isNullAt(1))
+    val ent = spark.sql("SELECT graft_char_entropy('aabb'), graft_char_entropy('')")
+      .collect().head
+    assert(math.abs(ent.getDouble(0) - math.log(2)) < 1e-12 && ent.getDouble(1) == 0.0)
   }
 
   test("fused minhash bands equal the signature+fold composition; null drops rows") {

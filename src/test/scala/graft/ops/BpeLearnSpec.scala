@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** BPE tokenizer training: the merge sequence must match a hand-run of
+  * the classic algorithm, and duplicated-span detection must honor its
+  * window guarantee on randomized planted runs.
+  */
+class BpeLearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeLearn reproduces the hand-computed merge sequence") {
+    // corpus: "aaab" x3, "aab" x2  (as repeated tokens in documents)
+    val docs = Seq(
+      (1L, "aaab aaab"), (2L, "aaab aab"), (3L, "aab")
+    ).toDF("doc_id", "text")
+    // symbols: aaab -> a a a b </w> (cnt 3), aab -> a a b </w> (cnt 2)
+    // round 1 pairs: (a,a): 2*3+1*2=8, (a,b): 5, (b,</w>): 5 -> merge (a,a)
+    // round 2: aaab -> aa a b </w>, aab -> aa b </w>
+    //   pairs: (aa,a): 3, (a,b): 3, (aa,b): 2, (b,</w>): 5 -> merge (b,</w>)
+    // round 3: pairs: (aa,a): 3, (a,b</w>): 3, (aa,b</w>): 2
+    //   -> tie 3 vs 3: (a,b</w>) < (aa,a) lexicographically -> merge (a,b</w>)
+    val merges = CorpusOps.bpeLearn(docs, nMerges = 3)
+    assert(merges == Seq(("a", "a", 8L), ("b", "</w>", 5L), ("a", "b</w>", 3L)))
+  }
+
+  test("bpeLearn stops early when no pairs remain") {
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    // every word is one char + </w>: exactly one merge family per word,
+    // then singleton symbols — far fewer than the requested 50 merges
+    val merges = CorpusOps.bpeLearn(docs, nMerges = 50)
+    assert(merges.size < 50 && merges.nonEmpty)
+    assert(merges.head == (("x", "</w>", 1L)) ||
+      merges.head._2 == "</w>") // first merges glue chars to the marker
+  }
+
+  test("duplicatedSpans window guarantee: planted >=k-token shared runs always surface") {
+    val k = 8
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      def uniqueWords(p: String, n: Int): Seq[String] =
+        (0 until n).map(i => s"$p${seed}x$i")
+      // a shared run of exactly k + extra tokens planted inside two
+      // otherwise-disjoint documents at random offsets
+      val run = uniqueWords("r", k + rnd.nextInt(4))
+      val d1 = uniqueWords("a", rnd.nextInt(10)) ++ run ++ uniqueWords("b", rnd.nextInt(10))
+      val d2 = uniqueWords("c", rnd.nextInt(10)) ++ run ++ uniqueWords("d", rnd.nextInt(10))
+      val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val spans = DedupOps.duplicatedSpans(docs, k = k)
+        .select("span").as[String].collect()
+      // every detected span must lie inside the planted run, and the run
+      // must surface as exactly (len - k + 1) shared windows
+      val runStr = run.mkString(" ")
+      assert(spans.nonEmpty, s"seed=$seed: planted run of ${run.size} not detected")
+      assert(spans.forall(runStr.contains), s"seed=$seed: false positive outside run")
+      assert(spans.length == run.size - k + 1, s"seed=$seed: window count off")
+    }
+  }
+}
