@@ -580,6 +580,10 @@ object SparkEntry {
     "session_paths" -> ((s, dir) =>
       SessionOps.topPaths(t(s, dir, "events"))),
 
+    // schema-declared JSON property extraction + per-type rollup
+    "event_props_json" -> ((s, dir) =>
+      SessionOps.propsStats(t(s, dir, "events"))),
+
     // duplicate-cluster resolution: pair list → connected components
     // (transitive closure of "A≈B"); every doc gets its cluster's min id
     "dedup_components" -> ((s, dir) => {
@@ -1696,6 +1700,14 @@ object SparkEntry {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "event_props_json" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(json_extract(props, '$.k')) AS n_with_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "event_rate_anomaly" ->
       """WITH wc AS (

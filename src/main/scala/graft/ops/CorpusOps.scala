@@ -257,6 +257,22 @@ object CorpusOps {
     merges.toSeq
   }
 
+  /** Tokenize with a learned merge list — [[bpeLearn]]'s inference side:
+    * every document becomes its BPE subword symbols and their count. The
+    * merges ride the plan as native-expression state
+    * ([[graft.functions.BpeApplyExpr]], one codegen'd pass per row), so
+    * tokenization is a narrow scan-speed projection — no join against a
+    * merges table, no UDF, nothing shuffles.
+    */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)],
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val pieces = ColumnBridge.column(graft.functions.BpeApplyExpr(
+      ColumnBridge.expression(tokens(lower(col(textCol)))), merges))
+    docs.select(col(idCol), pieces.as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Deterministic shard export — the last mile of a training-data
     * pipeline: write the corpus as `nShards` stable shards, one file per
     * shard, rows ordered inside each file. Shard membership is the

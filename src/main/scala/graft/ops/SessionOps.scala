@@ -105,6 +105,26 @@ object SessionOps {
         col(typeCol), col("n_events"), col("total_value"))
   }
 
+  /** Semi-structured property extraction — JSON props parsed with an
+    * explicit schema (`from_json`, the codegen'd Jackson path — never a
+    * per-row UDF) and aggregated per event type. The declared schema is
+    * what makes this scan-speed at 100 TB: schema inference would cost a
+    * full extra pass, and string get_json_object per field re-parses the
+    * document per extraction.
+    */
+  def propsStats(events: DataFrame, typeCol: String = "event_type",
+                 propsCol: String = "props"): DataFrame =
+    events
+      .select(col(typeCol),
+        from_json(col(propsCol),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("_k"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_k")).as("n_with_k"),
+        sum(col("_k").cast("long")).as("sum_k"),
+        min(col("_k")).as("min_k"), max(col("_k")).as("max_k"))
+
   /** Windowed rate anomalies — tumbling-window event counts that deviate
     * more than `kSigma` standard deviations from their type's mean, the
     * monitoring question asked of every event stream. The z-test runs in

@@ -25,6 +25,24 @@ class BpeLearnSpec extends SparkSpec {
     assert(merges == Seq(("a", "a", 8L), ("b", "</w>", 5L), ("a", "b</w>", 3L)))
   }
 
+  test("bpeTokenize applies learned merges greedily in merge order") {
+    val docs = Seq(
+      (1L, "aaab aaab"), (2L, "aaab aab"), (3L, "aab")
+    ).toDF("doc_id", "text")
+    val merges = CorpusOps.bpeLearn(docs, nMerges = 3)
+    // aaab: a a a b </w> -> aa a b </w> -> aa a b</w> -> aa ab</w>  (2 pieces)
+    // aab:  a a b </w>   -> aa b </w>   -> aa b</w>  (a,b</w> blocked by aa)
+    val out = CorpusOps.bpeTokenize(docs, merges.map(m => (m._1, m._2)))
+      .select("doc_id", "pieces", "n_pieces")
+      .as[(Long, Seq[String], Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == Seq("aa", "ab</w>", "aa", "ab</w>") && out(1L)._3 == 4L)
+    assert(out(2L)._2 == Seq("aa", "ab</w>", "aa", "b</w>"))
+    assert(out(3L)._2 == Seq("aa", "b</w>") && out(3L)._3 == 2L)
+    // round trip: pieces concatenated (sans markers) reproduce the words
+    val flat = out(1L)._2.mkString.replace("</w>", " ").trim
+    assert(flat == "aaab aaab")
+  }
+
   test("bpeLearn stops early when no pairs remain") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     // every word is one char + </w>: exactly one merge family per word,
