@@ -497,6 +497,11 @@ object SparkEntry {
     "text_entropy" -> ((s, dir) =>
       TextOps.charStats(t(s, dir, "documents"))),
 
+    // CCNet endgame: per-language quality tertiles by corpus-LM score,
+    // rank-based (no engine-dependent float thresholds)
+    "corpus_ccnet_buckets" -> ((s, dir) =>
+      TextOps.ccnetBuckets(t(s, dir, "documents"))),
+
     // deterministic content-stable train/val/test assignment
     "split_assign" -> ((s, dir) =>
       CorpusOps.splitAssign(t(s, dir, "documents"))),
@@ -1400,6 +1405,24 @@ object SparkEntry {
          |  coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
          |  round(coalesce(a.nll, 0), 6) AS avg_nll
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    "corpus_ccnet_buckets" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |ti AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+         |cnt AS (SELECT tok, count(*) AS c FROM ti GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+         |agg AS (SELECT ti.doc_id,
+         |        round(avg(-ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))), 6) AS nll
+         |        FROM ti JOIN cnt USING (tok) GROUP BY 1),
+         |s AS (SELECT d.doc_id, d.lang, round(coalesce(a.nll, 0), 6) AS avg_nll
+         |      FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+         |        ORDER BY avg_nll ASC, doc_id ASC) AS _b FROM s)
+         |SELECT doc_id, lang, avg_nll,
+         |       CASE _b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |               ELSE 'tail' END AS ccnet_bucket
+         |FROM b""".stripMargin
     },
 
     "text_oov" -> {

@@ -284,6 +284,33 @@ object TextOps {
         round(coalesce(col("_nll"), lit(0d)), 6).as("avg_nll"))
   }
 
+  /** CCNet head/middle/tail bucketing — the final step of the CCNet
+    * pipeline (Wenzek et al. 2020): per language, documents are cut into
+    * equal thirds by corpus-LM quality ([[unigramLogProb]]'s avg_nll —
+    * head = most fluent), and downstream training keeps head+middle.
+    *
+    * Buckets are RANK-based (ntile over the per-language order), not
+    * threshold-based: a float quantile threshold makes the doc sitting
+    * exactly at the cut engine-dependent, while ranking over the rounded
+    * score with a doc-id tiebreak is a deterministic total order on both
+    * engines. One keyed sort per language — exact tertiles need the
+    * total order; at 100 TB swap to `percentile_approx` thresholds
+    * (declared tolerance) if a per-language sort is too hot.
+    */
+  def ccnetBuckets(docs: DataFrame, strataCol: String = "lang",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramLogProb(docs, idCol = idCol, textCol = textCol)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("avg_nll").asc, col(idCol).asc)
+    docs.select(col(idCol), col(strataCol))
+      .join(scored, idCol)
+      .withColumn("_b", ntile(3).over(w))
+      .select(col(idCol), col(strataCol), col("avg_nll"),
+        when(col("_b") === 1, "head").when(col("_b") === 2, "middle")
+          .otherwise("tail").as("ccnet_bucket"))
+  }
+
   /** Benchmark decontamination (the training-data hygiene step from the
     * GPT-3/PaLM reports): flag corpus documents that share at least
     * `minHits` distinct word `n`-grams with any document of an

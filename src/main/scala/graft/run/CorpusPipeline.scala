@@ -1,0 +1,93 @@
+package graft.run
+
+import graft.ops.{CorpusOps, DedupOps, GraphOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline — the composition a real corpus run
+  * executes, wired from the individual operators so their scale shapes
+  * compose (every stage is a DataFrame→DataFrame transform; nothing
+  * collects to the driver except the final report counts):
+  *
+  *   1. quality filter   (C4/Gopher rule flags → keep)
+  *   2. exact dedup      (SHA-256 digest keep-first)
+  *   3. near dedup       (MinHash-LSH pairs → connected components →
+  *                        keep cluster minimum)
+  *   4. decontamination  (drop docs sharing n-grams with the eval set)
+  *   5. mixture sampling (per-source keep rates, content-stable)
+  *   6. split assignment (content-stable train/val/test buckets)
+  *   7. shard export     (stable membership, one sorted file per shard)
+  *
+  * Stages 2–4 drop whole documents, so the pipeline prunes early — each
+  * stage's input is the previous stage's survivors. The returned report
+  * is one row per stage with its surviving count: the corpus-health
+  * summary a pipeline owner reads before shipping shards.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Long = 10L,
+      maxTokens: Long = 100000L,
+      nearDupThreshold: Double = 0.5,
+      decontaminateNgram: Int = 5,
+      mixtureRates: Map[String, Double] = Map.empty,
+      splits: Seq[(String, Int)] = Seq("train" -> 98, "val" -> 1, "test" -> 1),
+      nShards: Int = 8)
+
+  final case class StageCount(stage: String, rows: Long)
+
+  /** Run the pipeline; writes shards under `outDir` and returns the
+    * per-stage survivor counts (in stage order). `evalDocs` is the
+    * benchmark set for decontamination (None skips the stage).
+    */
+  def run(docs: DataFrame, outDir: String, cfg: Config = Config(),
+          evalDocs: Option[DataFrame] = None): Seq[StageCount] = {
+    val report = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      // localCheckpoint: each stage's survivors are computed once and
+      // reused by the next stage AND the count — without it every later
+      // stage would re-run the whole prefix
+      val c = df.localCheckpoint(true)
+      report += StageCount(name, c.count())
+      c
+    }
+
+    val input = stage("input", docs)
+
+    val kept = stage("quality_filter", input.join(
+      TextOps.corpusFilter(input, minTokens = cfg.minTokens,
+        maxTokens = cfg.maxTokens)
+        .filter(col("keep")).select(col("doc_id")),
+      "doc_id"))
+
+    val exactKeep = DedupOps.exactByDigest(kept).select(col("keep_id").as("doc_id"))
+    val exact = stage("exact_dedup", kept.join(exactKeep, "doc_id"))
+
+    val pairs = DedupOps.minhashLsh(exact, threshold = cfg.nearDupThreshold)
+      .select(col("id1"), col("id2"))
+    val nearKeep = GraphOps.keepOne(exact, pairs).select(col("keep_id").as("doc_id"))
+    val near = stage("near_dedup", exact.join(nearKeep, "doc_id"))
+
+    val clean = evalDocs match {
+      case Some(ev) =>
+        val contaminated = TextOps.decontaminate(near, ev, n = cfg.decontaminateNgram)
+          .select(col("doc_id"))
+        stage("decontaminate", near.join(contaminated, Seq("doc_id"), "left_anti"))
+      case None => near
+    }
+
+    val mixed =
+      if (cfg.mixtureRates.isEmpty) clean
+      else stage("mixture", clean.join(
+        CorpusOps.mixtureSample(clean, cfg.mixtureRates).select(col("doc_id")),
+        "doc_id"))
+
+    val split = stage("split_assign",
+      mixed.join(CorpusOps.splitAssign(mixed, cfg.splits)
+        .select(col("doc_id"), col("split")), "doc_id"))
+
+    CorpusOps.exportShards(split, outDir, cfg.nShards)
+    report += StageCount("sharded", cfg.nShards.toLong)
+    report.toSeq
+  }
+}
