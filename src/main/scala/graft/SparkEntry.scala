@@ -390,6 +390,11 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, dir) =>
       DedupOps.duplicatedSpans(t(s, dir, "documents"), k = 8)),
 
+    // the apply side: cut every repeated span occurrence except the
+    // globally-first one and rebuild the document
+    "dedup_span_removal" -> ((s, dir) =>
+      DedupOps.removeDuplicatedSpans(t(s, dir, "documents"), k = 8)),
+
     "dedup_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashBandRows(t(s, dir, "documents"))),
 
@@ -1090,6 +1095,34 @@ object SparkEntry {
          |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
          |FROM sp GROUP BY span
          |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "dedup_span_removal" -> {
+      val gram = (0 until 8).map(o =>
+        if (o == 0) "tk[CAST(i AS INT)]" else s"tk[CAST(i AS INT)+$o]")
+        .mkString(" || ' ' || ")
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |occ AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, $gram AS span
+         |        FROM toks, LATERAL unnest(range(1, greatest(len(tk)-7, 0)+1)) t(i)),
+         |dup AS (SELECT span FROM occ GROUP BY span HAVING COUNT(*) >= 2),
+         |ranked AS (SELECT o.doc_id, o.pos,
+         |             row_number() OVER (PARTITION BY o.span
+         |               ORDER BY o.doc_id ASC, o.pos ASC) AS rn
+         |           FROM occ o JOIN dup USING (span)),
+         |cuts AS (SELECT doc_id, list(pos) AS starts
+         |         FROM ranked WHERE rn > 1 GROUP BY doc_id),
+         |built AS (SELECT t.doc_id, t.tk,
+         |            coalesce(c.starts, []) AS starts
+         |          FROM toks t LEFT JOIN cuts c USING (doc_id)),
+         |kept AS (SELECT doc_id, tk,
+         |           list_filter(tk, (x, i) ->
+         |             len(list_filter(starts,
+         |               s -> i - 1 >= s AND i - 1 <= s + 7)) = 0) AS kp
+         |         FROM built)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(len(tk) - len(kp) AS BIGINT) AS n_removed,
+         |       coalesce(array_to_string(kp, ' '), '') AS cleaned_text
+         |FROM kept""".stripMargin
+    },
 
     "dedup_minhash_sig" -> {
       s"""WITH ${OracleSql.toksCte(lower = false)},

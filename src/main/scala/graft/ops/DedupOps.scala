@@ -76,6 +76,53 @@ object DedupOps {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Duplicated-span REMOVAL — [[duplicatedSpans]]'s apply side and the
+    * Lee et al. 2022 endgame: every occurrence of a repeated `k`-token
+    * span except the globally-first one (lowest doc id, then lowest
+    * offset) is cut from its document. Output: one row per document with
+    * the rebuilt (lowercased, space-joined) text and how many tokens were
+    * removed. Overlapping cut regions union naturally; a canonical
+    * occurrence is kept even when another span's cut overlaps it (greedy
+    * per-occurrence semantics, documented).
+    *
+    * Scale shape: one windowed-gram pass → occurrence rows (id, pos,
+    * span) → self-aggregated duplicate filter → per-span canonical pick
+    * (window top-1, plans WindowGroupLimit) → cut-start lists collected
+    * per doc (bounded by per-doc duplicate mass) → one narrow rebuild
+    * pass with a 2-arg transform (token index vs cut intervals). Spans
+    * shuffle as bounded k-token keys; full text only rides the final
+    * per-doc rebuild join.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int = 8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs.select(col(idCol),
+      posexplode(wordGramsAll(lower(col(textCol)), k)).as(Seq("pos", "span")))
+    val dupSpans = occ.groupBy(col("span"))
+      .agg(count(lit(1)).as("_occ")).filter(col("_occ") >= 2)
+      .select(col("span"))
+    val w = Window.partitionBy(col("span")).orderBy(col(idCol).asc, col("pos").asc)
+    val cuts = occ.join(dupSpans, "span")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1) // every occurrence but the canonical one
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("_starts"))
+    docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("_starts", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(
+        transform(col("_tk"), (t, i) =>
+          when(exists(col("_starts"), s => i >= s && i <= s + lit(k - 1)),
+            lit(null)).otherwise(t)),
+        x => x.isNotNull))
+      .select(col(idCol),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("_kept")).as("cleaned_text"))
+  }
+
   /** Incremental exact dedup — the recurring-crawl shape: dedup a new
     * `batch` of documents internally (keep the lowest id per distinct
     * content) and against an already-ingested `corpus`, keeping only

@@ -248,6 +248,32 @@ class PlanSpec extends SparkSpec {
       s"only the 1x1 zero-row cross join may be non-equi:\n$p")
   }
 
+  test("props JSON: schema-declared parse in a single agg pass, no extra exchange") {
+    val p = plan("event_props_json")
+    assert(p.contains("from_json"), s"parse must be the declared-schema path:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-type stats must partial-aggregate map-side:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"one keyed exchange for the type rollup:\n$p")
+  }
+
+  test("rate anomaly: per-type stats broadcast back; no window-table join") {
+    val p = plan("event_rate_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny per-type stats table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"joining window counts to per-type stats must never sort-merge:\n$p")
+  }
+
+  test("session paths: one user-keyed collect, top-k never global-sorts") {
+    val p = plan("session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"path top-k degenerated to a full sort:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("props#") && !ex.contains("value#"),
+      s"path mining shuffles (user, ts, type) rows only:\n$ex")
+  }
+
   test("cube: all grouping sets share one Expand + one partial aggregate") {
     val p = plan("q15_cube")
     assert(p.contains("Expand"), s"CUBE must plan via Expand:\n$p")

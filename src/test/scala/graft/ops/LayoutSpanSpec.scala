@@ -68,6 +68,34 @@ class LayoutSpanSpec extends SparkSpec {
     assert(math.abs(z(1L) - z(2L)) < math.abs(z(1L) - z(3L)))
   }
 
+  test("removeDuplicatedSpans: later occurrences cut, canonical kept, overlaps union") {
+    val run = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"x $run y"),          // canonical occurrence (lowest doc id)
+      (2L, s"z $run w"),          // duplicate -> cut
+      (3L, ("p q r s t u v w " * 2).trim) // within-doc repeat -> second cut
+    ).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicatedSpans(docs, k = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == s"x $run y" && out(1L)._3 == 0L)
+    assert(out(2L)._4 == "z w" && out(2L)._3 == 8L)
+    assert(out(3L)._4 == "p q r s t u v w" && out(3L)._3 == 8L)
+    assert(out(3L)._2 == 16L)
+  }
+
+  test("removeDuplicatedSpans: clean corpus passes through untouched") {
+    val docs = Seq(
+      (1L, "all words here are entirely unique first document"),
+      (2L, "completely different tokens in this second one")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicatedSpans(docs, k = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.forall(_._3 == 0L))
+    assert(out.map(_._4).toSet ==
+      Set("all words here are entirely unique first document",
+        "completely different tokens in this second one"))
+  }
+
   test("charStats: entropy, digit and uppercase fractions are hand-checkable") {
     val docs = Seq(
       (1L, "aabb"),          // two symbols, p=1/2 each -> ln 2
