@@ -790,7 +790,18 @@ object SparkEntry {
       MultimodalOps.sampleFrames(
         MultimodalOps.withBlob(t(s, dir, "documents")), stride = 1)
         .select(col("doc_id"), col("frame_idx"),
-          col("frame_bytes").cast("string").as("frame_text")))
+          col("frame_bytes").cast("string").as("frame_text"))),
+
+    // feature extraction (the embed step): real mapPartitions plumbing
+    // with the deterministic stub encoder; exploded for the hash gate.
+    // Accumulators stay integer-valued (< 2^24) so the float fold is
+    // exact; only the final normalize rounds, identically on both sides
+    "multimodal_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+        MultimodalOps.withBlob(t(s, dir, "documents")), dim = 16)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "fv")))
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          col("fv").cast("double").as("fv")))
   )
 
   // =====================================================================
@@ -2069,6 +2080,22 @@ object SparkEntry {
       """SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,
         |       substring(d.text, CAST(f.i * 256 + 1 AS INT), 256) AS frame_text
         |FROM documents d,
-        |     LATERAL unnest(range(0, greatest(octet_length(encode(d.text)) // 256, 1))) AS f(i)""".stripMargin
+        |     LATERAL unnest(range(0, greatest(octet_length(encode(d.text)) // 256, 1))) AS f(i)""".stripMargin,
+
+    // strided byte fold per dim: (a*31 + byte) % 997 over positions
+    // i ≡ d (mod 16), then v/997 - 0.5 rounded through REAL exactly as
+    // the stub encoder's float arithmetic (ASCII fixture: char = byte)
+    "multimodal_features" -> {
+      val fold =
+        """list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |  list_transform(
+          |    list_filter(range(0, octet_length(encode(text))), i -> i % 16 = t.d),
+          |    i -> CAST(ascii(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT))),
+          |  (a, c) -> (a * 31 + c) % 997)""".stripMargin
+      s"""SELECT doc_id AS vec_id, CAST(t.d AS INT) AS dim,
+         |  CAST(CAST($fold AS REAL) / CAST(997 AS REAL)
+         |       - CAST(0.5 AS REAL) AS DOUBLE) AS fv
+         |FROM documents, range(0, 16) t(d)""".stripMargin
+    }
   )
 }
