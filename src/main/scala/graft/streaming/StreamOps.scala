@@ -58,6 +58,31 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("total_value"))
 
+  /** Watermarked stream-stream interval join — "a `right` event follows
+    * a `left` event by the same key within `withinSec`" (click-follows-
+    * view, purchase-follows-click). Both sides carry watermarks and the
+    * join condition bounds event time on BOTH ends, so Spark derives a
+    * state-retention bound for each side and evicts matched/expired rows
+    * — the state never grows beyond (watermark + withinSec) of stream
+    * history per key. Without the time bound this join would be
+    * unbounded-state and Spark rejects it in append mode; the bound IS
+    * the scale story.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, withinSec: Long,
+                 keyCol: String = "user_id", tsCol: String = "ts",
+                 watermark: String = "1 hour"): DataFrame = {
+    require(withinSec > 0, "withinSec must be positive")
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("lead_id"), col(s"l.$tsCol").as("lead_ts"),
+        col("r.event_id").as("follow_id"), col(s"r.$tsCol").as("follow_ts"))
+  }
+
   /** Tumbling-window event counts per type — the monitoring-style rollup. */
   def windowedCounts(events: DataFrame, window: String = "1 hour",
                      watermark: String = "1 hour", tsCol: String = "ts",

@@ -73,6 +73,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs followers within the bound, drops outside") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamOps.joinWithin(
+      views.toDF().toDF("event_id", "user_id", "ts"),
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      withinSec = 600, watermark = "0 seconds")
+    val q = joined.writeStream.format("memory")
+      .queryName("join_within_test").outputMode("append").start()
+    try {
+      views.addData((1L, 7L, ts(0)), (2L, 8L, ts(0)))
+      // user 7 clicks at +5 min (in) and +20 min (out); user 8 never clicks;
+      // user 9 clicks with no view
+      clicks.addData((10L, 7L, ts(5)), (11L, 7L, ts(20)), (12L, 9L, ts(3)))
+      q.processAllAvailable()
+      val pairs = spark.table("join_within_test")
+        .select("user_id", "lead_id", "follow_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pairs == Set((7L, 1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming sliding windows reconcile row-for-row with the batch twin") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
