@@ -46,7 +46,8 @@ object Bench {
     "q16_window_funcs", "q17_intersect", "dedup_graph_degree",
     "asof_join_tolerance", "text_entropy",
     "event_rate_anomaly", "session_paths", "event_props_json",
-    "corpus_ccnet_buckets", "dedup_span_removal", "multimodal_features")
+    "corpus_ccnet_buckets", "dedup_span_removal", "multimodal_features",
+    "q6_forecast_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -106,6 +106,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H q6 shape: pure scan + pushed filters + ungrouped agg — the
+      // no-join baseline every scan optimization shows up in
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz") &&
+          dec4(col("l_discount")).between(lit(0.03).cast("decimal(4,2)"),
+            lit(0.07).cast("decimal(4,2)")) &&
+          col("l_quantity") < 24)
+        .agg(coalesce(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .cast("double"), lit(0.0d)).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     "q7_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -913,6 +926,17 @@ object SparkEntry {
         |WHERE (p.p_brand = 'Brand#4' AND l.l_quantity BETWEEN 1 AND 11)
         |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#19' AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(l_discount AS DECIMAL(4,2))), 0) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2))
+        |      BETWEEN CAST(0.03 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+        |  AND l_quantity < 24""".stripMargin,
 
     "q16_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
