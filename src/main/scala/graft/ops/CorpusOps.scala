@@ -177,6 +177,25 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Z-order write path — [[zorderLayout]] made physical: range-partition
+    * the corpus by the Morton key (sampled bounds balance skew), sort
+    * inside each partition, and write one file per range. Files then
+    * carry DISJOINT zvalue ranges, so parquet min/max stats prune reads
+    * on BOTH underlying dimensions — the property the spec asserts
+    * directly on the written files.
+    */
+  def exportZOrdered(docs: DataFrame, path: String, nFiles: Int,
+                     bits: Int = 16, idCol: String = "doc_id",
+                     charsCol: String = "n_chars",
+                     textCol: String = "text"): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    zorderLayout(docs, bits = bits, idCol = idCol, charsCol = charsCol,
+      textCol = textCol)
+      .repartitionByRange(nFiles, col("zvalue"), col(idCol))
+      .sortWithinPartitions(col("zvalue"), col(idCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Byte-pair-encoding tokenizer training — the full iterative merge
     * loop, not just the first-merge statistic ([[bpePairCandidates]]):
     * learn `nMerges` merges over the corpus and return them in order with

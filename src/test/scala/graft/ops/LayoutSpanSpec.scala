@@ -56,6 +56,28 @@ class LayoutSpanSpec extends SparkSpec {
     assert(fz._1 == (1L << 32) - 1 && fz._2 == 15)
   }
 
+  test("exportZOrdered: written files carry disjoint zvalue ranges (pruning-ready)") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    CorpusOps.exportZOrdered(docs, out, nFiles = 4)
+    // per-file min/max of the layout key must not overlap — that is the
+    // property parquet stats pruning exploits
+    val perFile = spark.read.parquet(out)
+      .select(input_file_name().as("f"), col("zvalue"))
+      .groupBy(col("f"))
+      .agg(min(col("zvalue")).as("lo"), max(col("zvalue")).as("hi"))
+      .orderBy(col("lo"))
+      .as[(String, Long, Long)].collect()
+    assert(perFile.length >= 2 && perFile.length <= 4)
+    perFile.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 lo=$lo2")
+      case _ => ()
+    }
+    // lossless
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("zorderLayout: key ranges are rectangles (locality beats lexicographic sort)") {
     // Morton property: two points close in BOTH dims are close in z; a
     // point far in y is far in z even when x matches exactly.
