@@ -196,6 +196,30 @@ object SparkEntry {
             .cast("double"), lit(0.0d)).as("revenue"))
     }),
 
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H q18 shape: HAVING-filtered aggregate drives a join back to
+      // the detail tables — the aggregate side is tiny after the filter,
+      // so it broadcasts into the fact join
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("_ok"))
+        .agg(sum(dec2(col("l_quantity"))).as("_qty"))
+        .filter(col("_qty") > lit(150).cast("decimal(12,2)"))
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("_ok") === col("o_orderkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          tsUs(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_totalprice"), col("_qty").cast("double").as("total_qty"))
+    }),
+
+    "q19_anti_join" -> ((s, dir) =>
+      // NOT EXISTS → left-anti: customers with no urgent order (the
+      // filter pushes below the anti-join's build side)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+
     "q16_window_funcs" -> ((s, dir) => {
       // the full ranking-window family over one customer partition: a
       // single exchange on o_custkey feeds both sort orders (time for
@@ -937,6 +961,24 @@ object SparkEntry {
         |  AND CAST(l_discount AS DECIMAL(4,2))
         |      BETWEEN CAST(0.03 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
         |  AND l_quantity < 24""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2)))
+        |SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+        |       o.o_totalprice, CAST(b.qty AS DOUBLE) AS total_qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN big b ON b.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q16_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
