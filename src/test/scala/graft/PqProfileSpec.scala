@@ -12,7 +12,7 @@ import graft.ops.SimilarityOps
   */
 class PqProfileSpec extends SparkSpec {
   test("pq stage timings") {
-    assume(sys.env.contains("GRAFT_PROFILE"))
+    assume(sys.env.get("GRAFT_PROFILE").isDefined, "diagnostic only - set GRAFT_PROFILE=1 to run")
     val dir = "/root/testdata/sf0.1"
     val emb = Tables(spark, dir, "embeddings")
     def time(label: String)(f: => Unit): Unit = {

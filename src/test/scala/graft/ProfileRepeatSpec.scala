@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class ProfileRepeatSpec extends SparkSpec {
 
   test("repeat timings: langid/repetition/minhash_pairs cold vs warm") {
-    assume(sys.env.contains("GRAFT_PROFILE"),
+    assume(sys.env.get("GRAFT_PROFILE").isDefined,
       "diagnostic only - set GRAFT_PROFILE=1 to run")
     val dir = sys.env.getOrElse("GRAFT_PROFILE_SF", "/root/testdata/sf0.1")
     val names = sys.env.get("GRAFT_PROFILE_QUERIES")
