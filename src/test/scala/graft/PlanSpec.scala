@@ -274,6 +274,24 @@ class PlanSpec extends SparkSpec {
       s"path mining shuffles (user, ts, type) rows only:\n$ex")
   }
 
+  test("q18: the HAVING-filtered aggregate broadcasts into the join-back") {
+    val p = plan("q18_large_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both the dimension and the filtered-agg sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no side of q18 warrants a sorted shuffle at this shape:\n$p")
+  }
+
+  test("span removal: rebuild join broadcasts cuts; no text or token arrays shuffle") {
+    val p = plan("dedup_span_removal")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("text#") && !ex.contains("_tk#"),
+      s"document bodies must only ride the broadcast rebuild join:\n$ex")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded cut-list side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+  }
+
   test("cube: all grouping sets share one Expand + one partial aggregate") {
     val p = plan("q15_cube")
     assert(p.contains("Expand"), s"CUBE must plan via Expand:\n$p")
