@@ -116,10 +116,35 @@ object Main {
       kv(0) -> (if (kv.length > 1) kv(1) else "true")
     }.toMap
     require(pos.length >= 2,
-      "usage: Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint] " +
-        "[stateRoot] [lastBatchId] [--alias=A] [--schema=S] [--table=t1,t2] " +
-        "[--renew] [--last-batch=N]")
+      "usage: Main <etl|produce|consume|check|rewind|corpus> <config|docsParquet> " +
+        "[broker|checkpoint|outDir] [stateRoot] [lastBatchId] [--alias=A] " +
+        "[--schema=S] [--table=t1,t2] [--renew] [--last-batch=N]")
     val mode = pos(0)
+
+    // `corpus` takes a parquet directory, not a sync config — handle it
+    // before the config parse
+    if (mode == "corpus") {
+      require(pos.length >= 3,
+        "usage: Main corpus <docsParquet> <outDir> [--shards=N] [--min-tokens=N] " +
+          "[--rates=src:rate,...] [--eval=parquetDir]")
+      val s = SparkSession.getActiveSession.getOrElse(
+        Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))
+      val docs = s.read.parquet(pos(1))
+      val rates = flags.get("rates")
+        .map(_.split(',').toSeq.filter(_.nonEmpty).map { kv =>
+          val parts = kv.split(':')
+          require(parts.length == 2, s"--rates entries are src:rate, got $kv")
+          parts(0) -> parts(1).toDouble
+        }.toMap).getOrElse(Map.empty[String, Double])
+      val pipelineCfg = graft.run.CorpusPipeline.Config(
+        minTokens = flags.get("min-tokens").map(_.toLong).getOrElse(10L),
+        mixtureRates = rates,
+        nShards = flags.get("shards").map(_.toInt).getOrElse(8))
+      val report = graft.run.CorpusPipeline.run(docs, pos(2), pipelineCfg,
+        flags.get("eval").map(p => s.read.parquet(p)))
+      report.foreach(st => println(f"[corpus] ${st.stage}%-16s ${st.rows}"))
+      return
+    }
     // .yaml/.yml configs use the reference's own synch.yaml shape;
     // anything else is the flat-properties form.
     val cfg =

@@ -115,6 +115,19 @@ class MainSpec extends SparkSpec {
     assert(Main.dbtable(my, "shop", "orders") == "shop.orders")
   }
 
+  test("Main corpus runs the training-data pipeline from the CLI") {
+    val root = Files.createTempDirectory("maincorpus").toString
+    Main.main(Array("corpus", s"$sf/documents.parquet", s"$root/shards",
+      "--shards=2", "--min-tokens=5", "--rates=src0:0.5"))
+    val out = spark.read.parquet(s"$root/shards")
+    assert(out.count() > 0 && out.count() < 500) // filtered + deduped + mixed
+    assert(out.columns.contains("split") && out.columns.contains("shard"))
+    // bad rates flag fails loud
+    intercept[Exception] {
+      Main.main(Array("corpus", s"$sf/documents.parquet", s"$root/x", "--rates=bogus"))
+    }
+  }
+
   test("Main accepts a synch.yaml-shaped config") {
     val root = Files.createTempDirectory("mainyaml").toString
     val yaml =
