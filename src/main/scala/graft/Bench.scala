@@ -47,7 +47,8 @@ object Bench {
     "asof_join_tolerance", "text_entropy",
     "event_rate_anomaly", "session_paths", "event_props_json",
     "corpus_ccnet_buckets", "dedup_span_removal", "multimodal_features",
-    "q6_forecast_revenue", "q18_large_orders", "q19_anti_join")
+    "q6_forecast_revenue", "q18_large_orders", "q19_anti_join",
+    "interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

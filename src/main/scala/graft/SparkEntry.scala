@@ -804,6 +804,26 @@ object SparkEntry {
           col("ts_us"), col("purchase_id"), col("start_us"))
     }),
 
+    // interval-interval overlap (view windows x purchase windows, same
+    // user) — bucket-blocked with a responsibility bucket, no dedup pass
+    "interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          tsUs(col("ts")).as("v_start_us"),
+          (tsUs(col("ts")) + lit(1800000000L)).as("v_end_us"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          tsUs(col("ts")).as("p_start_us"),
+          (tsUs(col("ts")) + lit(7200000000L)).as("p_end_us"))
+      JoinOps.intervalJoin(views, buys,
+          "v_start_us", "v_end_us", "p_start_us", "p_end_us",
+          bucket = 3600000000L, leftKey = Some("user_id"),
+          rightKey = Some("p_user"))
+        .select(col("view_id"), col("user_id"), col("v_start_us"),
+          col("purchase_id"), col("p_start_us"))
+    }),
+
     // deterministic concat-and-chunk sequence packing (2048-token windows)
     "corpus_pack" -> ((s, dir) =>
       CorpusOps.packSequences(t(s, dir, "documents"), capacity = 2048)),
@@ -1875,6 +1895,21 @@ object SparkEntry {
         |      FROM sess GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path
         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    // naive overlap-join reference: the engine's bucketed plan must agree
+    // row-for-row with the O(n*m) formulation
+    "interval_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id,
+        |         epoch_us(ts) AS v_start_us, epoch_us(ts) + 1800000000 AS v_end_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |         epoch_us(ts) AS p_start_us, epoch_us(ts) + 7200000000 AS p_end_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.view_id, v.user_id, v.v_start_us, p.purchase_id, p.p_start_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |  AND v.v_start_us <= p.p_end_us AND p.p_start_us <= v.v_end_us""".stripMargin,
 
     "dedup_components" ->
       s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},

@@ -143,6 +143,57 @@ object JoinOps {
     out.drop("_k", "_t", "_tag", "_r", "_l", "_m")
   }
 
+  /** Interval-interval overlap join: pair left `[lStart, lEnd]` with
+    * every right `[rStart, rEnd]` that overlaps it (`lStart ≤ rEnd AND
+    * rStart ≤ lEnd`), under an optional equality key — the
+    * schedule/conflict/coverage join (two interval sets, not
+    * point-probe).
+    *
+    * Same bucket-blocking idea as [[rangeJoin]], plus the responsibility
+    * trick that kills the dedup pass: both sides explode to the time
+    * buckets they cover, but a candidate pair is emitted ONLY in bucket
+    * `max(bucket(lStart), bucket(rStart))` — the first bucket both
+    * intervals inhabit (overlap guarantees each covers it). Every
+    * overlapping pair meets in exactly one bucket, so the equi-join
+    * output needs no `distinct`. Expansion per interval is bounded by
+    * `maxBuckets` exactly as in [[rangeJoin]].
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lStart: String, lEnd: String,
+                   rStart: String, rEnd: String,
+                   bucket: Long, leftKey: Option[String] = None,
+                   rightKey: Option[String] = None,
+                   maxBuckets: Int = 1024): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    require(Set(lStart, lEnd, rStart, rEnd).size == 4,
+      "interval column names must be distinct across sides")
+    def floorDiv(c: Column): Column = graft.functions.IntMath.floorDiv(c, bucket)
+    def explodeSide(df: DataFrame, s: String, e: String, bCol: String): DataFrame =
+      df.withColumn("_bs", floorDiv(col(s)))
+        .withColumn("_be", floorDiv(col(e)))
+        .filter(col("_be") >= col("_bs"))
+        .withColumn("_nb", (col("_be") - col("_bs") + 1).cast("int"))
+        .withColumn(bCol, explode(when(col("_nb") <= maxBuckets,
+          sequence(col("_bs"), col("_be"))).otherwise(
+          raise_error(concat(
+            lit(s"intervalJoin: interval spans > $maxBuckets buckets; "),
+            lit(s"increase bucket width (current $bucket)"))))))
+        .drop("_bs", "_be", "_nb")
+    val lb = explodeSide(left, lStart, lEnd, "_lb")
+    val rb = explodeSide(right, rStart, rEnd, "_rb")
+    val keyCond = (leftKey, rightKey) match {
+      case (Some(lk), Some(rk)) => col(lk) === col(rk)
+      case (None, None) => lit(true)
+      case _ => throw new IllegalArgumentException("both or neither join key")
+    }
+    lb.join(rb, col("_lb") === col("_rb") && keyCond &&
+        col(lStart).cast("long") <= col(rEnd).cast("long") &&
+        col(rStart).cast("long") <= col(lEnd).cast("long") &&
+        // responsibility bucket: emit each pair exactly once
+        col("_lb") === greatest(floorDiv(col(lStart)), floorDiv(col(rStart))))
+      .drop("_lb", "_rb")
+  }
+
   /** Point-in-interval range join: pair each left row (a point `leftTs`)
     * with every right row whose `[startTs, endTs]` interval contains it,
     * under an optional equality key.

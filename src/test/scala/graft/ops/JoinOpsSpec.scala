@@ -150,6 +150,26 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Set(("p1", "i1"), ("p2", "i1"), ("p4", "i2")))
   }
 
+  test("intervalJoin: overlap pairs exactly once, even when spanning many buckets") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0L, 50L),    // overlaps r10, r11
+      (2L, 100L, 200L), // overlaps r12 (long interval, many shared buckets)
+      (3L, 300L, 310L)  // no overlap
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 40L, 60L),   // touches 1 at the boundary (inclusive)
+      (11L, 50L, 55L),   // touches 1 exactly at le
+      (12L, 90L, 250L),  // fully covers 2
+      (13L, 260L, 290L)  // gap before 3
+    ).toDF("rid", "rs", "re")
+    val pairs = JoinOps.intervalJoin(left, right, "ls", "le", "rs", "re",
+        bucket = 10L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    // exactly once per overlapping pair — no duplicates from shared buckets
+    assert(pairs == Seq((1L, 10L), (1L, 11L), (2L, 12L)))
+  }
+
   test("rangeJoin without keys and duplicate-free across bucket overlap") {
     val pts = Seq(("p1", 105L), ("p2", 500L)).toDF("pid", "t")
     val ivs = Seq(("i1", 90L, 210L)).toDF("iid", "s", "e")
