@@ -631,6 +631,15 @@ object SparkEntry {
     "event_props_json" -> ((s, dir) =>
       SessionOps.propsStats(t(s, dir, "events"))),
 
+    // portable-hash HyperLogLog (64 registers) vs the exact count —
+    // a verifiable sketch: every register reproduces in the oracle
+    "sketch_hll_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      SketchOps.hllDistinct(ev, "user_id", Seq("event_type"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+    }),
+
     // duplicate-cluster resolution: pair list → connected components
     // (transitive closure of "A≈B"); every doc gets its cluster's min id
     "dedup_components" -> ((s, dir) => {
@@ -1853,6 +1862,41 @@ object SparkEntry {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "sketch_hll_users" -> {
+      val pow2 = (0 to 32).map(b => 1L << b).mkString("[", ",", "]")
+      val h = OracleSql.ph("CAST(user_id AS VARCHAR)")
+      s"""WITH h0 AS (
+         |  SELECT event_type, $h AS h0 FROM events),
+         |hashed AS (
+         |  SELECT event_type, (h0 * h0 + 12345) % ${OracleSql.P} AS h FROM h0),
+         |rr AS (
+         |  SELECT event_type, CAST(h % 64 AS INT) AS reg,
+         |    CASE WHEN h // 64 = 0 THEN CAST(32 AS BIGINT)
+         |         ELSE list_reduce(list_prepend(CAST(32 AS BIGINT), range(0, 32)),
+         |           (acc, b) -> CASE WHEN acc = 32
+         |               AND ((h // 64) // ($pow2)[CAST(b AS INT)+1]) % 2 = 1
+         |             THEN b + 1 ELSE acc END)
+         |    END AS rho
+         |  FROM hashed),
+         |regs AS (SELECT event_type, reg, MAX(rho) AS m
+         |         FROM rr GROUP BY event_type, reg),
+         |est AS (
+         |  SELECT event_type,
+         |    SUM(1.0 / CAST(($pow2)[CAST(m AS INT)+1] AS DOUBLE)) AS s,
+         |    COUNT(*) AS nreg
+         |  FROM regs GROUP BY event_type)
+         |SELECT e.event_type,
+         |  round(CASE WHEN 0.709 * 64 * 64 / (e.s + CAST(64 - e.nreg AS DOUBLE))
+         |               <= 2.5 * CAST(64 AS DOUBLE) AND e.nreg < 64
+         |        THEN CAST(64 AS DOUBLE)
+         |             * ln(CAST(64 AS DOUBLE) / CAST(64 - e.nreg AS DOUBLE))
+         |        ELSE 0.709 * 64 * 64 / (e.s + CAST(64 - e.nreg AS DOUBLE)) END, 6)
+         |    AS hll_estimate,
+         |  x.n_exact
+         |FROM est e JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         |                 FROM events GROUP BY event_type) x USING (event_type)""".stripMargin
+    },
 
     "event_props_json" ->
       """SELECT event_type, COUNT(*) AS n_events,
