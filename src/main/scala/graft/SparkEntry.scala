@@ -631,6 +631,16 @@ object SparkEntry {
     "event_props_json" -> ((s, dir) =>
       SessionOps.propsStats(t(s, dir, "events"))),
 
+    // count-min frequency estimates for the heaviest users — all-integer
+    // sketch, estimate >= exact by construction (one-sided CM guarantee)
+    "sketch_cm_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id").asc).limit(10)
+      SketchOps.countMin(ev, "user_id", top.select(col("user_id")))
+        .join(top, "user_id")
+    }),
+
     // portable-hash HyperLogLog (64 registers) vs the exact count —
     // a verifiable sketch: every register reproduces in the oracle
     "sketch_hll_users" -> ((s, dir) => {
@@ -1862,6 +1872,29 @@ object SparkEntry {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "sketch_cm_counts" -> {
+      val aL = graft.functions.CrossHash.A.take(4).mkString("[", ",", "]")
+      val bL = graft.functions.CrossHash.B.take(4).mkString("[", ",", "]")
+      val h = OracleSql.ph("CAST(user_id AS VARCHAR)")
+      def cellCte(src: String, name: String) =
+        s"""$name AS (
+           |  SELECT user_id, CAST(t.r AS INT) AS row,
+           |    (((((($h) * ($h) + 12345) % ${OracleSql.P})
+           |        * ($aL)[CAST(t.r AS INT)+1] + ($bL)[CAST(t.r AS INT)+1])
+           |      % ${OracleSql.P}) % 256) AS col
+           |  FROM $src, range(0, 4) t(r))""".stripMargin
+      s"""WITH ${cellCte("events", "cells")},
+         |sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1),
+         |top AS (SELECT user_id, n_exact FROM exact
+         |        ORDER BY n_exact DESC, user_id ASC LIMIT 10),
+         |${cellCte("top", "pc")},
+         |est AS (SELECT pc.user_id, MIN(s.cnt) AS cm_estimate
+         |        FROM pc JOIN sketch s USING (row, col) GROUP BY pc.user_id)
+         |SELECT e.user_id, e.cm_estimate, t.n_exact
+         |FROM est e JOIN top t USING (user_id)""".stripMargin
+    },
 
     "sketch_hll_users" -> {
       val pow2 = (0 to 32).map(b => 1L << b).mkString("[", ",", "]")

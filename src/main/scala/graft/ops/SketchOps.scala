@@ -71,4 +71,40 @@ object SketchOps {
       .agg(sum(invPow).as("_s"), count(lit(1)).as("_nreg"))
       .select(gcols :+ round(est, 6).as("hll_estimate"): _*)
   }
+
+  /** Count-min frequency estimates for a set of probe keys (d = 4 hash
+    * rows × `width` counters; estimate = min over rows). All-integer —
+    * the sketch counters and estimates are exact Longs, so the oracle
+    * reproduces the whole matrix and the estimate bit-for-bit. The
+    * classic one-sided guarantee holds: estimate ≥ true count, with
+    * overshoot ≤ total/width per row w.h.p.
+    *
+    * Scale shape: the sketch is one keyed aggregate to at most d×width
+    * rows — CONSTANT state regardless of stream size, mergeable by
+    * cell-wise sum — and probes are a broadcast join against it. The
+    * scramble keeps the d rows pairwise-independent-ish over the
+    * portable hash family ([[graft.functions.CrossHash.A]]/B).
+    */
+  def countMin(df: DataFrame, keyCol: String, probes: DataFrame,
+               width: Int = 256, depth: Int = 4): DataFrame = {
+    require(depth > 0 && depth <= A.length, s"depth must be in [1, ${A.length}]")
+    require(width > 0, "width must be positive")
+    def cell(c: Column, row: Int): Column = {
+      val h0 = polyHash(c.cast("string"))
+      val h = (h0 * h0 + lit(12345L)) % lit(P)
+      ((h * lit(A(row)) + lit(B(row))) % lit(P)) % lit(width.toLong)
+    }
+    // one scan: every row emits its d cells via a generator (a union of
+    // d selects would re-read the input per hash row)
+    def cells(c: Column): Column = array((0 until depth).map(r => cell(c, r)): _*)
+    val sketch = df
+      .select(posexplode(cells(col(keyCol))).as(Seq("_row", "_col")))
+      .groupBy(col("_row"), col("_col"))
+      .agg(count(lit(1)).as("_cnt"))
+    probes
+      .select(col(keyCol), posexplode(cells(col(keyCol))).as(Seq("_row", "_col")))
+      .join(sketch, Seq("_row", "_col"))
+      .groupBy(col(keyCol))
+      .agg(min(col("_cnt")).as("cm_estimate"))
+  }
 }

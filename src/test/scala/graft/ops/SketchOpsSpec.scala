@@ -17,6 +17,24 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("countMin: estimates are one-sided (>= exact) and tight when sparse") {
+    val events = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)((s"u$i", 1)))
+      .toDF("k", "x")
+    val exact = events.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val probes = exact.select("k")
+    // wide sketch: few collisions -> estimates ~exact; narrow: still >= exact
+    for (w <- Seq(4096, 32)) {
+      val est = SketchOps.countMin(events, "k", probes, width = w)
+        .join(exact, "k")
+        .select("cm_estimate", "n").as[(Long, Long)].collect()
+      assert(est.forall { case (cm, n) => cm >= n },
+        s"width=$w: count-min must never underestimate")
+      if (w == 4096)
+        assert(est.count { case (cm, n) => cm == n } > est.length * 9 / 10,
+          "sparse sketch should be near-exact")
+    }
+  }
+
   test("hllDistinct: insensitive to duplication and partitioning") {
     val base = (1 to 800).map(i => (s"k$i", "g"))
     val dup = base ++ base ++ base
