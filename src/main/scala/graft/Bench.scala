@@ -48,7 +48,8 @@ object Bench {
     "event_rate_anomaly", "session_paths", "event_props_json",
     "corpus_ccnet_buckets", "dedup_span_removal", "multimodal_features",
     "q6_forecast_revenue", "q18_large_orders", "q19_anti_join",
-    "interval_join", "sketch_hll_users", "sketch_cm_counts")
+    "interval_join", "sketch_hll_users", "sketch_cm_counts",
+    "sketch_hist_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

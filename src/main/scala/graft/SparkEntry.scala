@@ -631,6 +631,16 @@ object SparkEntry {
     "event_props_json" -> ((s, dir) =>
       SessionOps.propsStats(t(s, dir, "events"))),
 
+    // constant-state quantile estimates: 64-bucket token-length histogram
+    // per language, p50/p95 as covering-bucket upper edges (all-integer)
+    "sketch_hist_quantiles" -> ((s, dir) => {
+      import graft.functions.CrossHash.{tokens => tok}
+      val withLen = t(s, dir, "documents")
+        .select(col("lang"), size(tok(col("text"))).cast("long").as("n_tok"))
+      SketchOps.histogramQuantiles(withLen, "n_tok", Seq("lang"),
+        maxValue = 128L, nBuckets = 64)
+    }),
+
     // count-min frequency estimates for the heaviest users — all-integer
     // sketch, estimate >= exact by construction (one-sided CM guarantee)
     "sketch_cm_counts" -> ((s, dir) => {
@@ -1872,6 +1882,23 @@ object SparkEntry {
         |SELECT win_start_us, event_type, COUNT(*) AS n_events,
         |       CAST(SUM(v) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "sketch_hist_quantiles" ->
+      s"""WITH n AS (SELECT lang,
+         |           CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS v
+         |           FROM documents),
+         |b AS (SELECT lang, CAST(least((v * 64) // 128, 63) AS INT) AS bk FROM n),
+         |h AS (SELECT lang, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |cum AS (SELECT lang, bk, c,
+         |        SUM(c) OVER (PARTITION BY lang ORDER BY bk
+         |          ROWS UNBOUNDED PRECEDING) AS cm,
+         |        SUM(c) OVER (PARTITION BY lang) AS nn FROM h),
+         |p50 AS (SELECT lang, MIN((bk + 1) * 128 // 64) AS p50
+         |        FROM cum WHERE cm * 100 >= nn * 50 GROUP BY lang),
+         |p95 AS (SELECT lang, MIN((bk + 1) * 128 // 64) AS p95
+         |        FROM cum WHERE cm * 100 >= nn * 95 GROUP BY lang)
+         |SELECT p50.lang, p50.p50, p95.p95
+         |FROM p50 JOIN p95 USING (lang)""".stripMargin,
 
     "sketch_cm_counts" -> {
       val aL = graft.functions.CrossHash.A.take(4).mkString("[", ",", "]")

@@ -107,4 +107,56 @@ object SketchOps {
       .groupBy(col(keyCol))
       .agg(min(col("_cnt")).as("cm_estimate"))
   }
+
+  /** Equi-width histogram quantile estimates per group — the constant-
+    * state alternative to the exact `percentile` aggregate (whose state
+    * is the whole sorted multiset): values in [0, `maxValue`] land in
+    * `nBuckets` integer buckets (overflow clamps to the top), and a
+    * quantile is answered from the cumulative histogram as the first
+    * bucket whose running count covers q·total, reported as the bucket's
+    * upper edge. Everything is integer arithmetic — counts, cumulative
+    * sums, the q·total comparison (multiplied through: 100·cum ≥ q%·n) —
+    * so estimates hash-match the oracle exactly; error is bounded by one
+    * bucket width by construction.
+    *
+    * Scale shape: one keyed aggregate to ≤ nBuckets rows per group
+    * (map-side combine; mergeable by cell-wise sum — the same property
+    * as [[hllDistinct]]/[[countMin]]), then a per-group window cumsum
+    * over ≤ nBuckets rows. Exact quantiles sort the world; this never
+    * holds more than (groups × buckets) longs.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+                         groupCols: Seq[String], maxValue: Long,
+                         nBuckets: Int = 64,
+                         qs: Seq[Int] = Seq(50, 95)): DataFrame = {
+    require(groupCols.nonEmpty, "histogramQuantiles needs a group column")
+    require(maxValue > 0 && nBuckets > 0, "maxValue and nBuckets must be positive")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 100),
+      "quantiles are integer percents in (0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val widthNum = maxValue  // bucket = min(v*nBuckets div maxValue, n-1)
+    val gcols = groupCols.map(col)
+    val bucket = least(
+      graft.functions.IntMath.floorDiv(
+        col(valueCol).cast("long") * lit(nBuckets.toLong), widthNum),
+      lit(nBuckets - 1L)).cast("int")
+    val hist = df.select(gcols :+ bucket.as("_b"): _*)
+      .groupBy(gcols :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(gcols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // upper edge of bucket b = (b+1)·maxValue div nBuckets (integer)
+    val edge = graft.functions.IntMath.floorDiv(
+      (col("_b") + 1).cast("long") * lit(maxValue), nBuckets.toLong)
+    qs.map { q =>
+      cum.filter(col("_cum") * 100 >= col("_n") * q)
+        .groupBy(gcols: _*)
+        .agg(min(edge).as(s"p$q"))
+    }.reduce((a, b) => a.join(b, groupCols))
+  }
 }

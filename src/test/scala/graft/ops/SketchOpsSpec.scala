@@ -35,6 +35,24 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("histogramQuantiles: within one bucket width of the exact percentile") {
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 2000).map(_ => ("g", math.abs(rnd.nextInt(1000)).toLong))
+    val df = vals.toDF("grp", "v")
+    val est = SketchOps.histogramQuantiles(df, "v", Seq("grp"),
+        maxValue = 1024L, nBuckets = 64, qs = Seq(50, 95))
+      .select("p50", "p95").as[(Long, Long)].collect().head
+    val sorted = vals.map(_._2).sorted
+    val width = 1024L / 64
+    def exact(q: Double) = sorted((q * (sorted.length - 1)).toInt)
+    assert(math.abs(est._1 - exact(0.50)) <= width,
+      s"p50 ${est._1} vs exact ${exact(0.50)}")
+    assert(math.abs(est._2 - exact(0.95)) <= width,
+      s"p95 ${est._2} vs exact ${exact(0.95)}")
+    // estimates are bucket upper edges: monotone with q
+    assert(est._1 <= est._2)
+  }
+
   test("hllDistinct: insensitive to duplication and partitioning") {
     val base = (1 to 800).map(i => (s"k$i", "g"))
     val dup = base ++ base ++ base
