@@ -878,6 +878,15 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           col("frame_bytes").cast("string").as("frame_text"))),
 
+    // resize/decimation plumbing: every 4th byte survives (ASCII fixture
+    // -> byte picks equal char picks, so the oracle mirrors on substr)
+    "multimodal_resize" -> ((s, dir) =>
+      MultimodalOps.resizeBlobs(
+        MultimodalOps.withBlob(t(s, dir, "documents")), factor = 4)
+        .select(col("doc_id"), col("orig_len"),
+          col("resized").cast("string").as("resized_text"),
+          col("resized_len"))),
+
     // feature extraction (the embed step): real mapPartitions plumbing
     // with the deterministic stub encoder; exploded for the hash gate.
     // Accumulators stay integer-valued (< 2^24) so the float fold is
@@ -2286,6 +2295,15 @@ object SparkEntry {
         |       substring(d.text, CAST(f.i * 256 + 1 AS INT), 256) AS frame_text
         |FROM documents d,
         |     LATERAL unnest(range(0, greatest(octet_length(encode(d.text)) // 256, 1))) AS f(i)""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+        |  array_to_string(list_transform(
+        |    range(0, (octet_length(encode(text)) + 3) // 4),
+        |    i -> substr(text, CAST(i * 4 AS INT) + 1, 1)), '') AS resized_text,
+        |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len
+        |FROM documents""".stripMargin,
 
     // strided byte fold per dim: (a*31 + byte) % 997 over positions
     // i ≡ d (mod 16), then v/997 - 0.5 rounded through REAL exactly as

@@ -105,6 +105,33 @@ object MultimodalOps {
     }(encoder)
   }
 
+  /** Resize stub: keep every `factor`-th byte of the blob — the
+    * decimation skeleton of image/audio downsampling (real resize swaps
+    * the per-element pick for a codec call; the mapPartitions plumbing,
+    * per-partition init point, and O(len/factor) output contract are the
+    * production shape). Output: original and resized blobs + lengths.
+    */
+  def resizeBlobs(df: DataFrame, factor: Int = 4,
+                  idCol: String = "doc_id", blobCol: String = "media"): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val input = df.select(col(idCol).cast("long"), col(blobCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("orig_len", LongType),
+      StructField("resized", BinaryType),
+      StructField("resized_len", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        Row(r.getLong(0), bytes.length.toLong, out, out.length.toLong)
+      }
+    }(encoder)
+  }
+
   /** Frame sampling stub: pick every `stride`-th 256-byte window as a
     * "frame" — the partition/batch shape of real video frame extraction. */
   def sampleFrames(df: DataFrame, stride: Int = 4,
