@@ -58,6 +58,48 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("total_value"))
 
+  /** Streaming funnel progression — the stateful twin of
+    * [[graft.ops.SessionOps.funnelStages]], built on
+    * `flatMapGroupsWithState` (the custom-state escape hatch for
+    * semantics windows/joins can't express: monotone per-key progress
+    * that must survive across micro-batches). State per user is ONE int
+    * (the stage reached); each batch folds its events in event-time
+    * order and emits a row only when the stage advances — so output is
+    * the user's progress edge, not a per-event firehose.
+    *
+    * State is bounded by the distinct-user count, not event volume, and
+    * a production deployment adds `GroupStateTimeout` eviction for
+    * dormant users (kept NoTimeout here so the spec is deterministic).
+    */
+  def funnelStages(events: DataFrame, steps: Seq[String],
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.length == steps.length,
+      "funnel steps must be non-empty and distinct")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(
+      col(userCol).cast("long"), unix_micros(col(tsCol)),
+      col("event_id").cast("long"), col(typeCol))
+      .as[(Long, Long, Long, String)]
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    def advance(user: Long, rows: Iterator[(Long, Long, Long, String)],
+                state: GroupState[Int]): Iterator[(Long, Int)] = {
+      val start = state.getOption.getOrElse(0)
+      var stage = start
+      // deterministic within-batch order: (event time, event id)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+        if (stepIdx.get(r._4).contains(stage + 1)) stage += 1
+      }
+      if (stage != start) { state.update(stage); Iterator((user, stage)) }
+      else Iterator.empty
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
+      .toDF(userCol, "stage")
+  }
+
   /** Watermarked stream-stream interval join — "a `right` event follows
     * a `left` event by the same key within `withinSec`" (click-follows-
     * view, purchase-follows-click). Both sides carry watermarks and the

@@ -73,6 +73,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming funnel advances across micro-batches, emits only progress") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val stages = StreamOps.funnelStages(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      steps = Seq("view", "click", "purchase"))
+    val q = stages.writeStream.format("memory")
+      .queryName("funnel_stream_test").outputMode("update").start()
+    try {
+      // batch 1: user 1 views+clicks (stage 2); user 2 clicks first (no view -> 0)
+      input.addData((1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+        (3L, 2L, ts(0), "click"))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (stage 3); user 2 finally views (stage 1);
+      // user 1's stray second view emits nothing (no progress)
+      input.addData((4L, 1L, ts(5), "purchase"), (5L, 1L, ts(6), "view"),
+        (6L, 2L, ts(5), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream_test")
+        .as[(Long, Int)].collect().toSeq.sorted
+      assert(rows == Seq((1L, 2), (1L, 3), (2L, 1)))
+      // the final per-user stage matches the batch funnel over all events
+      val batchStages = graft.ops.SessionOps.funnelStages(
+        Seq((1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+          (3L, 2L, ts(0), "click"), (4L, 1L, ts(5), "purchase"),
+          (5L, 1L, ts(6), "view"), (6L, 2L, ts(5), "view"))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        steps = Seq("view", "click", "purchase"))
+        .as[(Long, Int)].collect().toMap
+      val streamFinal = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+      assert(streamFinal == batchStages.filter(_._2 > 0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs followers within the bound, drops outside") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
