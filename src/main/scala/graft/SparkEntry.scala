@@ -535,6 +535,11 @@ object SparkEntry {
     "text_oov" -> ((s, dir) =>
       TextOps.oovStats(t(s, dir, "documents"), maxDfFraction = 0.1)),
 
+    // context-aware LM score: mean -ln P(w2|w1) under the corpus bigram
+    // model (word-order fluency, not just word choice)
+    "text_bigram_lp" -> ((s, dir) =>
+      TextOps.bigramLogProb(t(s, dir, "documents"))),
+
     // codepoint entropy + digit/upper fractions (encoding-level quality)
     "text_entropy" -> ((s, dir) =>
       TextOps.charStats(t(s, dir, "documents"))),
@@ -1572,6 +1577,24 @@ object SparkEntry {
          |SELECT d.doc_id,
          |  coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
          |  round(coalesce(a.nll, 0), 6) AS avg_nll
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
+
+    "text_bigram_lp" -> {
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |bi AS (SELECT doc_id, unnest(${OracleSql.shingles(2)}) AS bg FROM toks),
+         |cnt AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+         |pre AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+         |        FROM cnt GROUP BY 1),
+         |lp AS (SELECT cnt.bg,
+         |         ln(CAST(cnt.c12 AS DOUBLE) / CAST(pre.c1 AS DOUBLE)) AS l
+         |       FROM cnt JOIN pre ON pre.w1 = split_part(cnt.bg, ' ', 1)),
+         |agg AS (SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |        avg(-lp.l) AS nll
+         |        FROM bi JOIN lp USING (bg) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+         |  round(coalesce(a.nll, 0), 6) AS avg_nll2
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
     },
 

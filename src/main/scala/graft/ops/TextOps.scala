@@ -284,6 +284,52 @@ object TextOps {
         round(coalesce(col("_nll"), lit(0d)), 6).as("avg_nll"))
   }
 
+  /** Corpus-bigram LM score — [[unigramLogProb]]'s context-aware sibling:
+    * per document, the mean negative log of P(w₂|w₁) = c(w₁w₂)/c(w₁·)
+    * under the corpus bigram distribution, with c(w₁·) the bigram-prefix
+    * count (so probabilities normalize exactly and every in-corpus
+    * bigram has mass — the corpus is its own model, no smoothing
+    * needed). Separates fluent word ORDER from fluent word CHOICE: word
+    * salad with common words fools the unigram score but not this one.
+    *
+    * Scale shape: one non-distinct bigram pass feeds both the count
+    * table and the instance stream; prefix counts derive from the SAME
+    * bigram table (a second keyed agg over it — vocabulary-sized, not
+    * corpus-sized). The instance⋈model join splits hot/tail by mass
+    * exactly like [[unigramLogProb]] — hot bigrams broadcast, the tail
+    * joins skew-free, and no shuffle ever carries text.
+    */
+  def bigramLogProb(docs: DataFrame, commonMassFraction: Double = 5e-4,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val inst = docs.select(col(idCol),
+      explode(wordGramsAll(lower(col(textCol)), 2)).as("bg"))
+    val counts = inst.groupBy(col("bg")).agg(count(lit(1)).as("_c12"))
+    val prefix = counts
+      .withColumn("_w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("_w1")).agg(sum(col("_c12")).as("_c1"))
+    val total = counts.agg(sum(col("_c12")).cast("double").as("_tot"))
+    val lp = counts
+      .withColumn("_w1", substring_index(col("bg"), " ", 1))
+      .join(prefix, "_w1")
+      .crossJoin(broadcast(total))
+      .select(col("bg"), col("_c12"), col("_tot"),
+        log(col("_c12").cast("double") / col("_c1").cast("double")).as("_lp"))
+    val hot = lp.filter(col("_c12") > col("_tot") * lit(commonMassFraction))
+      .select(col("bg"), col("_lp"))
+    val tail = lp.filter(col("_c12") <= col("_tot") * lit(commonMassFraction))
+      .select(col("bg"), col("_lp"))
+    val viaHot = inst.join(broadcast(hot), Seq("bg"), "left")
+    val resolved = viaHot.filter(col("_lp").isNotNull).select(col(idCol), col("_lp"))
+      .unionByName(viaHot.filter(col("_lp").isNull).drop("_lp")
+        .join(tail, Seq("bg")).select(col(idCol), col("_lp")))
+    val agg = resolved.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-col("_lp")).as("_nll"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("_nll"), lit(0d)), 6).as("avg_nll2"))
+  }
+
   /** CCNet head/middle/tail bucketing — the final step of the CCNet
     * pipeline (Wenzek et al. 2020): per language, documents are cut into
     * equal thirds by corpus-LM quality ([[unigramLogProb]]'s avg_nll —
