@@ -49,7 +49,8 @@ object Bench {
     "corpus_ccnet_buckets", "dedup_span_removal", "multimodal_features",
     "q6_forecast_revenue", "q18_large_orders", "q19_anti_join",
     "interval_join", "sketch_hll_users", "sketch_cm_counts",
-    "sketch_hist_quantiles", "multimodal_resize", "text_bigram_lp")
+    "sketch_hist_quantiles", "multimodal_resize", "text_bigram_lp",
+    "corpus_sample_weighted", "q20_above_avg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

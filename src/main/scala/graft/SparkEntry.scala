@@ -196,6 +196,20 @@ object SparkEntry {
             .cast("double"), lit(0.0d)).as("revenue"))
     }),
 
+    "q20_above_avg" -> ((s, dir) => {
+      // uncorrelated scalar subquery: orders above the global mean price.
+      // The comparison is multiplied through (price·n > total) so it
+      // stays exact DECIMAL — no float mean on either engine
+      val o = t(s, dir, "orders")
+      val g = o.agg(sum(dec2(col("o_totalprice"))).as("_sum"),
+        count(lit(1)).as("_n"))
+      o.crossJoin(broadcast(g))
+        .filter(dec2(col("o_totalprice")) * col("_n") > col("_sum"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("above_revenue"))
+    }),
+
     "q18_large_orders" -> ((s, dir) => {
       // TPC-H q18 shape: HAVING-filtered aggregate drives a join back to
       // the detail tables — the aggregate side is tiny after the filter,
@@ -565,6 +579,11 @@ object SparkEntry {
     "corpus_mixture" -> ((s, dir) =>
       CorpusOps.mixtureSample(t(s, dir, "documents"),
         rates = Map("src0" -> 0.5, "src1" -> 0.25))),
+
+    // length-weighted sampling: keep probability scales with n_chars
+    // (exact integer Bernoulli — the weighted complement of mixture)
+    "corpus_sample_weighted" -> ((s, dir) =>
+      CorpusOps.weightedSample(t(s, dir, "documents"), "n_chars")),
 
     // fastText-style hashing-trick quality classifier (linear skeleton)
     "text_classifier" -> ((s, dir) =>
@@ -1024,6 +1043,15 @@ object SparkEntry {
         |  AND CAST(l_discount AS DECIMAL(4,2))
         |      BETWEEN CAST(0.03 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
         |  AND l_quantity < 24""".stripMargin,
+
+    "q20_above_avg" ->
+      """WITH g AS (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+        |                  COUNT(*) AS n FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS above_revenue
+        |FROM orders, g
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * g.n > g.s
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (
@@ -1683,6 +1711,15 @@ object SparkEntry {
          |FROM raw GROUP BY term
          |ORDER BY df DESC, tf DESC, term ASC
          |LIMIT 20""".stripMargin
+    },
+
+    "corpus_sample_weighted" -> {
+      val u = s"(${OracleSql.ph("CAST(doc_id AS VARCHAR) || ':wsample'")}) % 1000000"
+      s"""WITH wmax AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS m FROM documents),
+         |d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |      CAST($u AS BIGINT) AS u FROM documents)
+         |SELECT doc_id, weight, CAST(u AS INT) AS u_bucket
+         |FROM d, wmax WHERE u * wmax.m < weight * 1000000""".stripMargin
     },
 
     "corpus_mixture" -> {

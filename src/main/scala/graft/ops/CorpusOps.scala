@@ -67,6 +67,30 @@ object CorpusOps {
       .filter(col("u_bucket") < coalesce(cut, thr(defaultRate)))
   }
 
+  /** Deterministic WEIGHTED sampling — keep each document with
+    * probability proportional to a per-row weight (token count, quality
+    * score ×1e6, …), scaled so the heaviest row is kept with certainty.
+    * The keep test stays exact integer arithmetic — `u·w_max <
+    * w·1 000 000` with `u = polyHash(id:salt) mod 1e6` — so decisions
+    * reproduce across runs, engines and cluster sizes, and a document's
+    * fate never changes as the corpus grows (modulo a changed w_max,
+    * which is part of the sampling design, not nondeterminism).
+    *
+    * Scale shape: one broadcast single-row max + one narrow filter — the
+    * weighted complement of [[mixtureSample]]'s fixed per-stratum rates.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String,
+                     idCol: String = "doc_id",
+                     salt: String = "wsample"): DataFrame = {
+    val u = polyHash(concat(col(idCol).cast("string"), lit(":" + salt))) % lit(1000000L)
+    val wmax = docs.agg(max(col(weightCol)).cast("long").as("_wmax"))
+    docs.select(col(idCol), col(weightCol), u.cast("long").as("_u"))
+      .crossJoin(broadcast(wmax))
+      .filter(col("_u") * col("_wmax") < col(weightCol).cast("long") * lit(1000000L))
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        col("_u").cast("int").as("u_bucket"))
+  }
+
   /** Corpus vocabulary head: the `k` highest-document-frequency terms with
     * their document and occurrence counts — the standard first look at a
     * corpus before tokenizer training / stopword selection. One exploded
