@@ -25,6 +25,7 @@ object Bench {
     "a1_microbatch", "a2_dedup_pk", "a2_dedup_pk_salted", "a3_sign_collapse",
     "a4_apply_order", "a5_count_check",
     "engine_mergetree", "engine_replacing", "engine_collapsing", "engine_versioned_collapsing",
+    "engine_replacing_compact", "engine_versioned_collapsing_compact",
     "dedup_exact", "dedup_exact_digest", "dedup_minhash_sig", "dedup_minhash_pairs",
     "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
@@ -59,6 +60,12 @@ object Bench {
     // set (driver runs the full set — the contract output is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an all-typo subset would otherwise run an empty benchmark and exit 0
+    only.foreach { s =>
+      val unknown = s -- headline.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the headline set: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -23,6 +23,15 @@ object SparkEntry {
   private def changelog(s: SparkSession, dir: String): DataFrame =
     Changelog.fromEvents(t(s, dir, "events"))
 
+  /** Fresh store under ./target for the compaction-invariant queries —
+    * scratch stays inside the repo tree and each invocation is isolated. */
+  private def tmpStore(s: SparkSession): graft.sink.ParquetStateStore = {
+    val base = java.nio.file.Paths.get("target", "tmp-stores")
+    java.nio.file.Files.createDirectories(base)
+    new graft.sink.ParquetStateStore(
+      s, java.nio.file.Files.createTempDirectory(base, "store").toString)
+  }
+
   /** Shared decimal casts: exact money arithmetic in both engines. */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def dec4(c: Column): Column = c.cast("decimal(4,2)")
@@ -423,6 +432,39 @@ object SparkEntry {
       val signed = CdcOps.withCollapsingSign(changelog(s, dir))
       SinkStrategy.versionedCollapsingResolve(signed,
           SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id")))
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
+    }),
+
+    // Compaction invariant (the OPTIMIZE/background-merge analogue): the
+    // changelog is appended as micro-batches into a real ParquetStateStore,
+    // the log is folded to its resolved state via store.compact, and the
+    // compacted store is resolved again. The oracle is the UNcompacted
+    // resolve — resolve(compact(log)) == resolve(log) IS the claim.
+    "engine_replacing_compact" -> ((s, dir) => {
+      val keys = SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id"))
+      val store = tmpStore(s)
+      val log = changelog(s, dir)
+      for (b <- 0L until 3L)
+        store.append(log.filter(pmod(col("event_id"), lit(3)) === b), b)
+      store.compact(SinkStrategy.replacingResolve(store.readLog().get, keys))
+      SinkStrategy.replacingResolve(store.readLog().get, keys)
+        .select(col("tbl"), col("pk"), col("event_id"), col("action"),
+          col("value"), tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // Same invariant for the versioned-collapsing engine: compaction
+    // rewrites the resolved rows with sign=+1 (the alive row must be
+    // cancellable by exactly one future -1, matching ClickHouse merges).
+    "engine_versioned_collapsing_compact" -> ((s, dir) => {
+      val keys = SinkKeys(Seq("tbl", "pk"), versionCol = "ts", tieBreakers = Seq("event_id"))
+      val store = tmpStore(s)
+      val signed = CdcOps.withCollapsingSign(changelog(s, dir))
+      for (b <- 0L until 3L)
+        store.append(signed.filter(pmod(col("event_id"), lit(3)) === b), b)
+      store.compact(SinkStrategy.versionedCollapsingResolve(store.readLog().get, keys)
+        .withColumn("sign", lit(1).cast(signed.schema("sign").dataType)))
+      SinkStrategy.versionedCollapsingResolve(store.readLog().get, keys)
         .select(col("tbl"), col("pk"), col("event_id"), col("action"),
           col("value"), tsUs(col("ts")).as("ts_us"), col("sign"))
     }),
@@ -1218,6 +1260,16 @@ object SparkEntry {
         |SELECT tbl, pk, event_id, action, value, epoch_us(ts) AS ts_us
         |FROM ranked WHERE rn = 1 AND action <> 'delete'""".stripMargin),
 
+    // compaction must be invisible to readers: the oracle is the plain
+    // uncompacted resolve
+    "engine_replacing_compact" -> (CL + """,
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY tbl, pk ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM changelog)
+        |SELECT tbl, pk, event_id, action, value, epoch_us(ts) AS ts_us
+        |FROM ranked WHERE rn = 1 AND action <> 'delete'""".stripMargin),
+
     // visible value = latest sign=+1 row; cancels vote in net only
     "engine_collapsing" -> (CL + """,
         |signed AS (
@@ -1234,6 +1286,23 @@ object SparkEntry {
         |WHERE l.rn = 1 AND n.net > 0""".stripMargin),
 
     "engine_versioned_collapsing" -> (CL + """,
+        |signed AS (
+        |  SELECT *, CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
+        |  FROM changelog),
+        |per_version AS (
+        |  SELECT tbl, pk, ts, SUM(CAST(sign AS BIGINT)) AS net,
+        |         max_by(struct_pack(event_id := event_id, action := action,
+        |                            value := value, sign := sign), sign) AS r
+        |  FROM signed GROUP BY tbl, pk, ts),
+        |alive AS (
+        |  SELECT *, row_number() OVER (PARTITION BY tbl, pk ORDER BY ts DESC) AS rn
+        |  FROM per_version WHERE net > 0)
+        |SELECT tbl, pk, r.event_id AS event_id, r.action AS action,
+        |       r.value AS value, epoch_us(ts) AS ts_us, r.sign AS sign
+        |FROM alive WHERE rn = 1""".stripMargin),
+
+    // compaction invariant: same resolve as the uncompacted engine
+    "engine_versioned_collapsing_compact" -> (CL + """,
         |signed AS (
         |  SELECT *, CAST(CASE WHEN action = 'delete' THEN -1 ELSE 1 END AS TINYINT) AS sign
         |  FROM changelog),
@@ -2356,12 +2425,20 @@ object SparkEntry {
         |FROM documents d,
         |     LATERAL unnest(range(0, greatest(octet_length(encode(d.text)) // 256, 1))) AS f(i)""".stripMargin,
 
+    // area-average twin: rounded integer mean of each 4-byte window's
+    // ASCII codes (fixture text is pure ASCII: byte == codepoint)
     "multimodal_resize" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
         |  array_to_string(list_transform(
         |    range(0, (octet_length(encode(text)) + 3) // 4),
-        |    i -> substr(text, CAST(i * 4 AS INT) + 1, 1)), '') AS resized_text,
+        |    j -> chr(CAST((list_sum(list_transform(
+        |           range(CAST(j * 4 AS INT),
+        |                 CAST(least(j * 4 + 4, octet_length(encode(text))) AS INT)),
+        |           i -> ascii(substr(text, i + 1, 1))))
+        |           + (least(j * 4 + 4, octet_length(encode(text))) - j * 4) // 2)
+        |          // (least(j * 4 + 4, octet_length(encode(text))) - j * 4) AS INT))),
+        |    '') AS resized_text,
         |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_len
         |FROM documents""".stripMargin,
 

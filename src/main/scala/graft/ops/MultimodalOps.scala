@@ -105,11 +105,15 @@ object MultimodalOps {
     }(encoder)
   }
 
-  /** Resize stub: keep every `factor`-th byte of the blob — the
-    * decimation skeleton of image/audio downsampling (real resize swaps
-    * the per-element pick for a codec call; the mapPartitions plumbing,
-    * per-partition init point, and O(len/factor) output contract are the
-    * production shape). Output: original and resized blobs + lengths.
+  /** Area-average (box filter) downsample of the blob's byte plane: output
+    * sample `j` is the rounded mean of the unsigned bytes in window
+    * `[j*factor, min((j+1)*factor, len))` — true resampling, not
+    * decimation, in exact integer arithmetic (`(sum + cnt/2) / cnt`), so
+    * an SQL oracle reproduces it bit-for-bit. This is the 1-D form of the
+    * `INTER_AREA` resize a real image pipeline applies per row/column; a
+    * production codec swaps the byte plane for decoded pixel planes and
+    * keeps this exact mapPartitions shape (per-partition init point,
+    * O(len/factor) output). Output: original and resized blobs + lengths.
     */
   def resizeBlobs(df: DataFrame, factor: Int = 4,
                   idCol: String = "doc_id", blobCol: String = "media"): DataFrame = {
@@ -125,8 +129,16 @@ object MultimodalOps {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        var j = 0
+        while (j < out.length) {
+          val from = j * factor
+          val until = math.min(from + factor, bytes.length)
+          var sum = 0; var i = from
+          while (i < until) { sum += bytes(i) & 0xff; i += 1 }
+          val cnt = until - from
+          out(j) = ((sum + cnt / 2) / cnt).toByte
+          j += 1
+        }
         Row(r.getLong(0), bytes.length.toLong, out, out.length.toLong)
       }
     }(encoder)
