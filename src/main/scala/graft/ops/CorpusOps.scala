@@ -78,15 +78,28 @@ object CorpusOps {
     *
     * Scale shape: one broadcast single-row max + one narrow filter — the
     * weighted complement of [[mixtureSample]]'s fixed per-stratum rates.
+    *
+    * Precondition: weights must stay ≤ Long.MaxValue / 10⁶ (≈ 9.2·10¹²)
+    * so `u · w_max` cannot overflow Long and silently flip keep
+    * decisions; a codegen'd `assert_true` on the broadcast max enforces
+    * it at run time (rescale heavier weights before sampling).
     */
   def weightedSample(docs: DataFrame, weightCol: String,
                      idCol: String = "doc_id",
                      salt: String = "wsample"): DataFrame = {
     val u = polyHash(concat(col(idCol).cast("string"), lit(":" + salt))) % lit(1000000L)
     val wmax = docs.agg(max(col(weightCol)).cast("long").as("_wmax"))
+    // assert_true returns NULL when the bound holds (→ coalesce keeps the
+    // row alive) and throws on the first evaluated row when it doesn't
+    val wmaxBound = Long.MaxValue / 1000000L
+    val guard = coalesce(
+      assert_true(col("_wmax") <= lit(wmaxBound),
+        lit(s"weightedSample: max($weightCol) exceeds $wmaxBound — " +
+          "u*wmax would overflow Long; rescale weights before sampling")),
+      lit(true))
     docs.select(col(idCol), col(weightCol), u.cast("long").as("_u"))
       .crossJoin(broadcast(wmax))
-      .filter(col("_u") * col("_wmax") < col(weightCol).cast("long") * lit(1000000L))
+      .filter(guard && col("_u") * col("_wmax") < col(weightCol).cast("long") * lit(1000000L))
       .select(col(idCol), col(weightCol).cast("long").as("weight"),
         col("_u").cast("int").as("u_bucket"))
   }

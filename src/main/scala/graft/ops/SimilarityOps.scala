@@ -15,11 +15,23 @@ import org.apache.spark.sql.functions._
   *    one signature bucket, candidates come only from the query's bucket
   *    (equi-join on the signature). At 100 TB the corpus-side bucketing is
   *    a one-off keyed write; per-query work is bucket-local.
+  *
+  * Broadcast contract (every entry point that takes a `queries` table):
+  * the query side is broadcast UNCONDITIONALLY — the hint bypasses
+  * `autoBroadcastJoinThreshold`, so the caller owns the ceiling. Budget
+  * `|queries| × dims × 8 B` (plus ~2× task-side deserialization) against
+  * executor memory; Spark hard-fails broadcasts above 8 GB but a multi-GB
+  * query table will stall the driver long before that. Past ~10⁵–10⁶
+  * queries, don't broadcast: bucket BOTH sides ([[lshTopK]] with the
+  * hint dropped becomes a plain shuffled equi-join) or partition the
+  * query set and union the per-chunk top-k.
   */
 object SimilarityOps {
 
   /** Exact cosine top-k per query vector. `queries` and `corpus` both carry
-    * (idCol, vecCol); self-matches are excluded.
+    * (idCol, vecCol); self-matches are excluded. Query side broadcasts
+    * unconditionally — see the object-level broadcast contract for the
+    * size ceiling the caller owns.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -43,7 +55,8 @@ object SimilarityOps {
     * neighbor rank ties on (cos desc, id asc) — fully deterministic.
     * Output: (query_id, pred_label, votes).
     *
-    * Scale shape mirrors [[bruteForceTopK]]: the query side broadcasts,
+    * Scale shape mirrors [[bruteForceTopK]]: the query side broadcasts
+    * unconditionally (object-level contract — caller owns the ceiling),
     * the labeled corpus is scanned once with vectors never shuffled; the
     * per-query top-k is a group-limit (WindowGroupLimit pushes the k-cut
     * ahead of the exchange), and the vote is a tiny keyed aggregation
@@ -209,7 +222,9 @@ object SimilarityOps {
 
   /** The shared probe leg: inverted lists from a narrow assignment, each
     * query probes its `nprobe` nearest lists (equi-join on cid), exact
-    * cosine top-k inside the probed candidates.
+    * cosine top-k inside the probed candidates. The probe side (queries
+    * × nprobe rows) broadcasts unconditionally — object-level contract;
+    * the ceiling scales with nprobe as well as |queries|.
     */
   private def probeTopK(queries: DataFrame, corpus: DataFrame,
                         cents: Seq[(Int, Seq[Double])], k: Int, nprobe: Int,
@@ -367,7 +382,8 @@ object SimilarityOps {
     * group-limited top-k as every other ANN tier here. Compose with the
     * IVF probe for sublinear scans (IVF-ADC); approximate by
     * construction — recall depends on codebook fit, rank ties broken by
-    * neighbor id.
+    * neighbor id. The ADC-table side (m×ncode doubles per query)
+    * broadcasts unconditionally — object-level contract.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
              ncode: Int = 16, dims: Int = 64, idCol: String = "vec_id",
@@ -406,7 +422,9 @@ object SimilarityOps {
     *
     * Scale shape: both encodings are narrow scan-speed projections; the
     * probe is an equi-join on `cid` against a code-only corpus
-    * projection; the top-k window group-limits before its exchange.
+    * projection; the top-k window group-limits before its exchange. The
+    * probe side (queries × nprobe rows, each carrying its ADC tables)
+    * broadcasts unconditionally — object-level contract.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 nlist: Int = 8, nprobe: Int = 2, m: Int = 8, ncode: Int = 16,
@@ -439,7 +457,10 @@ object SimilarityOps {
   }
 
   /** ANN top-k restricted to the query's LSH bucket. Approximate: recall
-    * depends on `planes`; exact within the bucket.
+    * depends on `planes`; exact within the bucket. Query side broadcasts
+    * unconditionally (object-level contract); this is also the tier that
+    * degrades gracefully past the ceiling — drop the hint and the same
+    * plan is a plain shuffled equi-join on `bucket`.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int = 4,
               dims: Int = 64, idCol: String = "vec_id",

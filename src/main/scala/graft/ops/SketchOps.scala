@@ -29,9 +29,16 @@ object SketchOps {
     *
     * Scale shape: one keyed aggregate to (group, register) with map-side
     * max combine — state is ≤ 64 rows per group regardless of input
-    * cardinality — then one tiny per-group fold. That is the whole point
-    * of the sketch: distinct-counting 10¹⁰ users costs 64 longs per
-    * group, mergeable across partitions/days by register-wise max.
+    * cardinality — then one tiny per-group fold, mergeable across
+    * partitions/days by register-wise max.
+    *
+    * Cardinality ceiling: the portable hash lives mod P ≈ 2³⁰, so
+    * `w = h div 64` has only ~24 usable bits and register ranks saturate
+    * at ~24 — estimates plateau around ~10⁸ distincts (standard HLL
+    * dynamic range is 2^(hash bits)). That is the price of bit-exact
+    * DuckDB-verifiable registers; for true 10¹⁰-scale counting swap the
+    * hash for a 64-bit avalanche hash (`xxhash64`) and give up the
+    * oracle gate — the aggregate shape and merge algebra are unchanged.
     */
   def hllDistinct(df: DataFrame, keyCol: String,
                   groupCols: Seq[String]): DataFrame = {

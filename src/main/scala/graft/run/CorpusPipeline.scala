@@ -43,12 +43,26 @@ object CorpusPipeline {
   def run(docs: DataFrame, outDir: String, cfg: Config = Config(),
           evalDocs: Option[DataFrame] = None): Seq[StageCount] = {
     val report = scala.collection.mutable.ArrayBuffer.empty[StageCount]
+    // each stage's checkpoint supersedes the previous one: once stage N
+    // has materialized (the eager localCheckpoint computes it from stage
+    // N−1's blocks), stage N−1's cached RDD is dead weight — unpersist it
+    // so repeated run() calls in one long-lived session don't accumulate
+    // executor storage for the whole prefix chain (same cleanup pattern
+    // as CorpusOps.bpeLearn's merge loop)
+    def unpersistCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    var prevStage: Option[DataFrame] = None
     def stage(name: String, df: DataFrame): DataFrame = {
       // localCheckpoint: each stage's survivors are computed once and
       // reused by the next stage AND the count — without it every later
       // stage would re-run the whole prefix
       val c = df.localCheckpoint(true)
       report += StageCount(name, c.count())
+      prevStage.foreach(unpersistCheckpoint)
+      prevStage = Some(c)
       c
     }
 
@@ -88,6 +102,7 @@ object CorpusPipeline {
 
     CorpusOps.exportShards(split, outDir, cfg.nShards)
     report += StageCount("sharded", cfg.nShards.toLong)
+    prevStage.foreach(unpersistCheckpoint)
     report.toSeq
   }
 }

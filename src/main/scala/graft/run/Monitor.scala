@@ -85,6 +85,36 @@ object Monitor {
     }
   }
 
+  /** C6 — the alert dispatch hook. The reference mails terminal errors
+    * (synch/factory.py:113-126); core deliberately owns no SMTP — the
+    * transport plugs in here instead.
+    *
+    * Contract:
+    *  - `onAlert` is invoked EXACTLY ONCE per query terminated with an
+    *    exception, with the same error metric row that was recorded
+    *    (`batchId == -1`, `error == Some(message)`). Progress rows never
+    *    alert.
+    *  - It runs on the streaming listener-bus thread: keep it fast and
+    *    non-blocking (enqueue to your mailer/webhook executor; don't do
+    *    network I/O inline or you delay every listener on the bus).
+    *  - A throwing callback is swallowed: a broken alert transport must
+    *    never lose the metric row or detach monitoring. The row is
+    *    recorded BEFORE dispatch, so dead-lettering is ordered — the
+    *    metrics table is the source of truth, alerting is best-effort.
+    */
+  class AlertingListener(onAlert: BatchMetric => Unit,
+                         maxRetained: Int = 10000)
+      extends CollectingListener(maxRetained) {
+    override protected def record(m: BatchMetric): BatchMetric = {
+      val appended = super.record(m)
+      if (appended.error.isDefined) {
+        try onAlert(appended)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      appended
+    }
+  }
+
   /** Read the persisted metrics table. */
   def metricsTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -59,4 +59,42 @@ class MonitorSpec extends SparkSpec {
       assert(errors.head.error.get.contains("boom"))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("alert callback fires once per terminal failure; a throwing " +
+    "callback still records the metric (C6 contract)") {
+    val alerts = new java.util.concurrent.ConcurrentLinkedQueue[Monitor.BatchMetric]
+    // the callback itself throws AFTER capturing — the contract says the
+    // metric row must survive a broken alert transport
+    val listener = new Monitor.AlertingListener(m => {
+      alerts.add(m)
+      throw new IllegalStateException("mailer down")
+    })
+    spark.streams.addListener(listener)
+    try {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[Long]
+      val q = input.toDF().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new RuntimeException("kaboom")
+        }.start()
+      input.addData(1L)
+      intercept[Exception] { q.awaitTermination(30000) }
+
+      val deadline = System.currentTimeMillis() + 20000
+      while (alerts.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(!alerts.isEmpty, "alert callback never fired")
+      val fired = alerts.peek()
+      assert(fired.error.get.contains("kaboom"))
+      assert(fired.batchId == -1L)
+      // dispatch is record-then-alert: the row is in the metrics buffer
+      // even though the callback threw
+      val recorded = listener.metrics.synchronized(
+        listener.metrics.filter(_.error.isDefined).toList)
+      assert(recorded.nonEmpty, "error metric lost when callback threw")
+      assert(alerts.size == 1, s"expected exactly one alert, got ${alerts.size}")
+      // progress rows never alert: only error rows dispatched
+      assert(alerts.peek().error.isDefined)
+    } finally spark.streams.removeListener(listener)
+  }
 }
