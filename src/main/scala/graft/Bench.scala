@@ -38,7 +38,8 @@ object Bench {
     "text_decontaminate", "text_pii", "dedup_incremental",
     "corpus_filter", "dedup_incremental_near",
     "corpus_mixture", "text_classifier", "embed_project",
-    "dedup_incremental_bloom", "corpus_bpe_pairs", "embed_centroids",
+    "dedup_incremental_bloom", "corpus_bpe_pairs", "corpus_bpe_learn100",
+    "embed_centroids",
     "dedup_winnow_pairs", "multimodal_frames", "text_oov", "embed_quantize",
     "dedup_semantic", "text_unigram_lp", "embed_knn_classify", "dedup_containment",
     "session_funnel", "session_retention",

@@ -635,6 +635,19 @@ object SparkEntry {
     "corpus_bpe_pairs" -> ((s, dir) =>
       CorpusOps.bpePairCandidates(t(s, dir, "documents"), k = 20)),
 
+    // full 100-merge BPE learn with exact greedy-equivalent merge
+    // batching — the bench entry that makes the learn-loop job count
+    // visible (VERDICT r5 #5). The merge LOOP is inherently iterative,
+    // not SQL-expressible — no oracle; the driver records a rows-only
+    // check, and greedy equivalence is pinned by BpeLearnSpec instead
+    "corpus_bpe_learn100" -> ((s, dir) => {
+      val merges = CorpusOps.bpeLearn(t(s, dir, "documents"),
+        nMerges = 100, batch = 32)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b, n), i) => (i, a, b, n) }
+        .toDF("merge_idx", "left_sym", "right_sym", "n_pairs")
+    }),
+
     // per-label embedding centroids (nearest-centroid / drift monitoring)
     "embed_centroids" -> ((s, dir) =>
       SimilarityOps.labelCentroids(t(s, dir, "embeddings"))),

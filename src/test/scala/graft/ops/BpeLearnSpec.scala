@@ -43,6 +43,29 @@ class BpeLearnSpec extends SparkSpec {
     assert(flat == "aaab aaab")
   }
 
+  test("batched bpeLearn is greedy-equivalent: batch=8/32 reproduce the " +
+    "batch=1 merge sequence on randomized corpora") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val alphabet = "abcde"
+      // skewed word lengths and repeat counts — enough pair collisions
+      // that batching has real interference decisions to make
+      val words = (0 until 60).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(5))(w))
+      val docs = rnd.shuffle(text).grouped(20).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val sequential = CorpusOps.bpeLearn(docs, nMerges = 15, batch = 1)
+      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 8) == sequential,
+        s"seed=$seed: batch=8 diverged from the sequential merge sequence")
+      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 32) == sequential,
+        s"seed=$seed: batch=32 diverged from the sequential merge sequence")
+    }
+  }
+
   test("bpeLearn stops early when no pairs remain") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     // every word is one char + </w>: exactly one merge family per word,
