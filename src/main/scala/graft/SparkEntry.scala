@@ -491,8 +491,15 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashBandRows(t(s, dir, "documents"))),
 
+    // maxBucket=64 drops giant-cluster band buckets from candidate
+    // generation (those are exact-dup families for exactByDigest, not
+    // near-dups) and is mirrored in the oracle — uncapped, the sf1
+    // scale rehearsal measured this query 13x for 10x data (in-bucket
+    // candidates grow quadratically with bucket size); capped it is
+    // the O(n·cap) plan that survives 100 TB
     "dedup_minhash_pairs" -> ((s, dir) =>
-      DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0)),
+      DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0,
+        maxBucket = 64)),
 
     // maxDf caps hot-shingle blocking (the scale guard); 1000 is above any
     // df in the sf0.01 oracle fixture, so the gated result is exact.
@@ -1391,8 +1398,12 @@ object SparkEntry {
          |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
          |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
          |         FROM (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+         |keep AS (SELECT band_idx, bucket FROM expl
+         |         GROUP BY 1, 2 HAVING count(*) <= 64),
+         |bexpl AS (SELECT expl.doc_id, expl.band_idx, expl.bucket
+         |          FROM expl JOIN keep USING (band_idx, bucket)),
          |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |          FROM expl a JOIN expl b
+         |          FROM bexpl a JOIN bexpl b
          |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          |j AS (SELECT p.id1, p.id2, x.sh AS s1, y.sh AS s2
          |      FROM pairs p JOIN sh0 x ON x.doc_id = p.id1 JOIN sh0 y ON y.doc_id = p.id2)

@@ -274,6 +274,14 @@ class PlanSpec extends SparkSpec {
       s"path mining shuffles (user, ts, type) rows only:\n$ex")
   }
 
+  test("session stats: ONE user-keyed exchange; the rollup reuses the " +
+    "window's partitioning (user ⊂ (user, session_seq))") {
+    val p = plan("session_stats")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"sessionize + rollup must share a single user-keyed shuffle, got $shuffles:\n$p")
+  }
+
   test("q18: the HAVING-filtered aggregate broadcasts into the join-back") {
     val p = plan("q18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
