@@ -52,7 +52,8 @@ object Bench {
     "q6_forecast_revenue", "q18_large_orders", "q19_anti_join",
     "interval_join", "sketch_hll_users", "sketch_cm_counts",
     "sketch_hist_quantiles", "multimodal_resize", "text_bigram_lp",
-    "corpus_sample_weighted", "q20_above_avg")
+    "corpus_sample_weighted", "q20_above_avg",
+    "q21_waiting_supplier", "q22_idle_customers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -243,6 +243,59 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
 
+    "q21_waiting_supplier" -> ((s, dir) => {
+      // TPC-H q21 shape (suppliers who kept multi-supplier orders
+      // waiting), reformulated: the classic triple lineitem self-join
+      // (EXISTS other-supplier / NOT EXISTS other-late-supplier) becomes
+      // ONE shuffle of lineitem by orderkey + two cheap aggregates over
+      // it — per (order, supplier) lateness, then per order
+      // supplier/late counts; the per-order table re-joins on the same
+      // key so no second lineitem exchange. "Late" = shipped >120 days
+      // after o_orderdate (this schema has no commit/receipt dates).
+      val oF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .join(oF, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+            .cast("int").as("_late"))
+      // per-order counts come from a WINDOW over the per-(order,supplier)
+      // aggregate, not a second aggregate + self-join: a DataFrame reused
+      // on both sides of a join is planned as two full lineitem scans +
+      // two wide exchanges (Catalyst does not dedup common subplans) —
+      // the window form scans lineitem ONCE
+      val wOrder = Window.partitionBy(col("l_orderkey"))
+      li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("_late")).as("_s_late"))
+        .withColumn("_n_supp", count(lit(1)).over(wOrder))
+        .withColumn("_n_late", sum(col("_s_late")).over(wOrder))
+        .filter(col("_s_late") === 1 && col("_n_supp") > 1 && col("_n_late") === 1)
+        .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    }),
+
+    "q22_idle_customers" -> ((s, dir) => {
+      // TPC-H q22 shape: scalar-subquery gate (above-average balance,
+      // multiplied through to exact DECIMAL — no float mean) + anti-join
+      // (no order since 2001) + per-nation rollup. The gate aggregate is
+      // one row → broadcast; recent orders are a date-pruned scan on the
+      // anti-join build side.
+      val c = t(s, dir, "customer")
+      val g = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec2(col("c_acctbal"))).as("_s"), count(lit(1)).as("_n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
+      c.crossJoin(broadcast(g))
+        .filter(dec2(col("c_acctbal")) * col("_n") > col("_s"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+    }),
+
     "q16_window_funcs" -> ((s, dir) => {
       // the full ranking-window family over one customer partition: a
       // single exchange on o_custkey feeds both sort orders (time for
@@ -1132,6 +1185,42 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // the oracle keeps the classic EXISTS / NOT-EXISTS formulation so the
+    // Spark-side aggregate reformulation is checked against the textbook
+    // semantics, not against itself
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |      FROM lineitem l1
+        |      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |       AND o.o_orderstatus = 'F'
+        |      WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+        |        AND EXISTS (SELECT 1 FROM lineitem l2
+        |                    WHERE l2.l_orderkey = l1.l_orderkey
+        |                      AND l2.l_suppkey <> l1.l_suppkey)
+        |        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                        WHERE l3.l_orderkey = l1.l_orderkey
+        |                          AND l3.l_suppkey <> l1.l_suppkey
+        |                          AND l3.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+        |     ) w
+        |JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 10""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH g AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+        |                  COUNT(*) AS n
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer c, g
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * g.n > g.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q16_window_funcs" ->
       """SELECT o_custkey, o_orderkey,

@@ -282,6 +282,15 @@ class PlanSpec extends SparkSpec {
       s"sessionize + rollup must share a single user-keyed shuffle, got $shuffles:\n$p")
   }
 
+  test("q21: ONE lineitem scan (window reformulation, not aggregate self-join)") {
+    val p = plan("q21_waiting_supplier")
+    val liScans = "FileScan parquet \\[l_orderkey".r.findAllIn(p).length
+    assert(liScans == 1,
+      s"waiting-supplier must scan lineitem once, got $liScans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"orders (status-filtered) and supplier must broadcast:\n$p")
+  }
+
   test("q18: the HAVING-filtered aggregate broadcasts into the join-back") {
     val p = plan("q18_large_orders")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
