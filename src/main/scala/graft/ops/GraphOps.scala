@@ -12,20 +12,22 @@ import org.apache.spark.sql.functions._
   * endgame of corpus dedup, where "A≈B, B≈C" must collapse {A,B,C} to one
   * document even though A and C never formed a pair.
   *
-  * Scale design: iterative min-label propagation over the *pair-induced
-  * subgraph only*. At corpus scale the near-dup pair list is orders of
-  * magnitude smaller than the corpus (pairs are already blocked/verified),
-  * so each iteration shuffles O(|pairs|) rows, never O(corpus). Documents
-  * untouched by any pair are singletons and join back in one broadcast-able
-  * pass at the end. Each iteration is lineage-truncated (local checkpoint)
-  * so the plan stays constant-size, and the previous iteration's blocks are
-  * freed as soon as the next is materialized — no cache leak across rounds.
-  * Label propagation converges in O(component diameter) rounds; near-dup
-  * clusters are dense (diameter 2-4 in practice). For adversarial
-  * long-chain graphs the alternating large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce") bounds rounds at
-  * O(log n) — the loop below is the same shuffle shape, so swapping the
-  * propagation step is local.
+  * Scale design: alternating large-star / small-star rounds (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", 2014) over the
+  * *pair-induced subgraph only*. At corpus scale the near-dup pair list is
+  * orders of magnitude smaller than the corpus (pairs are already
+  * blocked/verified), so each round shuffles O(|pairs|) rows, never
+  * O(corpus). Documents untouched by any pair are singletons and join back
+  * in one broadcast-able pass at the end. Each round is lineage-truncated
+  * (local checkpoint) so the plan stays constant-size, and the previous
+  * round's blocks are freed as soon as the next is materialized — no cache
+  * leak across rounds. The star alternation converges in O(log² n) rounds
+  * *regardless of component diameter* — min-label propagation (the naive
+  * alternative) needs O(diameter) rounds, which never terminates in
+  * practice on the adversarial chain graphs that template-mirror families
+  * produce. Both star steps are pure groupBy-min + equi-join — no
+  * collect_list, so a giant star (one node with 10⁸ neighbors) is a skewed
+  * aggregation AQE can split, not an OOM.
   *
   * Small-graph fast path: when the materialized edge list is under
   * `spark.graft.cc.localEdgeThreshold` directed edges (default 4M ≈ 64 MB
@@ -88,59 +90,72 @@ object GraphOps {
       return out
     }
 
-    // seed EVERY edge endpoint alongside the nodes, so the label table
-    // never grows mid-loop: the sum probe's soundness (labels only ever
-    // lower; rows never appear) and parity with the union-find path's
-    // transitive-through-foreign-endpoint semantics both depend on it
-    val seed = nodes.select(col(idCol).as("id"))
-      .union(und.select(col("src").as("id")))
-      .distinct()
-    var cur = checkpointed(seed.select(col("id"), col("id").as("comp")))
-    val integralId = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    // integral ids: min-propagation only ever lowers labels, so the label
-    // sum strictly decreases until the fixpoint — a single scalar probe.
-    // other id types (string, decimal, ...): sum is meaningless — probe by
-    // joining consecutive rounds and looking for any changed label.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-    var curSum = if (integralId) labelSum(cur) else 0L
+    // alternating large-star / small-star until the edge set is a fixpoint.
+    // Invariant at the fixpoint (Kiveris et al., Thm 1): the edges form one
+    // star per connected component, rooted at the component MINIMUM — so
+    // labels fall straight out of the final edge list. The fixpoint probe
+    // (count equal, then set-difference empty) is type-agnostic: no
+    // integral-vs-string id special cases.
+    var cur = und
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val prop = und.join(cur, col("src") === col("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = checkpointed(
-        cur.union(prop).groupBy(col("id")).agg(min(col("comp")).as("comp")))
-      if (integralId) {
-        val nextSum = labelSum(next)
-        if (nextSum == curSum) converged = true
-        else { curSum = nextSum }
-      } else {
-        converged = next
-          .join(cur.select(col("id"), col("comp").as("_prev")), Seq("id"))
-          .filter(!(col("comp") <=> col("_prev"))).isEmpty
-      }
-      // previous round's blocks are dead either way (next is materialized
-      // with lineage cut); keep only the newest checkpoint alive
+      val next = checkpointed(smallStar(largeStar(cur)))
+      val stable = next.count() == cur.count() && next.except(cur).isEmpty
+      // cur's blocks are dead either way (next is materialized with
+      // lineage cut); keep only the newest checkpoint alive
+      if (it == 0) undRdd.foreach(_.unpersist(false))
       freed.dropRight(1).foreach(_.unpersist(false))
       freed.remove(0, freed.size - 1)
       cur = next
       it += 1
+      converged = stable
     }
-    undRdd.foreach(_.unpersist(false)) // edge blocks are dead past the loop
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // only `nodes` rows come back (foreign endpoints conducted; they are
-    // not part of the answer); materialized so callers may unpersist
-    // upstream checkpoints as soon as this returns
-    val out = cur.join(nodes.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    // final stars: one (child, root) edge per connected non-root node;
+    // roots and singletons label themselves. Only `nodes` rows come back
+    // (foreign endpoints conducted; they are not part of the answer);
+    // materialized so callers may unpersist upstream checkpoints as soon
+    // as this returns
+    val out = nodes.select(col(idCol).as("id")).distinct()
+      .join(cur.select(col("src").as("id"), col("dst").as("_c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
       .localCheckpoint(true)
     freed.foreach(_.unpersist(false))
     freed.clear()
     out
+  }
+
+  /** Large-star round: every node u attaches its LARGER neighbors to
+    * m(u) = min(Γ(u) ∪ {u}). Pure symmetrize → groupBy-min → equi-join —
+    * the emitted edge (v, m) always has v > m, so no self-loops survive.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mins = sym.groupBy(col("src").as("_u")).agg(min(col("dst")).as("_mv"))
+    sym.filter(col("dst") > col("src"))
+      .join(mins, col("src") === col("_u"))
+      .select(col("dst").as("src"), least(col("_mv"), col("_u")).as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: orient every edge large→small; every node u attaches
+    * its (all smaller) neighbors AND itself to m(u) = min(Γ(u)). Output is
+    * canonical (src > dst), which makes consecutive rounds comparable for
+    * the fixpoint probe.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mins = o.groupBy(col("src").as("_u")).agg(min(col("dst")).as("_mv"))
+    o.join(mins, col("src") === col("_u"))
+      .select(col("dst").as("src"), col("_mv").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(mins.select(col("_u").as("src"), col("_mv").as("dst")))
+      .distinct()
   }
 
   /** Driver-side path-compressed union-find over a collected (id-only)

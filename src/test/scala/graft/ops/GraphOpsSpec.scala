@@ -111,6 +111,48 @@ class GraphOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
+  test("distributed star rounds collapse a 120-node chain (diameter >> round budget)") {
+    // the adversarial case for min-label propagation (O(diameter) rounds
+    // would blow the 50-round budget); large-star/small-star must converge
+    // in O(log² n) rounds
+    val n = 120
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i - 1, i)).toDF("src", "dst")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val out = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(out.size == n && out.values.forall(_ == 0L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("distributed star rounds match union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edgeList = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = edgeList.toDF("src", "dst")
+
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0L until n.toLong).map(id => id -> find(id)).toMap
+
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val got = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connectedComponents handles an empty edge list (all singletons)") {
     val nodes = Seq(4L, 8L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
