@@ -53,7 +53,8 @@ object Bench {
     "interval_join", "sketch_hll_users", "sketch_cm_counts",
     "sketch_hist_quantiles", "multimodal_resize", "text_bigram_lp",
     "corpus_sample_weighted", "q20_above_avg",
-    "q21_waiting_supplier", "q22_idle_customers")
+    "q21_waiting_supplier", "q22_idle_customers",
+    "dedup_paragraph", "dedup_url_canonical")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

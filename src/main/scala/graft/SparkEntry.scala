@@ -541,6 +541,41 @@ object SparkEntry {
     "dedup_span_removal" -> ((s, dir) =>
       DedupOps.removeDuplicatedSpans(t(s, dir, "documents"), k = 8)),
 
+    // paragraph-level pass: the synthetic corpus has no newlines, so the
+    // fixture splits on " the " (a frequent vocab word) — the operator is
+    // separator-parameterized and the oracle mirrors the same separator
+    "dedup_paragraph" -> ((s, dir) =>
+      DedupOps.paragraphDedup(t(s, dir, "documents"), sep = " the ")),
+
+    // URL-level dedup: raw URLs are synthesized deterministically from
+    // doc_id in BOTH engines — scheme-case, www, :443, trailing-slash,
+    // utm/fragment variants over a deliberately small (scheme, path, query)
+    // space — then collapsed through TextOps.canonicalizeUrl, so many raw
+    // forms genuinely merge per canonical key
+    "dedup_url_canonical" -> ((s, dir) => {
+      val raw = concat(
+        element_at(
+          typedLit(Seq("https://", "HTTP://", "https://WWW.", "http://www.")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        lit("Example.COM"),
+        when(pmod(col("doc_id"), lit(5)) === 0, ":443").otherwise(""),
+        lit("/p"), pmod(col("doc_id"), lit(5)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "/").otherwise(""),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(5)).cast("string")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("?id="), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit("&utm_campaign=x")))
+          .otherwise(""),
+        when(pmod(col("doc_id"), lit(7)) === 0, "#sec").otherwise(""))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("_raw"))
+        .withColumn("url", TextOps.canonicalizeUrl(col("_raw")))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+          countDistinct(col("_raw")).as("n_raw_forms"))
+    }),
+
     "dedup_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashBandRows(t(s, dir, "documents"))),
 
@@ -1434,6 +1469,67 @@ object SparkEntry {
     // the digest groups exactly the content groups (collision-free spec)
     "dedup_exact_digest" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    // paragraph split mirrors Spark's literal " the " separator;
+    // PARTITION BY the paragraph itself groups exactly the sha2-digest
+    // classes the Spark side uses (collision-free spec); list indexes are
+    // 1-based here vs posexplode's 0-based — only the ORDER matters
+    "dedup_paragraph" ->
+      """WITH p0 AS (SELECT doc_id,
+        |              unnest(list_transform(string_split(text, ' the '),
+        |                                    (x, i) -> {'idx': i, 'para': x})) AS u
+        |            FROM documents),
+        |p AS (SELECT doc_id, u.idx AS idx, u.para AS para FROM p0
+        |      WHERE trim(u.para) <> ''),
+        |k AS (SELECT doc_id, idx, para,
+        |             (row_number() OVER (PARTITION BY para
+        |                ORDER BY doc_id ASC, idx ASC)) = 1 AS keep
+        |      FROM p)
+        |SELECT doc_id, COUNT(*) AS n_paras,
+        |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       COALESCE(string_agg(CASE WHEN keep THEN para END, ' the '
+        |                           ORDER BY idx), '') AS text_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // same deterministic raw-URL synthesis, then the same RE2-compatible
+    // canonicalization chain as TextOps.canonicalizeUrl (DuckDB needs the
+    // explicit 'g' flag where Spark's regexp_replace is global by default)
+    "dedup_url_canonical" ->
+      """WITH r AS (SELECT doc_id,
+        |    (CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://'
+        |                     WHEN 2 THEN 'https://WWW.' ELSE 'http://www.' END)
+        |    || 'Example.COM'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        |    || '/p' || CAST(doc_id % 5 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0
+        |             THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |             WHEN doc_id % 3 = 1
+        |             THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS raw
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, raw,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        |      || regexp_replace(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u
+        |  FROM r),
+        |c2 AS (SELECT doc_id, raw,
+        |    regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u FROM c1),
+        |c3 AS (SELECT doc_id, raw,
+        |    regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#:]*):(?:80|443)([/?#]|$)',
+        |                   '\1\2') AS u FROM c2),
+        |c4 AS (SELECT doc_id, raw, regexp_replace(u, '#.*', '') AS u FROM c3),
+        |c5 AS (SELECT doc_id, raw,
+        |    regexp_replace(u, '(?i)([?&])(?:utm_[a-z0-9]*|gclid|fbclid)=[^&#]*',
+        |                   '\1', 'g') AS u FROM c4),
+        |c6 AS (SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(regexp_replace(u, '\?&+', '?'),
+        |                                  '&&+', '&', 'g'),
+        |                   '[?&]+$', '') AS u FROM c5),
+        |c7 AS (SELECT doc_id, raw, regexp_replace(u, '/+$', '') AS url FROM c6)
+        |SELECT url, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+        |       COUNT(DISTINCT raw) AS n_raw_forms
+        |FROM c7 GROUP BY url""".stripMargin,
 
     "dedup_substring_spans" ->
       s"""WITH ${OracleSql.toksCte(lower = true)},

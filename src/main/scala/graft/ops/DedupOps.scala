@@ -43,6 +43,45 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Corpus-wide paragraph-level exact dedup (the RefinedWeb / CCNet
+    * sub-document pass): split every document on `sep`, keep only the
+    * globally-first occurrence of each distinct paragraph (lowest doc id,
+    * then lowest in-doc position), and rebuild each document from its
+    * surviving paragraphs. Boilerplate shared across thousands of pages —
+    * nav text, footers, license blocks — dies here even though no two
+    * whole documents are equal. Output: one row per document with at
+    * least one non-empty paragraph (doc id, paragraph count before/after,
+    * rebuilt text; a document whose every paragraph lost its race rebuilds
+    * to the empty string).
+    *
+    * Scale shape: one narrow split pass → explode to paragraph rows →
+    * keep-flag via a window over the paragraph's SHA-256 digest (every
+    * row survives — losers still count toward n_paras — so this is a full
+    * window, not a group-limit) → one per-doc rebuild aggregate. Two keyed exchanges total; the digest
+    * window's key is 64 hex bytes. Paragraph text rides both exchanges —
+    * at ~100 TB prefer cutting the rebuild to a digest join against a
+    * kept-set if paragraphs are huge; at typical web-paragraph sizes the
+    * single-pass window form wins (no second scan, no join).
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n",
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_digest")).orderBy(col(idCol), col("_idx"))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "_idx").withColumnRenamed("col", "_para")
+      .filter(trim(col("_para")) =!= "")
+      .withColumn("_digest", sha2(col("_para"), 256))
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("_keep").cast("long")).as("n_kept"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("_keep"), struct(col("_idx"), col("_para"))))),
+          x => x("_para"))).as("text_kept"))
+  }
+
   /** Exact duplicated-substring spans — the span-level signal behind
     * suffix-array substring dedup (Lee et al. 2022, arXiv:2107.06499:
     * training data repeats *passages* far more often than whole

@@ -132,6 +132,41 @@ object TextOps {
       .drop("_t")
   }
 
+  /** Canonical form of a URL for dedup keys — the normalization CCNet /
+    * web-crawl pipelines apply before URL-level dedup, as one codegen'd
+    * chain of regexp rewrites (pure narrow projection; zero exchanges
+    * until whatever aggregation consumes the key):
+    *
+    *  1. scheme + authority lowercased (path/query case is significant);
+    *  2. leading `www.` stripped from the host;
+    *  3. default ports `:80` / `:443` dropped;
+    *  4. fragment dropped;
+    *  5. tracking parameters (`utm_*`, `gclid`, `fbclid`) dropped, with
+    *     dangling `?`/`&` separators cleaned up;
+    *  6. trailing slashes dropped.
+    *
+    * Contract: input should look like `scheme://authority[/path][?q][#f]`;
+    * parameter VALUES containing literal `utm_...=` text are out of scope
+    * (they'd need a real parser, not a rewrite chain). Every step is RE2-
+    * compatible (no lookaround, `(?:...)` + inline `(?i)` only) so the
+    * DuckDB oracle twin runs the same patterns.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val lowPfx = concat(
+      lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val noWww = regexp_replace(lowPfx, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    val noPort = regexp_replace(noWww,
+      "^([a-z][a-z0-9+.-]*://[^/?#:]*):(?:80|443)([/?#]|$)", "$1$2")
+    val noFrag = regexp_replace(noPort, "#.*", "")
+    val noTrk = regexp_replace(noFrag,
+      "(?i)([?&])(?:utm_[a-z0-9]*|gclid|fbclid)=[^&#]*", "$1")
+    val clean = regexp_replace(
+      regexp_replace(regexp_replace(noTrk, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    regexp_replace(clean, "/+$", "")
+  }
+
   /** Polynomial-rolling-hash fingerprint of the normalized (lowercased,
     * whitespace-collapsed) document text. */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id",

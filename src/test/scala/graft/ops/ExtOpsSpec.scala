@@ -510,6 +510,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(tie.toSeq == Seq((0L, 3, 1L)))
   }
 
+  test("canonicalizeUrl: case, www, ports, fragments, tracking params, slashes") {
+    val cases = Seq(
+      // scheme+host lowercased; path case preserved
+      "HTTPS://Example.COM/Path" -> "https://example.com/Path",
+      // www + default port + trailing slash
+      "http://www.Example.com:80/" -> "http://example.com",
+      "https://example.com:443/a/" -> "https://example.com/a",
+      // non-default port survives; :80 not a prefix-match of :8080
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // fragment dropped
+      "https://example.com/a#sec" -> "https://example.com/a",
+      // tracking params dropped wherever they sit; real params survive
+      "https://example.com/a?utm_source=x" -> "https://example.com/a",
+      "https://example.com/a?utm_source=x&id=5" -> "https://example.com/a?id=5",
+      "https://example.com/a?id=5&utm_campaign=y&fbclid=z" -> "https://example.com/a?id=5",
+      "https://example.com/a?gclid=1&utm_a=2&utm_b=3" -> "https://example.com/a",
+      // everything at once
+      "HTTP://WWW.Example.COM:80/p/?id=1&utm_x=9#f" -> "http://example.com/p/?id=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalizeUrl(col("u"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("paragraphDedup keeps the globally-first occurrence and rebuilds docs") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared one\n\nbeta"),
+      (2L, "shared one\n\ngamma\n\nshared one"), // dup of doc1's para + self-dup
+      (3L, "shared one"),                        // entire doc is a dup → empty rebuild
+      (4L, "  \n\n ")                            // whitespace-only paras → no row
+    ).toDF("doc_id", "text")
+    val out = DedupOps.paragraphDedup(docs)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 3L, "alpha\n\nshared one\n\nbeta")))
+    assert(out(2L) == ((2L, 3L, 1L, "gamma")))
+    assert(out(3L) == ((3L, 1L, 0L, "")))
+    assert(!out.contains(4L))
+  }
+
   test("repetition stats flag degenerate repeated text") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1
