@@ -1031,6 +1031,18 @@ object SparkEntry {
     "corpus_pack" -> ((s, dir) =>
       CorpusOps.packSequences(t(s, dir, "documents"), capacity = 2048)),
 
+    // quality-first selection under a 6000-token budget; score = avg word
+    // length (exact int division to double — engine-identical). The Spark
+    // side runs the distributed prefix-sum (64 score buckets); the oracle
+    // runs the naive global-window cumsum — checking the equivalence
+    "corpus_budget_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("score", col("n_chars").cast("double") / col("n_tokens"))
+      CorpusOps.selectByBudget(d, budget = 6000L, nBuckets = 64)
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     // Morton-key multi-dimension layout (chars x tokens); bit-exact narrow
     // pass — at write time the key range-partitions the corpus files
     "corpus_zorder" -> ((s, dir) =>
@@ -2598,6 +2610,21 @@ object SparkEntry {
          |SELECT lang, doc_id, n_tokens, start_off,
          |       CAST(start_off // 2048 AS BIGINT) AS chunk_id
          |FROM o""".stripMargin,
+
+    // the NAIVE global-window cumsum — deliberately different machinery
+    // from the Spark side's bucketed prefix sum, so the oracle checks the
+    // distributed decomposition, not a mirror of it
+    "corpus_budget_select" ->
+      """WITH s AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |                  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS score
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens, score,
+        |             CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM s)
+        |SELECT doc_id, n_tokens, round(score, 6) AS score, cum_tokens
+        |FROM c WHERE cum_tokens <= 6000""".stripMargin,
 
     // 16-bit Morton interleave of (clamped chars, clamped tokens);
     // zbucket = top log2(16) bits of the 32-bit key

@@ -192,6 +192,56 @@ object CorpusOps {
         graft.functions.IntMath.floorDiv(col("start_off"), capacity))
   }
 
+  /** Greedy quality-first corpus selection under a token budget — the
+    * data-selection step of an LLM pipeline ("take the best documents
+    * until N tokens"): order by (`scoreCol` DESC, `idCol` ASC) and keep
+    * the maximal prefix whose cumulative token count stays ≤ `budget`.
+    * Output: kept docs with token count, score and exact global
+    * cumulative tokens.
+    *
+    * Scale shape: the naive form is a single-partition global window —
+    * the classic scale trap. This is a distributed prefix sum instead:
+    * (1) one pass builds an `nBuckets`-bin score histogram (per-bucket
+    * token sums; the only driver materialization, ≤ nBuckets rows — the
+    * IVF-centroid analogy); (2) exclusive bucket offsets ship back as a
+    * literal array; (3) a window PARTITIONED BY BUCKET computes the
+    * within-bucket cumsum in parallel. Result is identical to the global
+    * window (equal scores share a bucket; ties break by id inside it) —
+    * the oracle twin IS the naive global cumsum, so the equivalence is
+    * checked, not assumed. Degenerate case: all scores equal → one bucket
+    * → one sort task (same caveat as [[packSequences]]' `None` stratum).
+    */
+  def selectByBudget(docs: DataFrame, budget: Long, nBuckets: Int = 1024,
+                     scoreCol: String = "score", tokensCol: String = "n_tokens",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val s = docs.select(col(idCol), col(scoreCol),
+      col(tokensCol).cast("long").as(tokensCol))
+    val mm = s.agg(min(col(scoreCol)).as("_lo"), max(col(scoreCol)).as("_hi"))
+    val b = s.crossJoin(broadcast(mm))
+      .withColumn("_b",
+        when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(
+            floor((col("_hi") - col(scoreCol)) / (col("_hi") - col("_lo"))
+              * nBuckets),
+            lit(nBuckets - 1))).cast("int"))
+      .drop("_lo", "_hi")
+    val hist = b.groupBy(col("_b")).agg(sum(col(tokensCol)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offsets(i) = token mass in strictly-better buckets (< i), 0-indexed
+    val offsets = (0 until nBuckets)
+      .scanLeft(0L)((acc, i) => acc + hist.getOrElse(i, 0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_b"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    b.withColumn("cum_tokens",
+        element_at(typedLit(offsets), col("_b") + 1) + sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(tokensCol), col(scoreCol), col("cum_tokens"))
+  }
+
   /** Top merge candidates for BPE-style tokenizer training: the `k`
     * highest-frequency adjacent token pairs in the corpus — exactly the
     * statistic the first BPE merge step maximizes (and re-runs of this op

@@ -282,6 +282,15 @@ class PlanSpec extends SparkSpec {
       s"sessionize + rollup must share a single user-keyed shuffle, got $shuffles:\n$p")
   }
 
+  test("budget select: the cumsum window is bucket-partitioned, never global") {
+    val p = plan("corpus_budget_select")
+    assert(p.contains("Exchange hashpartitioning(_b"),
+      s"prefix-sum window must partition by score bucket:\n$p")
+    // the only SinglePartition exchange allowed is the 1-row min/max agg
+    val sp = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(sp <= 1, s"unexpected single-partition exchanges ($sp):\n$p")
+  }
+
   test("q21: ONE lineitem scan (window reformulation, not aggregate self-join)") {
     val p = plan("q21_waiting_supplier")
     val liScans = "FileScan parquet \\[l_orderkey".r.findAllIn(p).length

@@ -145,4 +145,23 @@ class PipelineOpsSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     assert(kept.sameElements(Array(1L, 3L)))
   }
+
+  test("selectByBudget: quality-first prefix, exact cutoff, id tie-break") {
+    // scores force the order 4, 2, 1, 3; budget 25 cuts inside doc 1
+    val docs = Seq(
+      (1L, 1.0, 10L), (2L, 2.0, 10L), (3L, 0.5, 10L), (4L, 3.0, 5L)
+    ).toDF("doc_id", "score", "n_tokens")
+    val got = CorpusOps.selectByBudget(docs, budget = 25L, nBuckets = 4)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._1).toSeq == Seq(4L, 2L, 1L))
+    assert(got.map(_._4).toSeq == Seq(5L, 15L, 25L)) // exact boundary kept
+  }
+
+  test("selectByBudget: equal scores fall into one bucket and break ties by id") {
+    val docs = (1L to 6L).map(i => (i, 1.5, 10L)).toDF("doc_id", "score", "n_tokens")
+    val got = CorpusOps.selectByBudget(docs, budget = 35L, nBuckets = 8)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L)) // 3 fit under 35 tokens
+    assert(CorpusOps.selectByBudget(docs, budget = 0L).count() == 0)
+  }
 }
