@@ -126,7 +126,7 @@ object Main {
     if (mode == "corpus") {
       require(pos.length >= 3,
         "usage: Main corpus <docsParquet> <outDir> [--shards=N] [--min-tokens=N] " +
-          "[--rates=src:rate,...] [--eval=parquetDir]")
+          "[--rates=src:rate,...] [--eval=parquetDir] [--paragraph-sep=S]")
       val s = SparkSession.getActiveSession.getOrElse(
         Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))
       val docs = s.read.parquet(pos(1))
@@ -138,6 +138,7 @@ object Main {
         }.toMap).getOrElse(Map.empty[String, Double])
       val pipelineCfg = graft.run.CorpusPipeline.Config(
         minTokens = flags.get("min-tokens").map(_.toLong).getOrElse(10L),
+        paragraphSep = flags.get("paragraph-sep"),
         mixtureRates = rates,
         nShards = flags.get("shards").map(_.toInt).getOrElse(8))
       val report = graft.run.CorpusPipeline.run(docs, pos(2), pipelineCfg,

@@ -11,15 +11,21 @@ import org.apache.spark.sql.functions._
   *
   *   1. quality filter   (C4/Gopher rule flags → keep)
   *   2. exact dedup      (SHA-256 digest keep-first)
-  *   3. near dedup       (MinHash-LSH pairs → connected components →
+  *   3. paragraph dedup  (optional: corpus-wide keep-first over sep-split
+  *                        paragraphs, documents REWRITTEN from survivors;
+  *                        the RefinedWeb ordering — after doc-level exact,
+  *                        before near-dup, so boilerplate can't glue
+  *                        otherwise-distinct docs into near-dup pairs)
+  *   4. near dedup       (MinHash-LSH pairs → connected components →
   *                        keep cluster minimum)
-  *   4. decontamination  (drop docs sharing n-grams with the eval set)
-  *   5. mixture sampling (per-source keep rates, content-stable)
-  *   6. split assignment (content-stable train/val/test buckets)
-  *   7. shard export     (stable membership, one sorted file per shard)
+  *   5. decontamination  (drop docs sharing n-grams with the eval set)
+  *   6. mixture sampling (per-source keep rates, content-stable)
+  *   7. split assignment (content-stable train/val/test buckets)
+  *   8. shard export     (stable membership, one sorted file per shard)
   *
-  * Stages 2–4 drop whole documents, so the pipeline prunes early — each
-  * stage's input is the previous stage's survivors. The returned report
+  * Stages 2–5 drop whole documents (3 also rewrites text), so the
+  * pipeline prunes early — each stage's input is the previous stage's
+  * survivors. The returned report
   * is one row per stage with its surviving count: the corpus-health
   * summary a pipeline owner reads before shipping shards.
   */
@@ -28,6 +34,7 @@ object CorpusPipeline {
   final case class Config(
       minTokens: Long = 10L,
       maxTokens: Long = 100000L,
+      paragraphSep: Option[String] = None,
       nearDupThreshold: Double = 0.5,
       decontaminateNgram: Int = 5,
       mixtureRates: Map[String, Double] = Map.empty,
@@ -77,10 +84,24 @@ object CorpusPipeline {
     val exactKeep = DedupOps.exactByDigest(kept).select(col("keep_id").as("doc_id"))
     val exact = stage("exact_dedup", kept.join(exactKeep, "doc_id"))
 
-    val pairs = DedupOps.minhashLsh(exact, threshold = cfg.nearDupThreshold)
+    // optional paragraph pass: documents are rewritten from surviving
+    // paragraphs (n_chars re-derived); docs that lose every paragraph drop
+    val para = cfg.paragraphSep match {
+      case Some(sep) =>
+        val rebuilt = DedupOps.paragraphDedup(exact, sep = sep)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_kept"))
+        stage("paragraph_dedup", exact.drop("text", "n_chars")
+          .join(rebuilt, "doc_id")
+          .withColumnRenamed("text_kept", "text")
+          .withColumn("n_chars", length(col("text")).cast("long")))
+      case None => exact
+    }
+
+    val pairs = DedupOps.minhashLsh(para, threshold = cfg.nearDupThreshold)
       .select(col("id1"), col("id2"))
-    val nearKeep = GraphOps.keepOne(exact, pairs).select(col("keep_id").as("doc_id"))
-    val near = stage("near_dedup", exact.join(nearKeep, "doc_id"))
+    val nearKeep = GraphOps.keepOne(para, pairs).select(col("keep_id").as("doc_id"))
+    val near = stage("near_dedup", para.join(nearKeep, "doc_id"))
 
     val clean = evalDocs match {
       case Some(ev) =>

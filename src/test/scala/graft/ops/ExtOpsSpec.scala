@@ -550,6 +550,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("paragraphDedup matches a driver-side reference on random corpora") {
+    // differential fuzz: 3 seeded corpora of word-bag paragraphs with
+    // heavy cross-doc repetition vs an in-memory reference implementation
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val paraPool = Seq.tabulate(12)(i => s"para pool text ${i}")
+      val corpus = Seq.tabulate(40) { d =>
+        val n = 1 + rnd.nextInt(5)
+        (d.toLong, Seq.fill(n)(paraPool(rnd.nextInt(paraPool.size))).mkString("\n\n"))
+      }
+      // reference: first (doc, idx) occurrence of each paragraph wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = corpus.map { case (id, text) =>
+        val ps = text.split("\n\n", -1).filter(_.trim.nonEmpty)
+        val kept = ps.filter(p => seen.add(p))
+        id -> ((ps.length.toLong, kept.length.toLong, kept.mkString("\n\n")))
+      }.toMap
+      val got = DedupOps.paragraphDedup(corpus.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"seed $seed mismatch")
+    }
+  }
+
   test("repetition stats flag degenerate repeated text") {
     val docs = Seq(
       (1L, "spam spam spam spam"),          // one word 4×: top_word_frac 1

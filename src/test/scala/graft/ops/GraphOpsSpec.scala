@@ -153,6 +153,21 @@ class GraphOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
+  test("distributed star rounds: giant star + chain grafted on (skew shape)") {
+    // one hub with 2000 leaves (the giant-duplicate-cluster shape: a
+    // skewed groupBy-min, no collect_list to blow up) with a 30-node
+    // chain grafted onto leaf 1500 — both extremes in one graph
+    val leaves = (1L to 2000L).map(i => (0L, i))
+    val chain = (2001L to 2030L).map(i => (if (i == 2001L) 1500L else i - 1, i))
+    val nodes = (0L to 2030L).toDF("id")
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val out = GraphOps.connectedComponents(nodes, (leaves ++ chain).toDF("src", "dst"))
+        .as[(Long, Long)].collect()
+      assert(out.length == 2031 && out.forall(_._2 == 0L))
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("connectedComponents handles an empty edge list (all singletons)") {
     val nodes = Seq(4L, 8L).toDF("id")
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -45,4 +45,24 @@ class CorpusPipelineSpec extends SparkSpec {
       evalDocs = Some(evalSet))
     assert(report2 == report)
   }
+
+  test("optional paragraph stage rewrites docs and leaves no cross-doc paragraph") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-para").toString
+    val report = CorpusPipeline.run(docs, out,
+      CorpusPipeline.Config(minTokens = 1L, paragraphSep = Some(" the "),
+        nShards = 2))
+    val byStage = report.map(s => s.stage -> s.rows).toMap
+    assert(report.map(_.stage).contains("paragraph_dedup"))
+    assert(byStage("paragraph_dedup") <= byStage("exact_dedup"))
+
+    // invariant: after the stage, every non-empty paragraph is globally
+    // unique across the exported corpus
+    val exported = spark.read.parquet(out)
+    val paraDup = exported
+      .select(explode(split(col("text"), " the ")).as("p"))
+      .filter(trim(col("p")) =!= "")
+      .groupBy(col("p")).count().filter(col("count") > 1).count()
+    assert(paraDup == 0L, s"$paraDup duplicated paragraphs survived")
+  }
 }
