@@ -54,7 +54,8 @@ object Bench {
     "sketch_hist_quantiles", "multimodal_resize", "text_bigram_lp",
     "corpus_sample_weighted", "q20_above_avg",
     "q21_waiting_supplier", "q22_idle_customers",
-    "dedup_paragraph", "dedup_url_canonical", "corpus_budget_select")
+    "dedup_paragraph", "dedup_url_canonical", "corpus_budget_select",
+    "dedup_edit_verify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

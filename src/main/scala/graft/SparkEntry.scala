@@ -589,6 +589,12 @@ object SparkEntry {
       DedupOps.minhashLsh(t(s, dir, "documents"), threshold = 0.0,
         maxBucket = 64)),
 
+    // same LSH blocking as dedup_minhash_pairs, but verified by bounded
+    // Levenshtein over 200-char prefixes (the record-linkage verifier)
+    "dedup_edit_verify" -> ((s, dir) =>
+      DedupOps.editVerifiedPairs(t(s, dir, "documents"), maxDist = 60,
+        maxBucket = 64)),
+
     // maxDf caps hot-shingle blocking (the scale guard); 1000 is above any
     // df in the sf0.01 oracle fixture, so the gated result is exact.
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1608,6 +1614,28 @@ object SparkEntry {
          |       round(CAST($li AS DOUBLE) / ($un), 6) AS jaccard
          |FROM j WHERE $un > 0 AND CAST($li AS DOUBLE) / ($un) >= 0.0""".stripMargin
     },
+
+    // identical candidate CTE chain to dedup_minhash_pairs; the verifier
+    // is DuckDB's levenshtein over the same 200-char prefixes
+    "dedup_edit_verify" ->
+      s"""WITH ${OracleSql.toksCte(lower = false)},
+         |sh0 AS (SELECT doc_id, list_distinct(${OracleSql.shingles(3)}) AS sh FROM toks),
+         |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
+         |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
+         |         FROM (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+         |keep AS (SELECT band_idx, bucket FROM expl
+         |         GROUP BY 1, 2 HAVING count(*) <= 64),
+         |bexpl AS (SELECT expl.doc_id, expl.band_idx, expl.bucket
+         |          FROM expl JOIN keep USING (band_idx, bucket)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |          FROM bexpl a JOIN bexpl b
+         |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |j AS (SELECT p.id1, p.id2,
+         |             CAST(levenshtein(substr(x.text, 1, 200),
+         |                              substr(y.text, 1, 200)) AS BIGINT) AS edit_dist
+         |      FROM pairs p JOIN documents x ON x.doc_id = p.id1
+         |                   JOIN documents y ON y.doc_id = p.id2)
+         |SELECT id1, id2, edit_dist FROM j WHERE edit_dist <= 60""".stripMargin,
 
     "dedup_ngram_jaccard" -> {
       // mirrors the Spark op's maxDf=1000 blocking exactly: candidates

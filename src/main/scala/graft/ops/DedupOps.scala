@@ -356,20 +356,7 @@ object DedupOps {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val ex = shingleRows(docs, n, idCol, textCol)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val expl0 = minhashBandRows(docs, n, k, bands, idCol, textCol)
-    val expl =
-      if (maxBucket == Int.MaxValue) expl0
-      else expl0.join(
-        expl0.groupBy(col("band_idx"), col("bucket"))
-          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
-          .select(col("band_idx"), col("bucket")),
-        Seq("band_idx", "bucket"))
-    val cands = expl.as("a").join(expl.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
+    val cands = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
     // Exact overlap, restricted to candidate pairs (no all-pairs join).
     val e1 = ex.toDF("id1", "g")
     val e2 = ex.toDF("_id2", "g2")
@@ -388,6 +375,62 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
         col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** LSH candidate pairs only (band equi-join, optional hot-bucket cap):
+    * the blocking stage shared by [[minhashLsh]] (Jaccard verify) and
+    * [[editVerifiedPairs]] (edit-distance verify). One ordered (id1 < id2)
+    * row per candidate pair; ids only — no text, no signatures — in the
+    * exchange.
+    */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 8,
+                        bands: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    val expl0 = minhashBandRows(docs, n, k, bands, idCol, textCol)
+    val expl =
+      if (maxBucket == Int.MaxValue) expl0
+      else expl0.join(
+        expl0.groupBy(col("band_idx"), col("bucket"))
+          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
+          .select(col("band_idx"), col("bucket")),
+        Seq("band_idx", "bucket"))
+    expl.as("a").join(expl.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Fuzzy dedup, record-linkage style: LSH candidate pairs verified by
+    * EDIT DISTANCE instead of shingle Jaccard — the verifier of choice
+    * when near-dups differ by small in-place edits (OCR noise, template
+    * fills, typo farms) that shift every containing n-gram but few
+    * characters. Output: candidate pairs within `maxDist` Levenshtein
+    * distance over the first `prefixLen` chars.
+    *
+    * Scale shape: candidates are LSH-blocked ([[minhashCandidates]],
+    * hot-bucket-capped) — never all-pairs; the verify join ships only
+    * `prefixLen`-char prefixes and each comparison is O(prefixLen²)
+    * CONSTANT work, independent of document length (the prefix bound is
+    * what makes edit distance admissible at corpus scale at all; full-text
+    * Levenshtein on 100 KB docs would be 10¹⁰ cell updates per pair).
+    */
+  def editVerifiedPairs(docs: DataFrame, maxDist: Long = 60,
+                        prefixLen: Int = 200, n: Int = 3, k: Int = 8,
+                        bands: Int = 4, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0, "maxDist/prefixLen must be positive")
+    val cands = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
+    val pfx = substring(col(textCol), 1, prefixLen)
+    cands
+      .join(docs.select(col(idCol).as("id1"), pfx.as("_t1")), "id1")
+      .join(docs.select(col(idCol).as("id2"), pfx.as("_t2")), "id2")
+      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("edit_dist"))
   }
 
   /** Exact n-gram Jaccard over pairs sharing ≥1 *blocking* shingle

@@ -550,6 +550,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("editVerifiedPairs: exact dup at distance 0, small edit within bound, rest cut") {
+    val base = "spark table scan join column order small sort fast value hash slow"
+    val docs = Seq(
+      (1L, base), (2L, base),                       // exact dup -> dist 0
+      (3L, base.replace("column", "colunm")),        // transposition-ish edit
+      (4L, "the a big merge group stream filter row key vector data window")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.editVerifiedPairs(docs, maxDist = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 0L)
+    // the small edit shifts shingles but few chars: if LSH still blocks
+    // the pair, its distance must be the 2-char edit
+    out.get((1L, 3L)).foreach(d => assert(d == 2L))
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("paragraphDedup matches a driver-side reference on random corpora") {
     // differential fuzz: 3 seeded corpora of word-bag paragraphs with
     // heavy cross-doc repetition vs an in-memory reference implementation
