@@ -143,4 +143,46 @@ object OracleSql {
 
   val allStopList: String =
     TextOps.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Unrolled exact-greedy BPE learn: `nMerges` chained CTE steps, each
+    * one pair-count → deterministic argmax → greedy merge apply. The
+    * iterative loop the Spark side batches ([[graft.ops.CorpusOps.bpeLearn]])
+    * is pure SQL here because the greedy left-to-right single-pair merge
+    * is EXACTLY DuckDB's non-overlapping left-to-right `replace` when a
+    * symbol list is encoded as `' ' || join(syms, '  ') || ' '` (double
+    * spaces separate symbols, and each match consumes one pad space from
+    * each neighbour, so consecutive matches still fire; tokens are
+    * space-split so symbols never contain ' '). `AS MATERIALIZED` is
+    * load-bearing: each step CTE is referenced twice (pair count + next
+    * state), and DuckDB 1.0 inlines by default — unmaterialized, the
+    * chain re-evaluates exponentially. Runtime ~4.5 s for 100 steps at
+    * sf0.1 (vocab-sized state, corpus-independent after the first scan).
+    */
+  def bpeLearnUnrolled(nMerges: Int): String = {
+    val chars = "list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1))"
+    val head =
+      s"""WITH wd AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(${tokens("lower(text)")}) AS w FROM documents) GROUP BY w),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string($chars || ['</w>'], '  ') || ' ' AS s, cnt FROM wd)""".stripMargin
+    val steps = (1 to nMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, SUM(cnt) AS n
+         |  FROM (SELECT unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+         |                 i -> struct_pack(l := tk[CAST(i AS INT)],
+         |                                  r := tk[CAST(i AS INT)+1]))) AS pr, cnt
+         |        FROM (SELECT string_split(trim(s), '  ') AS tk, cnt FROM v${k - 1}))
+         |  GROUP BY 1, 2),
+         |m$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(v.s, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ') AS s, v.cnt
+         |  FROM v${k - 1} v CROSS JOIN m$k m)""".stripMargin
+    }
+    val sel = (1 to nMerges).map { k =>
+      s"SELECT CAST(${k - 1} AS INT) AS merge_idx, l AS left_sym, r AS right_sym, CAST(n AS BIGINT) AS n_pairs FROM m$k"
+    }.mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY merge_idx"
+  }
 }

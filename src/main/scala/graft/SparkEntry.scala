@@ -738,9 +738,11 @@ object SparkEntry {
 
     // full 100-merge BPE learn with exact greedy-equivalent merge
     // batching — the bench entry that makes the learn-loop job count
-    // visible (VERDICT r5 #5). The merge LOOP is inherently iterative,
-    // not SQL-expressible — no oracle; the driver records a rows-only
-    // check, and greedy equivalence is pinned by BpeLearnSpec instead
+    // visible (VERDICT r5 #5). Oracle-gated since r7: the batched learn
+    // is checked merge-for-merge against an unrolled 100-step pure-greedy
+    // DuckDB chain (OracleSql.bpeLearnUnrolled) — greedy equivalence of
+    // the interference-bound batching is now cross-engine evidence, not
+    // just the BpeLearnSpec differential fuzz
     "corpus_bpe_learn100" -> ((s, dir) => {
       val merges = CorpusOps.bpeLearn(t(s, dir, "documents"),
         nMerges = 100, batch = 32)
@@ -2063,6 +2065,8 @@ object SparkEntry {
          |ORDER BY n_pairs DESC, left_tok ASC, right_tok ASC
          |LIMIT 20""".stripMargin
     },
+
+    "corpus_bpe_learn100" -> OracleSql.bpeLearnUnrolled(100),
 
     "embed_centroids" -> {
       s"""WITH e AS (SELECT label, vec_id, CAST(d AS INT) AS dim,
