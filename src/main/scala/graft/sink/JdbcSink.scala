@@ -14,9 +14,10 @@ import java.sql.{Connection, DriverManager}
   * in the build container).
   *
   * Scale notes: inserts go through Spark's parallel JDBC writer (one
-  * connection per partition, `batchsize` rows per round-trip); deletes are
-  * compiled into a single ALTER DELETE per micro-batch per table, mirroring
-  * the reference's buffered form.
+  * connection per partition, `batchsize` rows per round-trip); deletes
+  * stream the touched keys off the executors in `batchSize` chunks
+  * ([[deleteKeysStreamed]]) — one ALTER DELETE per chunk, one chunk on
+  * the driver at a time, so delete memory never scales with the batch.
   */
 final case class JdbcTarget(url: String, user: String, password: String,
                             db: String, numPartitions: Int = 8,
@@ -69,6 +70,51 @@ object JdbcSink {
       Some(sql)
     }
 
+  /** Chunked-delete core: drain a key iterator into `chunk`-sized
+    * prepared DELETE statements, never holding more than one chunk on
+    * the driver. Pulled out of the JDBC path so the bound (≤ `chunk`
+    * keys buffered, regardless of batch size) is directly testable with
+    * a recording executor. Returns the number of keys deleted.
+    */
+  private[sink] def foreachKeyChunk(db: String, table: String, pk: Seq[String],
+                                    keys: Iterator[Seq[Any]], chunk: Int)
+                                   (exec: (String, Seq[Any]) => Unit): Long = {
+    require(chunk > 0, "chunk must be positive")
+    var total = 0L
+    val buf = new scala.collection.mutable.ArrayBuffer[Seq[Any]](chunk)
+    def flush(): Unit = if (buf.nonEmpty) {
+      val (sql, binds) = ClickHouseDdl.deleteByPkPrepared(db, table, pk, buf.toSeq)
+      exec(sql, binds)
+      total += buf.size
+      buf.clear()
+    }
+    keys.foreach { k => buf += k; if (buf.size >= chunk) flush() }
+    flush()
+    total
+  }
+
+  /** K2 at micro-batch-agnostic scale: stream a key DataFrame through
+    * [[foreachKeyChunk]] over ONE connection. `toLocalIterator` fetches
+    * one partition at a time, so driver memory is O(chunk + one
+    * partition) however large the batch — a misconfigured
+    * `maxOffsetsPerTrigger` degrades to more round-trips, not a driver
+    * OOM (the failure mode of the collect-then-bind form this replaces).
+    */
+  def deleteKeysStreamed(t: JdbcTarget, table: String, pk: Seq[String],
+                         keys: DataFrame, chunk: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    withConnection(t) { c =>
+      foreachKeyChunk(t.db, table, pk,
+        keys.toLocalIterator().asScala.map(_.toSeq), chunk) { (sql, binds) =>
+        val ps = c.prepareStatement(sql)
+        try {
+          binds.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+          ps.execute(); ()
+        } finally ps.close()
+      }
+    }
+  }
+
   /** Apply one deduplicated micro-batch of one table through JDBC:
     * deletes first, then time-ordered inserts (reference flush order,
     * synch/replication/continuous.py:102-139).
@@ -85,8 +131,7 @@ object JdbcSink {
     val latest = SinkStrategy.latestPerKey(changelog,
       SinkKeys(pk, versionCol = "event_unixtime", tieBreakers = Seq("action_seq")))
     val touched = latest.select(pk.map(col): _*).distinct()
-      .collect().map(_.toSeq).toSeq
-    deleteKeys(t, table, pk, touched)
+    deleteKeysStreamed(t, table, pk, touched, chunk = t.batchSize)
     val inserts = latest.filter(col("action") =!= "delete")
       .orderBy(col("event_unixtime"), col("action_seq"))
       .drop("action", "event_unixtime", "action_seq")
