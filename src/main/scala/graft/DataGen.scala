@@ -43,15 +43,20 @@ object DataGen {
     "vector", "data", "window", "customer", "the", "a")
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: DataGen <outDir> [multiplier-vs-sf0.1]")
+    require(args.nonEmpty,
+      "usage: DataGen <outDir> [multiplier-vs-sf0.1] [srcSfDir]")
     val outDir = args(0)
     val mult = if (args.length > 1) args(1).toDouble else 10.0
+    val srcSf =
+      if (args.length > 2) args(2)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session()
-    gen(spark, outDir, mult)
+    gen(spark, outDir, mult, srcSf)
     spark.stop()
   }
 
-  def gen(spark: SparkSession, outDir: String, mult: Double): Unit = {
+  def gen(spark: SparkSession, outDir: String, mult: Double,
+          srcSfDir: String = "/root/testdata/sf0.1"): Unit = {
     // sf0.1 row counts (measured); embeddings grew 4x per 10x in the driver
     // data (500 @ sf0.01 -> 2000 @ sf0.1), documents 10x — keep those ratios.
     def m(base: Long): Long = math.max(1L, (base * mult).toLong)
@@ -65,9 +70,9 @@ object DataGen {
         .parquet(s"$outDir/$name.parquet")
 
     // region / nation are fixed dimension tables — reproduce the driver's
-    // values verbatim by copying from the provided sf0.1 data.
+    // values verbatim by copying from the provided source sf data.
     for (t <- Seq("region", "nation"))
-      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+      spark.read.parquet(s"$srcSfDir/$t.parquet")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
 
     val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")

@@ -24,13 +24,21 @@ object SparkEntry {
     Changelog.fromEvents(t(s, dir, "events"))
 
   /** Fresh store under ./target for the compaction-invariant queries —
-    * scratch stays inside the repo tree and each invocation is isolated. */
-  private def tmpStore(s: SparkSession): graft.sink.ParquetStateStore = {
+    * scratch stays inside the repo tree and each invocation is isolated.
+    * The base dir is wiped once per JVM so repeated bench/verify runs
+    * don't accumulate unbounded parquet scratch across sessions. */
+  private lazy val tmpStoreBase: java.nio.file.Path = {
     val base = java.nio.file.Paths.get("target", "tmp-stores")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     java.nio.file.Files.createDirectories(base)
-    new graft.sink.ParquetStateStore(
-      s, java.nio.file.Files.createTempDirectory(base, "store").toString)
   }
+  private def tmpStore(s: SparkSession): graft.sink.ParquetStateStore =
+    new graft.sink.ParquetStateStore(
+      s, java.nio.file.Files.createTempDirectory(tmpStoreBase, "store").toString)
 
   /** Shared decimal casts: exact money arithmetic in both engines. */
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
@@ -1062,6 +1070,15 @@ object SparkEntry {
       MultimodalOps.decodeMeta(
         MultimodalOps.withBlob(t(s, dir, "documents")),
         new MultimodalOps.StubDecoder)),
+
+    // the SAME decode path with a REAL pure-JVM codec: well-formed
+    // BMP/WAV files are synthesized per doc, HeaderDecoder parses their
+    // headers back, and the oracle recomputes every field from the id —
+    // construct→parse must round-trip exactly (the codec-seam proof)
+    "multimodal_meta_codec" -> ((s, dir) =>
+      MultimodalOps.decodeMeta(
+        MultimodalOps.synthesizeMediaBlobs(t(s, dir, "documents")),
+        new MultimodalOps.HeaderDecoder)),
 
     // frame sampling: every 256-byte window as a "frame" (video-frame
     // extraction plumbing); bytes projected to string for the hash gate
@@ -2688,6 +2705,19 @@ object SparkEntry {
          |  CAST(octet_length(encode(text)) // 256 + 1 AS INT) AS n_frames
          |FROM documents""".stripMargin
     },
+
+    "multimodal_meta_codec" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + (doc_id % 64) * 3
+        |       ELSE 44 + (((doc_id // 2) % 2) + 1) * 2 * ((doc_id % 50) + 1)
+        |       END AS BIGINT) AS byte_len,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 800 + 1
+        |       ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 600 + 1
+        |       ELSE (((doc_id // 2) % 2) + 1) * 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 50 + 1 END AS INT) AS n_frames
+        |FROM documents""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT d.doc_id, CAST(f.i AS INT) AS frame_idx,

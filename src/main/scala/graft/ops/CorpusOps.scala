@@ -216,7 +216,16 @@ object CorpusOps {
                      idCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(nBuckets > 0, "nBuckets must be positive")
-    val s = docs.select(col(idCol), col(scoreCol),
+    // NULL scores would produce a NULL bucket key (NPE in the driver-side
+    // hist collect) and NaN ordering diverges between engines — both are
+    // caller errors, surfaced on the first row rather than excluded
+    // silently (the weightedSample precondition style).
+    val scoreGuard = coalesce(
+      assert_true(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")),
+        lit(s"selectByBudget: $scoreCol must be non-null and non-NaN — " +
+          "filter or impute scores before budget selection")),
+      lit(true))
+    val s = docs.filter(scoreGuard).select(col(idCol), col(scoreCol),
       col(tokensCol).cast("long").as(tokensCol))
     val mm = s.agg(min(col(scoreCol)).as("_lo"), max(col(scoreCol)).as("_hi"))
     val b = s.crossJoin(broadcast(mm))

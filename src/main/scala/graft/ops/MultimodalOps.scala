@@ -45,6 +45,116 @@ object MultimodalOps {
     }
   }
 
+  /** REAL pure-JVM codec for BMP images and RIFF/WAVE audio — an actual
+    * header parser (no native deps) proving the [[MediaDecoder]] seam is
+    * swappable: the gated `multimodal_meta_codec` query and
+    * MultimodalCodecSpec run THIS decoder, not the stub. Field mapping:
+    * BMP → width/height from BITMAPINFOHEADER (LE i32 at offsets 18/22),
+    * one frame; WAV → `width` carries the sample rate, `height`
+    * channels × bits-per-sample, `n_frames` the audio frame count
+    * (data bytes / block align) — the natural reading for 1-D media.
+    * Unknown magic throws, as a real codec does.
+    */
+  final class HeaderDecoder extends MediaDecoder {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    override def decode(bytes: Array[Byte]): MediaMeta =
+      if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M')
+        MediaMeta(bytes.length.toLong, "image/bmp",
+          i32(bytes, 18), i32(bytes, 22), 1)
+      else if (bytes.length >= 44 && tag(bytes, 0) == "RIFF" &&
+               tag(bytes, 8) == "WAVE" && tag(bytes, 12) == "fmt " &&
+               tag(bytes, 36) == "data") {
+        val blockAlign = u16(bytes, 32)
+        MediaMeta(bytes.length.toLong, "audio/wav",
+          i32(bytes, 24) /* sample rate */,
+          u16(bytes, 22) * u16(bytes, 34) /* channels x bits */,
+          if (blockAlign == 0) 0 else i32(bytes, 40) / blockAlign)
+      } else throw new IllegalArgumentException(
+        "HeaderDecoder: unrecognized media magic " +
+          bytes.take(4).map(b => f"${b & 0xff}%02x").mkString("[", " ", "]"))
+  }
+
+  /** Build one minimal-but-valid BMP (54-byte BITMAPINFOHEADER file +
+    * pixel payload) — every length/offset field is filled honestly, so
+    * any BMP reader parses it. Exposed for specs. */
+  def bmpBytes(width: Int, height: Int, payloadLen: Int): Array[Byte] = {
+    val out = new Array[Byte](54 + payloadLen)
+    def putI32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putI32(2, out.length); putI32(10, 54) // file size, pixel-data offset
+    putI32(14, 40)                        // BITMAPINFOHEADER size
+    putI32(18, width); putI32(22, height)
+    out(26) = 1                           // planes = 1
+    out(28) = 24                          // 24 bpp
+    putI32(34, payloadLen)                // image size
+    out
+  }
+
+  /** Build one canonical-layout RIFF/WAVE file (44-byte header + PCM
+    * payload of `nFrames` zeroed frames). Exposed for specs. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = blockAlign * nFrames
+    val out = new Array[Byte](44 + dataLen)
+    def putI32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def putU16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def putTag(o: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, o)
+    putTag(0, "RIFF"); putI32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putI32(16, 16)    // PCM fmt chunk length
+    putU16(20, 1)                         // audio format = PCM
+    putU16(22, channels); putI32(24, sampleRate)
+    putI32(28, sampleRate * blockAlign)   // byte rate
+    putU16(32, blockAlign); putU16(34, bitsPerSample)
+    putTag(36, "data"); putI32(40, dataLen)
+    out
+  }
+
+  /** Fixture generator: a deterministic, WELL-FORMED media blob per row —
+    * even ids get a BMP, odd ids a 16-bit PCM WAV, with dimensions/rates
+    * derived from the id by integer arithmetic an SQL oracle reproduces.
+    * In production the binary column arrives from storage; this stands in
+    * for it so the real [[HeaderDecoder]] parse path can be oracle-gated:
+    * construct-then-parse must round-trip every header field exactly.
+    */
+  def synthesizeMediaBlobs(df: DataFrame, idCol: String = "doc_id",
+                           blobCol: String = "media"): DataFrame = {
+    val input = df.select(col(idCol).cast("long"))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField(blobCol, BinaryType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    input.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blob =
+          if (id % 2 == 0)
+            bmpBytes(width = (id % 800).toInt + 1, height = (id % 600).toInt + 1,
+              payloadLen = (id % 64).toInt * 3)
+          else
+            wavBytes(sampleRate = 8000 + (id % 8).toInt * 1000,
+              channels = ((id / 2) % 2).toInt + 1, bitsPerSample = 16,
+              nFrames = (id % 50).toInt + 1)
+        Row(id, blob)
+      }
+    }(encoder)
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType), StructField("format", StringType),
     StructField("width", IntegerType), StructField("height", IntegerType),

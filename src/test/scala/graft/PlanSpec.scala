@@ -326,4 +326,37 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length == 1,
       s"CUBE is one keyed exchange over the expanded rows:\n$p")
   }
+
+  test("range_join: bucketed equi-join on (bucket, user); never a nested loop") {
+    // the whole point of the responsibility-bucket design: whatever join
+    // strategy Catalyst picks at a given SF (broadcast here, sort-merge at
+    // scale), the join must stay an EQUI join keyed on the time bucket +
+    // user — a BETWEEN-only formulation degenerates to
+    // BroadcastNestedLoopJoin and melts at 100 TB
+    val p = plan("range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a non-equi strategy:\n$p")
+    val joinKeyed = p.linesIterator.exists(l =>
+      l.contains("Join [") && l.contains("_b#") && l.contains("user_id#"))
+    assert(joinKeyed, s"join keys must include the time bucket and user:\n$p")
+    assert(p.contains("Generate explode"),
+      s"interval side must expand to its covering buckets:\n$p")
+    // the interval side reads only purchases — pushed to its scan
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"purchase filter must reach the parquet scan:\n$p")
+  }
+
+  test("q17 intersect: semi-join with both status filters pushed; one exchange") {
+    val p = plan("q17_intersect")
+    assert(p.contains("LeftSemi"), s"INTERSECT must plan as a semi-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"intersect degenerated:\n$p")
+    for (status <- Seq("F", "O"))
+      assert(p.contains(s"EqualTo(o_orderstatus,$status)"),
+        s"status=$status filter must reach its parquet scan:\n$p")
+    // distinct is ONE custkey exchange; the semi-join itself broadcasts
+    // at this shape (two filtered projections of the same narrow column)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the distinct's keyed exchange:\n$p")
+  }
 }
