@@ -644,12 +644,23 @@ object SparkEntry {
     // IVF scale path, fixed-centroid form: the quantizer is a deterministic
     // LCG (train-once-offline pattern), so the whole pipeline — assignment,
     // probe selection, top-k — is cross-engine reproducible and oracle-gated.
-    // The k-means variant (ivfTopK) stays float-order-dependent and is
-    // invariant-tested in ExtOpsSpec instead.
+    // The float k-means variant (ivfTopK) stays float-order-dependent and is
+    // invariant-tested in ExtOpsSpec; its TRAINED path is gated below via
+    // the integer-grid form.
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopKFixed(emb.filter(col("vec_id") < 8), emb, k = 10,
         nlist = 8, nprobe = 2)
+    }),
+
+    // IVF with a TRAINED quantizer, oracle-gated: Lloyd k-means in exact
+    // integer arithmetic (quantization-grid codes, floor-div means,
+    // lowest-id seeds, cid tiebreaks) — order-independent, so the oracle
+    // replays both training iterations by unrolling them in SQL
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopKTrainedInt(emb.filter(col("vec_id") < 8), emb,
+        k = 10, nlist = 4, nprobe = 2, iters = 2, scale = 512)
     }),
 
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -1804,6 +1815,54 @@ object SparkEntry {
          |      FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10""".stripMargin
+    },
+
+    "ann_ivf_trained_topk" -> {
+      // integer squared-L2 on the quantization grid (1-based list index)
+      def d(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      // nearest-centroid assignment of `src` rows against `cents`
+      def asgn(src: String, cents: String) =
+        s"""SELECT vec_id, cv, cid FROM (
+           |    SELECT c.vec_id, c.cv, s.cid,
+           |           row_number() OVER (PARTITION BY c.vec_id
+           |             ORDER BY ${d("c.cv", "s.cv")} ASC, s.cid ASC) AS rn
+           |    FROM $src c, $cents s) WHERE rn = 1""".stripMargin
+      // exact-floor mean per (cid, dim); empty clusters keep prev centroid
+      def step(asgnName: String, prev: String) =
+        s"""SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+           |    FROM (SELECT cid, i, sum(cv[i]) AS s, count(*) AS n
+           |          FROM $asgnName, range(1, 65) t(i) GROUP BY cid, i)
+           |    GROUP BY cid) mm USING (cid)""".stripMargin
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, cv
+         |  FROM (SELECT * FROM codes ORDER BY vec_id LIMIT 4)),
+         |a0 AS (${asgn("codes", "seed")}),
+         |c1 AS (${step("a0", "seed")}),
+         |a1 AS (${asgn("codes", "c1")}),
+         |c2 AS (${step("a1", "c1")}),
+         |a2 AS (${asgn("codes", "c2")}),
+         |lists AS (SELECT vec_id AS neighbor_id, cv AS nv, cid FROM a2),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cv AS qv, cid FROM (
+         |    SELECT c.vec_id, c.cv, s.cid,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${d("c.cv", "s.cv")} ASC, s.cid ASC) AS rn
+         |    FROM (SELECT * FROM codes WHERE vec_id < 8) c, c2 s) WHERE rn <= 2),
+         |j AS (SELECT p.query_id, l.neighbor_id, ${d("p.qv", "l.nv")} AS dist
+         |      FROM probes p JOIN lists l
+         |        ON p.cid = l.cid AND p.query_id <> l.neighbor_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist FROM (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY dist ASC, neighbor_id ASC) AS rank
+         |  FROM j) WHERE rank <= 10""".stripMargin
     },
 
     "dedup_embedding_lsh" -> {

@@ -18,4 +18,15 @@ object IntMath {
     val l = c.cast("long")
     ((l - pmod(l, lit(divisor))).cast("decimal(38,0)") / lit(divisor)).cast("long")
   }
+
+  /** Column-divisor form (positive divisor expression): subtracting the
+    * non-negative remainder first makes the numerator an exact multiple,
+    * so the decimal quotient is exact and any engine's integer division
+    * (floor OR truncate) agrees on it.
+    */
+  def floorDiv(c: Column, divisor: Column): Column = {
+    val l = c.cast("long"); val d = divisor.cast("long")
+    ((l - pmod(l, d)).cast("decimal(38,0)") / d.cast("decimal(38,0)"))
+      .cast("long")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.CrossHash._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -294,6 +294,85 @@ object SimilarityOps {
       }
     }
     probeTopK(queries, corpus, cents, k, nprobe, idCol, vecCol)
+  }
+
+  /** IVF with an ORACLE-GATED *trained* quantizer: Lloyd k-means run
+    * entirely in exact integer arithmetic over a fixed quantization grid
+    * — codes are `floor(x · scale)`, the centroid update is an exact
+    * floor-div mean, seeding is the `nlist` lowest-id vectors, and every
+    * tie breaks on cid. Integer sums commute exactly, so (unlike
+    * [[ivfTopK]], whose float `avg` centroids depend on reduction order
+    * and stay invariant-tested only) the whole training loop is
+    * order-independent and an external engine replays it bit-for-bit by
+    * unrolling the fixed `iters`. Distances everywhere (assignment,
+    * probe selection, final ranking) are integer squared-L2 on the grid.
+    *
+    * Same 100 TB shape as [[ivfTopK]]: centroids are tiny driver state,
+    * each Lloyd round is one narrow argmin projection + a (cid, dim)
+    * partial-agg (≤ nlist×dims rows per partition reach the shuffle),
+    * corpus vectors never shuffle, the probe side broadcasts.
+    */
+  def ivfTopKTrainedInt(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nlist: Int = 4, nprobe: Int = 2, iters: Int = 2,
+                        scale: Int = 512, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 0 && nlist > 0 && nprobe > 0 && scale > 0)
+    def codesCol(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * scale).cast("long"))
+    val corp = corpus.select(col(idCol), codesCol(col(vecCol)).as("cv"))
+
+    var cents: Seq[(Int, Seq[Long])] = corp.orderBy(col(idCol)).limit(nlist)
+      .select(col("cv")).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](0)) }.toSeq
+
+    def dist(c: Column, cent: Seq[Long]): Column =
+      aggregate(zip_with(c, typedLit(cent), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+    def nearest(c: Column): Column =
+      element_at(array_sort(array(cents.map { case (cid, cv) =>
+        struct(dist(c, cv).as("d"), lit(cid).as("cid")) }: _*)), 1)
+        .getField("cid")
+
+    for (_ <- 0 until iters) {
+      val means = corp.withColumn("cid", nearest(col("cv")))
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          graft.functions.IntMath.floorDiv(col("s"), col("n")).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val m = old.toArray.clone()
+            rows.foreach(r => m(r.getInt(1)) = r.getLong(2))
+            (cid, m.toSeq)
+          case None => (cid, old) // empty list keeps its centroid
+        }
+      }
+    }
+
+    val lists = corp.withColumn("cid", nearest(col("cv")))
+      .select(col(idCol).as("neighbor_id"), col("cv").as("nv"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), codesCol(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(cents.map { case (cid, cv) =>
+          struct(dist(col("qv"), cv).as("d"), lit(cid).as("cid")) }: _*)),
+          1, nprobe)).as("_p"))
+      .select(col("query_id"), col("qv"), col("_p.cid").as("cid"))
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("dist"))
   }
 
   /** Deterministic LCG centroids (same exact-rational generator as the

@@ -106,6 +106,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(hits > 0, "IVF should recall at least one true neighbor")
   }
 
+  test("trained-int IVF: probing every list equals exact integer brute force") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 4)
+    // nprobe = nlist probes every inverted list, so the approximate path
+    // must coincide exactly with brute force in the same integer space
+    // (nlist = 1, iters = 0 puts the whole corpus in one scanned list)
+    val full = SimilarityOps.ivfTopKTrainedInt(qs, emb, k = 5,
+      nlist = 4, nprobe = 4, iters = 2)
+    val brute = SimilarityOps.ivfTopKTrainedInt(qs, emb, k = 5,
+      nlist = 1, nprobe = 1, iters = 0)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+  }
+
   test("fixed-centroid IVF: assignment is shuffle-free and results are ranked") {
     val emb = Tables(spark, sf, "embeddings")
     // the nearest-centroid assignment must be a narrow projection: no
