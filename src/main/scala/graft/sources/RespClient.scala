@@ -1,0 +1,76 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal RESP2 (REdis Serialization Protocol) client over a plain
+  * socket — zero driver dependencies, speaking exactly the command set
+  * the Redis-Streams broker path needs (XADD / XREAD / XLEN / HSET /
+  * HGET; reference synch/broker/redis.py + synch/redis_mixin.py).
+  *
+  * Replies map to: simple string / bulk string → `String`, integer →
+  * `Long`, array → `Seq[Any]`, null bulk/array → `null`. Protocol errors
+  * (`-ERR ...`) throw. Not thread-safe — one client per polling thread,
+  * like the reference's one redis connection per reader process.
+  */
+final class RespClient(host: String, port: Int) extends AutoCloseable {
+  private val sock = new Socket(host, port)
+  sock.setTcpNoDelay(true)
+  private val out = new BufferedOutputStream(sock.getOutputStream)
+  private val in = new BufferedInputStream(sock.getInputStream)
+
+  def command(args: String*): Any = {
+    val sb = new StringBuilder
+    sb.append('*').append(args.length).append("\r\n")
+    args.foreach { a =>
+      sb.append('$').append(a.getBytes(UTF_8).length).append("\r\n")
+        .append(a).append("\r\n")
+    }
+    out.write(sb.toString.getBytes(UTF_8))
+    out.flush()
+    readReply()
+  }
+
+  private def readLine(): String = {
+    val sb = new StringBuilder
+    var c = in.read()
+    while (c != '\r') {
+      require(c >= 0, "RESP stream closed mid-reply")
+      sb.append(c.toChar); c = in.read()
+    }
+    in.read() // the \n
+    sb.toString
+  }
+
+  private def readReply(): Any = {
+    val t = in.read()
+    require(t >= 0, "RESP stream closed")
+    t.toChar match {
+      case '+' => readLine()
+      case '-' => throw new RuntimeException("RESP error: " + readLine())
+      case ':' => readLine().toLong
+      case '$' =>
+        val n = readLine().toInt
+        if (n < 0) null
+        else {
+          val buf = new Array[Byte](n)
+          var off = 0
+          while (off < n) {
+            val r = in.read(buf, off, n - off)
+            require(r >= 0, "RESP stream closed mid-bulk")
+            off += r
+          }
+          in.read(); in.read() // trailing \r\n
+          new String(buf, UTF_8)
+        }
+      case '*' =>
+        val n = readLine().toInt
+        if (n < 0) null else Seq.fill(n)(readReply())
+      case other =>
+        throw new RuntimeException(s"RESP: unexpected type byte '$other'")
+    }
+  }
+
+  override def close(): Unit = sock.close()
+}

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.mutable
+
+/** In-JVM RESP2 server implementing the Redis-Streams subset the broker
+  * path uses (XADD with MAXLEN trim, XREAD after-id, XLEN, HSET, HGET,
+  * PING) — a protocol-level test double: [[RespClient]] talks to it over
+  * a real socket with real RESP framing, so the client/broker code under
+  * test is byte-for-byte what would talk to a production Redis. Entry
+  * ids are `0-seq` with a per-stream monotonic sequence (the id FORMAT
+  * and ordering contract of Redis, with a deterministic clock).
+  */
+final class FakeRedisServer extends AutoCloseable {
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+
+  private val streams =
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Long, String)]]
+  private val seqs = mutable.Map.empty[String, Long]
+  private val hashes = mutable.Map.empty[String, mutable.Map[String, String]]
+  @volatile private var closed = false
+
+  private def parseId(s: String): (Long, Long) = s.split("-") match {
+    case Array(ms) => (ms.toLong, 0L)
+    case Array(ms, sq) => (ms.toLong, sq.toLong)
+  }
+
+  private def handle(args: Seq[String]): String = synchronized {
+    args.head.toUpperCase match {
+      case "PING" => "+PONG\r\n"
+      case "XADD" =>
+        // XADD key [MAXLEN ~ n] * field value [field value ...]
+        val key = args(1)
+        var i = 2
+        var maxlen = -1L
+        if (args(i).equalsIgnoreCase("MAXLEN")) {
+          i += 1
+          if (args(i) == "~" || args(i) == "=") i += 1
+          maxlen = args(i).toLong; i += 1
+        }
+        require(args(i) == "*", "only auto-ids supported"); i += 1
+        require(args(i) == "msg", "broker writes a single msg field")
+        val value = args(i + 1)
+        val sq = seqs.getOrElse(key, 0L) + 1
+        seqs(key) = sq
+        val buf = streams.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        buf += ((0L, sq, value))
+        if (maxlen >= 0 && buf.length > maxlen)
+          buf.remove(0, buf.length - maxlen.toInt)
+        val id = s"0-$sq"
+        s"$$${id.length}\r\n$id\r\n"
+      case "XLEN" =>
+        s":${streams.get(args(1)).map(_.length).getOrElse(0)}\r\n"
+      case "XREAD" =>
+        // XREAD COUNT n STREAMS key id   (single stream, non-blocking)
+        var i = 1
+        var count = Int.MaxValue
+        if (args(i).equalsIgnoreCase("COUNT")) { count = args(i + 1).toInt; i += 2 }
+        require(args(i).equalsIgnoreCase("STREAMS")); i += 1
+        val key = args(i); val after = parseId(args(i + 1))
+        val hits = streams.getOrElse(key, mutable.ArrayBuffer.empty)
+          .iterator.filter { case (ms, sq, _) =>
+            ms > after._1 || (ms == after._1 && sq > after._2) }
+          .take(count).toSeq
+        if (hits.isEmpty) "*-1\r\n"
+        else {
+          def bulk(s: String) = s"$$${s.getBytes(UTF_8).length}\r\n$s\r\n"
+          val entries = hits.map { case (ms, sq, v) =>
+            s"*2\r\n${bulk(s"$ms-$sq")}*2\r\n${bulk("msg")}${bulk(v)}"
+          }.mkString
+          s"*1\r\n*2\r\n${bulk(key)}*${hits.length}\r\n$entries"
+        }
+      case "HSET" =>
+        val added =
+          !hashes.getOrElseUpdate(args(1), mutable.Map.empty).contains(args(2))
+        hashes(args(1))(args(2)) = args(3)
+        s":${if (added) 1 else 0}\r\n"
+      case "HGET" =>
+        hashes.get(args(1)).flatMap(_.get(args(2))) match {
+          case Some(v) => s"$$${v.getBytes(UTF_8).length}\r\n$v\r\n"
+          case None => "$-1\r\n"
+        }
+      case other => s"-ERR unknown command '$other'\r\n"
+    }
+  }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedInputStream(sock.getInputStream)
+    val out = new BufferedOutputStream(sock.getOutputStream)
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      if (c < 0) return null
+      while (c != '\r') { sb.append(c.toChar); c = in.read() }
+      in.read()
+      sb.toString
+    }
+    try {
+      var line = readLine()
+      while (line != null && !closed) {
+        require(line.startsWith("*"), s"expected array, got: $line")
+        val n = line.drop(1).toInt
+        val args = (0 until n).map { _ =>
+          val len = readLine().drop(1).toInt
+          val buf = new Array[Byte](len)
+          var off = 0
+          while (off < len) {
+            val r = in.read(buf, off, len - off); require(r >= 0); off += r
+          }
+          in.read(); in.read()
+          new String(buf, UTF_8)
+        }
+        out.write(handle(args).getBytes(UTF_8))
+        out.flush()
+        line = readLine()
+      }
+    } catch { case _: Exception if closed => () }
+    finally sock.close()
+  }
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      val t = new Thread(() => serve(s), "fake-redis-conn")
+      t.setDaemon(true); t.start()
+    } catch { case _: Exception if closed => () }
+  }, "fake-redis-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { closed = true; server.close() }
+}

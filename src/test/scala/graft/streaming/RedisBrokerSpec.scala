@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Engine
+import graft.run.{Consume, TableSync}
+import graft.sink.ParquetStateStore
+import graft.sources.FakeRedisServer
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** The Redis-Streams transport end-to-end over a real socket: wire JSON
+  * XADDed through [[RedisBroker.send]], XREAD-polled into staging files,
+  * streamed by EventSource.files through the Consume apply loop into
+  * engine state — the reference's redis broker leg
+  * (synch/broker/redis.py) with its commit/resume and MAXLEN contracts.
+  */
+class RedisBrokerSpec extends SparkSpec {
+
+  private val valueSchema = StructType(Seq(
+    StructField("id", LongType), StructField("amount", DoubleType)))
+
+  private def ev(table: String, action: String, id: Long, amount: Double,
+                 ts: Long): String = {
+    val seq = if (action == "delete") 1 else 2
+    s"""{"schema":"db","table":"$table","action":"$action","values":"{\\"id\\":$id,\\"amount\\":$amount}","event_unixtime":$ts,"action_seq":$seq}"""
+  }
+
+  test("XADD -> XREAD poll -> staged files -> consume loop -> resolved state") {
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-broker").toString
+      val staging = s"$root/staging"
+      val broker = new RedisBroker("127.0.0.1", server.port, "mysql_db")
+
+      broker.send("db", ev("mt", "insert", 1, 10.0, 100))
+      broker.send("db", ev("mt", "insert", 2, 20.0, 110))
+      broker.send("db", ev("mt", "update", 1, 11.0, 200))
+      broker.send("db", ev("mt", "delete", 2, 20.0, 300))
+      assert(broker.length("db") == 4)
+
+      assert(broker.drainToStaging("db", staging) == 4)
+      // committed high-water mark persisted broker-side (reference commit)
+      assert(broker.lastCommittedId("db") == "0-4")
+      // a fresh poll from the committed id stages nothing
+      assert(broker.pollToStaging("db", staging) == 0)
+
+      val tables = Seq(
+        TableSync("db", "mt", valueSchema, Seq("id"), Engine.MergeTree))
+      val q = Consume.start(spark, EventSource.files(spark, staging),
+        tables, s"$root/state", s"$root/ckpt",
+        triggerInterval = "250 milliseconds")
+      q.processAllAvailable(); q.stop()
+
+      val st = Consume.currentState(tables.head,
+        new ParquetStateStore(spark, s"$root/state/db/mt")).get
+        .select("id", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(st == Set((1L, 11.0)))
+      broker.close()
+    } finally server.close()
+  }
+
+  test("resume: a NEW broker instance continues from the committed id") {
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-resume").toString
+      val staging = s"$root/staging"
+      val b1 = new RedisBroker("127.0.0.1", server.port, "a")
+      b1.send("db", ev("t", "insert", 1, 1.0, 100))
+      b1.send("db", ev("t", "insert", 2, 2.0, 110))
+      assert(b1.drainToStaging("db", staging) == 2)
+      b1.close()
+
+      val b2 = new RedisBroker("127.0.0.1", server.port, "a")
+      b2.send("db", ev("t", "insert", 3, 3.0, 120))
+      // only the post-commit entry is staged — no re-delivery of 1..2
+      assert(b2.pollToStaging("db", staging) == 1)
+      assert(b2.lastCommittedId("db") == "0-3")
+      val staged = Files.list(Paths.get(staging)).toArray.map(_.toString)
+        .filter(_.endsWith(".txt")).sorted
+      assert(staged.length == 2)
+      // id-range-derived names: a crashed re-poll would overwrite, not dup
+      assert(staged.exists(_.endsWith("db-0-1-0-2.txt")) &&
+             staged.exists(_.endsWith("db-0-3-0-3.txt")))
+      b2.close()
+    } finally server.close()
+  }
+
+  test("MAXLEN caps the stream; count-limited polls page through it") {
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-maxlen").toString
+      val broker = new RedisBroker("127.0.0.1", server.port, "b",
+        queueMaxLen = 5)
+      for (i <- 1 to 8)
+        broker.send("db", ev("t", "insert", i.toLong, i.toDouble, 100L + i))
+      // queue trimmed to the newest 5 (reference queue_max_len)
+      assert(broker.length("db") == 5)
+      // page in micro-batches of 2: 5 entries -> 2 + 2 + 1
+      val staged = Seq(
+        broker.pollToStaging("db", s"$root/s", count = 2),
+        broker.pollToStaging("db", s"$root/s", count = 2),
+        broker.pollToStaging("db", s"$root/s", count = 2),
+        broker.pollToStaging("db", s"$root/s", count = 2))
+      assert(staged == Seq(2, 2, 1, 0))
+      broker.close()
+    } finally server.close()
+  }
+}
