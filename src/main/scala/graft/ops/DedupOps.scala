@@ -433,6 +433,15 @@ object DedupOps {
     require(maxDist >= 0 && prefixLen > 0, "maxDist/prefixLen must be positive")
     require(maxDist <= Int.MaxValue, "maxDist must fit in Int")
     val cands = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
+      // The candidate set is BYTE-small (two longs per row) but each row
+      // carries a banded-DP evaluation downstream — exactly the shape
+      // where AQE's size-based partition coalescing guesses wrong: it
+      // folds the post-distinct exchange to ONE partition and serializes
+      // the whole verify leg (measured 14 s single-task at sf1). An
+      // explicit partition count is exempt from AQE coalescing and
+      // restores compute parallelism for two-long rows — the cheapest
+      // exchange in the plan.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     val pfx = substring(col(textCol), 1, prefixLen)
     cands
       .join(docs.select(col(idCol).as("id1"), pfx.as("_t1")), "id1")
@@ -440,7 +449,11 @@ object DedupOps {
       .filter(abs(length(col("_t1")) - length(col("_t2"))) <= maxDist)
       .withColumn("edit_dist",
         levenshtein(col("_t1"), col("_t2"), maxDist.toInt).cast("long"))
-      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      // threshold Levenshtein already returns -1 past maxDist, so the
+      // single >= 0 conjunct is the complete bound — a redundant
+      // `<= maxDist` becomes a SECOND DP evaluation when predicate
+      // pushdown substitutes the expression into the join residual
+      .filter(col("edit_dist") >= 0)
       .select(col("id1"), col("id2"), col("edit_dist"))
   }
 
