@@ -334,11 +334,29 @@ object CorpusOps {
     *    prefix in the same order. Batching degrades to batch=1 exactly
     *    on adversarial distributions and wins big on Zipfian ones
     *    (real corpora: tens of merges per round).
+    *
+    * Two-tier execution — the same design as [[GraphOps]]' thresholded
+    * connected components, and what production tokenizer trainers
+    * (SentencePiece, HF tokenizers) do: the corpus-sized work is ALWAYS
+    * distributed (the one explode→count pass), but when the resulting
+    * word-frequency table fits comfortably on the driver
+    * (`localVocabThreshold` rows) the merge loop itself runs locally
+    * with incremental pair-count maintenance — zero per-round Spark
+    * jobs, exact same greedy sequence. Above the threshold the
+    * distributed round loop runs, with merge layers applied lazily and
+    * checkpointed every `checkpointEvery` rounds so a round normally
+    * costs one job, not two. Even a 100 TB multilingual corpus rarely
+    * exceeds ~100M distinct words, so the local tier is the common case;
+    * the distributed tier is the correctness-preserving escape hatch,
+    * not a different algorithm.
     */
   def bpeLearn(docs: DataFrame, nMerges: Int = 10,
-               textCol: String = "text", batch: Int = 32): Seq[(String, String, Long)] = {
+               textCol: String = "text", batch: Int = 32,
+               checkpointEvery: Int = 8,
+               localVocabThreshold: Long = 1000000L): Seq[(String, String, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
     require(batch > 0, "batch must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
@@ -349,7 +367,107 @@ object CorpusOps {
         concat(filter(split(col("w"), ""), c => length(c) > 0),
           array(lit("</w>"))).as("syms"),
         col("cnt"))
-    var vocab = words.localCheckpoint(true)
+    val ckpt = words.localCheckpoint(true)
+    def unpersist(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    if (ckpt.count() <= localVocabThreshold) {
+      // Local tier: vocab fits on the driver — collect (syms, cnt) once
+      // and run the exact incremental merge loop with no further jobs.
+      val rows = ckpt.collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      unpersist(ckpt)
+      bpeLearnLocal(rows, nMerges)
+    } else bpeLearnDistributed(ckpt, nMerges, batch, checkpointEvery, unpersist)
+  }
+
+  /** Local tier of [[bpeLearn]]: the classic incremental BPE trainer over
+    * an in-memory (symbols, count) word table. Pair counts live in one
+    * hash map and an inverted occurrence index (pair → word ids) confines
+    * each merge's update to the words that actually contain the pair —
+    * the same bookkeeping SentencePiece/HF trainers use, so a merge costs
+    * O(occurrences), not O(vocab). Selection order (count desc, then
+    * left/right ascending in UTF-8 byte order) matches the distributed
+    * tier's Spark `orderBy` on UTF8String exactly, so both tiers emit the
+    * identical merge sequence (BpeLearnSpec fuzzes the equivalence).
+    */
+  private[graft] def bpeLearnLocal(words: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = words.map(_._1)
+    val cnts = words.map(_._2)
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def index(wi: Int, sign: Long): Unit = {
+      val w = syms(wi); val c = cnts(wi); var i = 0
+      while (i < w.length - 1) {
+        val k = (w(i), w(i + 1))
+        val nv = pc.getOrElse(k, 0L) + sign * c
+        if (nv == 0L) pc.remove(k) else pc.update(k, nv)
+        if (sign > 0) occ.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+        else occ.get(k).foreach { s => s -= wi; if (s.isEmpty) occ.remove(k) }
+        i += 1
+      }
+    }
+    syms.indices.foreach(index(_, 1L))
+    // UTF-8 byte order = Spark's UTF8String binary comparison; Java's
+    // String.compareTo (UTF-16 code units) differs past the BMP
+    def utf8Lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (merges.size < nMerges && pc.nonEmpty) {
+      var best: ((String, String), Long) = null
+      for (e <- pc.iterator)
+        if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+          best = e
+      val ((a, b), n) = best
+      val ab = a + b
+      merges += ((a, b, n))
+      // re-derive each affected word: un-index, greedy left-to-right
+      // merge (identical semantics to the distributed fold: merge when
+      // the accumulator tail is `a` and the next symbol is `b`), re-index
+      for (wi <- occ(a -> b).toArray) {
+        index(wi, -1L)
+        val w = syms(wi)
+        val out = new mutable.ArrayBuffer[String](w.length)
+        var i = 0
+        while (i < w.length) {
+          if (out.nonEmpty && out.last == a && w(i) == b)
+            out(out.length - 1) = ab
+          else out += w(i)
+          i += 1
+        }
+        syms(wi) = out.toArray
+        index(wi, 1L)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed tier of [[bpeLearn]] — see its Scaladoc for the batching
+    * proof and the lazy-checkpoint cost model. `ckpt` is the materialized
+    * (syms, cnt) word-frequency table.
+    */
+  private def bpeLearnDistributed(ckpt: DataFrame, nMerges: Int, batch: Int,
+      checkpointEvery: Int,
+      unpersist: DataFrame => Unit): Seq[(String, String, Long)] = {
+    // Deferred materialization: merge application is stacked LAZILY onto
+    // the plan and only checkpointed every `checkpointEvery` rounds, so a
+    // round normally costs ONE job (the pair count, which evaluates the
+    // pending merge layers in its scan) instead of two. On adversarial
+    // distributions where the interference bound degrades batching to one
+    // merge per round this halves the job count; the price is re-running
+    // up to checkpointEvery-1 cheap per-word fold layers inside the next
+    // pair scans, which is O(vocab) work against a saved cluster-wide
+    // job launch + materialization.
+    var lastCkpt = ckpt
+    var vocab: DataFrame = lastCkpt
+    var pendingLayers = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     // the slice must hold the batch candidates PLUS the adjacent pairs
     // that feed the interference bound; 8x is comfortably past both
@@ -422,18 +540,18 @@ object CorpusOps {
             concat(slice(acc, lit(1), size(acc) - 1),
               array(element_at(mJoin, element_at(acc, -1)))))
             .otherwise(concat(acc, array(x))))
-        val next = vocab.select(merged.as("syms"), col("cnt")).localCheckpoint(true)
-        vocab.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ => ()
+        vocab = vocab.select(merged.as("syms"), col("cnt"))
+        pendingLayers += 1
+        if (pendingLayers >= checkpointEvery && merges.size < nMerges) {
+          val next = vocab.localCheckpoint(true)
+          unpersist(lastCkpt)
+          lastCkpt = next
+          vocab = next
+          pendingLayers = 0
         }
-        vocab = next
       }
     }
-    vocab.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    unpersist(lastCkpt)
     merges.toSeq
   }
 

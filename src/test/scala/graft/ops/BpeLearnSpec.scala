@@ -23,6 +23,8 @@ class BpeLearnSpec extends SparkSpec {
     //   -> tie 3 vs 3: (a,b</w>) < (aa,a) lexicographically -> merge (a,b</w>)
     val merges = CorpusOps.bpeLearn(docs, nMerges = 3)
     assert(merges == Seq(("a", "a", 8L), ("b", "</w>", 5L), ("a", "b</w>", 3L)))
+    // the distributed tier (forced via threshold 0) must agree exactly
+    assert(CorpusOps.bpeLearn(docs, nMerges = 3, localVocabThreshold = 0L) == merges)
   }
 
   test("bpeTokenize applies learned merges greedily in merge order") {
@@ -58,11 +60,41 @@ class BpeLearnSpec extends SparkSpec {
       val docs = rnd.shuffle(text).grouped(20).zipWithIndex
         .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
         .toSeq.toDF("doc_id", "text")
-      val sequential = CorpusOps.bpeLearn(docs, nMerges = 15, batch = 1)
-      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 8) == sequential,
+      // threshold 0 forces the distributed tier — otherwise these tiny
+      // vocabularies would all take the local fast path
+      val sequential = CorpusOps.bpeLearn(docs, nMerges = 15, batch = 1,
+        localVocabThreshold = 0L)
+      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 8,
+          localVocabThreshold = 0L) == sequential,
         s"seed=$seed: batch=8 diverged from the sequential merge sequence")
-      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 32) == sequential,
+      assert(CorpusOps.bpeLearn(docs, nMerges = 15, batch = 32,
+          localVocabThreshold = 0L) == sequential,
         s"seed=$seed: batch=32 diverged from the sequential merge sequence")
+      assert(CorpusOps.bpeLearn(docs, nMerges = 15) == sequential,
+        s"seed=$seed: local tier diverged from the distributed merge sequence")
+    }
+  }
+
+  test("local tier matches the distributed tier on longer merge horizons " +
+    "and multi-char symbol collisions") {
+    for (seed <- 10 to 12) {
+      val rnd = new Random(seed)
+      // tiny alphabet + long words: merged symbols ("aa", "ab"...) keep
+      // colliding with later pair candidates, stressing the incremental
+      // index update and the UTF-8 tie-break on equal counts
+      val alphabet = "ab"
+      val words = (0 until 40).map { _ =>
+        val len = 2 + rnd.nextInt(9)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = words.flatMap(w => Seq.fill(1 + rnd.nextInt(4))(w))
+      val docs = rnd.shuffle(text).grouped(15).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val dist = CorpusOps.bpeLearn(docs, nMerges = 40, batch = 1,
+        localVocabThreshold = 0L)
+      val local = CorpusOps.bpeLearn(docs, nMerges = 40)
+      assert(local == dist, s"seed=$seed: local tier diverged")
     }
   }
 
