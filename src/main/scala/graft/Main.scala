@@ -14,9 +14,12 @@ import scala.jdk.CollectionConverters._
   * --last-msg-id M`, synch/cli.py:21-110) over the typed [[SyncConfig]].
   *
   * Source URLs decide the transport: `jdbc:*` → partitioned JDBC;
-  * `parquet:<dir>` → parquet directory (hermetic runs). The consume broker
-  * is a directory of ChangeEvent JSON (`file:<dir>`) or a Kafka bootstrap
-  * (`kafka:<servers>/<topic>`).
+  * `parquet:<dir>` → parquet directory (hermetic runs). The produce/
+  * consume broker is a directory of ChangeEvent JSON (`file:<dir>`), a
+  * Kafka bootstrap (`kafka:<servers>/<topic>`), or the reference's
+  * default Redis-Streams broker (`redis:` — host/port/db/password/prefix
+  * from the config's `redis:` section; `redis:<host>:<port>` overrides
+  * host and port).
   *
   * Usage:
   * `graft.Main <etl|produce|consume|check|rewind> <config> [broker|checkpoint]
@@ -76,18 +79,67 @@ object Main {
     else FullEtl.JdbcSource(jdbcUrl(cfg, db), dbtable(cfg, db, table),
       cfg.user, cfg.password, partitionColumn = None)
 
-  /** Broker transport from the CLI arg: `kafka:<servers>/<topic>` → Kafka
-    * (count cap = core.insert_num, the A1 contract); anything else is a
-    * JSON-event directory.
+  /** Redis-Streams broker from the CLI arg + config: `redis:` uses the
+    * config's `redis:` section host/port (the reference's layout);
+    * `redis:<host>:<port>` overrides them. prefix / db / password /
+    * queue_max_len always come from the config.
     */
-  def eventStream(spark: SparkSession, broker: String,
-                  cfg: SyncConfig): org.apache.spark.sql.DataFrame =
+  def redisBroker(uri: String, cfg: SyncConfig,
+                  alias: String): graft.streaming.RedisBroker = {
+    val rc = cfg.redis
+    val rest = uri.stripPrefix("redis").stripPrefix(":")
+    val (host, port) =
+      if (rest.isEmpty) (rc.host, rc.port)
+      else {
+        val i = rest.lastIndexOf(':')
+        if (i < 0) (rest, rc.port)
+        else (rest.substring(0, i), rest.substring(i + 1).toInt)
+      }
+    new graft.streaming.RedisBroker(host, port, alias, rc.prefix,
+      rc.queueMaxLen, rc.db, rc.password)
+  }
+
+  /** Broker transport from the CLI arg: `kafka:<servers>/<topic>` → Kafka
+    * (count cap = core.insert_num, the A1 contract); `redis:[host:port]`
+    * → the Redis-Streams transport, polled into staged wire-JSON files
+    * by a daemon thread (a Redis stream is one totally-ordered key, so
+    * the poll is inherently serial — see [[graft.streaming.RedisBroker]])
+    * with `EventSource.files` owning Spark-side checkpointing; anything
+    * else is a JSON-event directory.
+    */
+  def eventStream(spark: SparkSession, broker: String, cfg: SyncConfig,
+                  alias: Option[String] = None, schemas: Seq[String] = Nil,
+                  stagingDir: String = "/tmp/graft_redis_staging"): org.apache.spark.sql.DataFrame =
     if (broker.startsWith("kafka:")) {
       val rest = broker.stripPrefix("kafka:")
       val slash = rest.lastIndexOf('/')
       require(slash > 0, s"kafka broker must be kafka:<servers>/<topic>: $broker")
       EventSource.kafka(spark, rest.substring(0, slash), rest.substring(slash + 1),
         maxOffsetsPerTrigger = cfg.maxOffsetsPerTrigger)
+    } else if (broker == "redis" || broker.startsWith("redis:")) {
+      val a = alias.orElse(cfg.sources.headOption.map(_.alias)).getOrElse("synch")
+      require(schemas.nonEmpty, "redis broker needs at least one schema to poll")
+      // fresh connection per poll cycle: a broken socket heals on the
+      // next cycle instead of killing the stream; the staged-file names
+      // are entry-id-derived, so a re-poll after a crashed commit
+      // overwrites identical content (at-least-once, absorbed downstream)
+      val pollMs = math.max(500L, cfg.core.insertIntervalSec * 1000L / 4)
+      val poller = new Thread(() => {
+        while (true) {
+          try {
+            val b = redisBroker(broker, cfg, a)
+            try schemas.foreach(s => b.drainToStaging(s, stagingDir, cfg.core.insertNum))
+            finally b.close()
+          } catch {
+            case e: Exception =>
+              System.err.println(s"[redis] poll failed (will retry): ${e.getMessage}")
+          }
+          Thread.sleep(pollMs)
+        }
+      }, "graft-redis-poller")
+      poller.setDaemon(true)
+      poller.start()
+      EventSource.files(spark, stagingDir)
     } else EventSource.files(spark, broker.stripPrefix("file:"))
 
   def main(args: Array[String]): Unit = {
@@ -243,7 +295,11 @@ object Main {
             case (src, t) if autoEtl((t.schema, t.table)) =>
               (t.schema, t.table) -> source(src, t.schema, t.table)
           }.toMap)
-        val q = Consume.start(spark, eventStream(spark, pos(2), cfg), tables,
+        val stream = eventStream(spark, pos(2), cfg,
+          alias = flags.get("alias"),
+          schemas = selected.map(_._2.database).distinct,
+          stagingDir = s"$stateRoot/_redis_staging")
+        val q = Consume.start(spark, stream, tables,
           stateRoot, ckpt, triggerInterval = cfg.triggerInterval,
           skipError = cfg.core.skipError)
         Lifecycle.withGracefulShutdown(Seq(q))
@@ -283,6 +339,11 @@ object Main {
             require(slash > 0, s"kafka broker must be kafka:<servers>/<topic>: $broker")
             Produce.toKafka(spark, events, rest.substring(0, slash),
               rest.substring(slash + 1),
+              s"/tmp/graft_produce_ckpt/${src.alias}",
+              triggerInterval = cfg.triggerInterval)
+          } else if (broker == "redis" || broker.startsWith("redis:")) {
+            Produce.toRedis(spark, events,
+              () => redisBroker(broker, cfg, src.alias),
               s"/tmp/graft_produce_ckpt/${src.alias}",
               triggerInterval = cfg.triggerInterval)
           } else {

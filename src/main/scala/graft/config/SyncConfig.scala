@@ -11,14 +11,27 @@ import graft.model.Engine
   * no-ops for config compatibility:
   *  - `skip_decimal` — TypeMap carries precision/scale exactly (§1.3),
   *    so the stringify workaround is opt-in via CdcOps.stringifyDecimals.
-  *  - `queue_max_len` — the Redis stream cap with lossy FIFO eviction;
-  *    Kafka/file brokers with checkpoints never drop events.
+  *  - `sentinel*` — Redis-Sentinel failover is an infra concern below
+  *    this engine; point `redis.host` at the sentinel-resolved master.
   */
 final case class CoreConfig(
     insertNum: Int = 20000,          // events per flush  (synch.yaml:3)
     insertIntervalSec: Int = 60,     // flush interval    (synch.yaml:4)
     skipError: Boolean = false,
     monitoring: Boolean = true)
+
+/** The reference's `redis:` section (synch.yaml:8-20) — used when the
+  * broker URI selects the Redis-Streams transport
+  * ([[graft.streaming.RedisBroker]]); `queue_max_len` is the XADD
+  * `MAXLEN ~` cap with the reference's lossy-FIFO semantics.
+  */
+final case class RedisConfig(
+    host: String = "localhost",
+    port: Int = 6379,
+    db: Int = 0,
+    password: Option[String] = None,
+    prefix: String = "synch",
+    queueMaxLen: Long = 200000)
 
 final case class TableConfig(
     table: String,
@@ -46,7 +59,8 @@ final case class SourceConfig(
     skipDeleteTables: Set[String] = Set.empty,
     skipUpdateTables: Set[String] = Set.empty)
 
-final case class SyncConfig(core: CoreConfig, sources: Seq[SourceConfig]) {
+final case class SyncConfig(core: CoreConfig, sources: Seq[SourceConfig],
+    redis: RedisConfig = RedisConfig()) {
   /** Count-cap + time trigger (operator A1) as stream options. */
   def maxOffsetsPerTrigger: Long = core.insertNum.toLong
   def triggerInterval: String = s"${core.insertIntervalSec} seconds"
@@ -67,9 +81,11 @@ object SyncConfig {
     * the dependency-free [[MiniYaml]] subset parser — a reference user
     * can point the engine at their existing config file.
     *
-    * Broker/transport sections (redis/kafka/clickhouse/mail) configure
-    * infrastructure the Spark engine replaces with checkpointed streams
-    * and JDBC sinks; they parse fine and are ignored here.
+    * The `redis:` section is honored when the broker URI selects the
+    * Redis-Streams transport; the remaining transport sections
+    * (kafka/clickhouse/mail) configure infrastructure the Spark engine
+    * replaces with checkpointed streams and JDBC sinks — they parse
+    * fine and are ignored here.
     */
   def fromYaml(text: String): SyncConfig = {
     val root = MiniYaml.parse(text)
@@ -80,6 +96,16 @@ object SyncConfig {
         skipError = c.bool("skip_error", default = false),
         monitoring = c.bool("monitoring", default = true))
     }.getOrElse(CoreConfig())
+
+    val redis = root.get("redis").map { r =>
+      RedisConfig(
+        host = r.str("host", "localhost"),
+        port = r.int("port", 6379),
+        db = r.int("db", 0),
+        password = r.get("password").flatMap(_.scalar).filter(_.nonEmpty),
+        prefix = r.str("prefix", "synch"),
+        queueMaxLen = r.int("queue_max_len", 200000).toLong)
+    }.getOrElse(RedisConfig())
 
     val sources = root.get("source_dbs").map(_.items).getOrElse(Nil).map { s =>
       val dbType = s.str("db_type", "mysql")
@@ -113,7 +139,7 @@ object SyncConfig {
         skipDeleteTables = s.strings("skip_delete_tables").toSet,
         skipUpdateTables = s.strings("skip_update_tables").toSet)
     }
-    SyncConfig(core, sources)
+    SyncConfig(core, sources, redis)
   }
 
   /** Flat-properties loader, e.g.
@@ -134,6 +160,14 @@ object SyncConfig {
       insertIntervalSec = p("core.insert_interval", "60").toInt,
       skipError = p("core.skip_error", "false").toBoolean,
       monitoring = p("core.monitoring", "true").toBoolean)
+
+    val redis = RedisConfig(
+      host = p("redis.host", "localhost"),
+      port = p("redis.port", "6379").toInt,
+      db = p("redis.db", "0").toInt,
+      password = props.get("redis.password").filter(_.nonEmpty),
+      prefix = p("redis.prefix", "synch"),
+      queueMaxLen = p("redis.queue_max_len", "200000").toLong)
 
     val sources = Iterator.from(0)
       .takeWhile(i => props.contains(s"source.$i.alias"))
@@ -170,6 +204,6 @@ object SyncConfig {
           skipDeleteTables = p(s"source.$i.skip_delete_tables").split(',').map(_.trim).filter(_.nonEmpty).toSet,
           skipUpdateTables = p(s"source.$i.skip_update_tables").split(',').map(_.trim).filter(_.nonEmpty).toSet)
       }.toSeq
-    SyncConfig(core, sources)
+    SyncConfig(core, sources, redis)
   }
 }

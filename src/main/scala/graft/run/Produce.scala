@@ -47,6 +47,43 @@ object Produce {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
 
+  /** Start producing to a Redis-Streams broker (the reference's default
+    * transport, synch/broker/redis.py:19-23): one XADD-capped stream per
+    * schema. A Redis stream's order IS its XADD order and the reference's
+    * producer is a single serial connection, so each micro-batch is
+    * sorted by (event_unixtime, action_seq) and sent through one
+    * driver-side connection via a sorted `toLocalIterator` — order-
+    * correct by construction, memory-bounded by the A1 trigger contract
+    * (`insert_num` events per flush), and exactly the reference's
+    * throughput envelope. Delivery is at-least-once across a crash
+    * between partial XADD and checkpoint commit; the consume side's
+    * batch-id-idempotent store absorbs replays, as with every other
+    * transport. `brokerF` is a factory so each batch gets a fresh
+    * connection (a long-lived socket would not survive driver restarts).
+    */
+  def toRedis(spark: SparkSession, events: DataFrame,
+              brokerF: () => graft.streaming.RedisBroker, checkpoint: String,
+              triggerInterval: String = "1 second"): StreamingQuery =
+    events.select(col("schema").cast("string").as("schema"), to_json(struct(
+        col("schema"), col("table"), col("action"), col("values"),
+        col("event_unixtime"), col("action_seq"))).as("value"),
+        col("event_unixtime"), col("action_seq"))
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val broker = brokerF()
+        try {
+          val it = df.orderBy(col("event_unixtime").asc, col("action_seq").asc)
+            .select(col("schema"), col("value")).toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            broker.send(r.getString(0), r.getString(1))
+          }
+        } finally broker.close()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+
   /** Hermetic broker stand-in: JSON files partitioned by schema — same
     * routing contract (one directory per schema, FIFO within). */
   def toFiles(spark: SparkSession, events: DataFrame, dir: String,

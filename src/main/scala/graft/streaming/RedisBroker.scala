@@ -26,8 +26,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 final class RedisBroker(host: String, port: Int, alias: String,
                         prefix: String = "synch",
-                        queueMaxLen: Long = 200000) extends AutoCloseable {
+                        queueMaxLen: Long = 200000,
+                        db: Int = 0,
+                        password: Option[String] = None) extends AutoCloseable {
   private val client = new RespClient(host, port)
+  password.foreach(p => client.command("AUTH", p))
+  if (db != 0) client.command("SELECT", db.toString)
 
   private def queueKey(schema: String) = s"$prefix:$alias:$schema"
   private def lastIdKey = s"$prefix:$alias:last_msg_id"

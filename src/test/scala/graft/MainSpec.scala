@@ -148,4 +148,24 @@ class MainSpec extends SparkSpec {
     Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
     assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
   }
+
+  test("redis broker URI: bare form uses the config section, host:port overrides") {
+    val cfg = graft.config.SyncConfig.fromYaml(
+      "redis:\n  host: confhost\n  port: 6390\n  prefix: p\n")
+    // parse-only checks: connection is lazy in neither case, so point at
+    // a live fake server for construction
+    val server = new graft.sources.FakeRedisServer
+    try {
+      val b1 = Main.redisBroker(s"redis:127.0.0.1:${server.port}", cfg, "a")
+      b1.send("db", "{}")
+      assert(b1.length("db") == 1)
+      b1.close()
+      // bare `redis:` resolves host/port from the config — wrong port
+      // here, so construction must fail (proves the config path is used)
+      intercept[Exception] {
+        val b2 = Main.redisBroker("redis:", cfg, "a")
+        try b2.send("db", "{}") finally b2.close()
+      }
+    } finally server.close()
+  }
 }

@@ -35,6 +35,35 @@ class SyncConfigSpec extends AnyFunSuite {
     assert(tables(1).engine == Engine.ReplacingMergeTree)
   }
 
+  test("redis section parses from yaml, with reference defaults when absent") {
+    val cfg = SyncConfig.fromYaml(
+      """core:
+        |  insert_num: 7
+        |redis:
+        |  host: redis-master
+        |  port: 6380
+        |  db: 2
+        |  password: s3cret
+        |  prefix: synch
+        |  queue_max_len: 5000
+        |""".stripMargin)
+    assert(cfg.redis == RedisConfig("redis-master", 6380, 2, Some("s3cret"),
+      "synch", 5000L))
+    // absent section and empty password fall back to reference defaults
+    val bare = SyncConfig.fromYaml("core:\n  insert_num: 1\n")
+    assert(bare.redis == RedisConfig())
+    val noPass = SyncConfig.fromYaml("redis:\n  host: h\n  password:\n")
+    assert(noPass.redis.password.isEmpty && noPass.redis.host == "h")
+  }
+
+  test("redis section parses from flat properties") {
+    val cfg = SyncConfig.fromProperties(Map(
+      "redis.host" -> "r", "redis.port" -> "7000", "redis.db" -> "1",
+      "redis.password" -> "p", "redis.queue_max_len" -> "99"))
+    assert(cfg.redis == RedisConfig("r", 7000, 1, Some("p"), "synch", 99L))
+    assert(SyncConfig.fromProperties(Map.empty).redis == RedisConfig())
+  }
+
   test("empty engine value falls back to ReplacingMergeTree, not a crash") {
     val cfg = SyncConfig.fromProperties(Map(
       "source.0.alias" -> "m", "source.0.db_type" -> "mysql",

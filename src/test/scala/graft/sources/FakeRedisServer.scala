@@ -31,6 +31,9 @@ final class FakeRedisServer extends AutoCloseable {
   private def handle(args: Seq[String]): String = synchronized {
     args.head.toUpperCase match {
       case "PING" => "+PONG\r\n"
+      // accepted so brokers configured with db/password run against the
+      // fake; real auth/db isolation is the server's concern, not ours
+      case "AUTH" | "SELECT" => "+OK\r\n"
       case "XADD" =>
         // XADD key [MAXLEN ~ n] * field value [field value ...]
         val key = args(1)

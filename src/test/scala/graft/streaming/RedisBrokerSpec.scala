@@ -86,6 +86,40 @@ class RedisBrokerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("Produce.toRedis XADDs each micro-batch in (event_unixtime, action_seq) " +
+    "order through one serial connection") {
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-produce").toString
+      val rawDir = s"$root/raw"; Files.createDirectories(Paths.get(rawDir))
+      // deliberately out of time order in the file: the producer must
+      // restore binlog order before XADD (stream order IS apply order)
+      val lines = Seq(
+        ev("t", "update", 1, 11.0, 300),
+        ev("t", "insert", 1, 10.0, 100),
+        ev("t", "insert", 2, 20.0, 200))
+      Files.write(Paths.get(rawDir, "raw.json"), lines.mkString("\n").getBytes)
+
+      val q = graft.run.Produce.toRedis(spark,
+        EventSource.files(spark, rawDir),
+        () => new RedisBroker("127.0.0.1", server.port, "mysql_db"),
+        s"$root/ckpt", triggerInterval = "200 milliseconds")
+      q.processAllAvailable(); q.stop()
+
+      // read the stream back raw and check XADD order = time order
+      val client = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        val reply = client.command("XREAD", "COUNT", "100", "STREAMS",
+          "synch:mysql_db:db", "0").asInstanceOf[Seq[Seq[Any]]]
+        val entries = reply.head(1).asInstanceOf[Seq[Seq[Any]]]
+        val times = entries.map(_(1).asInstanceOf[Seq[String]])
+          .map(f => f.grouped(2).collectFirst { case Seq("msg", v) => v }.get)
+          .map(v => "\"event_unixtime\":(\\d+)".r.findFirstMatchIn(v).get.group(1).toLong)
+        assert(times == Seq(100L, 200L, 300L))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("MAXLEN caps the stream; count-limited polls page through it") {
     val server = new FakeRedisServer
     try {
