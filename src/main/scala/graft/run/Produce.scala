@@ -52,10 +52,11 @@ object Produce {
     * schema. A Redis stream's order IS its XADD order and the reference's
     * producer is a single serial connection, so each micro-batch is
     * sorted by (event_unixtime, action_seq) and sent through one
-    * driver-side connection via a sorted `toLocalIterator` — order-
-    * correct by construction, memory-bounded by the A1 trigger contract
-    * (`insert_num` events per flush), and exactly the reference's
-    * throughput envelope. Delivery is at-least-once across a crash
+    * driver-side connection via a sorted `toLocalIterator` in pipelined
+    * 512-command chunks — order-correct by construction, memory-bounded
+    * by the A1 trigger contract (`insert_num` events per flush), and
+    * ~2 orders of magnitude past the reference's one-RTT-per-event
+    * producer against a remote broker. Delivery is at-least-once across a crash
     * between partial XADD and checkpoint commit; the consume side's
     * batch-id-idempotent store absorbs replays, as with every other
     * transport. `brokerF` is a factory so each batch gets a fresh
@@ -74,10 +75,15 @@ object Produce {
         try {
           val it = df.orderBy(col("event_unixtime").asc, col("action_seq").asc)
             .select(col("schema"), col("value")).toLocalIterator()
+          // pipelined chunks: ordering is per XADD sequence, so chunking
+          // only amortizes round-trips, it never reorders
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           while (it.hasNext) {
             val r = it.next()
-            broker.send(r.getString(0), r.getString(1))
+            buf += ((r.getString(0), r.getString(1)))
+            if (buf.size >= 512) { broker.sendBatch(buf.toSeq); buf.clear() }
           }
+          broker.sendBatch(buf.toSeq)
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)

@@ -21,6 +21,33 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
   private val in = new BufferedInputStream(sock.getInputStream)
 
   def command(args: String*): Any = {
+    writeCommand(args)
+    out.flush()
+    readReply()
+  }
+
+  /** Pipelined execution: write all commands, flush once, then read all
+    * replies — one network round-trip instead of N. The order-sensitive
+    * XADD producer keeps its ordering guarantee (RESP replies arrive in
+    * command order) while amortizing the per-command RTT that dominates
+    * a serial producer against a remote broker. A `-ERR` reply for any
+    * command throws after all replies are drained (the connection stays
+    * protocol-aligned for reuse).
+    */
+  def pipeline(cmds: Seq[Seq[String]]): Seq[Any] = {
+    cmds.foreach(writeCommand)
+    out.flush()
+    val replies = cmds.map { _ =>
+      try Right(readReply()) catch {
+        case e: RuntimeException if e.getMessage != null &&
+          e.getMessage.startsWith("RESP error") => Left(e)
+      }
+    }
+    replies.collectFirst { case Left(e) => throw e }
+    replies.map(_.toOption.get)
+  }
+
+  private def writeCommand(args: Seq[String]): Unit = {
     val sb = new StringBuilder
     sb.append('*').append(args.length).append("\r\n")
     args.foreach { a =>
@@ -28,8 +55,6 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
         .append(a).append("\r\n")
     }
     out.write(sb.toString.getBytes(UTF_8))
-    out.flush()
-    readReply()
   }
 
   private def readLine(): String = {

@@ -120,6 +120,26 @@ class RedisBrokerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("sendBatch pipelines XADDs: order preserved across schemas, one " +
+    "round-trip per chunk") {
+    val server = new FakeRedisServer
+    try {
+      val broker = new RedisBroker("127.0.0.1", server.port, "p")
+      broker.sendBatch((1 to 100).map(i =>
+        (if (i % 2 == 0) "even" else "odd") -> s"""{"i":$i}"""))
+      assert(broker.length("even") == 50 && broker.length("odd") == 50)
+      val root = Files.createTempDirectory("redis-pipe").toString
+      assert(broker.drainToStaging("odd", s"$root/s") == 50)
+      val staged = Files.list(Paths.get(s"$root/s")).toArray.map(_.toString)
+        .filter(_.endsWith(".txt"))
+      val is = staged.sorted.flatMap(f =>
+        new String(Files.readAllBytes(Paths.get(f))).linesIterator)
+        .map(l => "\"i\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt).toSeq
+      assert(is == (1 to 100 by 2), "per-stream order must be send order")
+      broker.close()
+    } finally server.close()
+  }
+
   test("MAXLEN caps the stream; count-limited polls page through it") {
     val server = new FakeRedisServer
     try {
