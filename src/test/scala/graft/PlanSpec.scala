@@ -359,4 +359,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected exactly the distinct's keyed exchange:\n$p")
   }
+
+  test("edit verify: candidate leg pins its parallelism against AQE coalescing") {
+    // candidate rows are two longs but each carries a banded-DP
+    // Levenshtein downstream — AQE's size-based coalescing folded this
+    // to ONE task (14 s serial at sf1) until the explicit repartition;
+    // REPARTITION_BY_NUM is the coalescing-exempt marker that keeps it
+    val p = plan("dedup_edit_verify")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"verify leg must carry a user repartition (AQE-coalescing-exempt):\n$p")
+    assert(p.contains("RoundRobinPartitioning(" +
+        spark.sessionState.conf.numShufflePartitions + ")"),
+      s"verify leg must fan out to the configured parallelism:\n$p")
+    // the reject path (join residual, where almost every candidate pair
+    // dies) must run the threshold-DP exactly ONCE — the duplicated-
+    // bound formulation this guards against ran it twice per rejected
+    // pair. A second evaluation in the output Project touches only the
+    // few surviving near-dup pairs, which is the right trade.
+    val residualEvals = p.linesIterator
+      .filter(l => l.contains("Join ") && l.contains("levenshtein"))
+      .map(l => "levenshtein".r.findAllIn(l).length).toSeq
+    assert(residualEvals == Seq(1),
+      s"reject path must evaluate threshold-levenshtein exactly once:\n$p")
+  }
 }
