@@ -176,6 +176,22 @@ class PlanSpec extends SparkSpec {
     assert(ivfpq.contains("WindowGroupLimit"), s"top-k degenerated:\n$ivfpq")
   }
 
+  test("trained IVF: search leg keeps the fixed-quantizer shape (broadcast " +
+    "probe join, corpus vectors never shuffle)") {
+    // the Lloyd training loop runs before this plan is built (its state
+    // is a broadcast-sized means table); the SEARCH plan must look
+    // exactly like the fixed-quantizer tier's — an equi-join on cid with
+    // the probe side broadcast, pre-shuffle top-k, and no corpus
+    // embedding arrays in any exchange
+    val p = plan("ann_ivf_trained_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe must broadcast into the cid-blocked corpus:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k degenerated:\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!ex.contains("embedding#"),
+      s"ranking must shuffle scores, never corpus vectors:\n$ex")
+  }
+
   test("corpus_mixture: the keep predicate reaches the scan as a data filter") {
     val p = plan("corpus_mixture")
     // the Bernoulli test is a Filter over the scan output (not post-agg),
