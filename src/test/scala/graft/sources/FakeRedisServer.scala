@@ -117,7 +117,10 @@ final class FakeRedisServer extends AutoCloseable {
           new String(buf, UTF_8)
         }
         out.write(handle(args).getBytes(UTF_8))
-        out.flush()
+        // real Redis coalesces pipelined replies in its output buffer;
+        // flush only before blocking on the next read so a 512-command
+        // pipeline gets batched replies, not one TCP packet per reply
+        if (in.available() == 0) out.flush()
         line = readLine()
       }
     } catch { case _: Exception if closed => () }
