@@ -357,7 +357,6 @@ object CorpusOps {
     require(nMerges > 0, "nMerges must be positive")
     require(batch > 0, "batch must be positive")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val spark = docs.sparkSession
     val words = docs
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
