@@ -201,10 +201,12 @@ object CorpusOps {
     *
     * Scale shape: the naive form is a single-partition global window —
     * the classic scale trap. This is a distributed prefix sum instead:
-    * (1) one pass builds an `nBuckets`-bin score histogram (per-bucket
-    * token sums; the only driver materialization, ≤ nBuckets rows — the
-    * IVF-centroid analogy); (2) exclusive bucket offsets ship back as a
-    * literal array; (3) a window PARTITIONED BY BUCKET computes the
+    * (1) a 1-row stats pass fixes the score range as literals (and
+    * rejects NULL/NaN scores up front); (2) one pass builds an
+    * `nBuckets`-bin score histogram (per-bucket token sums; ≤ nBuckets
+    * driver rows — the IVF-centroid analogy), whose exclusive bucket
+    * offsets ship back as a literal array; (3) a window PARTITIONED BY
+    * BUCKET computes the
     * within-bucket cumsum in parallel. Result is identical to the global
     * window (equal scores share a bucket; ties break by id inside it) —
     * the oracle twin IS the naive global cumsum, so the equivalence is
@@ -216,26 +218,33 @@ object CorpusOps {
                      idCol: String = "doc_id"): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(nBuckets > 0, "nBuckets must be positive")
-    // NULL scores would produce a NULL bucket key (NPE in the driver-side
-    // hist collect) and NaN ordering diverges between engines — both are
-    // caller errors, surfaced on the first row rather than excluded
-    // silently (the weightedSample precondition style).
-    val scoreGuard = coalesce(
-      assert_true(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")),
-        lit(s"selectByBudget: $scoreCol must be non-null and non-NaN — " +
-          "filter or impute scores before budget selection")),
-      lit(true))
-    val s = docs.filter(scoreGuard).select(col(idCol), col(scoreCol),
+    val s = docs.select(col(idCol), col(scoreCol),
       col(tokensCol).cast("long").as(tokensCol))
-    val mm = s.agg(min(col(scoreCol)).as("_lo"), max(col(scoreCol)).as("_hi"))
-    val b = s.crossJoin(broadcast(mm))
-      .withColumn("_b",
-        when(col("_hi") === col("_lo"), lit(0))
-          .otherwise(least(
-            floor((col("_hi") - col(scoreCol)) / (col("_hi") - col("_lo"))
-              * nBuckets),
-            lit(nBuckets - 1))).cast("int"))
-      .drop("_lo", "_hi")
+    // One 1-row stats pass replaces the min/max subquery that both
+    // downstream jobs would otherwise each recompute, and doubles as the
+    // NULL/NaN guard: a NULL score would produce a NULL bucket key (NPE
+    // in the driver-side hist collect) and NaN ordering diverges between
+    // engines — both are caller errors, surfaced here before any heavy
+    // job runs (the weightedSample precondition style) at zero per-row
+    // cost (a per-row assert_true filter measured ~30% on this query).
+    val stats = s.agg(
+      min(col(scoreCol)).as("_lo"), max(col(scoreCol)).as("_hi"),
+      count(lit(1)).as("_n"), count(col(scoreCol)).as("_nonnull"),
+      count(when(isnan(col(scoreCol).cast("double")), lit(1))).as("_nan"))
+      .head()
+    require(stats.getLong(3) == stats.getLong(2) && stats.getLong(4) == 0L,
+      s"selectByBudget: $scoreCol must be non-null and non-NaN — " +
+        "filter or impute scores before budget selection")
+    val b =
+      if (stats.getLong(2) == 0L || stats.get(0) == stats.get(1))
+        s.withColumn("_b", lit(0))
+      else {
+        val lo = lit(stats.get(0))
+        val hi = lit(stats.get(1))
+        s.withColumn("_b",
+          least(floor((hi - col(scoreCol)) / (hi - lo) * nBuckets),
+            lit(nBuckets - 1)).cast("int"))
+      }
     val hist = b.groupBy(col("_b")).agg(sum(col(tokensCol)).as("_t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // offsets(i) = token mass in strictly-better buckets (< i), 0-indexed
