@@ -164,4 +164,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L)) // 3 fit under 35 tokens
     assert(CorpusOps.selectByBudget(docs, budget = 0L).count() == 0)
   }
+
+  test("selectByBudget: NULL and NaN scores are rejected before any heavy job") {
+    val withNull = Seq((1L, Some(1.0), 10L), (2L, None, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusOps.selectByBudget(withNull, budget = 100L)
+    }
+    assert(e1.getMessage.contains("non-null"))
+    val withNan = Seq((1L, 1.0, 10L), (2L, Double.NaN, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusOps.selectByBudget(withNan, budget = 100L)
+    }
+    assert(e2.getMessage.contains("NaN"))
+  }
+
+  test("selectByBudget: empty input yields an empty result, not a failure") {
+    val docs = Seq.empty[(Long, Double, Long)].toDF("doc_id", "score", "n_tokens")
+    val out = CorpusOps.selectByBudget(docs, budget = 100L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "score", "cum_tokens"))
+  }
 }
