@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Canonical loaders for the driver-generated parquet test tables
   * (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 does
-  * not support natively; we read it as a raw long
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and surface it as a
-  * microsecond-precision timestamp — bit-identical to what DuckDB sees when
-  * it truncates the same file to its µs TIMESTAMP type, so oracle
-  * comparisons line up exactly.
+  * `events.ts` has shipped in two physical encodings across driver
+  * generations: parquet TIMESTAMP(NANOS) — unsupported natively by
+  * Spark 4, read as a raw long via
+  * `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
+  * TIMESTAMP(MICROS) without the UTC flag, which Spark reads as
+  * TIMESTAMP_NTZ. Both are normalized here to a µs-precision session
+  * (LTZ) timestamp: in a UTC session the NTZ reinterpretation and the
+  * nanos`div`1000 rebuild land on the identical instant DuckDB sees when
+  * it reads the same file as its naive µs TIMESTAMP, so oracle
+  * comparisons line up exactly regardless of which generation wrote the
+  * file.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -24,9 +29,16 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events")
-      // integer `div`, not `/`: double division would round the ns value
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long generation; integer `div`, not `/`: double
+        // division would round the ns value
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs generation: reinterpret the naive value in the UTC session
+        df.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      case _ => df
+    }
     else df
   }
 
