@@ -55,7 +55,9 @@ object Bench {
     "corpus_sample_weighted", "q20_above_avg",
     "q21_waiting_supplier", "q22_idle_customers",
     "dedup_paragraph", "dedup_url_canonical", "corpus_budget_select",
-    "dedup_edit_verify", "ann_ivf_trained_topk", "multimodal_meta_codec")
+    "dedup_edit_verify", "ann_ivf_trained_topk", "multimodal_meta_codec",
+    "corpus_chunk", "text_bm25", "sketch_heavy_hitters",
+    "session_attribution", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

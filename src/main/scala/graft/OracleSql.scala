@@ -158,6 +158,30 @@ object OracleSql {
     * chain re-evaluates exponentially. Runtime ~4.5 s for 100 steps at
     * sf0.1 (vocab-sized state, corpus-independent after the first scan).
     */
+  /** Unrolled fixed-point PageRank over the `pairs` CTE (both directions),
+    * `iters` chained steps mirroring [[graft.ops.GraphOps.pageRank]]
+    * exactly: integer `scale` units, `r' = 15·scale/100 +
+    * (85·Σ r(u)//deg(u)) // 100`, all floor divisions over non-negative
+    * integers, so the BIGINT rank matches bit-for-bit. */
+  def pageRankUnrolled(iters: Int, scale: Long): String = {
+    val base = 15L * scale / 100L
+    val head =
+      s"""e AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+         |     UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         |r0 AS (SELECT doc_id AS id, CAST($scale AS BIGINT) AS r FROM documents)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.doc_id AS id,
+         |  CAST($base + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM documents n LEFT JOIN (
+         |    SELECT e.dst AS id, SUM(r.r // deg.d) AS c
+         |    FROM e JOIN r${k - 1} r ON r.id = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY 1) s ON s.id = n.doc_id)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
   def bpeLearnUnrolled(nMerges: Int): String = {
     val chars = "list_transform(range(1, length(w)+1), i -> substr(w, CAST(i AS INT), 1))"
     val head =

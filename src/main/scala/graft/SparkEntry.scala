@@ -1118,7 +1118,47 @@ object SparkEntry {
         MultimodalOps.withBlob(t(s, dir, "documents")), dim = 16)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "fv")))
         .select(col("vec_id"), col("dim").cast("int").as("dim"),
-          col("fv").cast("double").as("fv")))
+          col("fv").cast("double").as("fv"))),
+
+    // LM context-window segmentation: overlapping 40-token chunks on a
+    // 30-token stride; map-only (tokenize → stride grid → slice), no
+    // shuffle at any corpus size
+    "corpus_chunk" -> ((s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), window = 40, stride = 30)),
+
+    // keyword search: BM25 over a fixed query bag — per-term tf is a
+    // map-side array filter (no token explode), corpus stats are one
+    // broadcast 1-row aggregate
+    "text_bm25" -> ((s, dir) =>
+      TextOps.bm25(t(s, dir, "documents"),
+        terms = Seq("customer", "vector", "slow"))),
+
+    // exact heavy hitters via count-min prescreen: the probe filter runs
+    // map-side against the broadcast d×w sketch (no false negatives —
+    // count-min only overestimates), so the exact-count shuffle carries
+    // candidate tokens only, never the full vocabulary
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.CrossHash.{tokens => tok}
+      SketchOps.heavyHitters(
+        t(s, dir, "documents").select(explode(tok(lower(col("text")))).as("tok")),
+        "tok", threshold = 900L)
+    }),
+
+    // first-/last-touch conversion attribution: both window passes share
+    // ONE user-keyed exchange; the rollup is channels×channels tiny
+    "session_attribution" -> ((s, dir) =>
+      SessionOps.attribution(t(s, dir, "events"))),
+
+    // fixed-point integer PageRank (5 steps) over the near-dup graph —
+    // hub-copy centrality; identical LSH pair front-end to
+    // dedup_components, iters×O(|edges|) keyed exchanges
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      GraphOps.pageRank(docs,
+        DedupOps.minhashLsh(docs, threshold = 0.0)
+          .select(col("id1"), col("id2")),
+        iters = 5)
+    })
   )
 
   // =====================================================================
@@ -2815,6 +2855,79 @@ object SparkEntry {
          |  CAST(CAST($fold AS REAL) / CAST(997 AS REAL)
          |       - CAST(0.5 AS REAL) AS DOUBLE) AS fv
          |FROM documents, range(0, 16) t(d)""".stripMargin
-    }
+    },
+
+    // stride grid via range(0, len, 30) — exclusive stop, so starts are
+    // exactly the Spark side's sequence-then-filter; slice clamps at the
+    // list end for the short tail chunk
+    "corpus_chunk" -> {
+      val sl = "tk[CAST(st AS INT)+1 : CAST(st AS INT)+40]"
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 30)) AS st FROM toks)
+         |SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
+         |       CAST(len($sl) AS BIGINT) AS n_tokens,
+         |       array_to_string($sl, ' ') AS chunk_text
+         |FROM st""".stripMargin
+    },
+
+    // identical arithmetic order to TextOps.bm25 (left-to-right term sum,
+    // parenthesized mul/div) — the only rounding is the final 6-dp gate
+    "text_bm25" -> {
+      val terms = Seq("customer", "vector", "slow")
+      val k1 = 1.2; val b = 0.75
+      val tfs = terms.zipWithIndex.map { case (tm, i) =>
+        s"CAST(len(list_filter(tk, t -> t = '$tm')) AS BIGINT) AS tf$i"
+      }.mkString(",\n  ")
+      val dfs = terms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n  ")
+      val avgdl = "(CAST(toktot AS DOUBLE) / CAST(n AS DOUBLE))"
+      val score = terms.indices.map { i =>
+        val idf = s"ln(1.0 + ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5)" +
+          s" / (CAST(df$i AS DOUBLE) + 0.5))"
+        s"""(CASE WHEN tf$i > 0 THEN (($idf * CAST(tf$i AS DOUBLE)) * ${k1 + 1.0})
+           |  / (CAST(tf$i AS DOUBLE) + $k1 * (${1.0 - b}
+           |     + ($b * CAST(dl AS DOUBLE)) / $avgdl)) ELSE 0.0 END)""".stripMargin
+      }.reduce((a, b2) => s"($a + $b2)")
+      val hits = terms.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+        .reduce((a, b2) => s"($a + $b2)")
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+         |  $tfs FROM toks),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(SUM(dl) AS BIGINT) AS toktot,
+         |  $dfs FROM base)
+         |SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, round($score, 6) AS bm25
+         |FROM base CROSS JOIN st
+         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin
+    },
+
+    // the Spark side is exact (count-min prescreen has no false
+    // negatives, survivors are exactly counted) — the oracle is the
+    // plain exact formulation
+    "sketch_heavy_hitters" ->
+      s"""WITH ${OracleSql.toksCte(lower = true)},
+         |ti AS (SELECT unnest(tk) AS tok FROM toks)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM ti GROUP BY tok HAVING count(*) >= 900""".stripMargin,
+
+    "session_attribution" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events)
+        |SELECT ft AS first_touch, coalesce(lt, 'direct') AS last_touch,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "graph_pagerank" ->
+      s"""WITH ${OracleSql.minhashPairsCte},
+         |${OracleSql.pageRankUnrolled(5, 1000000L)}
+         |SELECT id AS doc_id, r AS rank_units FROM r5""".stripMargin
   )
 }

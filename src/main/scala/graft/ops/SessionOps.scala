@@ -212,4 +212,39 @@ object SessionOps {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Multi-touch revenue attribution: each `convType` event is credited
+    * to the user's FIRST-ever touch (first event type, first-touch model)
+    * and to the LAST non-conversion touch strictly before it (last-touch
+    * model, 'direct' when the conversion is the user's opening event).
+    * Output: one row per (first_touch, last_touch) channel combination
+    * with conversion count and exact-decimal revenue.
+    *
+    * Scale shape: ONE user-keyed exchange feeds both window passes
+    * (identical partitioning + (ts, event_id) ordering — the same
+    * deterministic total order as [[sessionize]]), then the rollup is a
+    * tiny channels×channels aggregate with map-side combine. No
+    * self-joins: the per-conversion lookback that the naive formulation
+    * writes as an inequality join is a running `last(ignoreNulls)` over
+    * the already-sorted frame.
+    */
+  def attribution(events: DataFrame, convType: String = "purchase",
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  typeCol: String = "event_type"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val firstTouch = first(col(typeCol))
+      .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val lastTouch = last(when(col(typeCol) =!= convType, col(typeCol)),
+      ignoreNulls = true)
+      .over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    events
+      .select(col(userCol), col("event_id"), col(tsCol), col(typeCol), col("value"))
+      .withColumn("_first", firstTouch)
+      .withColumn("_last", lastTouch)
+      .filter(col(typeCol) === convType)
+      .groupBy(col("_first").as("first_touch"),
+        coalesce(col("_last"), lit("direct")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("revenue"))
+  }
 }

@@ -92,6 +92,56 @@ object SketchOps {
     * scramble keeps the d rows pairwise-independent-ish over the
     * portable hash family ([[graft.functions.CrossHash.A]]/B).
     */
+  /** Row-`row` count-min cell of a key expression: scrambled portable
+    * hash permuted by the family coefficients, folded into [0, width). */
+  private def cmCell(c: Column, row: Int, width: Int): Column = {
+    val h0 = polyHash(c.cast("string"))
+    val h = (h0 * h0 + lit(12345L)) % lit(P)
+    ((h * lit(A(row)) + lit(B(row))) % lit(P)) % lit(width.toLong)
+  }
+
+  /** Exact heavy hitters (count ≥ `threshold`) via a count-min prescreen.
+    *
+    * Two phases, classic two-pass heavy-hitter shape: (1) build the d×w
+    * count-min matrix (one keyed aggregate to ≤ d·w cells — constant
+    * state, mergeable) and pull it to the driver as the broadcastable
+    * sketch (≤ d·w longs — the same bounded collect-as-broadcast pattern
+    * as BPE's merge table); (2) re-scan, filtering each occurrence by its
+    * sketch estimate BEFORE any shuffle — count-min only ever
+    * OVER-estimates, so the filter has no false negatives and the
+    * surviving superset is exactly counted and re-thresholded.
+    *
+    * Scale shape: the exact-count exchange carries only occurrences of
+    * candidate keys, and map-side partial aggregation collapses those to
+    * ≤ candidates×partitions rows — the full-vocabulary groupBy (the
+    * thing that dies on a 100 TB corpus with a long-tail vocabulary)
+    * never happens. The probe itself is a codegen'd literal-array lookup,
+    * no join. Output is EXACT (not an estimate), so the DuckDB oracle is
+    * a plain GROUP BY ... HAVING.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+                   width: Int = 256, depth: Int = 4): DataFrame = {
+    require(depth > 0 && depth <= A.length, s"depth must be in [1, ${A.length}]")
+    require(width > 0, "width must be positive")
+    require(threshold > 0, "threshold must be positive")
+    val cellsArr = array((0 until depth).map(r => cmCell(col(keyCol), r, width)): _*)
+    val sketchRows = df
+      .select(posexplode(cellsArr).as(Seq("_row", "_col")))
+      .groupBy(col("_row"), col("_col"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect()
+    val dense = Array.fill(depth)(Array.fill(width)(0L))
+    sketchRows.foreach(r => dense(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val sk = typedLit(dense.map(_.toSeq).toSeq)
+    val estimate = (0 until depth).map(r =>
+      element_at(element_at(sk, r + 1), (cmCell(col(keyCol), r, width) + 1).cast("int")))
+      .reduce(least(_, _))
+    df.filter(estimate >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
   def countMin(df: DataFrame, keyCol: String, probes: DataFrame,
                width: Int = 256, depth: Int = 4): DataFrame = {
     require(depth > 0 && depth <= A.length, s"depth must be in [1, ${A.length}]")

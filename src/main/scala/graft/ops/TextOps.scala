@@ -588,4 +588,89 @@ object TextOps {
         frac(col("_topb"), col("n_bigrams")).as("top_bigram_frac"),
         frac(col("_dupb"), col("n_bigrams")).as("dup_bigram_frac"))
   }
+
+  /** Fixed-token-window chunking with stride overlap — the context-window
+    * segmentation step that turns long documents into training sequences
+    * (stride < window ⇒ overlapping chunks, the standard LM windowing).
+    * Emits one row per (doc, start offset): chunk index, token count and
+    * the re-joined chunk text; the tail chunk may be shorter than
+    * `window`; empty documents emit nothing.
+    *
+    * Scale shape: map-only — tokenize once per row, explode the stride
+    * grid, slice the token array per chunk. No shuffle, no state; output
+    * cardinality is Σ ceil(len/stride), and every expression (sequence/
+    * slice/array_join) is codegen'd, so this pipelines inside the scan
+    * stage at any corpus size. Chunk starts derive from the array itself,
+    * so the operator never materializes overlapping text more than the
+    * stride ratio requires.
+    */
+  def chunkTokens(docs: DataFrame, window: Int = 40, stride: Int = 30,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"chunkTokens: window ($window) and stride ($stride) must be positive")
+    docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+      .select(col(idCol), col("_tk"),
+        explode(sequence(lit(0), greatest(size(col("_tk")) - 1, lit(0)),
+          lit(stride))).as("_st"))
+      .filter(col("_st") < size(col("_tk")))
+      .select(col(idCol),
+        graft.functions.IntMath.floorDiv(col("_st").cast("long"), stride.toLong)
+          .cast("int").as("chunk_idx"),
+        slice(col("_tk"), col("_st") + 1, lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
+  /** BM25 relevance scores for a fixed bag of query `terms` (Robertson/
+    * Okapi, k1/b defaults) — keyword search over the corpus. Emits every
+    * document matching ≥1 term with its hit count and 6-dp-rounded score.
+    *
+    * Scale shape: per-term tf is a map-side `filter(tk, =term)` count —
+    * the query is tiny, so no token explode and no (doc, term) shuffle
+    * ever happens; corpus stats (N, Σdl, per-term df) are ONE 1-row
+    * aggregate broadcast back via crossJoin (the same 1-row-stats pattern
+    * as [[graft.ops.CorpusOps.selectByBudget]]). Two scans total, both
+    * fully codegen'd; nothing shuffles but the 1-row stats exchange.
+    * Float determinism: idf/score arithmetic is ordered exactly as the
+    * oracle SQL writes it (left-to-right term sum, parenthesized
+    * mul/div), and the only rounding is the final 6-dp gate — the same
+    * discipline as [[unigramLogProb]].
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.length == terms.length,
+      "bm25: terms must be non-empty and distinct")
+    val base = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+      .select(col(idCol), size(col("_tk")).cast("long").as("_dl"),
+        struct(terms.zipWithIndex.map { case (term, i) =>
+          size(filter(col("_tk"), x => x === lit(term))).cast("long").as(s"tf$i")
+        }: _*).as("_tf"))
+    val statAggs =
+      sum(col("_dl")).as("_toktot") +:
+        terms.indices.map(i =>
+          sum((col("_tf")(s"tf$i") > 0).cast("long")).as(s"_df$i"))
+    val stats = base.agg(count(lit(1)).as("_n"), statAggs: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val nD = col("_n").cast("double")
+    val avgdl = col("_toktot").cast("double") / nD
+    val score = terms.indices.map { i =>
+      val dfD = col(s"_df$i").cast("double")
+      val tfD = col("_tf")(s"tf$i").cast("double")
+      val idf = log(lit(1.0) + ((nD - dfD) + lit(0.5)) / (dfD + lit(0.5)))
+      when(col("_tf")(s"tf$i") > 0,
+        ((idf * tfD) * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + (lit(b) * col("_dl").cast("double")) / avgdl)))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    scored
+      .filter(terms.indices.map(i => col("_tf")(s"tf$i") > 0).reduce(_ || _))
+      .select(col(idCol),
+        terms.indices.map(i => (col("_tf")(s"tf$i") > 0).cast("long"))
+          .reduce(_ + _).as("n_hits"),
+        round(score, 6).as("bm25"))
+  }
 }

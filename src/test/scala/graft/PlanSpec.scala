@@ -398,4 +398,64 @@ class PlanSpec extends SparkSpec {
     assert(residualEvals == Seq(1),
       s"reject path must evaluate threshold-levenshtein exactly once:\n$p")
   }
+
+  test("corpus_chunk: map-only pipeline, zero exchanges") {
+    val p = plan("corpus_chunk")
+    assert(!p.contains("Exchange"),
+      s"chunking is tokenize→grid→slice per row — any shuffle is a regression:\n$p")
+    assert(p.contains("Generate explode"),
+      s"the stride grid must expand via a generator:\n$p")
+  }
+
+  test("text_bm25: stats broadcast back, no token explode, no text in exchanges") {
+    val p = plan("text_bm25")
+    // the 1-row corpus-stats aggregate must come back as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"1-row stats must crossJoin via broadcast:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"per-term tf is an array filter — a token explode shuffles the corpus:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#") && !exchangeLines.contains("_tk#"),
+      s"exchanges must carry counters only, never text/tokens:\n$exchangeLines")
+  }
+
+  test("heavy hitters: probe filter runs before the exact-count exchange") {
+    val p = plan("sketch_heavy_hitters")
+    // the returned plan is phase 2: the count-min probe is a literal-array
+    // lookup filter — no join against a sketch table
+    assert(!p.contains("Join"), s"the sketch probe must be a lookup, not a join:\n$p")
+    assert(p.contains("partial_count"),
+      s"exact count must partial-aggregate map-side:\n$p")
+    // the exchange carries (tok, partial count) of candidates only — the
+    // CM-probe filter (the least-of-element_at lookup) must sit below it
+    // (map side), not above
+    val lines = p.linesIterator.toSeq
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val probeIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("least(") && l.contains("element_at"))
+    assert(exchangeIdx >= 0 && probeIdx > exchangeIdx,
+      s"probe filter must be below the exchange (map side):\n$p")
+  }
+
+  test("session_attribution: both window passes share one user exchange") {
+    val p = plan("session_attribution")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id#"))
+      .length
+    assert(userExchanges == 1,
+      s"first- and last-touch windows must reuse the same user partitioning:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the lookback must be a window, not an inequality join:\n$p")
+  }
+
+  test("graph_pagerank: result is a materialized checkpoint (edges run once)") {
+    // the op localCheckpoints the edge table and the result: the returned
+    // plan must be a lineage-free RDD scan — a live iterative lineage
+    // would re-run the LSH pair pipeline once per iteration downstream
+    val p = plan("graph_pagerank")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"pageRank result must be checkpoint-materialized:\n$p")
+    assert(!p.contains("Exchange"),
+      s"consuming the rank table must not re-shuffle anything:\n$p")
+  }
 }
