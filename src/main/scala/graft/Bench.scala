@@ -90,6 +90,20 @@ object Bench {
     for (w <- Seq("q1_pricing_summary", "q5_region_revenue"))
       SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Environment canary: a fixed-cost, data-independent probe (min of 3
+    // so a single GC pause doesn't pollute it) timed at run start and
+    // again after the query loop. On an idle machine the two agree to
+    // within noise; a loaded machine inflates the second (or both), so a
+    // reader can attribute anomalous query times to machine load without
+    // a re-run (round-7 verdict: driver-bench contamination was only
+    // provable by isolated re-measurement).
+    def canary(): Double = (0 until 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val canaryStart = canary()
+
     val results = only.fold(headline)(s => headline.filter(s)).map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
@@ -113,10 +127,11 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
+    val canaryEnd = canary()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd}""")
     spark.stop()
   }
 }

@@ -2899,7 +2899,7 @@ object SparkEntry {
          |  $dfs FROM base)
          |SELECT doc_id, CAST($hits AS BIGINT) AS n_hits, round($score, 6) AS bm25
          |FROM base CROSS JOIN st
-         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin
+         |WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}""".stripMargin
     },
 
     // the Spark side is exact (count-min prescreen has no false

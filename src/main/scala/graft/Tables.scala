@@ -31,6 +31,15 @@ object Tables {
     val df = spark.read.parquet(path(dir, name))
     if (name == "events") df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // a raw long could be a future µs/ms generation, not just the known
+        // ns one — sanity-check the magnitude of one sampled value (ns-era
+        // epochs are ~1e18, µs ~1e15) instead of silently dividing by 1000
+        val sample = df.select("ts").filter(col("ts").isNotNull).head(1)
+        sample.headOption.map(_.getLong(0)).foreach { v =>
+          require(v > 100000000000000000L,
+            s"events.ts is a raw long but magnitude $v is not nanosecond-era" +
+              " (~1e18); a new driver encoding needs an explicit branch here")
+        }
         // nanos-as-long generation; integer `div`, not `/`: double
         // division would round the ns value
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

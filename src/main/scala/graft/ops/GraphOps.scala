@@ -330,7 +330,11 @@ object GraphOps {
     // the caller gets a lineage-free frame, nothing leaks across calls
     val out = ranks.select(col("id").as(idCol), col("r").as("rank_units"))
       .localCheckpoint(true)
-    wdRdd.foreach(_.unpersist(false))
+    // if the analyzed plan of a localCheckpoint ever stops exposing a
+    // LogicalRDD (Spark-internal shape), fall back to the DataFrame-level
+    // unpersist rather than silently leaking the checkpointed blocks
+    if (wdRdd.isDefined) wdRdd.foreach(_.unpersist(false))
+    else withDeg.unpersist(false)
     out
   }
 }

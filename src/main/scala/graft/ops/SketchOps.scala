@@ -146,14 +146,10 @@ object SketchOps {
                width: Int = 256, depth: Int = 4): DataFrame = {
     require(depth > 0 && depth <= A.length, s"depth must be in [1, ${A.length}]")
     require(width > 0, "width must be positive")
-    def cell(c: Column, row: Int): Column = {
-      val h0 = polyHash(c.cast("string"))
-      val h = (h0 * h0 + lit(12345L)) % lit(P)
-      ((h * lit(A(row)) + lit(B(row))) % lit(P)) % lit(width.toLong)
-    }
     // one scan: every row emits its d cells via a generator (a union of
     // d selects would re-read the input per hash row)
-    def cells(c: Column): Column = array((0 until depth).map(r => cell(c, r)): _*)
+    def cells(c: Column): Column =
+      array((0 until depth).map(r => cmCell(c, r, width)): _*)
     val sketch = df
       .select(posexplode(cells(col(keyCol))).as(Seq("_row", "_col")))
       .groupBy(col("_row"), col("_col"))
