@@ -57,7 +57,8 @@ object Bench {
     "dedup_paragraph", "dedup_url_canonical", "corpus_budget_select",
     "dedup_edit_verify", "ann_ivf_trained_topk", "multimodal_meta_codec",
     "corpus_chunk", "text_bm25", "sketch_heavy_hitters",
-    "session_attribution", "graph_pagerank")
+    "session_attribution", "graph_pagerank",
+    "envelope_wal2json", "envelope_debezium")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +125,12 @@ object Bench {
         run()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // a fatal executor error (OOM) stops the context asynchronously and
+      // run()'s catch would then "time" every remaining query against a
+      // dead session at ~0.01 s — fail the whole run instead of emitting
+      // garbage (observed at sf10 under an undersized heap)
+      if (spark.sparkContext.isStopped)
+        sys.error(s"SparkContext died during '$name' — aborting bench")
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }

@@ -97,18 +97,26 @@ object OracleSql {
        |  (a, x) -> a*2 + x)""".stripMargin
   }
 
-  /** CTE chain `toks → sh0 → sigs → expl → pairs` producing the MinHash
-    * LSH candidate pair list (id1 < id2) over `documents` — the shared
-    * blocking front-end of `dedup_minhash_pairs` and the connected-
-    * component queries. */
-  def minhashPairsCte: String =
+  /** CTE chain `toks → sh0 → sigs → expl → keep → bexpl → pairs`
+    * producing the MinHash LSH candidate pair list (id1 < id2) over
+    * `documents` — the shared blocking front-end of the connected-
+    * component / PageRank queries. Buckets holding more than `maxBucket`
+    * documents are dropped before the self-join, mirroring
+    * [[graft.ops.DedupOps.minhashCandidates]]' hot-bucket cap (round-8
+    * fix: the graph-family queries ran this front-end UNCAPPED, and the
+    * sf10 rehearsal caught the in-bucket quadratic blow-up). */
+  def minhashPairsCte(maxBucket: Int = 64): String =
     s"""${toksCte(lower = false)},
        |sh0 AS (SELECT doc_id, list_distinct(${shingles(3)}) AS sh FROM toks),
        |sigs AS (SELECT doc_id, sh, ${minhash(8)} AS mh FROM sh0),
        |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
        |         FROM (SELECT doc_id, ${bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+       |keep AS (SELECT band_idx, bucket FROM expl
+       |         GROUP BY 1, 2 HAVING count(*) <= $maxBucket),
+       |bexpl AS (SELECT expl.doc_id, expl.band_idx, expl.bucket
+       |          FROM expl JOIN keep USING (band_idx, bucket)),
        |pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |          FROM expl a JOIN expl b
+       |          FROM bexpl a JOIN bexpl b
        |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
   /** Recursive min-label closure over the `pairs` CTE: every document's

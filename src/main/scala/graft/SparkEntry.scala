@@ -2,6 +2,7 @@ package graft
 
 import graft.ops._
 import graft.sink.{SinkKeys, SinkStrategy}
+import graft.sources.CdcEnvelopes
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -384,6 +385,45 @@ object SparkEntry {
         .select(col("event_id"), col("tbl"), col("action"),
           col("action_seq"), col("pk"), col("value"),
           tsUs(col("ts")).as("ts_us"))
+    }),
+
+    // S1/S2 envelope adapters: batch-shape gate for the wal2json
+    // normalizer — the changelog is serialized into deterministic
+    // wal2json v1 documents (integer cents so the payload round-trips
+    // without float-format concerns; decimal/string typing is covered by
+    // CdcEnvelopesSpec goldens), then normalized back to canonical
+    // ChangeEvent rows. The oracle constructs the expected canonical
+    // batch directly, so explode arity, half ordering, oldkeys-vs-new
+    // image selection and seq stamping are all hash-checked.
+    "envelope_wal2json" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val env = changelog(s, dir).select(col("ts"),
+        when(col("action") === "insert", format_string(
+          """{"change":[{"kind":"insert","schema":"public","table":"%s","columnnames":["pk","value_cents"],"columnvalues":[%d,%d]}]}""",
+          col("tbl"), col("pk"), cents))
+        .when(col("action") === "update", format_string(
+          """{"change":[{"kind":"update","schema":"public","table":"%s","columnnames":["pk","value_cents"],"columnvalues":[%d,%d],"oldkeys":{"keynames":["pk"],"keyvalues":[%d]}}]}""",
+          col("tbl"), col("pk"), cents, col("pk")))
+        .otherwise(format_string(
+          """{"change":[{"kind":"delete","schema":"public","table":"%s","oldkeys":{"keynames":["pk","value_cents"],"keyvalues":[%d,%d]}}]}""",
+          col("tbl"), col("pk"), cents)).as("json"))
+      CdcEnvelopes.wal2json(env, eventUnixtime = unix_micros(col("ts")))
+    }),
+
+    // Debezium envelope → canonical batch, same gate shape: op c/u/d
+    // mapping, before/after image selection, ts_ms µs promotion.
+    "envelope_debezium" -> ((s, dir) => {
+      val img = format_string("""{"pk":%d,"value_cents":%d}""",
+        col("pk"), round(col("value") * 100).cast("long"))
+      val env = changelog(s, dir).select(format_string(
+        """{"payload":{"before":%s,"after":%s,"source":{"db":"cdc","table":"%s"},"op":"%s","ts_ms":%d}}""",
+        when(col("action") === "insert", lit("null")).otherwise(img),
+        when(col("action") === "delete", lit("null")).otherwise(img),
+        col("tbl"),
+        when(col("action") === "insert", lit("c"))
+          .when(col("action") === "update", lit("u")).otherwise(lit("d")),
+        unix_millis(col("ts"))).as("json"))
+      CdcEnvelopes.debezium(env)
     }),
 
     // A1: micro-batch trigger modeling (count cap per table)
@@ -866,21 +906,24 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       GraphOps.components(docs,
-        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+        DedupOps.minhashLsh(docs, threshold = 0.0, maxBucket = 64)
+          .select(col("id1"), col("id2")))
     }),
 
     // dedup endgame: one surviving doc per duplicate cluster + cluster size
     "dedup_keep_one" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       GraphOps.keepOne(docs,
-        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+        DedupOps.minhashLsh(docs, threshold = 0.0, maxBucket = 64)
+          .select(col("id1"), col("id2")))
     }),
 
     // near-dup graph health: documents per neighbor-degree (0 included)
     "dedup_graph_degree" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       GraphOps.degreeHistogram(docs,
-        DedupOps.minhashLsh(docs, threshold = 0.0).select(col("id1"), col("id2")))
+        DedupOps.minhashLsh(docs, threshold = 0.0, maxBucket = 64)
+          .select(col("id1"), col("id2")))
     }),
 
     // backward as-of join (events ← most recent order at-or-before ts):
@@ -1155,7 +1198,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       GraphOps.pageRank(docs,
-        DedupOps.minhashLsh(docs, threshold = 0.0)
+        DedupOps.minhashLsh(docs, threshold = 0.0, maxBucket = 64)
           .select(col("id1"), col("id2")),
         iters = 5)
     })
@@ -1409,6 +1452,43 @@ object SparkEntry {
         |SELECT event_id, tbl, 'insert' AS action, CAST(2 AS INT) AS action_seq,
         |       pk, value, epoch_us(ts) AS ts_us
         |FROM changelog WHERE action IN ('update','insert')""".stripMargin),
+
+    // expected canonical batch, built directly: insert halves carry the
+    // full image; an update's delete half carries only the oldkeys image
+    // {pk}; a delete carries its full oldkeys image
+    "envelope_wal2json" -> (CL + """,
+        |cents AS (
+        |  SELECT tbl, action, pk, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |         epoch_us(ts) AS t
+        |  FROM changelog)
+        |SELECT 'public' AS "schema", tbl AS "table", 'insert' AS action,
+        |       '{"pk":' || pk || ',"value_cents":' || vc || '}' AS "values",
+        |       t AS event_unixtime, CAST(2 AS INT) AS action_seq
+        |FROM cents WHERE action IN ('insert','update')
+        |UNION ALL
+        |SELECT 'public', tbl, 'delete',
+        |       CASE WHEN action = 'update' THEN '{"pk":' || pk || '}'
+        |            ELSE '{"pk":' || pk || ',"value_cents":' || vc || '}' END,
+        |       t, CAST(1 AS INT)
+        |FROM cents WHERE action IN ('update','delete')""".stripMargin),
+
+    // debezium: both halves carry the full row image (variant object keys
+    // sort alphabetically: pk < value_cents already); event_unixtime is
+    // ts_ms promoted to µs, so µs precision truncates to ms
+    "envelope_debezium" -> (CL + """,
+        |cents AS (
+        |  SELECT tbl, action, pk, CAST(round(value * 100, 0) AS BIGINT) AS vc,
+        |         (epoch_us(ts) // 1000) * 1000 AS t
+        |  FROM changelog)
+        |SELECT 'cdc' AS "schema", tbl AS "table", 'insert' AS action,
+        |       '{"pk":' || pk || ',"value_cents":' || vc || '}' AS "values",
+        |       t AS event_unixtime, CAST(2 AS INT) AS action_seq
+        |FROM cents WHERE action IN ('insert','update')
+        |UNION ALL
+        |SELECT 'cdc', tbl, 'delete',
+        |       '{"pk":' || pk || ',"value_cents":' || vc || '}',
+        |       t, CAST(1 AS INT)
+        |FROM cents WHERE action IN ('update','delete')""".stripMargin),
 
     "a1_microbatch" -> (CL + """,
         |ranked AS (
@@ -2525,18 +2605,18 @@ object SparkEntry {
         |  AND v.v_start_us <= p.p_end_us AND p.p_start_us <= v.v_end_us""".stripMargin,
 
     "dedup_components" ->
-      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},
+      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte()},
          |${OracleSql.componentsCte}
          |SELECT doc_id, component FROM comp""".stripMargin,
 
     "dedup_keep_one" ->
-      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte},
+      s"""WITH RECURSIVE ${OracleSql.minhashPairsCte()},
          |${OracleSql.componentsCte}
          |SELECT component AS keep_id, COUNT(*) AS n_members
          |FROM comp GROUP BY component""".stripMargin,
 
     "dedup_graph_degree" ->
-      s"""WITH ${OracleSql.minhashPairsCte},
+      s"""WITH ${OracleSql.minhashPairsCte()},
          |ends AS (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs),
          |deg AS (SELECT id, COUNT(*) AS degree FROM ends GROUP BY id),
          |hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree),
@@ -2926,7 +3006,7 @@ object SparkEntry {
         |FROM w WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
     "graph_pagerank" ->
-      s"""WITH ${OracleSql.minhashPairsCte},
+      s"""WITH ${OracleSql.minhashPairsCte()},
          |${OracleSql.pageRankUnrolled(5, 1000000L)}
          |SELECT id AS doc_id, r AS rank_units FROM r5""".stripMargin
   )

@@ -129,26 +129,30 @@ object Consume {
     * (synch/reader/mysql.py:167-171).
     */
   def applyDdl(batch: DataFrame, db: String,
-               runDdl: String => Unit, skipError: Boolean): Unit = {
+               runDdl: String => Unit, skipError: Boolean): Seq[(String, Long, String)] = {
     // only this schema's DDL: without the filter a statement from schema A
     // would be re-rendered and executed against every configured schema
     val ddls = batch.filter(col("action") === "query" && col("schema") === db)
       .select(col("values"), col("event_unixtime"))
       .orderBy(col("event_unixtime"))
       .collect()
-    ddls.foreach { row =>
-      val stmt = row.getString(0)
+    // returns (statement, event_unixtime, error) for every statement that
+    // was skipped — the caller parks them in the dead-letter table
+    ddls.flatMap { row =>
+      val stmt = row.getString(0); val eu = row.getLong(1)
       graft.ddl.AlterParser.toSparkSql(db, stmt) match {
         case Some(sql) =>
-          try runDdl(sql)
+          try { runDdl(sql); None }
           catch {
             case e: Exception if skipError =>
               System.err.println(s"[consume] skip DDL error: ${e.getMessage}")
+              Some((stmt, eu, Option(e.getMessage).getOrElse(e.getClass.getName)))
           }
         case None =>
           System.err.println(s"[consume] unparseable DDL dropped: $stmt")
+          Some((stmt, eu, "unparseable"))
       }
-    }
+    }.toSeq
   }
 
   /** Stamp a full snapshot as changelog rows (batch-0 inserts), so every
@@ -216,12 +220,17 @@ object Consume {
     * many micro-batches — the OPTIMIZE/background-merge analogue that
     * keeps read-time resolution at O(base + recent deltas).
     */
+  /** `deadLetter`: with skip-error on, park each failing table's slice of
+    * the batch (and skipped DDL) in the dead-letter table instead of just
+    * logging — see [[DeadLetter]] for the replay contract. */
   def start(spark: SparkSession, events: DataFrame, tables: Seq[TableSync],
             stateRoot: String, checkpoint: String,
             triggerInterval: String = "1 second",
             skipError: Boolean = false,
             ddlSink: Option[String => Unit] = None,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = 0,
+            deadLetter: Option[DeadLetter] = None,
+            compactionPolicy: Option[SinkStrategy.CompactionPolicy] = None): StreamingQuery = {
     val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
     events.writeStream
       .option("checkpointLocation", checkpoint)
@@ -237,8 +246,13 @@ object Consume {
               try { applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId); None }
               catch {
                 case e: Exception if skipError =>
-                  // C3 skip-error mode: continue with the next table
+                  // C3 skip-error mode: continue with the next table,
+                  // parking the failed slice for replay
                   System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
+                  deadLetter.foreach(_.record(
+                    CdcOps.filterTables(cached, Seq(t.schema), Seq(t.table)),
+                    t.schema, t.table, batchId,
+                    Option(e.getMessage).getOrElse(e.getClass.getName)))
                   None
                 case e: Exception => Some(e)
               }
@@ -248,10 +262,21 @@ object Consume {
             scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf).flatten
           errors.headOption.foreach(e => throw e)
           ddlSink.foreach(run =>
-            tables.map(_.schema).distinct.foreach(db =>
-              applyDdl(cached, db, run, skipError)))
+            tables.map(_.schema).distinct.foreach { db =>
+              val skipped = applyDdl(cached, db, run, skipError)
+              deadLetter.foreach(_.recordDdl(db, skipped, batchId))
+            })
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             tables.foreach(t => compact(t, stores(t)))
+          // size/count-triggered compaction (the OPTIMIZE scheduler):
+          // per-table decision, so one hot table compacting doesn't drag
+          // every cold table through an O(state) rewrite
+          compactionPolicy.foreach { pol =>
+            tables.foreach { t =>
+              if (SinkStrategy.shouldCompact(stores(t).versionStats(), pol))
+                compact(t, stores(t))
+            }
+          }
         } finally cached.unpersist()
         ()
       }

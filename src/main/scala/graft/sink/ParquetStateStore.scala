@@ -65,6 +65,12 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Long] = versions.lastOption.map(_._1)
 
+  /** (version id, bytes, isCompactedBase) per committed version — the
+    * input to [[SinkStrategy.shouldCompact]]'s scheduling decision. */
+  def versionStats(): Seq[(Long, Long, Boolean)] = versions.map { case (v, p) =>
+    (v, fs.getContentSummary(p).getLength, fs.exists(new Path(p, CompactedMarker)))
+  }
+
   def isEmpty: Boolean = versions.isEmpty
 
   def read(): Option[DataFrame] =

@@ -116,4 +116,34 @@ object SinkStrategy {
       .filter(col("_rn") === 1)
       .select(k.pkCols.map(col) ++ valueCols.map(c => col(s"_row.$c").as(c)): _*)
   }
+
+  /** When-to-compact policy for the append-only engines — the scheduling
+    * half of ClickHouse's background merge / OPTIMIZE, which the
+    * reference leans on implicitly (its writers only ever INSERT and let
+    * the server merge, e.g. replacing_merge_tree.py). Two classic LSM
+    * triggers, either sufficient:
+    *
+    *   - `maxDeltaVersions`: read-time resolution unions every committed
+    *     delta, so the version count bounds both the file-listing cost
+    *     and the resolve fan-in under continuous ingest;
+    *   - `maxDeltaToBaseRatio`: compaction rewrites O(state) bytes, so it
+    *     must not run per batch — only once the accumulated deltas are a
+    *     meaningful fraction of the base does the rewrite amortize
+    *     (size-ratio policy; with no base yet, the count trigger rules).
+    *
+    * Pure decision over [[ParquetStateStore.versionStats]] — callers own
+    * the actual [[graft.run.Consume.compact]] call.
+    */
+  final case class CompactionPolicy(
+      maxDeltaVersions: Int = 8,
+      maxDeltaToBaseRatio: Double = 1.0)
+
+  def shouldCompact(stats: Seq[(Long, Long, Boolean)],
+                    policy: CompactionPolicy): Boolean = {
+    val (bases, deltas) = stats.partition(_._3)
+    val baseBytes = bases.map(_._2).sum
+    val deltaBytes = deltas.map(_._2).sum
+    deltas.size > policy.maxDeltaVersions ||
+      (baseBytes > 0 && deltaBytes > policy.maxDeltaToBaseRatio * baseBytes)
+  }
 }

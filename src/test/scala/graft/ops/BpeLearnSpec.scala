@@ -98,6 +98,30 @@ class BpeLearnSpec extends SparkSpec {
     }
   }
 
+  test("tier boundary: threshold exactly at / one below the vocab size " +
+    "flips the tier without changing the merge sequence") {
+    val rnd = new Random(99)
+    val words = (0 until 30).map { _ =>
+      (0 until 2 + rnd.nextInt(7)).map(_ => "abc"(rnd.nextInt(3))).mkString
+    }
+    val docs = rnd.shuffle(words.flatMap(w => Seq.fill(1 + rnd.nextInt(3))(w)))
+      .grouped(12).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    // the threshold compares against the DISTINCT word count — compute it
+    // with the same tokenizer bpeLearn uses
+    import org.apache.spark.sql.functions.{col, explode, lower}
+    val vocab = docs
+      .select(explode(graft.functions.CrossHash.tokens(lower(col("text")))).as("w"))
+      .distinct().count()
+    // == threshold → local tier (<=); one below → distributed tier
+    val local = CorpusOps.bpeLearn(docs, nMerges = 25, batch = 1,
+      localVocabThreshold = vocab)
+    val dist = CorpusOps.bpeLearn(docs, nMerges = 25, batch = 1,
+      localVocabThreshold = vocab - 1)
+    assert(local == dist, "tier flip at the boundary changed the merges")
+  }
+
   test("bpeLearn stops early when no pairs remain") {
     val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
     // every word is one char + </w>: exactly one merge family per word,

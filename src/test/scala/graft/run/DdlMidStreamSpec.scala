@@ -1,0 +1,99 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.model.Engine
+import graft.sink.ParquetStateStore
+import graft.streaming.EventSource
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** SURVEY §7.4 — mid-stream DDL vs the running query. Structured
+  * Streaming pins the plan (and so each table's value schema) at query
+  * start, so the engine's schema-change story is CLEAN RESTART: the DDL
+  * event is applied through the K4 sink, the query is stopped, and a new
+  * query starts from the SAME checkpoint with the widened TableSync.
+  * This spec drives that story end-to-end across a checkpoint boundary:
+  * ADD COLUMN, then DROP COLUMN, asserting post-ALTER row fidelity and
+  * that pre-ALTER state survives both transitions (ParquetStateStore
+  * reads with mergeSchema so mixed-generation versions coexist).
+  */
+class DdlMidStreamSpec extends SparkSpec {
+
+  private def ev(table: String, action: String, json: String, ts: Long): String = {
+    val seq = if (action == "delete") 1 else 2
+    val esc = json.replace("\"", "\\\"")
+    s"""{"schema":"db","table":"$table","action":"$action","values":"$esc","event_unixtime":$ts,"action_seq":$seq}"""
+  }
+  private def ddl(stmt: String, ts: Long): String =
+    s"""{"schema":"db","table":"t","action":"query","values":"$stmt","event_unixtime":$ts,"action_seq":0}"""
+
+  test("ADD COLUMN then DROP COLUMN across checkpoint restarts keeps row fidelity") {
+    val root = Files.createTempDirectory("ddlmid").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val v2 = v1.add(StructField("note", StringType))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // generation 1: two rows under (id, amount), then the ALTER arrives
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"amount":10.0}""", 100),
+      ev("t", "insert", """{"id":2,"amount":20.0}""", 110),
+      ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 120)
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds",
+      ddlSink = Some(sql => applied += sql))
+    q1.processAllAvailable(); q1.stop()
+
+    // the K4 sink saw the translated ALTER — the operator's restart signal
+    assert(applied.exists(_.contains("ADD COLUMNS")))
+
+    // generation 2: restart from the SAME checkpoint with the widened
+    // schema; new events carry the new column
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "insert", """{"id":3,"amount":30.0,"note":"new"}""", 200),
+      ev("t", "update", """{"id":1,"amount":11.0,"note":"upd"}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val q2 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val s2 = Consume.currentState(t2, store).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    // pre-ALTER row 2 survives with a null note; post-ALTER rows carry it
+    assert(s2 == Set(
+      (1L, 11.0, Some("upd")),
+      (2L, 20.0, None),
+      (3L, 30.0, Some("new"))))
+
+    // generation 3: DROP COLUMN arrives, restart narrowed — new events
+    // lack the column, mixed-generation state still resolves
+    Files.write(Paths.get(eventsDir, "b2.json"), Seq(
+      ddl("ALTER TABLE db.t DROP COLUMN note", 300),
+      ev("t", "insert", """{"id":4,"amount":40.0}""", 310)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q3 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds",
+      ddlSink = Some(sql => applied += sql))
+    q3.processAllAvailable(); q3.stop()
+    assert(applied.exists(_.contains("DROP COLUMN")))
+
+    val q4 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q4.processAllAvailable(); q4.stop()
+
+    val ids = Consume.currentState(t1, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(ids == Set((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.run
+
+import graft.SparkSpec
+import graft.model.Engine
+import graft.sink.ParquetStateStore
+import graft.streaming.EventSource
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** C3 dead-letter contract: a poisoned table's slice of a micro-batch is
+  * parked exactly once with error + batch id, healthy tables are
+  * unaffected, and a drain replays the parked batches through the normal
+  * apply path (original batch ids) and empties the queue.
+  */
+class DeadLetterSpec extends SparkSpec {
+
+  private val valueSchema = StructType(Seq(
+    StructField("id", LongType), StructField("amount", DoubleType)))
+
+  private def ev(table: String, action: String, id: Long, amount: Double,
+                 ts: Long): String = {
+    val seq = if (action == "delete") 1 else 2
+    s"""{"schema":"db","table":"$table","action":"$action","values":"{\\"id\\":$id,\\"amount\\":$amount}","event_unixtime":$ts,"action_seq":$seq}"""
+  }
+
+  test("poisoned table parks its slice; healthy table applies; drain replays and empties") {
+    val root = Files.createTempDirectory("dl").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+
+    val healthy = TableSync("db", "ok", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+    // PK column that doesn't exist → this table's apply throws every batch
+    // (MergeTree dedups per PK at apply time, so the bad key fails there)
+    val poisoned = TableSync("db", "bad", valueSchema, Seq("no_such_col"), Engine.MergeTree)
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("ok", "insert", 1, 10.0, 100),
+      ev("bad", "insert", 2, 20.0, 110),
+      ev("bad", "update", 2, 22.0, 120)).mkString("\n").getBytes("UTF-8"))
+
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(healthy, poisoned), stateRoot, s"$root/ckpt",
+      triggerInterval = "250 milliseconds", skipError = true,
+      deadLetter = Some(dl))
+    q.processAllAvailable(); q.stop()
+
+    // healthy table applied normally
+    val ok = Consume.currentState(healthy,
+      new ParquetStateStore(spark, s"$stateRoot/db/ok")).get
+    assert(ok.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // the poisoned table produced no state...
+    assert(new ParquetStateStore(spark, s"$stateRoot/db/bad").isEmpty)
+    // ...and its slice is parked with batch id + error, exactly once
+    val dead = dl.read("db", "bad").get.collect()
+    assert(dead.length == 2)
+    val d0 = dead.head
+    assert(d0.getAs[Long]("_batch_id") == 0L)
+    assert(d0.getAs[String]("_error").nonEmpty)
+    assert(dl.read("db", "ok").isEmpty)
+
+    // fix the config (correct PK) and drain: rows land in the table store
+    // under the ORIGINAL batch id, and the dead-letter queue empties
+    val fixed = poisoned.copy(pkCols = Seq("id"))
+    dl.drain(fixed, stateRoot)
+    val bad = Consume.currentState(fixed,
+      new ParquetStateStore(spark, s"$stateRoot/db/bad")).get
+    val rows = bad.select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((2L, 22.0)))
+    assert(dl.read("db", "bad").isEmpty)
+    // the replayed version carries the original batch id 0
+    assert(new ParquetStateStore(spark, s"$stateRoot/db/bad").latestVersion.contains(0L))
+  }
+
+  test("recording is idempotent per (table, batch): a replayed failure does not duplicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlidem").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val slice = Seq(("db", "t", "insert", """{"id":1}""", 100L, 2))
+      .toDF("schema", "table", "action", "values", "event_unixtime", "action_seq")
+    dl.record(slice, "db", "t", 7L, "boom")
+    dl.record(slice, "db", "t", 7L, "boom again") // foreachBatch retry
+    assert(dl.read("db", "t").get.count() == 1)
+  }
+
+  test("skipped DDL parks per schema and drains through the ddl runner") {
+    val root = Files.createTempDirectory("dlddl").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    dl.recordDdl("db", Seq(
+      ("ALTER TABLE db.t ADD COLUMN c INT", 100L, "sink down"),
+      ("ALTER TABLE db.t DROP COLUMN d", 200L, "sink down")), 3L)
+    assert(dl.read("db", "_ddl").get.count() == 2)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    dl.drainDdl("db", sql => ran += sql)
+    // both statements re-ran, in event order, and the queue emptied
+    assert(ran.length == 2 && ran.head.contains("ADD COLUMN"))
+    assert(dl.read("db", "_ddl").isEmpty)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.model.Engine
+import graft.run.{Consume, TableSync}
+import graft.sink.ParquetStateStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Golden-payload tests for the wal2json / Debezium envelope adapters
+  * (reference test philosophy: literal payload in, exact canonical rows
+  * out — tests/test_etl.py:11-36), plus an E2E from raw envelope JSON
+  * files through the streaming consume loop into engine state.
+  */
+class CdcEnvelopesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("schema", "table", "action", "values", "event_unixtime", "action_seq")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getInt(5))).toSeq
+
+  test("wal2json: insert / update / delete golden payloads") {
+    // the wal2json v1 document shape the reference consumes
+    // (synch/reader/postgres.py:70-126)
+    val ins =
+      """{"change":[{"kind":"insert","schema":"public","table":"test","columnnames":["id","amount","note"],"columnvalues":[1,1.50,"a b"]}]}"""
+    val upd =
+      """{"change":[{"kind":"update","schema":"public","table":"test","columnnames":["id","amount","note"],"columnvalues":[2,2.25,null],"oldkeys":{"keynames":["id"],"keyvalues":[1]}}]}"""
+    val del =
+      """{"change":[{"kind":"delete","schema":"public","table":"test","oldkeys":{"keynames":["id"],"keyvalues":[2]}}]}"""
+    val out = rows(CdcEnvelopes.wal2json(
+      Seq(ins, upd, del).toDF("json"), eventUnixtime = lit(1000L)))
+    // note: variant canonicalizes numbers (1.50 -> 1.5); map-built values
+    // keep the wal2json column order
+    assert(out == Seq(
+      ("public", "test", "insert", """{"id":1,"amount":1.5,"note":"a b"}""", 1000L, 2),
+      ("public", "test", "delete", """{"id":1}""", 1000L, 1),
+      ("public", "test", "insert", """{"id":2,"amount":2.25,"note":null}""", 1000L, 2),
+      ("public", "test", "delete", """{"id":2}""", 1000L, 1)))
+  }
+
+  test("wal2json: every element of a multi-change transaction is kept") {
+    // reference postgres.py:72 keeps only change[0]; the adapter must not
+    val two =
+      """{"change":[
+        |{"kind":"insert","schema":"s","table":"a","columnnames":["id"],"columnvalues":[1]},
+        |{"kind":"insert","schema":"s","table":"b","columnnames":["id"],"columnvalues":[2]}]}""".stripMargin.replace("\n", "")
+    val out = rows(CdcEnvelopes.wal2json(Seq(two).toDF("json"), eventUnixtime = lit(5L)))
+    assert(out.map(_._2) == Seq("a", "b"))
+  }
+
+  test("wal2json: update without oldkeys falls back to the new image; unknown kinds dropped") {
+    val upd =
+      """{"change":[{"kind":"update","schema":"s","table":"t","columnnames":["id","v"],"columnvalues":[3,30]}]}"""
+    val trunc = """{"change":[{"kind":"truncate","schema":"s","table":"t"}]}"""
+    val out = rows(CdcEnvelopes.wal2json(Seq(upd, trunc).toDF("json"), eventUnixtime = lit(5L)))
+    assert(out == Seq(
+      ("s", "t", "delete", """{"id":3,"v":30}""", 5L, 1),
+      ("s", "t", "insert", """{"id":3,"v":30}""", 5L, 2)))
+  }
+
+  test("debezium: c/u/d/r golden payloads, with and without the payload wrapper") {
+    val c =
+      """{"payload":{"before":null,"after":{"id":1,"amount":1.50},"source":{"db":"shop","table":"test"},"op":"c","ts_ms":1000}}"""
+    val u = // schemas-disabled converter: fields at the document root
+      """{"before":{"id":1,"amount":1.50},"after":{"id":1,"amount":9.75},"source":{"db":"shop","table":"test"},"op":"u","ts_ms":2000}"""
+    val d =
+      """{"payload":{"before":{"id":1,"amount":9.75},"after":null,"source":{"db":"shop","table":"test"},"op":"d","ts_ms":3000}}"""
+    val r =
+      """{"before":null,"after":{"id":2,"amount":0.10},"source":{"db":"shop","table":"test"},"op":"r","ts_ms":500}"""
+    val out = rows(CdcEnvelopes.debezium(Seq(c, u, d, r).toDF("json")))
+    // variant object images serialize with sorted keys and canonical numbers
+    assert(out == Seq(
+      ("shop", "test", "insert", """{"amount":1.5,"id":1}""", 1000000L, 2),
+      ("shop", "test", "delete", """{"amount":1.5,"id":1}""", 2000000L, 1),
+      ("shop", "test", "insert", """{"amount":9.75,"id":1}""", 2000000L, 2),
+      ("shop", "test", "delete", """{"amount":9.75,"id":1}""", 3000000L, 1),
+      ("shop", "test", "insert", """{"amount":0.1,"id":2}""", 500000L, 2)))
+  }
+
+  test("debezium: update with null before uses after for the delete half; truncate dropped") {
+    val u =
+      """{"before":null,"after":{"id":7,"v":70},"source":{"db":"s","table":"t"},"op":"u","ts_ms":10}"""
+    val t = """{"source":{"db":"s","table":"t"},"op":"t","ts_ms":11}"""
+    val out = rows(CdcEnvelopes.debezium(Seq(u, t).toDF("json")))
+    assert(out == Seq(
+      ("s", "t", "delete", """{"id":7,"v":70}""", 10000L, 1),
+      ("s", "t", "insert", """{"id":7,"v":70}""", 10000L, 2)))
+  }
+
+  test("E2E: Debezium envelope files stream through the consume loop into engine state") {
+    val root = Files.createTempDirectory("dbz").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val vs = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val tables = Seq(TableSync("shop", "test", vs, Seq("id"), Engine.ReplacingMergeTree))
+
+    def dbz(op: String, before: String, after: String, tsMs: Long): String =
+      s"""{"payload":{"before":$before,"after":$after,"source":{"db":"shop","table":"test"},"op":"$op","ts_ms":$tsMs}}"""
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      dbz("c", "null", """{"id":1,"amount":10.0}""", 1000),
+      dbz("c", "null", """{"id":2,"amount":20.0}""", 1100),
+      dbz("u", """{"id":1,"amount":10.0}""", """{"id":1,"amount":11.0}""", 1200),
+      dbz("d", """{"id":2,"amount":20.0}""", "null", 1300)
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val raw = spark.readStream.option("maxFilesPerTrigger", 10)
+      .text(eventsDir).select(col("value").as("json"))
+    val q = Consume.start(spark, CdcEnvelopes.debezium(raw), tables,
+      s"$root/state", s"$root/ckpt", triggerInterval = "250 milliseconds")
+    q.processAllAvailable(); q.stop()
+
+    val store = new ParquetStateStore(spark, s"$root/state/shop/test")
+    val state = Consume.currentState(tables.head, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(state == Set((1L, 11.0)))
+  }
+}
