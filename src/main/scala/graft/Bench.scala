@@ -105,6 +105,15 @@ object Bench {
     }.min
     val canaryStart = canary()
 
+    // Cumulative stop-the-world GC seconds — sampled around each query so
+    // a long-run measurement can attribute inflation to heap pressure
+    // from accumulated session state (the canary can't see this: its
+    // codegen class is cached from run start, and GC cost lands inside
+    // the victim query's own wall time)
+    import scala.jdk.CollectionConverters._
+    def gcSec(): Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
+
     val results = only.fold(headline)(s => headline.filter(s)).map { name =>
       val fn = SparkEntry.queries(name)
       def run(): Unit =
@@ -120,25 +129,29 @@ object Bench {
       // query runs repeatedly, with GC/AQE scheduling noise (measured
       // up to ±30% run-to-run) filtered out
       run()
+      val gc0 = gcSec()
       val dt = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }.min
+      val gcDt = gcSec() - gc0
       // a fatal executor error (OOM) stops the context asynchronously and
       // run()'s catch would then "time" every remaining query against a
       // dead session at ~0.01 s — fail the whole run instead of emitting
       // garbage (observed at sf10 under an undersized heap)
       if (spark.sparkContext.isStopped)
         sys.error(s"SparkContext died during '$name' — aborting bench")
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s  (gc $gcDt%5.2f s/2)")
+      name -> (dt, gcDt)
     }
     val canaryEnd = canary()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd}""")
+    val gcs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"gc_sec_by_query":$gcs}""")
     spark.stop()
   }
 }

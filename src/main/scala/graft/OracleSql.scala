@@ -83,6 +83,13 @@ object OracleSql {
   def lcgUnit(idx: String): String =
     s"(CAST((1103515245*($idx)+12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)"
 
+  /** The sorted-neighborhood projection of `vec`: cosine against the
+    * fixed LCG direction at [[graft.ops.DedupOps.SortDirBase]] — the
+    * rank key of the bounded embedding pair generators. */
+  def sortProj(vec: String, dims: Int): String =
+    cosine(vec,
+      s"list_transform(range(0, $dims), d -> ${lcgUnit("987654321 + d")})")
+
   /** LSH bucket of `vec` via deterministic LCG hyperplanes. */
   def lshBucket(vec: String, planes: Int, dims: Int): String = {
     val dot =

@@ -661,8 +661,13 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashPairs(t(s, dir, "documents"), maxHamming = 3, bands = 4)),
 
+    // maxPrev=64: label is fixed-cardinality, so in-block all-pairs is
+    // quadratic (sf10 measured 13.5x for 10x data — embeddings grow 4x
+    // per 10x, i.e. ~quadratic in vectors); the sorted-neighborhood rank
+    // window bounds it at O(n·64), mirrored in the oracle
     "dedup_embedding" -> ((s, dir) =>
-      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.35)),
+      DedupOps.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.35,
+        maxPrev = 64)),
 
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -703,14 +708,21 @@ object SparkEntry {
         k = 10, nlist = 4, nprobe = 2, iters = 2, scale = 512)
     }),
 
+    // same sorted-neighborhood bound as dedup_embedding: 16 fixed LSH
+    // buckets collapse tight clusters whole, so in-bucket pairs were
+    // quadratic in vectors (sf10: 14.3x for 10x data) — capped at O(n·64)
     "dedup_embedding_lsh" -> ((s, dir) =>
-      DedupOps.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3)),
+      DedupOps.embeddingNearDupLsh(t(s, dir, "embeddings"), threshold = 0.3,
+        maxPrev = 64)),
 
     // SemDeDup: cluster-blocked semantic dedup — keep the first example
-    // of each in-cluster near-duplicate family (fixed LCG quantizer)
+    // of each in-cluster near-duplicate family (fixed LCG quantizer).
+    // maxPrev=64 bounds the in-cell pair check the same way: tight
+    // clusters collapse into one LCG cell at any nlist, so the exact
+    // in-cell check is quadratic in vectors (sf10: 12.5x for 10x data)
     "dedup_semantic" -> ((s, dir) =>
       DedupOps.semDedup(t(s, dir, "embeddings"), threshold = 0.3,
-        nlist = 8, dims = 64)),
+        nlist = 8, dims = 64, maxPrev = 64)),
 
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents"), k = 5)),
@@ -1032,11 +1044,16 @@ object SparkEntry {
     // Cross-corpus near-dup: the batch (every 3rd doc) is screened against
     // the ingested corpus (80% of docs) — LSH candidates across sides
     // only, exact Jaccard verification; overlap docs surface as
-    // jaccard=1.0 self-matches.
+    // jaccard=1.0 self-matches. maxBucket=64 drops giant corpus band
+    // buckets (exact-dup families — [[DedupOps.incremental]]'s job), the
+    // same cap dedup_minhash_pairs carries: uncapped, the sf10 rehearsal
+    // measured this query 38x for 10x data (corpus dup families grow
+    // linearly, so batch-side hits against them grow super-linearly).
     "dedup_incremental_near" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DedupOps.incrementalNearLsh(docs.filter(col("doc_id") % 3 === 0),
-        docs.filter(col("doc_id") % 10 < 8), threshold = 0.0)
+        docs.filter(col("doc_id") % 10 < 8), threshold = 0.0,
+        maxBucket = 64)
     }),
 
     // Recurring-crawl dedup: 80% of docs (doc_id % 10 < 8) are the
@@ -1855,11 +1872,21 @@ object SparkEntry {
          |FROM pairs WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin
     },
 
+    // rank-window mirror: rn per label by (projection, id); a pair
+    // qualifies when the ranks are within 64 — the sorted-neighborhood
+    // bound the Spark side applies via its banded responsibility join
     "dedup_embedding" -> {
       val cos = OracleSql.cosine("a.embedding", "b.embedding")
-      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, round($cos, 6) AS cos
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
+      s"""WITH rk AS (
+         |  SELECT vec_id, label, embedding,
+         |         row_number() OVER (PARTITION BY label
+         |           ORDER BY ${OracleSql.sortProj("embedding", 64)} ASC,
+         |                    vec_id ASC) AS rn
+         |  FROM embeddings)
+         |SELECT least(a.vec_id, b.vec_id) AS id1,
+         |       greatest(a.vec_id, b.vec_id) AS id2, round($cos, 6) AS cos
+         |FROM rk a JOIN rk b
+         |  ON a.label = b.label AND a.rn < b.rn AND a.rn >= b.rn - 64
          |WHERE $cos >= 0.35""".stripMargin
     },
 
@@ -1989,9 +2016,17 @@ object SparkEntry {
       val cos = OracleSql.cosine("a.embedding", "b.embedding")
       s"""WITH eb AS (SELECT vec_id, embedding,
          |            ${OracleSql.lshBucket("embedding", 4, 64)} AS bucket
-         |            FROM embeddings)
-         |SELECT a.vec_id AS id1, b.vec_id AS id2, round($cos, 6) AS cos
-         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |            FROM embeddings),
+         |rk AS (
+         |  SELECT vec_id, bucket, embedding,
+         |         row_number() OVER (PARTITION BY bucket
+         |           ORDER BY ${OracleSql.sortProj("embedding", 64)} ASC,
+         |                    vec_id ASC) AS rn
+         |  FROM eb)
+         |SELECT least(a.vec_id, b.vec_id) AS id1,
+         |       greatest(a.vec_id, b.vec_id) AS id2, round($cos, 6) AS cos
+         |FROM rk a JOIN rk b
+         |  ON a.bucket = b.bucket AND a.rn < b.rn AND a.rn >= b.rn - 64
          |WHERE $cos >= 0.3""".stripMargin
     },
 
@@ -2008,9 +2043,16 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
          |    FROM embeddings e, cents c) WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, embedding, cid,
+         |         row_number() OVER (PARTITION BY cid
+         |           ORDER BY ${OracleSql.sortProj("embedding", 64)} ASC,
+         |                    vec_id ASC) AS srn
+         |  FROM asgn),
          |drp AS (
-         |  SELECT DISTINCT a.vec_id FROM asgn a JOIN asgn b
-         |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  SELECT DISTINCT greatest(a.vec_id, b.vec_id) AS vec_id
+         |  FROM rk a JOIN rk b
+         |    ON a.cid = b.cid AND a.srn < b.srn AND a.srn >= b.srn - 64
          |  WHERE $cosPair >= 0.3)
          |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
          |FROM asgn a LEFT JOIN drp d USING (vec_id)""".stripMargin
@@ -2788,9 +2830,13 @@ object SparkEntry {
          |sigs AS (SELECT doc_id, sh, ${OracleSql.minhash(8)} AS mh FROM sh0),
          |expl AS (SELECT doc_id, CAST(t.b AS INT) AS band_idx, bl[CAST(t.b AS INT)+1] AS bucket
          |         FROM (SELECT doc_id, ${OracleSql.bands(4, 2)} AS bl FROM sigs), range(0,4) t(b)),
+         |ckeep AS (SELECT band_idx, bucket FROM expl WHERE doc_id % 10 < 8
+         |          GROUP BY 1, 2 HAVING count(*) <= 64),
          |pairs AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
          |          FROM expl a JOIN expl b
          |            ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         |          JOIN ckeep k
+         |            ON b.band_idx = k.band_idx AND b.bucket = k.bucket
          |          WHERE a.doc_id % 3 = 0 AND b.doc_id % 10 < 8),
          |j AS (SELECT p.batch_id, p.corpus_id, x.sh AS s1, y.sh AS s2
          |      FROM pairs p JOIN sh0 x ON x.doc_id = p.batch_id

@@ -607,22 +607,90 @@ object DedupOps {
     ((h - pmod(h, p)) / p).cast("long")
   }
 
+  /** Index base of the sorted-neighborhood projection direction in the
+    * shared LCG space — far past any (plane·dims + dim) or
+    * (centroid·dims + dim) index either LSH or the coarse quantizer can
+    * reach, so the direction is independent of both. */
+  private[ops] val SortDirBase = 987654321L
+
+  /** The fixed unit-free LCG direction sorted-neighborhood ranks against
+    * (dyadic rationals — an external engine derives the identical vector
+    * from the formula alone, like the LSH planes and IVF centroids). */
+  private def sortDirection(dims: Int): Seq[Double] =
+    (0 until dims).map(d => graft.functions.LshBucketExpr.hyperplane(SortDirBase + d))
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    * sorted-neighborhood blocking, adapted to embeddings): within each
+    * block, rows are ranked by cosine against a fixed LCG direction —
+    * near-duplicate vectors project to near-equal values and land on
+    * adjacent ranks — and each row pairs only with the `maxPrev` rows
+    * ranked immediately before it.
+    *
+    * This is the bound that makes FIXED-cardinality blocks (labels,
+    * coarse quantizer cells, LSH buckets) safe at scale: tight clusters
+    * collapse into one block at any quantizer resolution, so in-block
+    * all-pairs is quadratic no matter how nlist/planes are sized; the
+    * rank window caps work at O(n·maxPrev) regardless of the block-size
+    * distribution, and concentrates the budget exactly where near-dups
+    * sit (adjacent projections). The sf10 rehearsal measured the
+    * uncapped forms at 12–14× for 10× data; capped they are linear.
+    *
+    * Banded responsibility join: the later row explodes to its own and
+    * the previous rank band (band width = maxPrev); the earlier row sits
+    * in exactly one of those, so each pair meets exactly once — no
+    * dedup pass. Returns the a/b-aliased join (a = earlier rank).
+    *
+    * The per-block `row_number` keeps each block in one task — fine for
+    * any block that fits a partition; past that, swap the rank for the
+    * distributed bucket-prefix-sum ranking used by
+    * [[CorpusOps.selectByBudget]] (same contract, no single-task block).
+    */
+  private def sortedNeighborhoodPairs(e: DataFrame, blockCol: String,
+                                      idCol: String, vecCol: String,
+                                      dims: Int, maxPrev: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPrev > 0, s"maxPrev ($maxPrev) must be positive")
+    val rn = row_number().over(
+      Window.partitionBy(col(blockCol))
+        .orderBy(cosine(col(vecCol), typedLit(sortDirection(dims))), col(idCol)))
+    val r = e.withColumn("_rn", rn)
+    val band = floor(col("_rn") / maxPrev)
+    val lo = r.withColumn("_band", band)
+    val hi = r.withColumn("_band", explode(array(band, band - 1)))
+    lo.as("a").join(hi.as("b"),
+      col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a._band") === col("b._band") &&
+        col("a._rn") < col("b._rn") &&
+        col("a._rn") >= col("b._rn") - maxPrev)
+  }
+
   /** Embedding near-duplicates blocked by random-hyperplane LSH bucket —
     * the label-free form of [[embeddingNearDup]]: the bucket is computed
     * from the vector itself, so no external clustering key is needed and
     * the pair join stays an equi-join on the bucket id.
+    *
+    * `maxPrev` bounds in-bucket work by sorted-neighborhood rank window
+    * (see [[sortedNeighborhoodPairs]]); the default keeps the exact
+    * all-in-bucket-pairs contract.
     */
   def embeddingNearDupLsh(embs: DataFrame, threshold: Double, planes: Int = 4,
                           dims: Int = 64, idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding",
+                          maxPrev: Int = Int.MaxValue): DataFrame = {
     val withBucket = embs.select(col(idCol), col(vecCol),
       SimilarityOps.lshBucket(col(vecCol), planes, dims).as("_bucket"))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a._bucket") === col("b._bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    val joined =
+      if (maxPrev == Int.MaxValue)
+        withBucket.as("a").join(withBucket.as("b"),
+          col("a._bucket") === col("b._bucket") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+      else sortedNeighborhoodPairs(withBucket, "_bucket", idCol, vecCol,
+        dims, maxPrev)
+    joined
       .withColumn("cos", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .filter(col("cos") >= threshold)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id2"),
         round(col("cos"), 6).as("cos"))
   }
 
@@ -650,15 +718,26 @@ object DedupOps {
     */
   def semDedup(embs: DataFrame, threshold: Double, nlist: Int = 8,
                dims: Int = 64, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               maxPrev: Int = Int.MaxValue): DataFrame = {
     val cents = SimilarityOps.lcgCentroids(nlist, dims)
     val assigned = embs.select(col(idCol), col(vecCol),
       SimilarityOps.nearestCentroid(col(vecCol), cents).as("cid"))
-    val dropped = assigned.as("a").join(assigned.as("b"),
-        col("a.cid") === col("b.cid") && col(s"b.$idCol") < col(s"a.$idCol"))
-      .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
-      .select(col(s"a.$idCol").as(idCol))
-      .distinct()
+    // a row drops when a LOWER-id mate within threshold exists (the
+    // paper's example order); under the rank window only window-mates
+    // are checked, so the higher-id side of each qualifying pair drops
+    val dropped = (
+      if (maxPrev == Int.MaxValue)
+        assigned.as("a").join(assigned.as("b"),
+            col("a.cid") === col("b.cid") &&
+              col(s"b.$idCol") < col(s"a.$idCol"))
+          .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+          .select(col(s"a.$idCol").as(idCol))
+      else
+        sortedNeighborhoodPairs(assigned, "cid", idCol, vecCol, dims, maxPrev)
+          .filter(cosine(col(s"a.$vecCol"), col(s"b.$vecCol")) >= threshold)
+          .select(greatest(col(s"a.$idCol"), col(s"b.$idCol")).as(idCol))
+      ).distinct()
     assigned
       .join(dropped.withColumn("_dup", lit(1)), Seq(idCol), "left")
       .select(col(idCol), col("cid"), col("_dup").isNull.as("keep"))
@@ -667,17 +746,29 @@ object DedupOps {
   /** Embedding near-duplicates: cosine ≥ threshold within blocking key
     * `blockCol` (e.g. a coarse cluster/label or LSH bucket) — the blocked
     * form of brute-force pair generation.
+    *
+    * `blockCol` cardinality is a DATA property, not a tuning knob — a
+    * fixed-cardinality key (labels) makes in-block all-pairs quadratic;
+    * pass `maxPrev` to bound it by sorted-neighborhood rank window
+    * ([[sortedNeighborhoodPairs]], O(n·maxPrev)). The default keeps the
+    * exact all-in-block-pairs contract.
     */
   def embeddingNearDup(embs: DataFrame, threshold: Double,
                        blockCol: String = "label", idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding", dims: Int = 64,
+                       maxPrev: Int = Int.MaxValue): DataFrame = {
     val e = embs.select(col(idCol), col(blockCol), col(vecCol))
-    e.as("a").join(e.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    val joined =
+      if (maxPrev == Int.MaxValue)
+        e.as("a").join(e.as("b"),
+          col(s"a.$blockCol") === col(s"b.$blockCol") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+      else sortedNeighborhoodPairs(e, blockCol, idCol, vecCol, dims, maxPrev)
+    joined
       .withColumn("cos", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
       .filter(col("cos") >= threshold)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("id1"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("id2"),
         round(col("cos"), 6).as("cos"))
   }
 }

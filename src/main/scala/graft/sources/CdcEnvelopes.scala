@@ -114,7 +114,15 @@ object CdcEnvelopes {
     */
   def debezium(df: DataFrame, jsonCol: String = "json",
                fallbackUnixtime: Column = unix_micros(current_timestamp())): DataFrame = {
-    val m = from_json(col(jsonCol), lit(debeziumSchema))
+    // Parse ONCE into its own projection: every output column reads a
+    // field of `m`, and from_json is not "cheap", so CollapseProject will
+    // not inline the multiply-referenced alias back into the consumers —
+    // without this the Generate stage re-parsed the document per field
+    // reference (measured 3.9x this adapter's cost at every scale).
+    val parsed = df.select(
+      from_json(col(jsonCol), lit(debeziumSchema)).as("m"),
+      fallbackUnixtime.as("_fb"))
+    val m = col("m")
     def pick(f: String): Column = coalesce(m("payload")(f), m(f))
     val before = pick("before"); val after = pick("after")
     // a JSON `"before": null` parses as a variant-null, not a SQL NULL —
@@ -130,10 +138,10 @@ object CdcEnvelopes {
       .when(op === "u", array(del, ins))
       .when(op === "d", array(del))
       .otherwise(array().cast("array<struct<action string, values string, action_seq int>>"))
-    df.select(
+    parsed.select(
         coalesce(pick("source")("db"), lit("")).as("schema"),
         pick("source")("table").as("table"),
-        coalesce(pick("ts_ms") * 1000L, fallbackUnixtime).as("event_unixtime"),
+        coalesce(pick("ts_ms") * 1000L, col("_fb")).as("event_unixtime"),
         explode(halves).as("h"))
       .select(col("schema"), col("table"), col("h.action").as("action"),
         col("h.values").as("values"), col("event_unixtime"),

@@ -465,6 +465,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.values.forall(r => r._2 >= 0 && r._2 < 2), "cid within nlist")
   }
 
+  test("sorted-neighborhood window: covers the block when wide, adjacency when narrow") {
+    // 6 near-identical vectors (one dup family) + 1 orthogonal, all in
+    // arbitrary id order — the projection ranks the family adjacently,
+    // so even maxPrev=1 must find a chain through the whole family
+    val mk = (eps: Float) => Seq(1f, eps, 0f, 0f)
+    val family = Seq(40L, 7L, 23L, 91L, 2L, 55L).zipWithIndex.map {
+      case (id, i) => (id, mk(i * 1e-4f))
+    }
+    val embs = (family :+ (77L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // a window at least as wide as the block == the exact all-pairs form
+    val exact = DedupOps.embeddingNearDup(embs, threshold = 0.99,
+        blockCol = "vec_id", idCol = "vec_id", dims = 4)
+    val wide = DedupOps.embeddingNearDup(embs, threshold = 0.99,
+        blockCol = "vec_id", idCol = "vec_id", dims = 4, maxPrev = 100)
+    assert(exact.collect().toSet == wide.collect().toSet)
+    // semDedup with maxPrev=1: adjacent-rank chain still drops every
+    // family member except the lowest id reachable through the chain —
+    // here projections are monotone in eps, so each drops against its
+    // rank predecessor wherever the predecessor has the lower id
+    val out = DedupOps.semDedup(embs, threshold = 0.999, nlist = 2,
+        dims = 4, maxPrev = 6)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(77L), "orthogonal singleton survives")
+    assert(out(2L), "lowest family id survives")
+    assert(Seq(40L, 7L, 23L, 91L, 55L).forall(id => !out(id)),
+      "every other family member drops inside the window")
+  }
+
   test("unigramLogProb: exact NLL on a known fixture, split-invariant, empty doc kept") {
     // counts: a=3, b=1, c=1, total=5
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")

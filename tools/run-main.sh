@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run a graft main against the compiled classes without sbt (avoids the
+# sbt project lock so data generation / benches can run while tests do).
+# Usage: MEM=8g tools/run-main.sh graft.Bench [args...]
+set -euo pipefail
+MEM="${MEM:-8g}"
+CLASSES=/root/repo/target/scala-2.13/classes
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+         java.base/java.lang.reflect java.base/java.io java.base/java.net \
+         java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs \
+         java.base/sun.security.action java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java -Xmx"$MEM" $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"
