@@ -564,29 +564,26 @@ object TextOps {
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    def counted(expl: Column) = docs.select(col(idCol), explode(expl).as("t"))
-      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
-    val words = counted(tokens(lower(col(textCol))))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_words"), max(col("c")).as("_topw"))
-    // native non-distinct bigram pass (same "a b" gram strings as
-    // shingles(tokens(...), 2), one codegen loop instead of an
-    // interpreted transform per row)
-    val bigrams = counted(wordGramsAll(lower(col(textCol)), 2))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("_topb"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("_dupb"))
+    // one fused compiled pass per document (native RepStatsExpr) — the
+    // former explode → groupBy(doc, term) chains shuffled every token
+    // and bigram occurrence (two exchanges of ~50× the document count);
+    // this is map-only, zero exchanges, same counts term-for-term
+    val st = {
+      import org.apache.spark.sql.graftshim.ColumnBridge
+      ColumnBridge.column(graft.functions.RepStatsExpr(
+        ColumnBridge.expression(lower(col(textCol)))))
+    }
     def frac(num: Column, den: Column) =
       round(num.cast("double") / greatest(den, lit(1L)), 6)
-    docs.select(col(idCol))
-      .join(words, Seq(idCol), "left")
-      .join(bigrams, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_words", "_topw", "n_bigrams", "_topb", "_dupb"))
-      .select(col(idCol), col("n_words"),
-        frac(col("_topw"), col("n_words")).as("top_word_frac"),
-        col("n_bigrams"),
-        frac(col("_topb"), col("n_bigrams")).as("top_bigram_frac"),
-        frac(col("_dupb"), col("n_bigrams")).as("dup_bigram_frac"))
+    // NULL text → NULL struct → all-zero counts, matching the join form's
+    // left-join + na.fill(0)
+    def f(n: String) = coalesce(col(s"_st.$n"), lit(0L))
+    docs.select(col(idCol), st.as("_st"))
+      .select(col(idCol), f("n_words").as("n_words"),
+        frac(f("top_w"), f("n_words")).as("top_word_frac"),
+        f("n_bigrams").as("n_bigrams"),
+        frac(f("top_b"), f("n_bigrams")).as("top_bigram_frac"),
+        frac(f("dup_b"), f("n_bigrams")).as("dup_bigram_frac"))
   }
 
   /** Fixed-token-window chunking with stride overlap — the context-window
