@@ -58,7 +58,7 @@ object Bench {
     "dedup_edit_verify", "ann_ivf_trained_topk", "multimodal_meta_codec",
     "corpus_chunk", "text_bm25", "sketch_heavy_hitters",
     "session_attribution", "graph_pagerank",
-    "envelope_wal2json", "envelope_debezium")
+    "envelope_wal2json", "envelope_debezium", "ann_ivfpq_trained_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,8 +48,20 @@ object RecallReport {
           nlist = 4, nprobe = 2, iters = 2, scale = 512)),
       ("pq", "m=8 ncode=16",
         () => SimilarityOps.pqTopK(queries, emb, k)),
+      ("pq_trained", "m=8 ncode=16 iters=2",
+        () => SimilarityOps.pqTopKTrainedInt(queries, emb, k,
+          m = 8, ncode = 16, iters = 2, scale = 512)),
       ("ivfpq", "nlist=8 nprobe=2 m=8",
-        () => SimilarityOps.ivfPqTopK(queries, emb, k)))
+        () => SimilarityOps.ivfPqTopK(queries, emb, k)),
+      ("ivfpq_res_32b", "nlist=16 nprobe=4 m=8 ncode=16 iters=3",
+        () => SimilarityOps.ivfPqTopKTrainedInt(queries, emb, k,
+          nlist = 16, nprobe = 4, m = 8, ncode = 16, iters = 3)),
+      ("ivfpq_res_64b", "nlist=16 nprobe=4 m=8 ncode=256 iters=3",
+        () => SimilarityOps.ivfPqTopKTrainedInt(queries, emb, k,
+          nlist = 16, nprobe = 4, m = 8, ncode = 256, iters = 3)),
+      ("ivfpq_res_128b", "nlist=16 nprobe=4 m=16 ncode=256 iters=3",
+        () => SimilarityOps.ivfPqTopKTrainedInt(queries, emb, k,
+          nlist = 16, nprobe = 4, m = 16, ncode = 256, iters = 3)))
 
     val rows = variants.map { case (name, params, fn) =>
       val r = recall(fn())

@@ -708,6 +708,19 @@ object SparkEntry {
         k = 10, nlist = 4, nprobe = 2, iters = 2, scale = 512)
     }),
 
+    // residual IVF-PQ with BOTH quantizers trained (integer Lloyd coarse
+    // + per-subspace residual codebooks), oracle-gated end-to-end: the
+    // coarse training, residual book training, encoding, probe and ADC
+    // ranking are all exact integer arithmetic, so the oracle unrolls
+    // the whole build in SQL (subspaces as data — one assign/update CTE
+    // pair per Lloyd round covers all 8 books)
+    "ann_ivfpq_trained_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfPqTopKTrainedInt(emb.filter(col("vec_id") < 8), emb,
+        k = 10, nlist = 4, nprobe = 2, m = 8, ncode = 16, iters = 2,
+        scale = 512)
+    }),
+
     // same sorted-neighborhood bound as dedup_embedding: 16 fixed LSH
     // buckets collapse tight clusters whole, so in-bucket pairs were
     // quadratic in vectors (sf10: 14.3x for 10x data) — capped at O(n·64)
@@ -2009,6 +2022,105 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, dist,
          |         row_number() OVER (PARTITION BY query_id
          |           ORDER BY dist ASC, neighbor_id ASC) AS rank
+         |  FROM j) WHERE rank <= 10""".stripMargin
+    },
+
+    "ann_ivfpq_trained_topk" -> {
+      // the full residual IVF-PQ build replayed in SQL: coarse integer
+      // Lloyd (same CTEs as ann_ivf_trained_topk), integer residuals,
+      // per-subspace book training with SUBSPACES AS DATA (s = 0..7
+      // rides every row, so one assign/update pair per round trains all
+      // 8 books), then probe + ADC ranking. All arithmetic is exact
+      // integer; ties break (dist, cid) / (dist, code) like the engine.
+      def d64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def d8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def asgn(src: String, cents: String) =
+        s"""SELECT vec_id, cv, cid FROM (
+           |    SELECT c.vec_id, c.cv, s.cid,
+           |           row_number() OVER (PARTITION BY c.vec_id
+           |             ORDER BY ${d64("c.cv", "s.cv")} ASC, s.cid ASC) AS rn
+           |    FROM $src c, $cents s) WHERE rn = 1""".stripMargin
+      def step(asgnName: String, prev: String) =
+        s"""SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+           |    FROM (SELECT cid, i, sum(cv[i]) AS s, count(*) AS n
+           |          FROM $asgnName, range(1, 65) t(i) GROUP BY cid, i)
+           |    GROUP BY cid) mm USING (cid)""".stripMargin
+      // per-(vec, subspace) argmin code against books `bk`
+      def passign(src: String, bk: String) =
+        s"""SELECT vec_id, s, sv, code FROM (
+           |    SELECT r.vec_id, r.s, r.sv, b.code,
+           |           row_number() OVER (PARTITION BY r.vec_id, r.s
+           |             ORDER BY ${d8("r.sv", "b.bv")} ASC, b.code ASC) AS rn
+           |    FROM $src r JOIN $bk b ON b.s = r.s) WHERE rn = 1""".stripMargin
+      // floor-div mean update per (s, code, d); empty codes keep bv
+      def pstep(asgnName: String, prev: String) =
+        s"""SELECT p.s, p.code, COALESCE(mm.bv, p.bv) AS bv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT s, code, list((sm - ((sm % n) + n) % n) // n ORDER BY d) AS bv
+           |    FROM (SELECT s, code, d, sum(sv[d]) AS sm, count(*) AS n
+           |          FROM $asgnName, range(1, 9) t(d) GROUP BY s, code, d)
+           |    GROUP BY s, code) mm USING (s, code)""".stripMargin
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 512) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, cv
+         |  FROM (SELECT * FROM codes ORDER BY vec_id LIMIT 4)),
+         |a0 AS (${asgn("codes", "seed")}),
+         |c1 AS (${step("a0", "seed")}),
+         |a1 AS (${asgn("codes", "c1")}),
+         |c2 AS (${step("a1", "c1")}),
+         |a2 AS (${asgn("codes", "c2")}),
+         |res AS (
+         |  SELECT a.vec_id, a.cid,
+         |         list_transform(range(1, 65), i -> a.cv[i] - c.cv[i]) AS rv
+         |  FROM a2 a JOIN c2 c USING (cid)),
+         |rsl AS (
+         |  SELECT vec_id, CAST(t.s AS INT) AS s,
+         |         list_transform(range(1, 9), d -> rv[t.s * 8 + d]) AS sv
+         |  FROM res, range(0, 8) t(s)),
+         |b0 AS (
+         |  SELECT CAST(t.s AS INT) AS s,
+         |         CAST(row_number() OVER (PARTITION BY t.s ORDER BY vec_id) - 1 AS INT) AS code,
+         |         list_transform(range(1, 9), d -> rv[t.s * 8 + d]) AS bv
+         |  FROM (SELECT * FROM res ORDER BY vec_id LIMIT 16), range(0, 8) t(s)),
+         |pa0 AS (${passign("rsl", "b0")}),
+         |b1 AS (${pstep("pa0", "b0")}),
+         |pa1 AS (${passign("rsl", "b1")}),
+         |b2 AS (${pstep("pa1", "b1")}),
+         |pa2 AS (${passign("rsl", "b2")}),
+         |lists AS (
+         |  SELECT p.vec_id AS neighbor_id, r.cid, p.s, p.code
+         |  FROM pa2 p JOIN res r USING (vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT c.vec_id, s.cid,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${d64("c.cv", "s.cv")} ASC, s.cid ASC) AS rn
+         |    FROM (SELECT * FROM codes WHERE vec_id < 8) c, c2 s) WHERE rn <= 2),
+         |qrsl AS (
+         |  SELECT p.query_id, p.cid, CAST(t.s AS INT) AS s,
+         |         list_transform(range(1, 9), d -> q.cv[t.s * 8 + d] - cc.cv[t.s * 8 + d]) AS sv
+         |  FROM probes p
+         |  JOIN codes q ON q.vec_id = p.query_id
+         |  JOIN c2 cc ON cc.cid = p.cid, range(0, 8) t(s)),
+         |j AS (
+         |  SELECT q.query_id, l.neighbor_id,
+         |         CAST(sum(${d8("q.sv", "b.bv")}) AS BIGINT) AS adc
+         |  FROM qrsl q
+         |  JOIN lists l ON l.cid = q.cid AND l.s = q.s
+         |              AND l.neighbor_id <> q.query_id
+         |  JOIN b2 b ON b.s = l.s AND b.code = l.code
+         |  GROUP BY q.query_id, l.neighbor_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc ASC, neighbor_id ASC) AS rank
          |  FROM j) WHERE rank <= 10""".stripMargin
     },
 

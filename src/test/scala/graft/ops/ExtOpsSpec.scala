@@ -106,6 +106,49 @@ class ExtOpsSpec extends SparkSpec {
     assert(hits > 0, "IVF should recall at least one true neighbor")
   }
 
+  test("residual IVF-PQ: deterministic, ranked, and recalls true neighbors") {
+    val emb = Tables(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < 4)
+    def run() = SimilarityOps.ivfPqTopKTrainedInt(qs, emb, k = 5,
+      nlist = 4, nprobe = 2, m = 8, ncode = 16, iters = 2)
+    val a = run().collect()
+    val b = run().collect()
+    // training + encoding are order-independent integer arithmetic, so
+    // two independent builds must be bit-identical
+    assert(a.toSeq == b.toSeq)
+    val byQuery = a.groupBy(_.getLong(0))
+    assert(byQuery.size == 4)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val adcs = rows.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(adcs.zip(adcs.tail).forall { case (x, y) => x <= y })
+    }
+    val brute = SimilarityOps.bruteForceTopK(qs, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = a.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hits > 0, "residual IVF-PQ should recall at least one true neighbor")
+  }
+
+  test("trained PQ encode/tabs: argmin codes, tie to lowest, degenerate zeros") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // m=2 subspaces of sub=2 dims, ncode=2: books laid out
+    // [(s*ncode+c)*sub+d] — subspace 0 centroids (0,0)/(10,10),
+    // subspace 1 centroids (5,5)/(5,5) (exact tie -> code 0)
+    val books = Array[Long](0, 0, 10, 10, 5, 5, 5, 5)
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    val codes = graft.functions.PqTrainedExprs.encode(arr(9, 9, 7, 7), books, 2, 2, 2)
+    assert(codes.toIntArray().toSeq == Seq(1, 0))
+    val tabs = graft.functions.PqTrainedExprs.tabs(arr(9, 9, 7, 7), books, 2, 2, 2)
+    val t0 = tabs.getArray(0).toLongArray().toSeq
+    val t1 = tabs.getArray(1).toLongArray().toSeq
+    assert(t0 == Seq(81L + 81L, 1L + 1L) && t1 == Seq(4L + 4L, 4L + 4L))
+    // wrong-length input -> all-zero codes and tables
+    assert(graft.functions.PqTrainedExprs.encode(arr(1, 2, 3), books, 2, 2, 2)
+      .toIntArray().toSeq == Seq(0, 0))
+    assert(graft.functions.PqTrainedExprs.tabs(arr(1, 2, 3), books, 2, 2, 2)
+      .getArray(0).toLongArray().toSeq == Seq(0L, 0L))
+  }
+
   test("trained-int IVF: probing every list equals exact integer brute force") {
     val emb = Tables(spark, sf, "embeddings")
     val qs = emb.filter(col("vec_id") < 4)
