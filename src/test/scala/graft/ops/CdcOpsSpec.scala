@@ -60,6 +60,20 @@ class CdcOpsSpec extends SparkSpec {
     assert(aRanks == aRanks.sortBy(r => (if (r._1 == "delete") 1 else 2, r._2)))
   }
 
+  test("A4 applyOrderDistributed equals the window form exactly") {
+    val split = CdcOps.splitUpdates(events)
+    val win = CdcOps.applyOrder(split,
+      orderCols = Seq("event_unixtime", "pk"))
+    val dist = CdcOps.applyOrderDistributed(split,
+      orderCols = Seq("event_unixtime", "pk"), nBuckets = 3)
+    assert(win.exceptAll(dist).isEmpty && dist.exceptAll(win).isEmpty)
+    assert(win.columns.toSeq == dist.columns.toSeq)
+    // empty input keeps the schema (and produces no rows)
+    val empty = CdcOps.applyOrderDistributed(split.filter(lit(false)),
+      orderCols = Seq("event_unixtime", "pk"))
+    assert(empty.count() == 0 && empty.columns.contains("apply_rank"))
+  }
+
   test("T4 splitUpdates passes DDL query events through untouched") {
     val withDdl = Seq(
       ("db", "a", "insert", 1L, 100L, 2),
