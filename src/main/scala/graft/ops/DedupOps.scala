@@ -349,6 +349,16 @@ object DedupOps {
     * from candidate generation, bounding the self-join at O(n·maxBucket)
     * instead of the cluster's n². At corpus scale, route such clusters to
     * [[exactByDigest]] first — they are exact-dup families, not near-dups.
+    *
+    * Plan note: unlike [[containmentPairs]], the verify legs here are
+    * NOT semi-join-pruned to candidate docs — all three variants were
+    * measured at sf10 under the same solo protocol (plain prune 14.0 s,
+    * checkpointed prune 14.8 s, unpruned 13.0 s): with 4-band minhash
+    * blocking the candidate-doc set is a large enough corpus fraction
+    * that building and applying the prune costs what the saved exchange
+    * volume buys back. Containment's single-shingle maxDf blocking
+    * yields a far tighter candidate set, which is why the same prune
+    * wins ~4× there.
     */
   def minhashLsh(docs: DataFrame, threshold: Double, n: Int = 3, k: Int = 8,
                  bands: Int = 4, idCol: String = "doc_id",
@@ -532,10 +542,9 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxDf: Int = 64, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val ex = shingleRows(docs, n, idCol, textCol)
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val blockEx = ex.join(
-      ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val ex0 = shingleRows(docs, n, idCol, textCol)
+    val blockEx = ex0.join(
+      ex0.groupBy(col("g")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxDf).select(col("g")),
       "g").select(col(idCol), col("g"))
     val cands = blockEx.toDF("ida", "g").as("a")
@@ -543,6 +552,12 @@ object DedupOps {
         col("g") === col("gb") && col("ida") < col("idb"))
       .select(col("ida").as("id1"), col("idb").as("id2"))
       .distinct()
+    // same semi-join prune as minhashLsh: the exact-intersection count
+    // only ever reads candidate docs' shingles (counts stay per-doc-full)
+    val candIds = cands.select(col("id1").as("_cid"))
+      .union(cands.select(col("id2").as("_cid"))).distinct()
+    val ex = ex0.join(candIds, col(idCol) === col("_cid"), "left_semi")
+    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = cands.join(ex.toDF("id1", "g"), "id1")
       .join(ex.toDF("_id2", "g2"),
         col("id2") === col("_id2") && col("g") === col("g2"))
