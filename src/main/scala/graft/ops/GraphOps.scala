@@ -59,15 +59,21 @@ object GraphOps {
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 50): DataFrame = {
-    val freed = ListBuffer.empty[RDD[_]]
-    def track(df: DataFrame): Option[RDD[_]] =
+    // Unpersist hooks rather than raw RDDs: if the analyzed plan of a
+    // localCheckpoint ever stops exposing a LogicalRDD (Spark-internal
+    // shape), fall back to the DataFrame-level unpersist instead of
+    // silently leaking the checkpointed blocks across rounds.
+    val freed = ListBuffer.empty[() => Unit]
+    def unpersistHook(df: DataFrame): () => Unit =
       df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-        case _ => None
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          () => { lr.rdd.unpersist(false); () }
+        case _ =>
+          () => { df.unpersist(false); () }
       }
     def checkpointed(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint(true) // materialize + cut lineage
-      track(out).foreach(freed += _)
+      freed += unpersistHook(out)
       out
     }
 
@@ -79,14 +85,14 @@ object GraphOps {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val undRdd = track(und)
+    val undFree = unpersistHook(und)
 
     val localThreshold = nodes.sparkSession.conf
       .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
       .getOrElse(4000000L)
     if (und.count() <= localThreshold) {
       val out = localComponents(nodes, und, idCol)
-      undRdd.foreach(_.unpersist(false))
+      undFree()
       return out
     }
 
@@ -104,8 +110,8 @@ object GraphOps {
       val stable = next.count() == cur.count() && next.except(cur).isEmpty
       // cur's blocks are dead either way (next is materialized with
       // lineage cut); keep only the newest checkpoint alive
-      if (it == 0) undRdd.foreach(_.unpersist(false))
-      freed.dropRight(1).foreach(_.unpersist(false))
+      if (it == 0) undFree()
+      freed.dropRight(1).foreach(_.apply())
       freed.remove(0, freed.size - 1)
       cur = next
       it += 1
@@ -121,7 +127,7 @@ object GraphOps {
       .join(cur.select(col("src").as("id"), col("dst").as("_c")), Seq("id"), "left")
       .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
       .localCheckpoint(true)
-    freed.foreach(_.unpersist(false))
+    freed.foreach(_.apply())
     freed.clear()
     out
   }
@@ -219,7 +225,7 @@ object GraphOps {
     // sub is eagerly materialized; the raw pair blocks can go
     p.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
+      case _ => p.unpersist(false) // plan shape changed: DataFrame-level fallback
     }
     // subgraph results are small (pair-touched docs only) → broadcast-able
     docs.select(col(idCol))
