@@ -175,4 +175,29 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(4L -> 4L, 8L -> 8L))
   }
+
+  test("distributed loop frees every intermediate checkpoint (no block leak)") {
+    // A multi-round chain through the star loop: every per-round
+    // checkpoint and the mirrored edge table must be unpersisted by the
+    // time the result comes back — only the result's own checkpoint may
+    // survive (the documented caller-owned block). Regression guard for
+    // the unpersist-hook bookkeeping.
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val nodes = (1L to 60L).toDF("id")
+      val edges = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+      val out = GraphOps.connectedComponents(nodes, edges)
+      val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(fresh.size == 1, s"leaked checkpoint blocks: rdd ids $fresh")
+      out.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          assert(fresh == Set(lr.rdd.id),
+            s"surviving block $fresh is not the result's checkpoint ${lr.rdd.id}")
+          lr.rdd.unpersist(false)
+        case other => fail(s"result no longer a LogicalRDD: ${other.getClass}")
+      }
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
 }
