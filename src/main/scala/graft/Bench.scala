@@ -115,6 +115,12 @@ object Bench {
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
 
     val results = only.fold(headline)(s => headline.filter(s)).map { name =>
+      // Drain the previous query's shuffle files and broadcast blocks
+      // before timing this one. Without this, a full run accumulates
+      // session state the GC-driven ContextCleaner reclaims too late
+      // (48 GiB heap -> rare full GCs), inflating late-run queries
+      // 1.3-2.4x vs isolated re-runs (round-8 adjudication data).
+      org.apache.spark.sql.graftshim.SessionDrain.drain(spark.sparkContext)
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -151,7 +157,11 @@ object Bench {
     val gcs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"gc_sec_by_query":$gcs}""")
+    // field order matters: the driver's bench capture keeps a fixed-size
+    // TAIL of this line, so the per-query times map goes LAST (and the gc
+    // diagnostic map, the next-most-useful, right before it) — in round 8
+    // the map fell off the capture and the gc numbers were misread as times
+    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -39,9 +39,12 @@ object SparkEntry {
     * pagerank 23.9→8.8s, keep_one 23.6→6.9s, degree 11.0→3.4s.
     */
   private def graphPairs(docs: DataFrame): DataFrame = {
-    import graft.functions.CrossHash.wordGrams
+    import graft.functions.CrossHash.tokens
+    // "has a 3-gram" ⇔ "has ≥3 tokens": the token-count test is the same
+    // predicate without materializing the gram array a second time in the
+    // scan (minhashCandidates builds it again for the signature anyway)
     DedupOps.minhashCandidates(
-      docs.filter(size(wordGrams(col("text"), 3)) > 0), maxBucket = 64)
+      docs.filter(size(tokens(col("text"))) >= 3), maxBucket = 64)
       .select(col("id1"), col("id2"))
   }
 

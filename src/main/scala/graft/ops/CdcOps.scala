@@ -186,9 +186,17 @@ object CdcOps {
     * add the offset. One extra narrow count pass buys nBuckets-way sort
     * parallelism.
     *
-    * Requires a non-null, numeric-castable leading order column (the
-    * changelog timestamp). Ties at bucket boundaries are safe: equal
-    * keys land in the same bucket by construction.
+    * Ties at bucket boundaries are safe: equal keys land in the same
+    * bucket by construction.
+    *
+    * EAGER, unlike [[applyOrder]]: building the returned frame runs one
+    * small Spark job over the input (min/max/count of the leading order
+    * column, to place the range buckets), so the input is evaluated twice
+    * — callers composing lazy pipelines should checkpoint/cache upstream
+    * or use the window form. When the stats pass finds a null or
+    * non-numeric leading order column, this falls back to [[applyOrder]]
+    * (single-task-per-table window, nulls-first) instead of failing —
+    * identical ranks, the old tolerance, just without the parallel sort.
     */
   def applyOrderDistributed(df: DataFrame,
                             partitionCols: Seq[String] = Seq("schema", "table"),
@@ -196,7 +204,7 @@ object CdcOps {
                             orderCols: Seq[String] = Seq("event_unixtime"),
                             nBuckets: Int = 256): DataFrame =
     bucketedRank(df, partitionCols, Seq(seqCol), orderCols, nBuckets) match {
-      case None => df.withColumn("apply_rank", lit(1).cast("int"))
+      case None => applyOrder(df, partitionCols, seqCol, orderCols)
       case Some(ranked) => ranked
         .withColumn("apply_rank", col("_rank").cast("int")).drop("_rank")
         // restore the input's column order (the rank join moved keys to
@@ -212,19 +220,30 @@ object CdcOps {
     * per-key counts roll into exclusive offsets via a window over the
     * TINY count table (≤ |partitions| × |seqs| × nBuckets rows,
     * broadcast back), and ranking inside each bucket runs in parallel.
-    * Returns None for empty input (no stats to bucket on); otherwise the
-    * input plus a `_rank` long column, key columns first.
+    * Returns None when the input can't be range-bucketed — empty, a
+    * non-numeric/timestamp leading order column, or nulls in it (the
+    * bucket formula has no null slot) — so callers fall back to their
+    * window form, which tolerates all three; otherwise Some(input plus a
+    * `_rank` long column, key columns first).
     */
   private def bucketedRank(df: DataFrame, partitionCols: Seq[String],
                            seqCols: Seq[String], orderCols: Seq[String],
                            nBuckets: Int): Option[DataFrame] = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // static type gate first: casting a non-numeric column to double for
+    // the stats pass would itself throw under ANSI semantics
+    val bucketable = df.schema.fields.find(_.name == orderCols.head)
+      .map(_.dataType).exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case _ => false
+      }
+    if (!bucketable) return None
     val ord = col(orderCols.head).cast("double")
     val stats = df.agg(min(ord).as("_lo"), max(ord).as("_hi"),
       count(lit(1)).as("_n"), count(ord).as("_nonnull")).head()
     if (stats.getLong(2) == 0L) return None
-    require(stats.getLong(2) == stats.getLong(3),
-      s"bucketedRank: ${orderCols.head} must be non-null")
+    if (stats.getLong(2) != stats.getLong(3)) return None
     val lo = stats.getDouble(0)
     val span = math.max(stats.getDouble(1) - lo, 0.0) + 1.0
     val bucket = least(floor((ord - lit(lo)) * nBuckets / lit(span)),
@@ -253,6 +272,11 @@ object CdcOps {
     * order, `insertNum` per batch. In the streaming engine this is
     * `Trigger.ProcessingTime` + `maxOffsetsPerTrigger`; as a batch operator
     * it makes the trigger semantics testable.
+    *
+    * EAGER like [[applyOrderDistributed]]: building the frame runs one
+    * stats job over the input to place the rank buckets (input evaluated
+    * twice). Nulls / a non-numeric order column fall back to the
+    * per-table window rank (nulls-first) rather than failing.
     */
   def microBatchId(df: DataFrame,
                    insertNum: Int,
@@ -261,7 +285,11 @@ object CdcOps {
     // distributed rank (see bucketedRank): per-table windows would
     // serialize each table's whole changelog into one sort task
     bucketedRank(df, partitionCols, Nil, orderCols, 256) match {
-      case None => df.withColumn("batch_id", lit(0L))
+      case None =>
+        val w = Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(orderCols.map(col): _*)
+        df.withColumn("batch_id", graft.functions.IntMath.floorDiv(
+          row_number().over(w).cast("long") - 1L, insertNum.toLong))
       case Some(ranked) => ranked
         .withColumn("batch_id",
           graft.functions.IntMath.floorDiv(col("_rank") - 1L, insertNum.toLong))

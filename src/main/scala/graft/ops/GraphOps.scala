@@ -59,21 +59,10 @@ object GraphOps {
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 50): DataFrame = {
-    // Unpersist hooks rather than raw RDDs: if the analyzed plan of a
-    // localCheckpoint ever stops exposing a LogicalRDD (Spark-internal
-    // shape), fall back to the DataFrame-level unpersist instead of
-    // silently leaking the checkpointed blocks across rounds.
     val freed = ListBuffer.empty[() => Unit]
-    def unpersistHook(df: DataFrame): () => Unit =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          () => { lr.rdd.unpersist(false); () }
-        case _ =>
-          () => { df.unpersist(false); () }
-      }
     def checkpointed(df: DataFrame): DataFrame = {
       val out = df.localCheckpoint(true) // materialize + cut lineage
-      freed += unpersistHook(out)
+      freed += (() => freeCheckpoint(out))
       out
     }
 
@@ -85,7 +74,7 @@ object GraphOps {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    val undFree = unpersistHook(und)
+    val undFree = () => freeCheckpoint(und)
 
     val localThreshold = nodes.sparkSession.conf
       .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
@@ -223,10 +212,7 @@ object GraphOps {
       .union(p.select(col(id2Col).as("id"))).distinct()
     val sub = connectedComponents(touched, p, "id", id1Col, id2Col)
     // sub is eagerly materialized; the raw pair blocks can go
-    p.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => p.unpersist(false) // plan shape changed: DataFrame-level fallback
-    }
+    freeCheckpoint(p)
     // subgraph results are small (pair-touched docs only) → broadcast-able
     docs.select(col(idCol))
       .join(sub.withColumnRenamed("id", idCol), Seq(idCol), "left")
@@ -302,11 +288,6 @@ object GraphOps {
     require(iters >= 1 && iters <= 50, "pageRank: iters must be in [1, 50]")
     require(scale >= 100L, "pageRank: scale must carry the /100 damping")
     import graft.functions.IntMath.floorDiv
-    def track(df: DataFrame): Option[RDD[_]] =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-        case _ => None
-      }
     // undirected: mirror each pair once per direction via one generator
     val edges = pairs.select(explode(array(
       struct(col(id1Col).as("src"), col(id2Col).as("dst")),
@@ -318,7 +299,6 @@ object GraphOps {
     // (the LSH blocking chain) once per iteration: measured 5× the whole
     // query cost at iters=5 before this checkpoint
     val withDeg = edges.join(deg, "src").localCheckpoint(true)
-    val wdRdd = track(withDeg)
     val base = lit(15L * scale / 100L)
     var ranks = docs.select(col(idCol).as("id"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
@@ -336,11 +316,29 @@ object GraphOps {
     // the caller gets a lineage-free frame, nothing leaks across calls
     val out = ranks.select(col("id").as(idCol), col("r").as("rank_units"))
       .localCheckpoint(true)
-    // if the analyzed plan of a localCheckpoint ever stops exposing a
-    // LogicalRDD (Spark-internal shape), fall back to the DataFrame-level
-    // unpersist rather than silently leaking the checkpointed blocks
-    if (wdRdd.isDefined) wdRdd.foreach(_.unpersist(false))
-    else withDeg.unpersist(false)
+    freeCheckpoint(withDeg)
     out
+  }
+
+  /** Free the spillable blocks behind a materialized `localCheckpoint`.
+    *
+    * `Dataset.unpersist` cannot do this: it only drops CacheManager-
+    * registered InMemoryRelations, while `localCheckpoint` persists its
+    * RDD directly — so a DataFrame-level fallback would be a silent no-op
+    * that leaks the blocks. Collect the LogicalRDD nodes anywhere in the
+    * analyzed plan (not only at the root, so a wrapping node can't hide
+    * them) and unpersist their RDDs; if Spark ever stops exposing any,
+    * warn loudly that the blocks outlive this call instead of pretending
+    * to free them. GraphOpsSpec pins both the plan shape and the
+    * blocks-actually-freed behavior.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    if (rdds.nonEmpty) rdds.foreach(_.unpersist(false))
+    else org.slf4j.LoggerFactory.getLogger(GraphOps.getClass).warn(
+      "localCheckpoint plan exposes no LogicalRDD — the checkpointed " +
+        "blocks cannot be freed from here and will persist to session end")
   }
 }

@@ -74,6 +74,30 @@ class CdcOpsSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.contains("apply_rank"))
   }
 
+  test("A4 applyOrderDistributed tolerates null order keys (window fallback)") {
+    // a null event_unixtime can't be range-bucketed — the distributed form
+    // must fall back to the window rank (nulls-first) rather than fail,
+    // matching what applyOrder always tolerated
+    val withNull = Seq(
+      ("db", "a", "insert", 1L, Some(100L), 2),
+      ("db", "a", "insert", 2L, None, 2),
+      ("db", "a", "delete", 3L, Some(50L), 1)
+    ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+    val win = CdcOps.applyOrder(withNull, orderCols = Seq("event_unixtime", "pk"))
+    val dist = CdcOps.applyOrderDistributed(withNull,
+      orderCols = Seq("event_unixtime", "pk"))
+    assert(win.exceptAll(dist).isEmpty && dist.exceptAll(win).isEmpty)
+    // a string order column can't even be cast for the stats pass — the
+    // static type gate must route to the fallback before any job runs
+    val strOrd = CdcOps.applyOrderDistributed(events, orderCols = Seq("action"))
+    assert(strOrd.count() == events.count() && strOrd.columns.contains("apply_rank"))
+    // microBatchId: same tolerance, batch cap preserved through the fallback
+    val mb = CdcOps.microBatchId(withNull, insertNum = 2, orderCols = Seq("event_unixtime"))
+    val sizes = mb.groupBy("schema", "table", "batch_id").count()
+      .select("count").as[Long].collect()
+    assert(mb.count() == 3 && sizes.forall(_ <= 2))
+  }
+
   test("T4 splitUpdates passes DDL query events through untouched") {
     val withDdl = Seq(
       ("db", "a", "insert", 1L, 100L, 2),
