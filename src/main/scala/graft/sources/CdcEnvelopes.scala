@@ -90,7 +90,7 @@ object CdcEnvelopes {
   val debeziumSchema: String = {
     val fields = "before variant, after variant, " +
       "source struct<db string, schema string, table string>, " +
-      "op string, ts_ms bigint"
+      "op string, ts_ms bigint, databaseName string, ddl string"
     s"payload struct<$fields>, $fields"
   }
 
@@ -103,6 +103,13 @@ object CdcEnvelopes {
     *     `after` (action_seq 2) — the T4 decomposition the reference
     *     applies to binlog updates (mysql.py:189-208)
     *   - op `d` → `delete` of `before`
+    *   - a schema-change document (the connector's schema-change /
+    *     history topic: no `op`, a `ddl` string + `databaseName`) →
+    *     one `query` event carrying the raw DDL text with action_seq 0,
+    *     exactly the canonical form the K4 sink translates and applies
+    *     ([[graft.run.Consume.applyDdl]]) — the same flow the reference
+    *     gives binlog QueryEvents (mysql.py:165-172,
+    *     replication/continuous.py:156-162)
     *   - anything else (truncate `t`, message `m`) → dropped
     *
     * `schema` is `source.db` — the reference keys routing on the source
@@ -134,13 +141,19 @@ object CdcEnvelopes {
     val ins = struct(lit("insert").as("action"),
       imageJson(after, before).as("values"), lit(2).as("action_seq"))
     val op = pick("op")
-    val halves = when(op.isin("c", "r"), array(ins))
+    // schema-change documents have no op; the raw DDL string IS the
+    // values payload (the K4 contract — applyDdl reads it verbatim)
+    val ddl = pick("ddl")
+    val qry = struct(lit("query").as("action"),
+      ddl.as("values"), lit(0).as("action_seq"))
+    val halves = when(op.isNull && ddl.isNotNull, array(qry))
+      .when(op.isin("c", "r"), array(ins))
       .when(op === "u", array(del, ins))
       .when(op === "d", array(del))
       .otherwise(array().cast("array<struct<action string, values string, action_seq int>>"))
     parsed.select(
-        coalesce(pick("source")("db"), lit("")).as("schema"),
-        pick("source")("table").as("table"),
+        coalesce(pick("source")("db"), pick("databaseName"), lit("")).as("schema"),
+        coalesce(pick("source")("table"), lit("")).as("table"),
         coalesce(pick("ts_ms") * 1000L, col("_fb")).as("event_unixtime"),
         explode(halves).as("h"))
       .select(col("schema"), col("table"), col("h.action").as("action"),

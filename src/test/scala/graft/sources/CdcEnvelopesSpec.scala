@@ -90,6 +90,69 @@ class CdcEnvelopesSpec extends SparkSpec {
       ("s", "t", "insert", """{"id":7,"v":70}""", 10000L, 2)))
   }
 
+  test("debezium: schema-change documents become canonical query events") {
+    // captured shape of the connector's schema-change topic (payload
+    // wrapper) and the older history-topic form (bare document, no op)
+    val schemaChange =
+      """{"payload":{"source":{"db":"shop","table":"test"},"ts_ms":2000,"databaseName":"shop","schemaName":null,"ddl":"ALTER TABLE test ADD COLUMN note varchar(20)","tableChanges":[]}}"""
+    val history =
+      """{"source":{"server":"dbz"},"position":{"file":"binlog.000002","pos":100},"databaseName":"shop","ddl":"DROP TABLE IF EXISTS legacy"}"""
+    val out = rows(CdcEnvelopes.debezium(
+      Seq(schemaChange, history).toDF("json"), fallbackUnixtime = lit(7L)))
+    assert(out == Seq(
+      ("shop", "test", "query",
+        "ALTER TABLE test ADD COLUMN note varchar(20)", 2000000L, 0),
+      // history form: no source.db/table structs match the schema → falls
+      // back to databaseName / empty table, fallback timestamp
+      ("shop", "", "query", "DROP TABLE IF EXISTS legacy", 7L, 0)))
+    // a data event with BOTH op and (hypothetically) a ddl field keeps
+    // its DML meaning — the query branch requires op to be absent
+    val dml =
+      """{"before":null,"after":{"id":1},"source":{"db":"s","table":"t"},"op":"c","ts_ms":1,"ddl":"x"}"""
+    assert(rows(CdcEnvelopes.debezium(Seq(dml).toDF("json"))).map(_._3) == Seq("insert"))
+  }
+
+  test("E2E: a Debezium schema-change envelope drives the mid-stream DDL path") {
+    // the DdlMidStreamSpec story — ALTER arrives mid-stream, K4 applies
+    // it, the query restarts widened from the same checkpoint — but fed
+    // from raw Debezium documents instead of canonical event files
+    val root = Files.createTempDirectory("dbzddl").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val v2 = v1.add(StructField("note", StringType))
+    val t1 = TableSync("shop", "test", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def dbz(op: String, before: String, after: String, tsMs: Long): String =
+      s"""{"payload":{"before":$before,"after":$after,"source":{"db":"shop","table":"test"},"op":"$op","ts_ms":$tsMs}}"""
+    def src = CdcEnvelopes.debezium(
+      spark.readStream.option("maxFilesPerTrigger", 10)
+        .text(eventsDir).select(col("value").as("json")))
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      dbz("c", "null", """{"id":1,"amount":10.0}""", 1000),
+      """{"payload":{"source":{"db":"shop","table":"test"},"ts_ms":1100,"databaseName":"shop","ddl":"ALTER TABLE test ADD COLUMN note varchar(20)","tableChanges":[]}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, src, Seq(t1), s"$root/state", s"$root/ckpt",
+      triggerInterval = "250 milliseconds", ddlSink = Some(sql => applied += sql))
+    q1.processAllAvailable(); q1.stop()
+    assert(applied.exists(s => s.contains("ADD COLUMNS") && s.contains("shop.test")))
+
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      dbz("u", """{"id":1,"amount":10.0}""", """{"id":1,"amount":11.0,"note":"n"}""", 1200)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = Consume.start(spark, src, Seq(t2), s"$root/state", s"$root/ckpt",
+      triggerInterval = "250 milliseconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val store = new ParquetStateStore(spark, s"$root/state/shop/test")
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set((1L, 11.0, Some("n"))))
+  }
+
   test("E2E: Debezium envelope files stream through the consume loop into engine state") {
     val root = Files.createTempDirectory("dbz").toString
     val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
