@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   * re-applying under the same id preserves end-to-end effectively-once —
   * and a crash between re-apply and [[clear]] is absorbed by the same
   * idempotence on the next drain.
+  *
+  * Poison-row taxonomy — what parks, and which repair heals it:
+  *   - transient sink outage: nothing to fix, [[drain]] as-is;
+  *   - wrong sync config (bad PK / engine): fix the [[TableSync]], drain
+  *     with the corrected one (DeadLetterSpec's first test);
+  *   - malformed rows: [[read]] to inspect (`_error` names the cause),
+  *     repair or drop the offending rows in the parked store, drain;
+  *   - schema mismatch after DDL: restart the stream with the widened
+  *     schema (DdlMidStreamSpec story), then drain under it;
+  *   - unparseable/failing DDL: parks under `<schema>/_ddl`,
+  *     [[drainDdl]] after fixing the target.
   */
 final class DeadLetter(spark: SparkSession, root: String) {
 
@@ -67,6 +78,14 @@ final class DeadLetter(spark: SparkSession, root: String) {
     * (original batch ids, original intra-batch order), then clear. Rows
     * that fail AGAIN stay parked: the drain aborts on the first failing
     * batch, leaving it and everything after it in place.
+    *
+    * Driver memory bound: the only driver-side materialization is the
+    * DISTINCT batch-id list — O(#parked micro-batches) longs (a backlog
+    * of 10k parked batches collects ~80 KB), never the rows. Each batch
+    * then re-applies as an ordinary distributed job over the parked
+    * parquet, so a million-row backlog drains at whatever size the
+    * original micro-batches had (DeadLetterSpec's volume test replays a
+    * 1M-row, 12-batch backlog through this path).
     */
   def drain(t: TableSync, stateRoot: String): Unit =
     read(t.schema, t.table).foreach { dead =>

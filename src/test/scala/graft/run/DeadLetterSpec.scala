@@ -84,6 +84,46 @@ class DeadLetterSpec extends SparkSpec {
     assert(dl.read("db", "t").get.count() == 1)
   }
 
+  test("volume drain: a 1M-row, 12-batch parked backlog replays and empties") {
+    import org.apache.spark.sql.functions._
+    // the drain-at-volume rehearsal: park sf1-scale event volume (1M rows
+    // across 12 micro-batches), then drain it all through the normal
+    // apply path. The driver only ever collects the 12 distinct batch
+    // ids; each batch re-applies as a distributed job.
+    val root = Files.createTempDirectory("dlvol").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t = TableSync("db", "big", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    val nBatches = 12; val rowsPer = 84000L
+    (0 until nBatches).foreach { b =>
+      // ids overlap across batches (id = n % 500k) so the replay also
+      // exercises cross-batch LWW resolution, not just appends
+      val slice = spark.range(b * rowsPer, (b + 1) * rowsPer)
+        .select(lit("db").as("schema"), lit("big").as("table"),
+          lit("insert").as("action"),
+          format_string("""{"id":%d,"amount":%d.0}""",
+            col("id") % 500000L, col("id")).as("values"),
+          col("id").as("event_unixtime"), lit(2).as("action_seq"))
+      dl.record(slice, "db", "big", b.toLong, "sink down")
+    }
+    assert(dl.read("db", "big").get.count() == nBatches * rowsPer)
+
+    dl.drain(t, stateRoot)
+    val state = Consume.currentState(t,
+      new ParquetStateStore(spark, s"$stateRoot/db/big")).get
+    // 1,008,000 events over 500k pk slots -> every slot written, LWW =
+    // the highest event id that mapped there
+    assert(state.count() == 500000L)
+    val mx = state.agg(org.apache.spark.sql.functions.max("amount"))
+      .head().getDouble(0)
+    assert(mx == (nBatches * rowsPer - 1).toDouble)
+    assert(dl.read("db", "big").isEmpty)
+    // the target store carries the ORIGINAL batch ids
+    assert(new ParquetStateStore(spark, s"$stateRoot/db/big")
+      .latestVersion.contains((nBatches - 1).toLong))
+  }
+
   test("skipped DDL parks per schema and drains through the ddl runner") {
     val root = Files.createTempDirectory("dlddl").toString
     val dl = new DeadLetter(spark, s"$root/dead")
