@@ -30,10 +30,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *    the restart replays it from the checkpoint and the store's
   *    batch-id idempotence absorbs the duplicate — the crash contract
   *    at volume);
-  *  - phase 2 restarts from the checkpoint, drains the rest, compacts
-  *    every 20 batches, and the final resolved state is checked EXACTLY
-  *    against batch-computed expectations (counts, zero surviving
-  *    deleted keys, every updated row carrying the updated price).
+  *  - phase 2 restarts from the checkpoint, drains the rest — with
+  *    compaction scheduled by the live [[graft.sink.SinkStrategy.shouldCompact]]
+  *    policy (version-count / size-ratio triggers), not a fixed cadence —
+  *    and the final resolved state is checked EXACTLY against
+  *    batch-computed expectations (counts, zero surviving deleted keys,
+  *    every updated row carrying the updated price), with end-of-run
+  *    state-version counts reported as the bounded-file-count evidence.
   *
   * Prints one JSON line per phase plus a `summary` line with aggregate
   * events/s — the numbers SCALE.md cites.
@@ -107,7 +110,10 @@ object StreamRehearsal {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.streaming.numRecentProgressUpdates", "400")
+      // sf10 replays ~500 micro-batches per phase; the progress buffer is
+      // the phase accounting (events, batch percentiles), so it must hold
+      // the whole phase or rates silently undercount
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -140,9 +146,18 @@ object StreamRehearsal {
           ("db", "orders_rt") -> FullEtl.ParquetSource(s"$sfDir/orders.parquet")))
     val bootstrapSec = (System.nanoTime() - t0) / 1e9
 
+    // Compaction is the r8 POLICY (version-count / size-ratio triggers
+    // over live versionStats), not a fixed cadence — this run is where
+    // the policy meets real ingest. maxDeltaVersions=64 keeps the count
+    // trigger the active one at every sf (~20k-row deltas against a
+    // 1.5M-15M-row base never trip the size ratio): read fan-in stays
+    // bounded at ~65 versions while the O(base) rewrite amortizes over
+    // ~1.3M ingested rows per compaction.
+    val policy = graft.sink.SinkStrategy.CompactionPolicy(
+      maxDeltaVersions = 64, maxDeltaToBaseRatio = 1.0)
     def startQuery() = Consume.start(spark, EventSource.files(spark, eventsDir,
       maxFilesPerTrigger = 1), tables, stateRoot, ckpt,
-      triggerInterval = "0 seconds", compactEvery = 20)
+      triggerInterval = "0 seconds", compactionPolicy = Some(policy))
 
     // --- phase 1: first half of the files, interrupted mid-stream ---
     val half = staged.length / 2
@@ -218,6 +233,15 @@ object StreamRehearsal {
     }
     println(phaseJson(p1))
     println(phaseJson(p2))
+    // state-file bound: the shouldCompact policy's observable contract is
+    // that delta-version count never outruns maxDeltaVersions by more
+    // than one compaction interval — report the end-of-run counts
+    val versionJson = tables.map { t =>
+      val stats = new ParquetStateStore(
+        spark, s"$stateRoot/${t.schema}/${t.table}").versionStats()
+      val (bases, deltas) = stats.partition(_._3)
+      s""""${t.table}":{"bases":${bases.size},"deltas":${deltas.size}}"""
+    }.mkString("{", ",", "}")
     val totalEvents = p1.rows + p2.rows
     val totalWall = p1.wallSec + p2.wallSec
     println(f"""{"summary":"stream_rehearsal","sf_dir":"$sfDir","bootstrap_sec":$bootstrapSec%.2f,""" +
@@ -225,6 +249,8 @@ object StreamRehearsal {
       f""""events_per_sec":${totalEvents / totalWall}%.0f,""" +
       s""""crash_replayed_batch":${p2.firstBatchId <= p1.lastBatchId},""" +
       s""""p1_last_batch":${p1.lastBatchId},"p2_first_batch":${p2.firstBatchId},""" +
+      s""""compaction":"policy maxDeltaVersions=${policy.maxDeltaVersions} ratio=${policy.maxDeltaToBaseRatio}",""" +
+      s""""state_versions":$versionJson,""" +
       s""""state_checks":${if (failures.isEmpty) "\"pass\"" else failures.mkString("\"", "; ", "\"")}}""")
     if (failures.nonEmpty) sys.exit(1)
     spark.stop()
