@@ -73,9 +73,22 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the headline set: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for the multi-JVM bench leg
+    // (e.g. "local-cluster[2,16,40960]": 2 real worker JVMs x 16 cores —
+    // real serializer + wire costs on every exchange/broadcast, the one
+    // regime difference local[32] cannot exhibit). Executors spawned by
+    // the worker get the spark distribution from SPARK_HOME; our classes
+    // must ride along explicitly.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+      else builder0
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -161,7 +174,7 @@ object Bench {
     // TAIL of this line, so the per-query times map goes LAST (and the gc
     // diagnostic map, the next-most-useful, right before it) — in round 8
     // the map fell off the capture and the gc numbers were misread as times
-    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     spark.stop()
   }
 }
