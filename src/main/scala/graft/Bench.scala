@@ -84,10 +84,18 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
     val builder =
-      if (master.startsWith("local-cluster"))
-        builder0.config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes")
-      else builder0
+      if (master.startsWith("local-cluster")) {
+        // the master string's third field budgets the WORKER; executor
+        // heap still defaults to 1g and dies at sf10 — size it to the
+        // worker budget minus headroom (one executor per worker: it
+        // claims all the worker's cores)
+        val workerMb = """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
+          .findFirstMatchIn(master).map(_.group(1).toInt).getOrElse(4096)
+        builder0
+          .config("spark.executor.memory", s"${math.max(1024, workerMb - 1024)}m")
+          .config("spark.executor.extraClassPath",
+            "/root/repo/target/scala-2.13/classes")
+      } else builder0
     val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -133,7 +141,9 @@ object Bench {
       // session state the GC-driven ContextCleaner reclaims too late
       // (48 GiB heap -> rare full GCs), inflating late-run queries
       // 1.3-2.4x vs isolated re-runs (round-8 adjudication data).
-      org.apache.spark.sql.graftshim.SessionDrain.drain(spark.sparkContext)
+      // SPARK_GRAFT_NO_DRAIN=1 disables it for A/B diagnosis.
+      if (!sys.env.contains("SPARK_GRAFT_NO_DRAIN"))
+        org.apache.spark.sql.graftshim.SessionDrain.drain(spark.sparkContext)
       val fn = SparkEntry.queries(name)
       def run(): Unit =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
