@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.MapOutputTrackerMaster
+import org.apache.spark.sql.graftshim.SessionDrain
+
+/** The bench-loop state drain: after a query completes, its shuffle
+  * files and broadcast blocks are reclaimable immediately — not "when
+  * driver GC happens to enqueue the weak refs" (which on a 48 GiB heap
+  * can be never, inflating later queries; round-8 adjudication measured
+  * 1.3-2.4x). This pins the contract the bench relies on: drain leaves
+  * zero registered shuffles, and the session still runs queries
+  * correctly afterwards (cleanup must not break anything reusable).
+  */
+class SessionDrainSpec extends SparkSpec {
+
+  private def registeredShuffles: Int =
+    spark.sparkContext.env.mapOutputTracker
+      .asInstanceOf[MapOutputTrackerMaster].shuffleStatuses.size
+
+  test("drain unregisters completed shuffles and leaves the session usable") {
+    import spark.implicits._
+    // a groupBy forces a real shuffle; collect completes the job
+    val df = (1 to 10000).toDF("v").groupBy($"v" % 7).count()
+    assert(df.collect().length == 7)
+    assert(registeredShuffles > 0, "expected the groupBy to register a shuffle")
+
+    SessionDrain.drain(spark.sparkContext)
+    assert(registeredShuffles == 0, "drain must unregister completed shuffles")
+
+    // the session must be fully functional after a drain: fresh shuffles,
+    // fresh broadcasts (join small side), correct results
+    val joined = (1 to 100).toDF("k")
+      .join((1 to 100).map(i => (i, i * 2)).toDF("k", "w"), "k")
+      .agg(org.apache.spark.sql.functions.sum($"w")).as[Long].head()
+    assert(joined == 2L * (100 * 101 / 2))
+
+    // drain is idempotent on an already-clean session
+    SessionDrain.drain(spark.sparkContext)
+    SessionDrain.drain(spark.sparkContext)
+    assert(registeredShuffles == 0)
+  }
+}
