@@ -25,6 +25,12 @@ import org.apache.spark.storage.BroadcastBlockId
   * finds nothing left to do.
   */
 object SessionDrain {
+  /** Number of shuffles currently registered with the driver's map-output
+    * tracker — the observable drain contract (SessionDrainSpec). */
+  def registeredShuffles(sc: SparkContext): Int =
+    sc.env.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
+      .shuffleStatuses.size
+
   def drain(sc: SparkContext): Unit = {
     val tracker = sc.env.mapOutputTracker.asInstanceOf[MapOutputTrackerMaster]
     val shuffles = tracker.shuffleStatuses.keySet.toSeq

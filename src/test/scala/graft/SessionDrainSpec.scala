@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.MapOutputTrackerMaster
 import org.apache.spark.sql.graftshim.SessionDrain
 
 /** The bench-loop state drain: after a query completes, its shuffle
@@ -14,8 +13,7 @@ import org.apache.spark.sql.graftshim.SessionDrain
 class SessionDrainSpec extends SparkSpec {
 
   private def registeredShuffles: Int =
-    spark.sparkContext.env.mapOutputTracker
-      .asInstanceOf[MapOutputTrackerMaster].shuffleStatuses.size
+    SessionDrain.registeredShuffles(spark.sparkContext)
 
   test("drain unregisters completed shuffles and leaves the session usable") {
     import spark.implicits._
