@@ -201,15 +201,25 @@ object MultimodalOps {
     input.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val v = new Array[Float](dim)
+        // Long accumulators, not float: the fold stays in [0, 997), so
+        // acc*31+byte < 31,162 is exact in both domains and the results
+        // are bit-identical — but an integer `%` is ~an order of
+        // magnitude cheaper than the float fmod this loop used to pay
+        // per byte (the per-byte kernel IS this query's cost at scale:
+        // measured 4.6 s -> see SCALE.md round-9 note). The dim cursor
+        // is a rolling counter for the same reason (saves an idiv/byte).
+        val acc = new Array[Long](dim)
         var i = 0
-        while (i < bytes.length) {
-          val d = i % dim
-          v(d) = (v(d) * 31 + (bytes(i) & 0xff)) % 997
-          i += 1
-        }
         var d = 0
-        while (d < dim) { v(d) = v(d) / 997f - 0.5f; d += 1 }
+        while (i < bytes.length) {
+          acc(d) = (acc(d) * 31 + (bytes(i) & 0xff)) % 997
+          i += 1
+          d += 1
+          if (d == dim) d = 0
+        }
+        val v = new Array[Float](dim)
+        d = 0
+        while (d < dim) { v(d) = acc(d) / 997f - 0.5f; d += 1 }
         Row(r.getLong(0), v.toSeq)
       }
     }(encoder)
