@@ -100,8 +100,44 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   def readLog(): Option[DataFrame] = {
     val vs = versions
     if (vs.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(vs.map(_._2.toString): _*))
+    else
+      try Some(spark.read.option("mergeSchema", "true")
+        .parquet(vs.map(_._2.toString): _*))
+      catch {
+        // A type-CHANGING DDL (MODIFY COLUMN INT -> BIGINT) leaves
+        // committed versions whose column types conflict, which parquet
+        // schema merging refuses outright — and add/drop alone can't
+        // trigger this branch (mergeSchema handles those). Align every
+        // version to the newest generation's types by explicit cast
+        // instead: widening history is exact; a NARROWING change with
+        // out-of-range history fails the cast loudly (ANSI), which is
+        // the correct surface for genuinely lossy evolution.
+        case e: org.apache.spark.SparkException
+            if deepMessage(e).contains("CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE") =>
+          import org.apache.spark.sql.functions.{col, lit}
+          val frames = vs.map { case (_, p) => spark.read.parquet(p.toString) }
+          // newest occurrence of each column wins its type; insertion
+          // order keeps oldest-first column layout like mergeSchema
+          val target = scala.collection.mutable.LinkedHashMap
+            .empty[String, org.apache.spark.sql.types.StructField]
+          frames.foreach(_.schema.fields.foreach(f => target(f.name) = f))
+          val tgt = target.values.toSeq
+          val aligned = frames.map { df =>
+            val have = df.schema.fieldNames.toSet
+            df.select(tgt.map { f =>
+              if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+          }
+          Some(aligned.reduce(_.unionByName(_)))
+      }
+  }
+
+  private def deepMessage(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    while (cur != null) { sb.append(Option(cur.getMessage).getOrElse("")); cur = cur.getCause }
+    sb.toString
   }
 
   /** Drop versions with id > `batchId` — the state-side half of a resume

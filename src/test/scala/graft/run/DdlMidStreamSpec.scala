@@ -96,4 +96,47 @@ class DdlMidStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(ids == Set((1L, 11.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)))
   }
+
+  test("MODIFY COLUMN type widen mid-stream: mixed int/long state versions still resolve") {
+    // the hardest schema-evolution case: a type CHANGE (INT -> BIGINT)
+    // leaves committed parquet versions whose column types CONFLICT —
+    // plain mergeSchema refuses to union int with bigint, so the store
+    // must align old versions to the newest generation's type at read
+    val root = Files.createTempDirectory("ddlwiden").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", IntegerType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t MODIFY COLUMN qty BIGINT", 120)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds",
+      ddlSink = Some(sql => applied += sql))
+    q1.processAllAvailable(); q1.stop()
+    assert(applied.exists(_.toLowerCase.contains("alter column")))
+
+    // generation 2: same checkpoint, widened schema, a value ONLY a
+    // BIGINT can hold, plus an update of a pre-widen row
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "insert", """{"id":3,"qty":5000000000}""", 200),
+      ev("t", "update", """{"id":1,"qty":11}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val state = Consume.currentState(t2, store).get
+      .select("id", "qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 5000000000L)))
+  }
 }
