@@ -189,18 +189,41 @@ object Consume {
     * otherwise need two cancels). MergeTree state is already materialized,
     * so compaction is a no-op there.
     */
-  def compact(t: TableSync, store: ParquetStateStore): Unit = t.engine match {
+  /** `transform` is applied to the resolved frame before the atomic swap —
+    * the hook store-side schema evolution rides (a column RENAME rewrites
+    * the log once, like the target database's in-place RENAME COLUMN). */
+  def compact(t: TableSync, store: ParquetStateStore,
+              transform: DataFrame => DataFrame = identity): Unit = t.engine match {
     case Engine.MergeTree =>
       // resolve WITH _batch so the compacted base and later deltas keep
       // one schema (and arrival order stays total across compactions)
       store.readLog().map(mergeTreeResolve(_, keysFor(t)))
-        .foreach(store.compact)
+        .foreach(df => store.compact(transform(df)))
     case Engine.ReplacingMergeTree =>
-      currentState(t, store).foreach(store.compact)
+      currentState(t, store).foreach(df => store.compact(transform(df)))
     case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
-      currentState(t, store).foreach(resolved =>
-        store.compact(resolved.withColumn("sign", lit(1).cast("tinyint"))))
+      currentState(t, store).foreach(resolved => store.compact(
+        transform(resolved.withColumn("sign", lit(1).cast("tinyint")))))
   }
+
+  /** Column renames carried in this batch's DDL events for schema `db`:
+    * (table, oldName, newName) per parseable CHANGE/RENAME statement.
+    * DDL rows are rare (one per ALTER), so the extra collect alongside
+    * [[applyDdl]]'s is a few strings, not data.
+    */
+  private[run] def collectRenames(batch: DataFrame, db: String): Seq[(String, String, String)] =
+    batch.filter(col("action") === "query" && col("schema") === db)
+      .select(col("values"), col("event_unixtime"))
+      .orderBy(col("event_unixtime"))
+      .collect()
+      .toSeq
+      .flatMap { row =>
+        graft.ddl.AlterParser.parse(row.getString(0)) match {
+          case Some(graft.ddl.AlterParser.ParsedAlter(tbl,
+              graft.ddl.AlterParser.ChangeColumn(o, n))) => Some((tbl, o, n))
+          case _ => None
+        }
+      }
 
   /** Thread pool for concurrent per-table applies (C5): Spark is
     * thread-safe for concurrent job submission, so T tables become T
@@ -265,6 +288,16 @@ object Consume {
             tables.map(_.schema).distinct.foreach { db =>
               val skipped = applyDdl(cached, db, run, skipError)
               deadLetter.foreach(_.recordDdl(db, skipped, batchId))
+              // store-side half of a column RENAME: the external sink
+              // renames in place, but the parquet log keeps old-name
+              // versions whose rows would read as null under the new
+              // name after the restart — collapse the log to ONE
+              // renamed base (atomic compact swap) so pre-rename rows
+              // carry their values into the new generation
+              collectRenames(cached, db).foreach { case (tbl, o, n) =>
+                tables.filter(t => t.schema == db && t.table == tbl)
+                  .foreach(t => compact(t, stores(t), _.withColumnRenamed(o, n)))
+              }
             })
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             tables.foreach(t => compact(t, stores(t)))

@@ -139,4 +139,46 @@ class DdlMidStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(state == Set((1L, 11L), (2L, 20L), (3L, 5000000000L)))
   }
+
+  test("CHANGE COLUMN rename mid-stream: pre-rename rows keep their values") {
+    // the target database renames in place (data carries over); the
+    // store-side half collapses the log to one renamed base, so rows
+    // never touched after the rename must still carry their values
+    // under the NEW name in the restarted generation
+    val root = Files.createTempDirectory("ddlrename").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("amount", LongType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t CHANGE COLUMN qty amount BIGINT", 120)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds",
+      ddlSink = Some(sql => applied += sql))
+    q1.processAllAvailable(); q1.stop()
+    assert(applied.exists(_.contains("RENAME COLUMN")))
+
+    // generation 2: new-name events; row 2 is NEVER touched again
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "insert", """{"id":3,"amount":30}""", 200),
+      ev("t", "update", """{"id":1,"amount":11}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
 }
