@@ -58,6 +58,86 @@ object Consume {
         t.valueSchema.fieldNames.map(f => col(s"_v.$f").as(f)): _*)
   }
 
+  private def bare(ident: String): String =
+    if (ident.startsWith("`") && ident.endsWith("`"))
+      ident.substring(1, ident.length - 1)
+    else ident
+
+  /** Evolve a value schema by one parsed ALTER — the StructType analogue
+    * of what the source database did, so rows logged AFTER the ALTER can
+    * be parsed under the schema they were actually written with. */
+  private[run] def evolveSchema(schema: StructType,
+                                a: graft.ddl.AlterParser.AlterAction): StructType = {
+    import graft.ddl.AlterParser._
+    a match {
+      case AddColumn(name, dt, _, _, _, _) =>
+        schema.add(org.apache.spark.sql.types.StructField(
+          bare(name), graft.ddl.TypeMap.toSpark(dt)))
+      case DropColumn(name) =>
+        StructType(schema.filterNot(_.name == bare(name)))
+      case ChangeColumn(o, n) =>
+        StructType(schema.map(f =>
+          if (f.name == bare(o)) f.copy(name = bare(n)) else f))
+      case ModifyColumn(name, dt, _, _, _) =>
+        StructType(schema.map(f =>
+          if (f.name == bare(name)) f.copy(dataType = graft.ddl.TypeMap.toSpark(dt)) else f))
+    }
+  }
+
+  /** Lift a changelog slice parsed under a PRE-alter schema to the shape
+    * one more ALTER produces, as frame operations (no re-parse): rows that
+    * predate an ADD carry null, a DROP discards, a CHANGE renames, a
+    * MODIFY casts (widening is exact; a lossy narrowing fails loudly
+    * under ANSI). */
+  private def liftSlice(df: DataFrame,
+                        a: graft.ddl.AlterParser.AlterAction): DataFrame = {
+    import graft.ddl.AlterParser._
+    a match {
+      case AddColumn(name, dt, _, _, _, _) =>
+        df.withColumn(bare(name), lit(null).cast(graft.ddl.TypeMap.toSpark(dt)))
+      case DropColumn(name) => df.drop(bare(name))
+      case ChangeColumn(o, n) => df.withColumnRenamed(bare(o), bare(n))
+      case ModifyColumn(name, dt, _, _, _) =>
+        df.withColumn(bare(name), col(bare(name)).cast(graft.ddl.TypeMap.toSpark(dt)))
+    }
+  }
+
+  /** [[tableChangelog]] that respects INTRA-batch DDL ordering. Without
+    * this, every row of a micro-batch parses under the batch-start schema,
+    * so rows logged after an ALTER in the same batch silently read their
+    * added/renamed column as null (`from_json` drops unknown fields — no
+    * error, nothing parks) and the LWW resolve can overwrite good values
+    * with null. The batch is split at each parseable DDL boundary for this
+    * table: slice k parses under the schema as of its position (ties on
+    * `event_unixtime` count as BEFORE the DDL — binlog timestamps are
+    * coarse and the reference records in-flight DML ahead of the ALTER),
+    * then every slice is lifted to the final schema and re-unioned, so
+    * [[applyBatch]] still writes ONE delta per batch and the batch-id
+    * idempotence contract is untouched. With no DDL in the batch this is
+    * exactly [[tableChangelog]] — zero extra work on the hot path.
+    */
+  private[run] def tableChangelog(events: DataFrame, t: TableSync,
+                                  ddls: Seq[(String, Long)]): DataFrame = {
+    val alters = ddls.sortBy(_._2).flatMap { case (stmt, ts) =>
+      graft.ddl.AlterParser.parse(stmt)
+        .filter(_.table == t.table).map(p => (p.action, ts))
+    }
+    if (alters.isEmpty) tableChangelog(events, t)
+    else {
+      val schemas = alters.scanLeft(t.valueSchema) {
+        case (s, (a, _)) => evolveSchema(s, a)
+      }
+      val slices = (0 to alters.size).map { k =>
+        val sliceEvents = events
+          .filter(if (k == 0) lit(true) else col("event_unixtime") > alters(k - 1)._2)
+          .filter(if (k == alters.size) lit(true) else col("event_unixtime") <= alters(k)._2)
+        val cl = tableChangelog(sliceEvents, t.copy(valueSchema = schemas(k)))
+        alters.drop(k).foldLeft(cl) { case (df, (a, _)) => liftSlice(df, a) }
+      }
+      slices.reduce(_.unionByName(_))
+    }
+  }
+
   /** Apply one micro-batch of one table to its store.
     *
     * Every engine — including MergeTree — appends an O(batch)-sized delta;
@@ -129,17 +209,27 @@ object Consume {
     * (synch/reader/mysql.py:167-171).
     */
   def applyDdl(batch: DataFrame, db: String,
-               runDdl: String => Unit, skipError: Boolean): Seq[(String, Long, String)] = {
-    // only this schema's DDL: without the filter a statement from schema A
-    // would be re-rendered and executed against every configured schema
-    val ddls = batch.filter(col("action") === "query" && col("schema") === db)
+               runDdl: String => Unit, skipError: Boolean): Seq[(String, Long, String)] =
+    applyDdl(collectDdl(batch, db), db, runDdl, skipError)
+
+  /** Collect schema `db`'s DDL statements from a batch, in event order —
+    * the one driver-side materialization of the K4 path (DDL rows are
+    * rare: one per ALTER, never data). */
+  private[run] def collectDdl(batch: DataFrame, db: String): Seq[(String, Long)] =
+    batch.filter(col("action") === "query" && col("schema") === db)
       .select(col("values"), col("event_unixtime"))
       .orderBy(col("event_unixtime"))
-      .collect()
+      .collect().toSeq
+      .map(row => (row.getString(0), row.getLong(1)))
+
+  /** Statement-list form of [[applyDdl]] for callers that already
+    * collected the batch's DDL (the consume loop collects once and feeds
+    * the apply, the rename compact, and the intra-batch split from it). */
+  private[run] def applyDdl(ddls: Seq[(String, Long)], db: String,
+                            runDdl: String => Unit, skipError: Boolean): Seq[(String, Long, String)] = {
     // returns (statement, event_unixtime, error) for every statement that
     // was skipped — the caller parks them in the dead-letter table
-    ddls.flatMap { row =>
-      val stmt = row.getString(0); val eu = row.getLong(1)
+    ddls.flatMap { case (stmt, eu) =>
       graft.ddl.AlterParser.toSparkSql(db, stmt) match {
         case Some(sql) =>
           try { runDdl(sql); None }
@@ -212,18 +302,29 @@ object Consume {
     * [[applyDdl]]'s is a few strings, not data.
     */
   private[run] def collectRenames(batch: DataFrame, db: String): Seq[(String, String, String)] =
-    batch.filter(col("action") === "query" && col("schema") === db)
-      .select(col("values"), col("event_unixtime"))
-      .orderBy(col("event_unixtime"))
-      .collect()
-      .toSeq
-      .flatMap { row =>
-        graft.ddl.AlterParser.parse(row.getString(0)) match {
-          case Some(graft.ddl.AlterParser.ParsedAlter(tbl,
-              graft.ddl.AlterParser.ChangeColumn(o, n))) => Some((tbl, o, n))
-          case _ => None
-        }
+    renamesIn(collectDdl(batch, db))
+
+  private[run] def renamesIn(ddls: Seq[(String, Long)]): Seq[(String, String, String)] =
+    ddls.sortBy(_._2).flatMap { case (stmt, _) =>
+      graft.ddl.AlterParser.parse(stmt) match {
+        case Some(graft.ddl.AlterParser.ParsedAlter(tbl,
+            graft.ddl.AlterParser.ChangeColumn(o, n))) => Some((tbl, bare(o), bare(n)))
+        case _ => None
       }
+    }
+
+  /** Compaction transform for a store-side column rename, tolerant of a
+    * resolved frame that already carries BOTH generations' columns: the
+    * batch that delivered the ALTER may itself have written a delta under
+    * the NEW name (intra-batch split), while older versions still carry
+    * the old one — after mergeSchema + resolve, each winning row has its
+    * value under exactly one of the two names, so coalesce picks it. */
+  private[run] def renameTransform(o: String, n: String): DataFrame => DataFrame = { df =>
+    val cols = df.columns.toSet
+    if (cols(o) && cols(n)) df.withColumn(n, coalesce(col(n), col(o))).drop(o)
+    else if (cols(o)) df.withColumnRenamed(o, n)
+    else df
+  }
 
   /** Thread pool for concurrent per-table applies (C5): Spark is
     * thread-safe for concurrent job submission, so T tables become T
@@ -261,12 +362,18 @@ object Consume {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
+          // The batch's DDL statements, collected ONCE per schema (tiny:
+          // one row per ALTER): they feed the per-table intra-batch split,
+          // the K4 apply, and the store-side rename compact below.
+          val ddlBySchema: Map[String, Seq[(String, Long)]] =
+            tables.map(_.schema).distinct.map(db => db -> collectDdl(cached, db)).toMap
           // Each future catches its own error so the barrier always waits
           // for EVERY table before the cache is released — failing fast
           // would orphan in-flight siblings onto an unpersisted batch.
           val applies = tables.map { t =>
             Future {
-              try { applyBatch(spark, t, stores(t), tableChangelog(cached, t), batchId); None }
+              try { applyBatch(spark, t, stores(t),
+                tableChangelog(cached, t, ddlBySchema.getOrElse(t.schema, Nil)), batchId); None }
               catch {
                 case e: Exception if skipError =>
                   // C3 skip-error mode: continue with the next table,
@@ -284,21 +391,26 @@ object Consume {
           val errors = Await.result(Future.sequence(applies)(
             scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf).flatten
           errors.headOption.foreach(e => throw e)
-          ddlSink.foreach(run =>
-            tables.map(_.schema).distinct.foreach { db =>
-              val skipped = applyDdl(cached, db, run, skipError)
+          tables.map(_.schema).distinct.foreach { db =>
+            val ddls = ddlBySchema.getOrElse(db, Nil)
+            ddlSink.foreach { run =>
+              val skipped = applyDdl(ddls, db, run, skipError)
               deadLetter.foreach(_.recordDdl(db, skipped, batchId))
-              // store-side half of a column RENAME: the external sink
-              // renames in place, but the parquet log keeps old-name
-              // versions whose rows would read as null under the new
-              // name after the restart — collapse the log to ONE
-              // renamed base (atomic compact swap) so pre-rename rows
-              // carry their values into the new generation
-              collectRenames(cached, db).foreach { case (tbl, o, n) =>
-                tables.filter(t => t.schema == db && t.table == tbl)
-                  .foreach(t => compact(t, stores(t), _.withColumnRenamed(o, n)))
-              }
-            })
+            }
+            // store-side half of a column RENAME: an external sink (if
+            // any) renames in place, but the parquet log keeps old-name
+            // versions whose rows would read as null under the new
+            // name after the restart — collapse the log to ONE
+            // renamed base (atomic compact swap) so pre-rename rows
+            // carry their values into the new generation. This runs
+            // whether or not a ddlSink is wired: a store-only pipeline
+            // (ddlSink = None) suffers the exact same null-read without
+            // the compact.
+            renamesIn(ddls).foreach { case (tbl, o, n) =>
+              tables.filter(t => t.schema == db && t.table == tbl)
+                .foreach(t => compact(t, stores(t), renameTransform(o, n)))
+            }
+          }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             tables.foreach(t => compact(t, stores(t)))
           // size/count-triggered compaction (the OPTIMIZE scheduler):

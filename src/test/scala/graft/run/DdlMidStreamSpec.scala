@@ -181,4 +181,120 @@ class DdlMidStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
   }
+
+  test("CHANGE COLUMN rename with NO ddlSink (store-only pipeline) still compacts the store") {
+    // regression: the store-side rename compact used to live inside
+    // ddlSink.foreach, so a pipeline with the default ddlSink = None
+    // (StreamRehearsal, any store-only consumer) never collapsed the log
+    // and pre-rename rows read as null under the new name after restart
+    val root = Files.createTempDirectory("ddlrenamenosink").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("amount", LongType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t CHANGE COLUMN qty amount BIGINT", 120)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q1.processAllAvailable(); q1.stop()
+
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "insert", """{"id":3,"amount":30}""", 200),
+      ev("t", "update", """{"id":1,"amount":11}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q2 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q2.processAllAvailable(); q2.stop()
+
+    // row 2 was never touched after the rename — its value must carry
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("ADD COLUMN mid-batch: rows AFTER the DDL in the same batch keep the new column") {
+    // regression: every row of a micro-batch used to parse under the
+    // batch-start schema, so a post-ALTER row's new column silently read
+    // as null (from_json drops unknown fields — nothing errors, nothing
+    // parks) and the LWW resolve then overwrote good values with null
+    val root = Files.createTempDirectory("ddlintra").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+
+    // ONE file -> ONE micro-batch: DML, the ALTER, then post-ALTER DML
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"amount":10.0}""", 100),
+      ev("t", "insert", """{"id":2,"amount":20.0}""", 110),
+      ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 120),
+      ev("t", "insert", """{"id":3,"amount":30.0,"note":"new"}""", 200),
+      ev("t", "update", """{"id":1,"amount":11.0,"note":"upd"}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q1.processAllAvailable(); q1.stop()
+
+    val t2 = t1.copy(valueSchema = v1.add(StructField("note", StringType)))
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set(
+      (1L, 11.0, Some("upd")),
+      (2L, 20.0, None),
+      (3L, 30.0, Some("new"))))
+  }
+
+  test("CHANGE COLUMN mid-batch: pre-slice parses old name, post-slice new, one delta") {
+    // the rename case is the worst intra-batch shape: pre-DDL rows carry
+    // the OLD name and post-DDL rows the NEW one — the split parses each
+    // slice under its own schema and unions to the final shape, and the
+    // rename compact must tolerate a resolved frame carrying BOTH
+    // generations' columns (older committed versions still old-named)
+    val root = Files.createTempDirectory("ddlintrarename").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("amount", LongType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    val t2 = t1.copy(valueSchema = v2)
+
+    // batch 0: a committed OLD-named version (so compaction sees mixed
+    // generations); row 2 is never touched again
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":2,"qty":20}""", 90)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q0 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q0.processAllAvailable(); q0.stop()
+
+    // batch 1 (one file): old-name DML, the rename, new-name DML
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ddl("ALTER TABLE db.t CHANGE COLUMN qty amount BIGINT", 120),
+      ev("t", "insert", """{"id":3,"amount":30}""", 200),
+      ev("t", "update", """{"id":1,"amount":11}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q1.processAllAvailable(); q1.stop()
+
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
 }
