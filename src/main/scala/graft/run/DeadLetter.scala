@@ -66,6 +66,21 @@ final class DeadLetter(spark: SparkSession, root: String) {
         schema, "_ddl", batchId, error = "ddl")
     }
 
+  /** Park envelope documents the CDC adapters exclude from the event
+    * stream ([[graft.sources.CdcEnvelopes.debeziumDropped]] /
+    * `wal2jsonDropped`): truncate/message ops and unparseable documents.
+    * These are not replayable through the DML path — truncate has no
+    * canonical event — so they land under the reserved `_envelope` table
+    * for inspection ([[read]]`("_envelope", "_dropped")`): an operator
+    * sees the truncate and re-bootstraps the affected table deliberately,
+    * instead of the reference's silent drop. Idempotent per batch id like
+    * every other record path. */
+  def recordDropped(docs: DataFrame, batchId: Long): Unit =
+    storeFor("_envelope", "_dropped").append(
+      docs.withColumn("_batch_id", lit(batchId))
+        .withColumn("_error", lit("unsupported-envelope-op")),
+      batchId)
+
   /** Dead rows currently parked for a table (None when none). */
   def read(schema: String, table: String): Option[DataFrame] =
     storeFor(schema, table).readLog()

@@ -47,7 +47,9 @@ object CdcEnvelopes {
     *   - insert → one `insert` event (values = new image, action_seq 2)
     *   - update → `delete` (action_seq 1) + `insert` (action_seq 2)
     *   - delete → one `delete` event (values = `oldkeys` image, seq 1)
-    *   - any other kind (truncate, message) → dropped
+    *   - any other kind (truncate, message) → excluded from the event
+    *     stream; [[wal2jsonDropped]] yields those change elements for
+    *     dead-letter parking
     *
     * Two deliberate fixes over the reference, both cited:
     *   - postgres.py:72 reads only `change[0]`, silently dropping the rest
@@ -110,7 +112,13 @@ object CdcEnvelopes {
     *     ([[graft.run.Consume.applyDdl]]) — the same flow the reference
     *     gives binlog QueryEvents (mysql.py:165-172,
     *     replication/continuous.py:156-162)
-    *   - anything else (truncate `t`, message `m`) → dropped
+    *   - anything else (truncate `t`, message `m`, unparseable) →
+    *     excluded from the event stream; [[debeziumDropped]] yields
+    *     exactly those documents so a pipeline can park them in the
+    *     dead-letter store ([[graft.run.DeadLetter.recordDropped]]) —
+    *     the reference drops them silently, but truncate is
+    *     state-destroying and this engine's C3 principle is that
+    *     nothing disappears without a trace
     *
     * `schema` is `source.db` — the reference keys routing on the source
     * database name (postgres.py:84, mysql.py:176). `event_unixtime` is
@@ -159,5 +167,44 @@ object CdcEnvelopes {
       .select(col("schema"), col("table"), col("h.action").as("action"),
         col("h.values").as("values"), col("event_unixtime"),
         col("h.action_seq").as("action_seq"))
+  }
+
+  /** The complement of [[debezium]]: every input document the normalizer
+    * excludes from the event stream — op `t` (truncate), `m` (logical
+    * message), any unknown op, and documents that parse to neither a CDC
+    * envelope nor a schema-change document. Columns: `schema` (source db
+    * when readable, else ""), `op` (null when absent/unparseable), and
+    * the RAW document under `raw` so nothing is lost in translation.
+    * Map-only like the normalizer; route the result to
+    * [[graft.run.DeadLetter.recordDropped]].
+    */
+  def debeziumDropped(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val parsed = df.select(col(jsonCol).as("raw"),
+      from_json(col(jsonCol), lit(debeziumSchema)).as("m"))
+    val m = col("m")
+    def pick(f: String): Column = coalesce(m("payload")(f), m(f))
+    val op = pick("op"); val ddl = pick("ddl")
+    val handled = op.isin("c", "r", "u", "d") || (op.isNull && ddl.isNotNull)
+    parsed.filter(!coalesce(handled, lit(false)))
+      .select(coalesce(pick("source")("db"), pick("databaseName"), lit("")).as("schema"),
+        op.as("op"), col("raw"))
+  }
+
+  /** The complement of [[wal2json]]: change elements with an unhandled
+    * kind (truncate/message), plus whole documents that don't parse as
+    * wal2json v1 at all (`kind` null, `raw` = the document). One output
+    * row per dropped element, carrying the raw source document.
+    */
+  def wal2jsonDropped(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val parsed = df.select(col(jsonCol).as("raw"),
+      from_json(col(jsonCol), lit(wal2jsonSchema))("change").as("chg"))
+    val unparsed = parsed.filter(col("chg").isNull)
+      .select(lit(null).cast("string").as("schema"),
+        lit(null).cast("string").as("kind"), col("raw"))
+    val unknownKind = parsed.filter(col("chg").isNotNull)
+      .select(col("raw"), explode(col("chg")).as("c"))
+      .filter(!col("c.kind").isin("insert", "update", "delete"))
+      .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
+    unparsed.unionByName(unknownKind)
   }
 }

@@ -180,4 +180,59 @@ class CdcEnvelopesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(state == Set((1L, 11.0)))
   }
+
+  test("debezium: truncate/message ops land in the dead letter, not the event stream") {
+    // C3 principle: the reference silently drops op:"t"/"m" documents
+    // (and so did this adapter until round 10) — truncate is
+    // state-destroying, so it must be parked visibly instead
+    val trunc = """{"payload":{"before":null,"after":null,"source":{"db":"shop","table":"test"},"op":"t","ts_ms":1400}}"""
+    val msg = """{"payload":{"op":"m","ts_ms":1500}}"""
+    val ins = """{"payload":{"before":null,"after":{"id":1},"source":{"db":"shop","table":"test"},"op":"c","ts_ms":1000}}"""
+    val garbage = """not json at all"""
+    val df = Seq(trunc, msg, ins, garbage).toDF("json")
+
+    // the event stream carries ONLY the insert
+    assert(rows(CdcEnvelopes.debezium(df, fallbackUnixtime = lit(9L))).map(_._3) == Seq("insert"))
+
+    // the complement carries exactly the other three, with raw documents
+    val dropped = CdcEnvelopes.debeziumDropped(df)
+      .select("schema", "op", "raw").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2))).toSet
+    assert(dropped == Set(
+      ("shop", Some("t"), trunc),
+      ("", Some("m"), msg),
+      ("", None, garbage)))
+
+    // parked in the dead-letter store under the reserved _envelope table
+    val root = Files.createTempDirectory("dbzdrop").toString
+    val dl = new graft.run.DeadLetter(spark, s"$root/dead")
+    dl.recordDropped(CdcEnvelopes.debeziumDropped(df), batchId = 7L)
+    val parked = dl.read("_envelope", "_dropped").get
+    assert(parked.count() == 3)
+    assert(parked.filter(col("op") === "t").select("raw").as[String].collect().toSeq == Seq(trunc))
+    assert(parked.select("_batch_id").distinct().as[Long].collect().toSeq == Seq(7L))
+    // idempotent on batch replay, like every other dead-letter path
+    dl.recordDropped(CdcEnvelopes.debeziumDropped(df), batchId = 7L)
+    assert(dl.read("_envelope", "_dropped").get.count() == 3)
+  }
+
+  test("wal2json: truncate kind and unparseable documents land in the dropped complement") {
+    val ins = """{"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["id"],"columnvalues":[1]}]}"""
+    val trunc = """{"change":[{"kind":"truncate","schema":"s","table":"t"}]}"""
+    val mixed = """{"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["id"],"columnvalues":[2]},{"kind":"truncate","schema":"s","table":"t"}]}"""
+    val garbage = """{"not":"wal2json"}"""
+    val df = Seq(ins, trunc, mixed, garbage).toDF("json")
+
+    // event stream: only the two inserts
+    assert(rows(CdcEnvelopes.wal2json(df, eventUnixtime = lit(5L))).map(_._3) == Seq("insert", "insert"))
+
+    val dropped = CdcEnvelopes.wal2jsonDropped(df)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getString(2))).toSet
+    // both truncate elements (one from the mixed transaction) + the
+    // unparseable document, each carrying its raw source document
+    assert(dropped == Set(
+      (Some("s"), Some("truncate"), trunc),
+      (Some("s"), Some("truncate"), mixed),
+      (None, None, garbage)))
+  }
 }
