@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * aggregation AQE can split, not an OOM.
   *
   * Small-graph fast path: when the materialized edge list is under
-  * `spark.graft.cc.localEdgeThreshold` directed edges (default 4M ≈ 64 MB
-  * on the driver), the multi-round shuffle loop costs more in fixed
-  * per-job overhead than the whole graph is worth. Like a broadcast join
+  * `spark.graft.cc.localEdgeThreshold` directed edges (default derived
+  * from the driver's max heap — see [[defaultLocalEdgeThreshold]]), the
+  * multi-round shuffle loop costs more in fixed per-job overhead than
+  * the whole graph is worth. Like a broadcast join
   * choosing a hash table over a shuffle below a size threshold, we then
   * collect the (already blocked + verified, id-only) edges and run
   * path-compressed union-find on the driver — one job instead of
@@ -40,6 +41,29 @@ import org.apache.spark.sql.functions._
   * distributed loop remains the path for corpus-scale pair lists.
   */
 object GraphOps {
+
+  /** Default union-find fast-path gate, in MIRRORED (directed) edges,
+    * derived from the driver's heap instead of a fixed constant — a
+    * fixed 4M default was measured safe on a 48 GiB driver but
+    * GC-thrashed a 12 GiB local-cluster driver before the LongMap fix,
+    * and the safe value genuinely depends on heap, not on the graph.
+    *
+    * Budget model (measured at sf10, round 9): the resident LongMap is
+    * ~48 bytes per touched node, and the transient `collect()` of the
+    * pair rows peaks at ~100 bytes per pair (Row + two boxed longs);
+    * with nodes ≤ mirrored edges that bounds the peak at ~150 bytes per
+    * mirrored edge for long ids (generic Comparable ids are heavier,
+    * which the /8 headroom absorbs). Spending at most 1/8 of max heap
+    * keeps the pass invisible to broadcasts and result collection:
+    * threshold = maxHeap / 8 / 150. A 48 GiB driver gets ~42M edges
+    * (comfortably above the old 4M), a 12 GiB one ~10M, and a thin
+    * 4 GiB driver ~3.5M — degrading to the distributed star loop right
+    * where the old constant started to thrash. Floor of 64k edges so a
+    * tiny test heap still takes the fast path on trivial graphs.
+    */
+  private[ops] def defaultLocalEdgeThreshold(
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory): Long =
+    math.max(65536L, maxHeapBytes / 8L / 150L)
 
   /** Minimum-reachable-id connected components over an undirected edge
     * list. Returns one row per node in `nodes`: (id, comp) where `comp` is
@@ -68,14 +92,19 @@ object GraphOps {
 
     // one-direction pair list, materialized ONCE up front: the path
     // decision, the mirror and every propagation round read it, and an
-    // upstream pair pipeline (minhash, simhash...) must not re-execute
+    // upstream pair pipeline (minhash, simhash...) must not re-execute.
+    // Null-endpoint edges conduct nothing on either path (null never
+    // equi-joins in the star rounds) — drop them here so the union-find
+    // fast path never sees one (it would NPE), keeping both paths on the
+    // same explicit semantics.
     val p = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val pFree = () => freeCheckpoint(p)
 
     val localThreshold = nodes.sparkSession.conf
       .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
-      .getOrElse(4000000L)
+      .getOrElse(defaultLocalEdgeThreshold())
     // decide the path BEFORE mirroring: union-find doesn't care about
     // direction or duplicate pairs, so the driver fast path collects the
     // raw pair list directly — skipping the mirror+distinct shuffle and
@@ -173,10 +202,19 @@ object GraphOps {
     * row values of every atomic Spark type are `Comparable`, so one
     * ordering covers long/int/string/decimal/timestamp ids.
     */
-  private def localComponents(nodes: DataFrame, und: DataFrame,
+  private def localComponents(nodes: DataFrame, undRaw: DataFrame,
                               idCol: String): DataFrame = {
     val spark = nodes.sparkSession
     val idType = nodes.schema(nodes.schema.fieldIndex(idCol)).dataType
+    // the NODES frame's id type decides the fast-path kernel, so the edge
+    // columns must actually be that type before the typed getters run: an
+    // int-typed edge list against long nodes (or vice versa) is legal
+    // input to the distributed loop, and the cast keeps it legal here —
+    // a lossy narrowing fails loudly under ANSI rather than mislabeling
+    val und =
+      if (undRaw.schema.fields.forall(_.dataType == idType)) undRaw
+      else undRaw.select(col("src").cast(idType).as("src"),
+        col("dst").cast(idType).as("dst"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("comp", idType)))

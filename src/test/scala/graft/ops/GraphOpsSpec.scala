@@ -200,4 +200,54 @@ class GraphOpsSpec extends SparkSpec {
       assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
+
+  test("default local-edge threshold scales with driver heap, not a constant") {
+    // the fixed 4M default was tuned on a 48 GiB driver; the same value
+    // GC-thrashed a 12 GiB local-cluster driver. The heap-derived default
+    // must degrade a THIN driver to the distributed star loop below the
+    // old constant, give a fat driver MORE than the old constant, and
+    // keep a floor so tiny test heaps still fast-path trivial graphs.
+    val thin = GraphOps.defaultLocalEdgeThreshold(4L << 30)   // 4 GiB
+    val mid = GraphOps.defaultLocalEdgeThreshold(12L << 30)   // 12 GiB
+    val fat = GraphOps.defaultLocalEdgeThreshold(48L << 30)   // 48 GiB
+    assert(thin < 4000000L, s"4 GiB driver must gate below the old 4M constant, got $thin")
+    assert(fat > 4000000L, s"48 GiB driver should fast-path beyond 4M, got $fat")
+    assert(thin < mid && mid < fat)
+    assert(GraphOps.defaultLocalEdgeThreshold(1L << 20) == 65536L, "floor")
+  }
+
+  test("int-typed edges against long nodes work on both paths (fast-path type gate)") {
+    // regression: the long fast path keyed its kernel on the NODES id
+    // type but read edge endpoints with getLong — int-typed edge columns
+    // threw ClassCastException; they are now cast to the nodes' type
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((2, 1), (3, 2)).toDF("src", "dst") // IntegerType
+    val fast = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val dist = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == fast)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
+  test("null edge endpoints conduct nothing on both paths") {
+    // a null endpoint never equi-joins in the star rounds; the explicit
+    // up-front filter gives the union-find path the same semantics
+    // instead of an NPE
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(2L), Some(1L)), (Some(3L), None), (None, Some(1L)))
+      .toDF("src", "dst")
+    val fast = GraphOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val dist = GraphOps.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(dist == fast)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
 }
