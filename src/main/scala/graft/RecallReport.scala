@@ -43,6 +43,8 @@ object RecallReport {
         () => SimilarityOps.lshTopK(queries, emb, k, planes = 4, dims = 64)),
       ("ivf_fixed", "nlist=8 nprobe=2",
         () => SimilarityOps.ivfTopKFixed(queries, emb, k, nlist = 8, nprobe = 2)),
+      ("ivf_auto", "nlist/nprobe from ivfAutoParams(N)",
+        () => SimilarityOps.ivfTopKAuto(queries, emb, k)),
       ("ivf_trained", "nlist=4 nprobe=2 iters=2",
         () => SimilarityOps.ivfTopKTrainedInt(queries, emb, k,
           nlist = 4, nprobe = 2, iters = 2, scale = 512)),

@@ -738,6 +738,21 @@ object SparkEntry {
         nlist = 8, nprobe = 2)
     }),
 
+    // IVF with AUTO-derived sizing (nlist ∝ √N, nprobe = nlist/4 — the
+    // SCALE.md rule as the executable default): gated at TWO corpus
+    // sizes (full table, and the even-id half) so the derived
+    // (nlist, nprobe) pair is itself part of the oracle gate — the SQL
+    // re-derives it from count(*) and must land on the same centroids
+    "ann_ivf_auto_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopKAuto(emb.filter(col("vec_id") < 8), emb, k = 10)
+    }),
+    "ann_ivf_auto_topk_half" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      SimilarityOps.ivfTopKAuto(corpus.filter(col("vec_id") < 8), corpus, k = 10)
+    }),
+
     // IVF with a TRAINED quantizer, oracle-gated: Lloyd k-means in exact
     // integer arithmetic (quantization-grid codes, floor-div means,
     // lowest-id seeds, cid tiebreaks) — order-independent, so the oracle
@@ -1269,6 +1284,48 @@ object SparkEntry {
   // Oracle SQL (DuckDB dialect, same parquet tables registered as views)
   // =====================================================================
   private val CL = "WITH " + Changelog.sqlCte
+
+  /** Oracle for the auto-sized IVF menu entry: re-derives (nlist, nprobe)
+    * from count(*) with the same anchored √N rule as
+    * [[graft.ops.SimilarityOps.ivfAutoParams]] (round half-up on a double
+    * sqrt — identical IEEE arithmetic on both engines), then runs the
+    * fixed-LCG IVF pipeline under those sizes. DuckDB's `range` refuses
+    * subquery bounds, so centroid ids come from a 4096-wide superset
+    * filtered by the derived nlist (the rule reaches 4096 only past
+    * N ≈ 5×10¹⁰ — far beyond any oracle-checked table). */
+  private def ivfAutoOracle(corpusWhere: String): String = {
+    val cosAssign = OracleSql.cosine("e.embedding", "c.cvec")
+    val cosPair = OracleSql.cosine("p.qv", "a.embedding")
+    val nlistExpr = "CAST(LEAST(n, GREATEST(1, round(16 * sqrt(n / 8000.0)))) AS INT)"
+    s"""WITH corpus AS (SELECT * FROM embeddings $corpusWhere),
+       |params AS (
+       |  SELECT $nlistExpr AS nlist, GREATEST(1, $nlistExpr // 4) AS nprobe
+       |  FROM (SELECT count(*) AS n FROM corpus)),
+       |cents AS (
+       |  SELECT CAST(c AS INT) AS cid,
+       |         list_transform(range(0, 64), d -> ${OracleSql.lcgUnit("c*64+d")}) AS cvec
+       |  FROM range(0, 4096) t(c), params WHERE c < params.nlist),
+       |asgn AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+       |    FROM corpus e, cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY $cosAssign DESC, c.cid ASC) AS rn
+       |    FROM (SELECT * FROM corpus WHERE vec_id < 8) e, cents c)
+       |  WHERE rn <= (SELECT nprobe FROM params)),
+       |j AS (SELECT p.query_id, a.vec_id AS neighbor_id, $cosPair AS cos
+       |      FROM probes p JOIN asgn a ON p.cid = a.cid AND p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |      FROM j)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2007,6 +2064,9 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 10""".stripMargin
     },
+
+    "ann_ivf_auto_topk" -> ivfAutoOracle(""),
+    "ann_ivf_auto_topk_half" -> ivfAutoOracle("WHERE vec_id % 2 = 0"),
 
     "ann_ivf_trained_topk" -> {
       // integer squared-L2 on the quantization grid (1-based list index)

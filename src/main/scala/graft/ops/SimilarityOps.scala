@@ -396,6 +396,35 @@ object SimilarityOps {
                    vecCol: String = "embedding"): DataFrame =
     probeTopK(queries, corpus, lcgCentroids(nlist, dims), k, nprobe, idCol, vecCol)
 
+  /** The standard IVF sizing rule (`nlist ∝ √N`, `nprobe/nlist` held
+    * constant — see SCALE.md's two-table derivation at sf1/sf10) as an
+    * executable default instead of prose: anchored at the measured
+    * (nlist=16, nprobe=4) @ N=8k point, so recall is governed by an
+    * unchanged probed fraction and per-query cost by an unchanged probed
+    * count as the corpus grows. `nlist` is clamped to [1, N]; `nprobe`
+    * floors at 1. The centroid table stays a driver-side constant
+    * (nlist × dims doubles) through nlist ≈ 10⁵, i.e. any plausible
+    * corpus (100M vectors → nlist ≈ 1.8k).
+    */
+  def ivfAutoParams(corpusCount: Long): (Int, Int) = {
+    require(corpusCount > 0, "ivfAutoParams: empty corpus")
+    val nlist = math.max(1L, math.min(corpusCount,
+      math.round(16.0 * math.sqrt(corpusCount.toDouble / 8000.0)))).toInt
+    (nlist, math.max(1, nlist / 4))
+  }
+
+  /** [[ivfTopKFixed]] with nlist/nprobe DERIVED from the corpus count via
+    * [[ivfAutoParams]] — the menu entry that survives a caller who never
+    * read the sizing guidance. Costs one count() over the corpus (a
+    * metadata-only scan for parquet sources).
+    */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                  dims: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val (nlist, nprobe) = ivfAutoParams(corpus.count())
+    ivfTopKFixed(queries, corpus, k, nlist, nprobe, dims, idCol, vecCol)
+  }
+
   /** PQ codebooks: `m` subspaces × `ncode` centroids over `sub`-dim
     * slices, derived from the deterministic LCG (same generator as the
     * LSH hyperplanes / fixed IVF centroids) — every value is a dyadic

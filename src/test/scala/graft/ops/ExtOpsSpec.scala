@@ -185,6 +185,26 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfAutoParams: anchored √N rule, clamped and probe-floored") {
+    // the SCALE.md anchor points: 8k -> (16, 4); 128k -> (64, 16);
+    // 100M -> ~1.8k lists with the probed fraction held at 1/4
+    assert(SimilarityOps.ivfAutoParams(8000L) == ((16, 4)))
+    assert(SimilarityOps.ivfAutoParams(128000L) == ((64, 16)))
+    val (bigList, bigProbe) = SimilarityOps.ivfAutoParams(100000000L)
+    assert(bigList == 1789 && bigProbe == bigList / 4)
+    // tiny corpus: formula floors at one list (brute force), nprobe at 1;
+    // the ≤N clamp guards the regime where rounding could exceed N
+    assert(SimilarityOps.ivfAutoParams(2L) == ((1, 1)))
+    assert(SimilarityOps.ivfAutoParams(500L) == ((4, 1)))
+    // auto variant equals the fixed variant at the derived sizes
+    val emb = Tables(spark, sf, "embeddings")
+    val (nl, np) = SimilarityOps.ivfAutoParams(emb.count())
+    val auto = SimilarityOps.ivfTopKAuto(emb.filter(col("vec_id") < 3), emb, k = 5)
+    val fixed = SimilarityOps.ivfTopKFixed(emb.filter(col("vec_id") < 3), emb,
+      k = 5, nlist = nl, nprobe = np)
+    assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
+  }
+
   test("ngramJaccard df-cap drops hot-shingle blocks but keeps exact scores") {
     // 100 docs all share the universal token; docs (2i, 2i+1) also share a
     // rare pair token. Uncapped blocking would generate 100*99/2 = 4950
