@@ -58,7 +58,8 @@ object Bench {
     "dedup_edit_verify", "ann_ivf_trained_topk", "multimodal_meta_codec",
     "corpus_chunk", "text_bm25", "sketch_heavy_hitters",
     "session_attribution", "graph_pagerank",
-    "envelope_wal2json", "envelope_debezium", "ann_ivfpq_trained_topk")
+    "envelope_wal2json", "envelope_debezium", "ann_ivfpq_trained_topk",
+    "ann_ivf_auto_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,10 +92,18 @@ object Bench {
         // claims all the worker's cores)
         val workerMb = """local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]""".r
           .findFirstMatchIn(master).map(_.group(1).toInt).getOrElse(4096)
+        // executors are separate JVMs: they need this build's classes on
+        // their classpath. Derive the directory from where THIS class was
+        // loaded (env override for exotic layouts) instead of hardcoding a
+        // checkout path that silently 404s on any other machine.
+        val classesDir = sys.env.get("SPARK_GRAFT_CLASSES").orElse(
+          Option(Bench.getClass.getProtectionDomain.getCodeSource)
+            .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath))
+          .getOrElse(sys.error(
+            "cannot locate build classes for executor classpath; set SPARK_GRAFT_CLASSES"))
         builder0
           .config("spark.executor.memory", s"${math.max(1024, workerMb - 1024)}m")
-          .config("spark.executor.extraClassPath",
-            "/root/repo/target/scala-2.13/classes")
+          .config("spark.executor.extraClassPath", classesDir)
       } else builder0
     val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
@@ -156,10 +165,15 @@ object Bench {
       // 3-10x the steady-state cost); then take the MIN of two timed
       // passes — the per-batch cost a pipeline actually pays when the
       // query runs repeatedly, with GC/AQE scheduling noise (measured
-      // up to ±30% run-to-run) filtered out
+      // up to ±30% run-to-run) filtered out. dedup_minhash_pairs gets a
+      // third timed pass: its isolated-run band measured ±50% across a
+      // day at sf10 (9.0-13.6 s, clean canaries, flat GC — r9
+      // adjudication), wide enough to masquerade as a plan change in
+      // exponent audits; min-of-3 narrows the sampled tail.
       run()
       val gc0 = gcSec()
-      val dt = (0 until 2).map { _ =>
+      val passes = if (name == "dedup_minhash_pairs") 3 else 2
+      val dt = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
@@ -185,6 +199,16 @@ object Bench {
     // diagnostic map, the next-most-useful, right before it) — in round 8
     // the map fell off the capture and the gc numbers were misread as times
     println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
+    // Second, COMPACT record (≤1.5 KB) printed after the full line: the
+    // driver's bench capture keeps only a fixed-size tail of stdout, and
+    // the full per-query map (~4.5 KB at 129 queries) overflows it — the
+    // head of the line falls off and the record is unparseable. This line
+    // is small enough that the tail always retains it whole, so automated
+    // comparison against driver benches has one complete JSON object.
+    val top20 = results.sortBy(-_._2._1).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v._1 * 1000) }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total_compact","total_s":$total%.1f,"sf":"$sfDir","master":"$master","nq":${results.size},"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"top20_ms":$top20}""")
     spark.stop()
   }
 }
