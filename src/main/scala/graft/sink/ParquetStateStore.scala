@@ -112,8 +112,9 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
         // instead: widening history is exact; a NARROWING change with
         // out-of-range history fails the cast loudly (ANSI), which is
         // the correct surface for genuinely lossy evolution.
-        case e: org.apache.spark.SparkException
-            if deepMessage(e).contains("CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE") =>
+        case e @ (_: org.apache.spark.SparkException |
+                  _: org.apache.spark.sql.AnalysisException)
+            if isMergeConflict(e) =>
           import org.apache.spark.sql.functions.{col, lit}
           val frames = vs.map { case (_, p) => spark.read.parquet(p.toString) }
           // newest occurrence of each column wins its type; insertion
@@ -138,6 +139,26 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     var cur: Throwable = t
     while (cur != null) { sb.append(Option(cur.getMessage).getOrElse("")); cur = cur.getCause }
     sb.toString
+  }
+
+  /** True iff the failure is parquet schema-merge type incompatibility.
+    * Matched primarily on the structured error condition (walking the
+    * cause chain — the merge failure is usually wrapped in a task/job
+    * SparkException), with the message substring kept as a fallback for
+    * wrappers that don't implement SparkThrowable; matching only the
+    * message would silently break if a Spark upgrade reworded it. */
+  private def isMergeConflict(t: Throwable): Boolean = {
+    var cur: Throwable = t
+    while (cur != null) {
+      cur match {
+        case st: org.apache.spark.SparkThrowable
+            if Option(st.getCondition).exists(_.startsWith("CANNOT_MERGE")) =>
+          return true
+        case _ =>
+      }
+      cur = cur.getCause
+    }
+    deepMessage(t).contains("CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE")
   }
 
   /** Drop versions with id > `batchId` — the state-side half of a resume
