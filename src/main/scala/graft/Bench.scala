@@ -173,10 +173,15 @@ object Bench {
       run()
       val gc0 = gcSec()
       val passes = if (name == "dedup_minhash_pairs") 3 else 2
-      val dt = (0 until passes).map { _ =>
+      val dt = (0 until passes).map { i =>
         val t0 = System.nanoTime()
         run()
-        (System.nanoTime() - t0) / 1e9
+        val d = (System.nanoTime() - t0) / 1e9
+        // per-pass visibility for the min-of-3 queries: tells intra-JVM
+        // variance (pass spread here) apart from inter-JVM variance
+        // (spread across isolated runs) when adjudicating a noise band
+        if (passes > 2) System.err.println(f"[bench]   $name pass$i $d%8.2f s")
+        d
       }.min
       val gcDt = gcSec() - gc0
       // a fatal executor error (OOM) stops the context asynchronously and
