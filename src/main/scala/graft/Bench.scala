@@ -213,7 +213,11 @@ object Bench {
     val top20 = results.sortBy(-_._2._1).take(20)
       .map { case (k, v) => "\"" + k + "\":" + math.round(v._1 * 1000) }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total_compact","total_s":$total%.1f,"sf":"$sfDir","master":"$master","nq":${results.size},"canary_start_sec":$canaryStart%.3f,"canary_end_sec":$canaryEnd%.3f,"top20_ms":$top20}""")
+    // Locale.ROOT: the f-interpolator uses the default JVM locale, and a
+    // comma-decimal locale would print total_s":123,4 — invalid JSON on
+    // exactly the machine-parseability this line exists for
+    println("""{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,"top20_ms":%s}"""
+      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, top20))
     spark.stop()
   }
 }

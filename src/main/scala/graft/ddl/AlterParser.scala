@@ -23,7 +23,13 @@ object AlterParser {
                              default: Option[String], comment: Option[String],
                              position: Option[String]) extends AlterAction
   final case class DropColumn(column: String) extends AlterAction
-  final case class ChangeColumn(oldName: String, newName: String) extends AlterAction
+  /** MySQL CHANGE restates the full column definition, so it can rename
+    * AND retype in one statement (`CHANGE qty qty BIGINT` is the idiomatic
+    * same-name type change). `dataType` carries the restated type so
+    * schema evolution doesn't silently keep the old one; None only for
+    * tolerant parses of non-MySQL dialects that omit it. */
+  final case class ChangeColumn(oldName: String, newName: String,
+                                dataType: Option[String] = None) extends AlterAction
   final case class ModifyColumn(column: String, dataType: String, notNull: Boolean,
                                 default: Option[String], comment: Option[String]) extends AlterAction
 
@@ -35,6 +41,7 @@ object AlterParser {
 
   private val Add = ("""(?is)add\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
   private val Drop = ("""(?is)drop\s+(?:column\s+)?""" + Ident + """\s*""").r
+  private val ChangeTyped = ("""(?is)change\s+(?:column\s+)?""" + Ident + """\s+""" + Ident + """\s+""" + Type + """(.*)""").r
   private val Change = ("""(?is)change\s+(?:column\s+)?""" + Ident + """\s+""" + Ident + """(.*)""").r
   private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
 
@@ -81,6 +88,8 @@ object AlterParser {
         case Add(name, dt, rest) if isColumnIdent(name) =>
           val (nn, d, c, pos) = tail(rest)
           Some(ParsedAlter(t, AddColumn(name, dt, nn, d, c, pos)))
+        case ChangeTyped(oldN, newN, dt, _) if isColumnIdent(oldN) =>
+          Some(ParsedAlter(t, ChangeColumn(oldN, newN, Some(dt))))
         case Change(oldN, newN, _) if isColumnIdent(oldN) =>
           Some(ParsedAlter(t, ChangeColumn(oldN, newN)))
         case Modify(name, dt, rest) if isColumnIdent(name) =>
@@ -106,7 +115,11 @@ object AlterParser {
           s"alter table $target add column $name $tpe$cmt"
         case DropColumn(name) =>
           s"alter table $target drop column $name"
-        case ChangeColumn(oldN, newN) =>
+        case ChangeColumn(oldN, newN, dt) if oldN == newN && dt.isDefined =>
+          // same-name CHANGE is MySQL's idiomatic type change — a rename
+          // rendering would be a no-op and silently drop the retype
+          s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = true)}"
+        case ChangeColumn(oldN, newN, _) =>
           s"alter table $target rename column $oldN to $newN"
         case ModifyColumn(name, dt, notNull, default, comment) =>
           val tpe = TypeMap.render(dt, nullable = !notNull)
@@ -131,7 +144,12 @@ object AlterParser {
           s"ALTER TABLE $target ADD COLUMNS ($name $tpe$cmt)"
         case DropColumn(name) =>
           s"ALTER TABLE $target DROP COLUMN $name"
-        case ChangeColumn(oldN, newN) =>
+        case ChangeColumn(oldN, newN, dt) if oldN == newN && dt.isDefined =>
+          s"ALTER TABLE $target ALTER COLUMN $newN TYPE ${TypeMap.toSpark(dt.get).sql}"
+        case ChangeColumn(oldN, newN, _) =>
+          // a rename that ALSO retypes renders the rename only — Spark SQL
+          // has no single-statement form; the store-side evolution
+          // (Consume.evolveSchema/liftSlice) applies the retype to state
           s"ALTER TABLE $target RENAME COLUMN $oldN TO $newN"
         case ModifyColumn(name, dt, _, _, _) =>
           s"ALTER TABLE $target ALTER COLUMN $name TYPE ${TypeMap.toSpark(dt).sql}"

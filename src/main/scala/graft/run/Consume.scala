@@ -71,13 +71,23 @@ object Consume {
     import graft.ddl.AlterParser._
     a match {
       case AddColumn(name, dt, _, _, _, _) =>
-        schema.add(org.apache.spark.sql.types.StructField(
-          bare(name), graft.ddl.TypeMap.toSpark(dt)))
+        // idempotent: a batch REPLAY after the operator restarted with the
+        // already-widened TableSync must not produce a duplicate field
+        // (replace in place keeps field order stable across replays)
+        val f = org.apache.spark.sql.types.StructField(
+          bare(name), graft.ddl.TypeMap.toSpark(dt))
+        if (schema.fieldNames.contains(f.name))
+          StructType(schema.map(x => if (x.name == f.name) f else x))
+        else schema.add(f)
       case DropColumn(name) =>
         StructType(schema.filterNot(_.name == bare(name)))
-      case ChangeColumn(o, n) =>
+      case ChangeColumn(o, n, dt) =>
+        // CHANGE restates the type — a same-name CHANGE is a pure retype
         StructType(schema.map(f =>
-          if (f.name == bare(o)) f.copy(name = bare(n)) else f))
+          if (f.name == bare(o))
+            f.copy(name = bare(n),
+              dataType = dt.map(graft.ddl.TypeMap.toSpark).getOrElse(f.dataType))
+          else f))
       case ModifyColumn(name, dt, _, _, _) =>
         StructType(schema.map(f =>
           if (f.name == bare(name)) f.copy(dataType = graft.ddl.TypeMap.toSpark(dt)) else f))
@@ -96,7 +106,11 @@ object Consume {
       case AddColumn(name, dt, _, _, _, _) =>
         df.withColumn(bare(name), lit(null).cast(graft.ddl.TypeMap.toSpark(dt)))
       case DropColumn(name) => df.drop(bare(name))
-      case ChangeColumn(o, n) => df.withColumnRenamed(bare(o), bare(n))
+      case ChangeColumn(o, n, dt) =>
+        val renamed =
+          if (bare(o) == bare(n)) df else df.withColumnRenamed(bare(o), bare(n))
+        dt.map(d => renamed.withColumn(bare(n),
+          col(bare(n)).cast(graft.ddl.TypeMap.toSpark(d)))).getOrElse(renamed)
       case ModifyColumn(name, dt, _, _, _) =>
         df.withColumn(bare(name), col(bare(name)).cast(graft.ddl.TypeMap.toSpark(dt)))
     }
@@ -222,6 +236,20 @@ object Consume {
       .collect().toSeq
       .map(row => (row.getString(0), row.getLong(1)))
 
+  /** All schemas' DDL in one Spark job — the consume loop runs this once
+    * per micro-batch (vs one filter+collect job per schema, which showed
+    * up as N sequential driver round-trips per trigger on multi-schema
+    * pipelines). */
+  private[run] def collectDdlAll(batch: DataFrame): Map[String, Seq[(String, Long)]] =
+    batch.filter(col("action") === "query")
+      .select(col("schema"), col("values"), col("event_unixtime"))
+      .orderBy(col("event_unixtime"))
+      .collect().toSeq
+      .groupBy(_.getString(0))
+      .map { case (db, rows) =>
+        db -> rows.map(r => (r.getString(1), r.getLong(2)))
+      }
+
   /** Statement-list form of [[applyDdl]] for callers that already
     * collected the batch's DDL (the consume loop collects once and feeds
     * the apply, the rename compact, and the intra-batch split from it). */
@@ -279,51 +307,81 @@ object Consume {
     * otherwise need two cancels). MergeTree state is already materialized,
     * so compaction is a no-op there.
     */
-  /** `transform` is applied to the resolved frame before the atomic swap —
-    * the hook store-side schema evolution rides (a column RENAME rewrites
-    * the log once, like the target database's in-place RENAME COLUMN). */
+  /** `pre` is applied to the merged LOG before resolution — the hook
+    * store-side schema evolution rides (a column RENAME rewrites the log
+    * once, like the target database's in-place RENAME COLUMN; see
+    * [[renameTransform]] for why it must run before the resolver). */
   def compact(t: TableSync, store: ParquetStateStore,
-              transform: DataFrame => DataFrame = identity): Unit = t.engine match {
-    case Engine.MergeTree =>
-      // resolve WITH _batch so the compacted base and later deltas keep
-      // one schema (and arrival order stays total across compactions)
-      store.readLog().map(mergeTreeResolve(_, keysFor(t)))
-        .foreach(df => store.compact(transform(df)))
-    case Engine.ReplacingMergeTree =>
-      currentState(t, store).foreach(df => store.compact(transform(df)))
-    case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree =>
-      currentState(t, store).foreach(resolved => store.compact(
-        transform(resolved.withColumn("sign", lit(1).cast("tinyint")))))
-  }
+              pre: DataFrame => DataFrame = identity): Unit =
+    store.readLog().map(pre).foreach { log =>
+      val resolved = t.engine match {
+        case Engine.MergeTree =>
+          // resolve WITH _batch so the compacted base and later deltas keep
+          // one schema (and arrival order stays total across compactions)
+          mergeTreeResolve(log, keysFor(t))
+        case Engine.ReplacingMergeTree =>
+          SinkStrategy.replacingResolve(log, keysFor(t))
+        case Engine.CollapsingMergeTree =>
+          SinkStrategy.collapsingResolve(log, keysFor(t))
+            .withColumn("sign", lit(1).cast("tinyint"))
+        case Engine.VersionedCollapsingMergeTree =>
+          SinkStrategy.versionedCollapsingResolve(log, keysFor(t))
+            .withColumn("sign", lit(1).cast("tinyint"))
+      }
+      store.compact(resolved)
+    }
 
-  /** Column renames carried in this batch's DDL events for schema `db`:
-    * (table, oldName, newName) per parseable CHANGE/RENAME statement.
-    * DDL rows are rare (one per ALTER), so the extra collect alongside
-    * [[applyDdl]]'s is a few strings, not data.
-    */
-  private[run] def collectRenames(batch: DataFrame, db: String): Seq[(String, String, String)] =
-    renamesIn(collectDdl(batch, db))
-
+  /** Actual column renames in a batch's DDL, in event order: (table, old,
+    * new) per parseable CHANGE statement whose names DIFFER — a same-name
+    * CHANGE is MySQL's type-change idiom, not a rename (and feeding it to
+    * [[renameTransform]] would coalesce-and-drop the column's data). */
   private[run] def renamesIn(ddls: Seq[(String, Long)]): Seq[(String, String, String)] =
     ddls.sortBy(_._2).flatMap { case (stmt, _) =>
       graft.ddl.AlterParser.parse(stmt) match {
         case Some(graft.ddl.AlterParser.ParsedAlter(tbl,
-            graft.ddl.AlterParser.ChangeColumn(o, n))) => Some((tbl, bare(o), bare(n)))
+            graft.ddl.AlterParser.ChangeColumn(o, n, _)))
+          if bare(o) != bare(n) => Some((tbl, bare(o), bare(n)))
         case _ => None
       }
     }
 
-  /** Compaction transform for a store-side column rename, tolerant of a
-    * resolved frame that already carries BOTH generations' columns: the
-    * batch that delivered the ALTER may itself have written a delta under
-    * the NEW name (intra-batch split), while older versions still carry
-    * the old one — after mergeSchema + resolve, each winning row has its
-    * value under exactly one of the two names, so coalesce picks it. */
+  /** Pre-resolve compaction transform for a store-side column rename,
+    * applied to the merged LOG (old versions still old-named, the
+    * ALTER-carrying batch's delta already new-named after the intra-batch
+    * split): each log row carries its value under exactly one of the two
+    * names, so coalesce picks it row-wise. Renaming BEFORE resolution is
+    * what makes a rename of a PRIMARY KEY column safe — the resolver
+    * groups on the new name over uniformly-renamed rows. */
   private[run] def renameTransform(o: String, n: String): DataFrame => DataFrame = { df =>
     val cols = df.columns.toSet
-    if (cols(o) && cols(n)) df.withColumn(n, coalesce(col(n), col(o))).drop(o)
+    if (o == n) df
+    else if (cols(o) && cols(n)) df.withColumn(n, coalesce(col(n), col(o))).drop(o)
     else if (cols(o)) df.withColumnRenamed(o, n)
     else df
+  }
+
+  /** Fold a batch's parseable ALTERs for `t` into the TableSync a restart
+    * would be handed: the value schema evolves per [[evolveSchema]], and a
+    * rename tracks through `pkCols`/`versionColumn` so key resolution
+    * follows the column. The consume loop carries this forward BETWEEN
+    * batches of one run — without it, a batch after the ALTER-carrying one
+    * would re-parse under the query-start schema and silently null the
+    * evolved columns (the exact bug the intra-batch split fixes WITHIN a
+    * batch). */
+  private[run] def evolveTable(t: TableSync, ddls: Seq[(String, Long)]): TableSync = {
+    import graft.ddl.AlterParser._
+    val alters = ddls.sortBy(_._2).flatMap(d =>
+      parse(d._1).filter(_.table == t.table).map(_.action))
+    alters.foldLeft(t) { (cur, a) =>
+      val renamed = a match {
+        case ChangeColumn(o, n, _) if bare(o) != bare(n) =>
+          cur.copy(
+            pkCols = cur.pkCols.map(p => if (p == bare(o)) bare(n) else p),
+            versionColumn = cur.versionColumn.map(v => if (v == bare(o)) bare(n) else v))
+        case _ => cur
+      }
+      renamed.copy(valueSchema = evolveSchema(renamed.valueSchema, a))
+    }
   }
 
   /** Thread pool for concurrent per-table applies (C5): Spark is
@@ -356,24 +414,38 @@ object Consume {
             deadLetter: Option[DeadLetter] = None,
             compactionPolicy: Option[SinkStrategy.CompactionPolicy] = None): StreamingQuery = {
     val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
+    // Per-table schema carried ACROSS batches of this run: an ALTER in
+    // batch k evolves the TableSync every later batch parses and resolves
+    // with (on restart this re-seeds from `tables` — the batch replay
+    // re-collects its DDL and re-evolves, and evolveSchema is idempotent
+    // so a restart that already hands in the widened schema converges).
+    // foreachBatch callbacks are serialized per query; TrieMap is belt
+    // and braces against a future multi-query share of this map.
+    val live = scala.collection.concurrent.TrieMap(tables.map(t => t -> t): _*)
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.cache()
         try {
-          // The batch's DDL statements, collected ONCE per schema (tiny:
-          // one row per ALTER): they feed the per-table intra-batch split,
-          // the K4 apply, and the store-side rename compact below.
-          val ddlBySchema: Map[String, Seq[(String, Long)]] =
-            tables.map(_.schema).distinct.map(db => db -> collectDdl(cached, db)).toMap
+          // The batch's DDL statements, collected ONCE across all schemas
+          // (tiny: one row per ALTER, one Spark job per batch): they feed
+          // the per-table intra-batch split, the K4 apply, and the
+          // store-side rename compact below.
+          val ddlBySchema: Map[String, Seq[(String, Long)]] = collectDdlAll(cached)
           // Each future catches its own error so the barrier always waits
           // for EVERY table before the cache is released — failing fast
           // would orphan in-flight siblings onto an unpersisted batch.
           val applies = tables.map { t =>
+            val tCur = live(t)
+            val ddls = ddlBySchema.getOrElse(t.schema, Nil)
+            // the changelog is lifted to the batch-END shape, so key
+            // resolution must use the batch-END TableSync (a renamed PK
+            // column has its new name by the time applyBatch sees rows)
+            val tNext = evolveTable(tCur, ddls)
             Future {
-              try { applyBatch(spark, t, stores(t),
-                tableChangelog(cached, t, ddlBySchema.getOrElse(t.schema, Nil)), batchId); None }
+              try { applyBatch(spark, tNext, stores(t),
+                tableChangelog(cached, tCur, ddls), batchId); None }
               catch {
                 case e: Exception if skipError =>
                   // C3 skip-error mode: continue with the next table,
@@ -391,6 +463,13 @@ object Consume {
           val errors = Await.result(Future.sequence(applies)(
             scala.collection.BuildFrom.buildFromIterableOps, applyPool), Duration.Inf).flatten
           errors.headOption.foreach(e => throw e)
+          // the schema evolution follows the DDL stream, not per-table
+          // apply success: a skip-error'd slice is parked RAW and replays
+          // under whatever schema is live at replay time
+          tables.foreach { t =>
+            val ddls = ddlBySchema.getOrElse(t.schema, Nil)
+            if (ddls.nonEmpty) live(t) = evolveTable(live(t), ddls)
+          }
           tables.map(_.schema).distinct.foreach { db =>
             val ddls = ddlBySchema.getOrElse(db, Nil)
             ddlSink.foreach { run =>
@@ -408,18 +487,18 @@ object Consume {
             // the compact.
             renamesIn(ddls).foreach { case (tbl, o, n) =>
               tables.filter(t => t.schema == db && t.table == tbl)
-                .foreach(t => compact(t, stores(t), renameTransform(o, n)))
+                .foreach(t => compact(live(t), stores(t), renameTransform(o, n)))
             }
           }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            tables.foreach(t => compact(t, stores(t)))
+            tables.foreach(t => compact(live(t), stores(t)))
           // size/count-triggered compaction (the OPTIMIZE scheduler):
           // per-table decision, so one hot table compacting doesn't drag
           // every cold table through an O(state) rewrite
           compactionPolicy.foreach { pol =>
             tables.foreach { t =>
               if (SinkStrategy.shouldCompact(stores(t).versionStats(), pol))
-                compact(t, stores(t))
+                compact(live(t), stores(t))
             }
           }
         } finally cached.unpersist()

@@ -203,7 +203,9 @@ object CdcEnvelopes {
         lit(null).cast("string").as("kind"), col("raw"))
     val unknownKind = parsed.filter(col("chg").isNotNull)
       .select(col("raw"), explode(col("chg")).as("c"))
-      .filter(!col("c.kind").isin("insert", "update", "delete"))
+      // a malformed element with NO kind: isin yields NULL and a bare NOT
+      // would filter it out of the complement too — coalesce keeps it
+      .filter(!coalesce(col("c.kind").isin("insert", "update", "delete"), lit(false)))
       .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
     unparsed.unionByName(unknownKind)
   }

@@ -47,6 +47,26 @@ class DdlSpec extends AnyFunSuite {
       .contains(("test", "alter table test.test rename column `column` to column2")))
   }
 
+  test("change column captures the restated type") {
+    // MySQL CHANGE restates the full definition — the type must not be
+    // silently dropped (schema evolution reads it for the retype half)
+    assert(AlterParser.parse("alter table test change column qty qty2 bigint not null")
+      .contains(AlterParser.ParsedAlter("test",
+        AlterParser.ChangeColumn("qty", "qty2", Some("bigint")))))
+  }
+
+  test("same-name change is a type change, not a rename") {
+    // `CHANGE qty qty BIGINT` is MySQL's idiomatic retype: rendering it as
+    // a rename would be a no-op (and the old store-side rename transform
+    // destroyed the column outright)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test change column qty qty bigint")
+      .contains(("test", "alter table test.test modify column qty Nullable(Int64)")))
+    assert(AlterParser.toSparkSql("db",
+      "alter table test change column qty qty bigint")
+      .contains("ALTER TABLE db.test ALTER COLUMN qty TYPE BIGINT"))
+  }
+
   test("modify column with comment and default") {
     assert(AlterParser.toClickHouse("test",
       "alter table test modify column `channel` varchar(20) not null comment '渠道'")

@@ -297,4 +297,136 @@ class DdlMidStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
   }
+
+  test("same-name CHANGE COLUMN (pure retype) must not destroy the column") {
+    // regression: `CHANGE qty qty BIGINT` used to reach renameTransform as
+    // (qty, qty), whose coalesce-and-drop deleted the column from the
+    // compacted base — permanent data loss on MySQL's idiomatic type change
+    val root = Files.createTempDirectory("ddlsamename").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", IntegerType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t CHANGE COLUMN qty qty BIGINT", 120),
+      // post-retype row carrying a BIGINT-only value, same batch
+      ev("t", "insert", """{"id":3,"qty":5000000000}""", 200)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q1 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q1.processAllAvailable(); q1.stop()
+
+    val t2 = t1.copy(valueSchema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType))))
+    val state = Consume.currentState(t2, store).get
+      .select("id", "qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 10L), (2L, 20L), (3L, 5000000000L)))
+  }
+
+  test("ADD COLUMN carries across LATER batches of the same run") {
+    // regression: the evolved schema used to live only inside the
+    // ALTER-carrying batch's split — the NEXT batch of the same running
+    // query re-parsed under the query-start schema, silently nulling the
+    // added column (from_json drops unknown fields) and LWW then
+    // overwrote good values with null
+    val root = Files.createTempDirectory("ddlcarry").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+
+    // batch 0: the ALTER plus a first new-column row
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"amount":10.0}""", 100),
+      ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 120),
+      ev("t", "insert", """{"id":3,"amount":30.0,"note":"new"}""", 200)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q.processAllAvailable()
+
+    // batch 1, SAME running query (no restart, no widened TableSync):
+    // an update whose note must survive the cross-batch parse
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ev("t", "update", """{"id":3,"amount":31.0,"note":"upd2"}""", 300)
+    ).mkString("\n").getBytes("UTF-8"))
+    q.processAllAvailable(); q.stop()
+
+    val t2 = t1.copy(valueSchema = v1.add(StructField("note", StringType)))
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set(
+      (1L, 10.0, None),
+      (3L, 31.0, Some("upd2"))))
+  }
+
+  test("CHANGE COLUMN renaming the PRIMARY KEY column keeps key resolution") {
+    // the rename compact runs BEFORE the resolver (pre-resolve transform),
+    // so old-name versions group under the new key name — without that,
+    // pre-rename rows resolve under a null PK and duplicate
+    val root = Files.createTempDirectory("ddlpkrename").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("qty", LongType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+
+    // batch 0: committed old-named version (mixed generations at compact)
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 90),
+      ev("t", "insert", """{"id":2,"qty":20}""", 95)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q0 = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q0.processAllAvailable()
+
+    // batch 1, same run: rename the PK column, then update row 1 and add
+    // row 3 under the new key name
+    Files.write(Paths.get(eventsDir, "b1.json"), Seq(
+      ddl("ALTER TABLE db.t CHANGE COLUMN id ident BIGINT", 120),
+      ev("t", "update", """{"ident":1,"qty":11}""", 200),
+      ev("t", "insert", """{"ident":3,"qty":30}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    q0.processAllAvailable(); q0.stop()
+
+    val t2 = TableSync("db", "t", StructType(Seq(
+      StructField("ident", LongType), StructField("qty", LongType))),
+      Seq("ident"), Engine.ReplacingMergeTree)
+    val state = Consume.currentState(t2, store).get
+      .select("ident", "qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // row 1 updated ONCE (not duplicated under a null old-name key),
+    // row 2 untouched since before the rename, row 3 new-generation
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("evolveSchema is idempotent under batch replay with a pre-widened TableSync") {
+    import graft.ddl.AlterParser._
+    val base = StructType(Seq(StructField("id", LongType), StructField("note", StringType)))
+    // replaying ADD COLUMN note on an already-widened schema must not
+    // produce a duplicate field (crash between store commit and checkpoint
+    // commit + the documented restart-with-widened-TableSync procedure)
+    val once = Consume.evolveTable(
+      TableSync("db", "t", base, Seq("id")),
+      Seq(("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 100L)))
+    assert(once.valueSchema.fieldNames.toSeq == Seq("id", "note"))
+    // and a rename tracks through pkCols / versionColumn
+    val renamed = Consume.evolveTable(
+      TableSync("db", "t", base, Seq("id"), versionColumn = Some("note")),
+      Seq(("ALTER TABLE db.t CHANGE COLUMN note note2 TEXT", 100L),
+        ("ALTER TABLE db.t CHANGE COLUMN id id2 BIGINT", 110L)))
+    assert(renamed.valueSchema.fieldNames.toSeq == Seq("id2", "note2"))
+    assert(renamed.pkCols == Seq("id2"))
+    assert(renamed.versionColumn.contains("note2"))
+  }
 }

@@ -235,4 +235,16 @@ class CdcEnvelopesSpec extends SparkSpec {
       (Some("s"), Some("truncate"), mixed),
       (None, None, garbage)))
   }
+
+  test("wal2json: a change element with NO kind still lands in the dropped complement") {
+    // regression: `!kind.isin(...)` is NULL for a null kind, and a bare
+    // NOT-filter dropped the malformed element from the complement too —
+    // gone from BOTH the event stream and the dead letter
+    val nokind = """{"change":[{"schema":"s","table":"t","columnnames":["id"],"columnvalues":[1]}]}"""
+    val df = Seq(nokind).toDF("json")
+    assert(CdcEnvelopes.wal2json(df, eventUnixtime = lit(5L)).count() == 0)
+    val dropped = CdcEnvelopes.wal2jsonDropped(df)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getString(2))).toSet
+    assert(dropped == Set((Some("s"), None, nokind)))
+  }
 }
