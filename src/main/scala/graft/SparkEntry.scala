@@ -724,6 +724,8 @@ object SparkEntry {
     "embed_knn_classify" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.knnClassify(emb.filter(col("vec_id") < 8), emb, k = 10)
+        // the op keeps the label's source type; the oracle pins INT here
+        .withColumn("pred_label", col("pred_label").cast("int"))
     }),
 
     // IVF scale path, fixed-centroid form: the quantizer is a deterministic

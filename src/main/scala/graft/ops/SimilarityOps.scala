@@ -80,8 +80,9 @@ object SimilarityOps {
     val top = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("lbl").asc)
     votes.withColumn("_rn", row_number().over(top)).filter(col("_rn") === 1)
-      .select(col("query_id"), col("lbl").cast("int").as("pred_label"),
-        col("votes"))
+      // the label keeps its source type: string/long labels must not be
+      // forced through an int cast (ANSI would throw on "spam")
+      .select(col("query_id"), col("lbl").as("pred_label"), col("votes"))
   }
 
   /** Sign-of-projection LSH signature: `planes` deterministic hyperplanes

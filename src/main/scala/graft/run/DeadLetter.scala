@@ -52,16 +52,21 @@ final class DeadLetter(spark: SparkSession, root: String) {
         .withColumn("_error", lit(error)),
       batchId)
 
-  /** Record DDL statements that failed to parse or apply. */
+  /** Record DDL statements that failed to parse or apply. `action_seq`
+    * preserves the statements' position within the batch: binlog
+    * timestamps are coarse, and replaying a same-second ADD + MODIFY pair
+    * out of order would fail (or worse, produce the wrong final schema). */
   def recordDdl(schema: String, failures: Seq[(String, Long, String)],
                 batchId: Long): Unit =
     if (failures.nonEmpty) {
       import spark.implicits._
       record(
-        failures.toDF("values", "event_unixtime", "_ddl_error")
+        failures.zipWithIndex
+          .map { case ((stmt, eu, err), i) => (stmt, eu, err, i) }
+          .toDF("values", "event_unixtime", "_ddl_error", "_seq")
           .select(lit(schema).as("schema"), lit("_ddl").as("table"),
             lit("query").as("action"), col("values"),
-            col("event_unixtime"), lit(0).as("action_seq"),
+            col("event_unixtime"), col("_seq").as("action_seq"),
             col("_ddl_error")),
         schema, "_ddl", batchId, error = "ddl")
     }
@@ -90,44 +95,77 @@ final class DeadLetter(spark: SparkSession, root: String) {
     storeFor(schema, table).truncateAfter(-1L)
 
   /** Re-apply every parked batch of `table` through the normal apply path
-    * (original batch ids, original intra-batch order), then clear. Rows
-    * that fail AGAIN stay parked: the drain aborts on the first failing
-    * batch, leaving it and everything after it in place.
+    * (original batch ids, original intra-batch order), then clear exactly
+    * the replayed batches. Rows that fail AGAIN stay parked: the drain
+    * aborts on the first failing batch, leaving it and everything after
+    * it in place (nothing was cleared yet).
+    *
+    * Pass `t` with the schema as of the FIRST parked batch: the parked
+    * slices carry their own DDL rows (record parks the table's slice
+    * unfiltered), so the drain re-runs the same intra-batch split and
+    * cross-batch schema carry the live consume loop applies — a batch
+    * whose rows straddle an ALTER re-parses each slice under the schema
+    * it was written with instead of nulling pre-ALTER columns.
     *
     * Driver memory bound: the only driver-side materialization is the
-    * DISTINCT batch-id list — O(#parked micro-batches) longs (a backlog
-    * of 10k parked batches collects ~80 KB), never the rows. Each batch
-    * then re-applies as an ordinary distributed job over the parked
-    * parquet, so a million-row backlog drains at whatever size the
-    * original micro-batches had (DeadLetterSpec's volume test replays a
-    * 1M-row, 12-batch backlog through this path).
+    * version-id list, a pure directory listing — O(#parked micro-batches)
+    * longs, never the rows (plus the parked DDL statements, one string
+    * per ALTER). Each batch re-applies as an ordinary distributed job
+    * over its own parked version dir — one scan per batch, not a
+    * filter over the full merged log per batch (DeadLetterSpec's volume
+    * test replays a 1M-row, 12-batch backlog through this path).
+    *
+    * Safe against a LIVE skip-error stream parking new batches while the
+    * drain runs: the bounded clear ([[ParquetStateStore.dropThrough]])
+    * removes only the batches this drain replayed.
     */
-  def drain(t: TableSync, stateRoot: String): Unit =
-    read(t.schema, t.table).foreach { dead =>
-      val target = new ParquetStateStore(
-        spark, s"$stateRoot/${t.schema}/${t.table}")
-      val batchIds = dead.select("_batch_id").distinct()
-        .collect().map(_.getLong(0)).sorted
-      batchIds.foreach { bid =>
-        Consume.applyBatch(spark, t, target,
-          Consume.tableChangelog(
-            dead.filter(col("_batch_id") === bid)
-              .drop("_batch_id", "_error"), t),
-          bid)
+  def drain(t: TableSync, stateRoot: String): Unit = {
+    val parked = storeFor(t.schema, t.table)
+    val batchIds = parked.versionIds()
+    if (batchIds.isEmpty) return
+    val target = new ParquetStateStore(
+      spark, s"$stateRoot/${t.schema}/${t.table}")
+    var cur = t
+    batchIds.foreach { bid =>
+      parked.readVersion(bid).foreach { slice =>
+        val events = slice.drop("_batch_id", "_error")
+        val ddls = Consume.collectDdl(events, t.schema)
+        val next = Consume.evolveTable(cur, ddls)
+        Consume.applyBatch(spark, next, target,
+          Consume.tableChangelog(events, cur, ddls), bid)
+        cur = next
       }
-      clear(t.schema, t.table)
     }
+    parked.dropThrough(batchIds.max)
+  }
 
-  /** Re-run every parked DDL statement of a schema via `runDdl`
-    * (statements that fail again stay parked). */
+  /** Re-run every parked DDL statement of a schema via `runDdl`, in
+    * original order (batch, event time, intra-batch position). Statements
+    * that fail or still don't parse are RE-PARKED under their original
+    * batch id with the fresh error; everything that applied is cleared.
+    * Unlike [[drain]], one failure doesn't abort the rest — DDL replay is
+    * not idempotent (re-running an applied ADD COLUMN throws), so
+    * abort-and-retry-all would wedge the queue on its own first success.
+    * Order-dependent failures simply stay parked for the next drain. */
   def drainDdl(schema: String, runDdl: String => Unit): Unit =
     read(schema, "_ddl").foreach { dead =>
-      val rows = dead.select("values", "event_unixtime")
-        .orderBy("event_unixtime").collect()
-      rows.foreach { r =>
-        graft.ddl.AlterParser.toSparkSql(schema, r.getString(0))
-          .foreach(runDdl)
+      val rows = dead.select("values", "event_unixtime", "action_seq", "_batch_id")
+        .orderBy("_batch_id", "event_unixtime", "action_seq").collect()
+      val failures = rows.flatMap { r =>
+        val stmt = r.getString(0); val eu = r.getLong(1); val bid = r.getLong(3)
+        graft.ddl.AlterParser.toSparkSql(schema, stmt) match {
+          case Some(sql) =>
+            try { runDdl(sql); None }
+            catch { case e: Exception =>
+              Some((bid, (stmt, eu, Option(e.getMessage).getOrElse(e.getClass.getName)))) }
+          case None => Some((bid, (stmt, eu, "unparseable")))
+        }
       }
-      clear(schema, "_ddl")
+      // bounded clear (same live-stream rationale as drain), then re-park
+      // the still-failing statements under their original batch ids
+      storeFor(schema, "_ddl").dropThrough(rows.map(_.getLong(3)).max)
+      failures.groupBy(_._1).foreach { case (bid, fs) =>
+        recordDdl(schema, fs.map(_._2).toSeq, bid)
+      }
     }
 }

@@ -18,6 +18,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *
   * Single writer assumed (one streaming query owns a store) — matching a
   * per-table sink; concurrent readers see the last committed version.
+  * Readers NEVER mutate the filesystem (they resolve an in-flight
+  * compaction swap logically, [[versions]]); only writer entry points run
+  * the destructive swap recovery, so any number of concurrent readers is
+  * safe alongside the single writer.
   */
 final class ParquetStateStore(spark: SparkSession, root: String) {
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -25,16 +29,26 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   private def committed(p: Path): Boolean = fs.exists(new Path(p, "_SUCCESS"))
 
   private val CompactTmpPrefix = ".compact_tmp_v="
+  private val CompactStagePrefix = ".compact_stage_v="
 
-  /** Complete (or discard) an in-flight compaction swap. The compaction's
-    * logical commit point is the [[CompactedMarker]] inside the fully
-    * written tmp dir: once present, the tmp IS the state through version
-    * K, so recovery deletes every superseded `v<=K` dir and renames the
-    * tmp into place; without the marker the tmp is garbage from a crashed
-    * write and is dropped. Every listing runs this first, so a reader
-    * never observes a half-swapped store.
+  /** Complete (or discard) an in-flight compaction swap — WRITER-ONLY.
+    * The compaction's logical commit point is the [[CompactedMarker]]
+    * inside the fully written tmp dir: once present, the tmp IS the state
+    * through version K, so recovery deletes every superseded `v<=K` dir
+    * and renames the tmp into place; without the marker the tmp is
+    * garbage from a crashed write and is dropped.
+    *
+    * Only mutating entry points run this. Readers resolve the SAME view
+    * logically in [[versions]] without touching the filesystem — two
+    * concurrent readers running this destructively would race each other
+    * (reader B's inner listing sees reader A's freshly renamed `v=K`,
+    * deletes it as superseded, and B's rename of the now-gone tmp fails
+    * silently → committed base lost), and a reader could delete the
+    * writer's fully-written-but-not-yet-marked tmp out from under the
+    * marker creation. Writer-only mutation + the single-writer contract
+    * makes the swap race-free.
     */
-  private def recoverCompaction(): Unit = {
+  private def recoverCompaction(keepStage: Option[Path] = None): Unit = {
     val dir = new Path(root)
     if (!fs.exists(dir)) return
     fs.listStatus(dir).toSeq
@@ -50,17 +64,41 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
         } else fs.delete(s.getPath, true)
         ()
       }
+    // a crashed compact's write-stage is garbage (it never reached the
+    // tmp+marker commit point); `keepStage` protects the live compact's
+    // own — compared by NAME, since listStatus returns qualified paths
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(CompactStagePrefix) &&
+        !keepStage.exists(_.getName == s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Committed versions as a NON-MUTATING logical view: a marker-committed
+    * compaction tmp is presented as its target version (hiding the
+    * superseded `v<=K` dirs it replaces); an unmarked tmp is invisible.
+    * The physical swap happens later, on the next writer operation. A
+    * reader racing the writer's swap can still lose a path between
+    * listing and reading (transient, retryable) — but never causes or
+    * observes data loss. */
   private def versions: Seq[(Long, Path)] = {
-    recoverCompaction()
     val dir = new Path(root)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
-        committed(s.getPath))
+    if (!fs.exists(dir)) return Nil
+    val entries = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+    val committedVs = entries
+      .filter(s => s.getPath.getName.startsWith("v=") && committed(s.getPath))
       .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s.getPath))
-      .sortBy(_._1)
+    val tmps = entries
+      .filter(_.getPath.getName.startsWith(CompactTmpPrefix))
+      .map(s => (s.getPath.getName.stripPrefix(CompactTmpPrefix).toLong, s.getPath))
+      .filter { case (_, p) => fs.exists(new Path(p, CompactedMarker)) }
+    tmps.sortBy(_._1).foldLeft(committedVs) { case (vs, (keep, tmpP)) =>
+      // the marked tmp supersedes EVERY v<=keep — including v=keep itself:
+      // compact keeps the latest version number, so the ordinary delta dir
+      // at v=keep coexists with the tmp until the physical swap (and a
+      // re-compact's tmp over an older base at the same keep is
+      // content-identical by resolver idempotence)
+      vs.filter(_._1 > keep) :+ ((keep, tmpP))
+    }.sortBy(_._1)
   }
 
   def latestVersion: Option[Long] = versions.lastOption.map(_._1)
@@ -78,6 +116,7 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
 
   /** Write `df` as the next version; returns the committed version. */
   def write(df: DataFrame, batchId: Option[Long] = None): Long = {
+    recoverCompaction() // writer entry: settle any pending swap physically
     val next = batchId.getOrElse(latestVersion.getOrElse(-1L) + 1L)
     if (latestVersion.exists(_ >= next)) next // replay of a committed batch: no-op
     else {
@@ -90,6 +129,7 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     * Overwrite (not ErrorIfExists): the only way the dir can pre-exist
     * without being committed is a crashed write of this same batch. */
   def append(df: DataFrame, batchId: Long): Unit = {
+    recoverCompaction() // writer entry: settle any pending swap physically
     val p = new Path(s"$root/v=$batchId")
     if (!committed(p)) df.write.mode(SaveMode.Overwrite).parquet(p.toString)
   }
@@ -169,6 +209,7 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     * via `etl --renew` + fresh consume instead).
     */
   def truncateAfter(batchId: Long): Unit = {
+    recoverCompaction() // writer entry: settle any pending swap physically
     val doomed = versions.filter(_._1 > batchId)
     doomed.find { case (_, p) => fs.exists(new Path(p, CompactedMarker)) }
       .foreach { case (v, _) =>
@@ -179,6 +220,26 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     doomed.foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Drop versions with id <= `batchId` — the dead-letter drain's bounded
+    * clear: removes exactly the batches a drain snapshot replayed, leaving
+    * anything parked AFTER the snapshot (a live skip-error stream keeps
+    * recording while a drain runs; a full truncate would delete rows the
+    * drain never saw). A compacted base at v <= batchId spans only batches
+    * <= v <= batchId, so deleting it is safe. */
+  def dropThrough(batchId: Long): Unit = {
+    recoverCompaction() // writer entry: settle any pending swap physically
+    versions.filter(_._1 <= batchId).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** Ids of the committed versions, oldest first — a pure listing (no
+    * Spark job), for callers that iterate versions as batches. */
+  def versionIds(): Seq[Long] = versions.map(_._1)
+
+  /** Read ONE committed version (None if that id isn't committed). */
+  def readVersion(batchId: Long): Option[DataFrame] =
+    versions.find(_._1 == batchId).map { case (_, p) =>
+      spark.read.parquet(p.toString) }
+
   private val CompactedMarker = "_graft_compacted"
 
   /** Compact the append-only log: materialize `resolved` as the single
@@ -187,13 +248,17 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     * analogue of ClickHouse's background merge / OPTIMIZE: read-time
     * resolution cost stays O(base + recent deltas) instead of O(history).
     *
-    * Crash-safe: the replacement is fully written under a tmp name that
-    * encodes its target version, then logically committed by dropping the
-    * [[CompactedMarker]] into it; [[recoverCompaction]] completes the
-    * physical swap (or discards an uncommitted tmp) on the next access,
-    * so no crash point loses data or exposes a partial store. The marker
-    * also travels with the compacted dir so a later rewind knows it spans
-    * earlier batches.
+    * Crash-safe, in two hops. The `resolved` plan may READ a pending
+    * marker-committed tmp (readers present it as the latest version), so
+    * the replacement is first fully materialized under a stage name that
+    * no plan can reference; only then — input fully consumed — is any
+    * pending swap settled and the stage promoted to the tmp name, whose
+    * [[CompactedMarker]] is the logical commit. [[recoverCompaction]]
+    * completes the physical swap (or discards an unmarked tmp / stale
+    * stage) on the next writer operation after any crash point, so no
+    * crash loses data or exposes a partial store. The marker also travels
+    * with the compacted dir so a later rewind knows it spans earlier
+    * batches.
     *
     * Correctness relies on the resolve functions being idempotent over
     * their own output (resolved rows keep pk/version/sign columns), which
@@ -203,9 +268,15 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     val vs = versions
     if (vs.isEmpty) return
     val keep = vs.last._1
+    val stage = new Path(s"$root/$CompactStagePrefix$keep")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    resolved.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // input plan fully executed: safe to settle a pending swap it may
+    // have been reading from
+    recoverCompaction(keepStage = Some(stage))
     val tmp = new Path(s"$root/$CompactTmpPrefix$keep")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    resolved.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // unmarked leftover
+    fs.rename(stage, tmp)
     fs.create(new Path(tmp, CompactedMarker), true).close() // logical commit
     recoverCompaction() // physical swap, crash-resumable
   }

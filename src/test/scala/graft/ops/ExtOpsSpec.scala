@@ -615,6 +615,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(tie.toSeq == Seq((0L, 3, 1L)))
   }
 
+  test("knnClassify: labels keep their source type (string labels survive)") {
+    // regression: pred_label was force-cast to int, which threw under ANSI
+    // for any non-numeric label column — the op is generic over labelCol
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f), "?")).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f), "spam"),
+      (11L, Seq(0.9f, 0.1f, 0f, 0f), "spam"),
+      (12L, Seq(0f, 1f, 0f, 0f), "ham")
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnClassify(q, corpus, k = 3)
+    assert(out.schema("pred_label").dataType == org.apache.spark.sql.types.StringType)
+    assert(out.as[(Long, String, Long)].collect().toSeq == Seq((0L, "spam", 2L)))
+  }
+
   test("canonicalizeUrl: case, www, ports, fragments, tracking params, slashes") {
     val cases = Seq(
       // scheme+host lowercased; path case preserved

@@ -137,4 +137,84 @@ class DeadLetterSpec extends SparkSpec {
     assert(ran.length == 2 && ran.head.contains("ADD COLUMN"))
     assert(dl.read("db", "_ddl").isEmpty)
   }
+
+  test("drainDdl keeps still-failing statements parked instead of silently clearing them") {
+    // regression 1: an unparseable statement used to be skipped by
+    // Option.foreach and then wiped by the unconditional clear — gone with
+    // no error and no application. regression 2: abort-on-first-failure
+    // left already-applied non-idempotent DDL parked, so the NEXT drain
+    // re-ran it, threw 'already exists', and the queue wedged forever.
+    val root = Files.createTempDirectory("dlddlkeep").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    dl.recordDdl("db", Seq(
+      ("ALTER TABLE db.t ADD COLUMN c INT", 100L, "sink down"),
+      ("ALTER TABLE db.t FROBNICATE", 150L, "unparseable"),
+      ("ALTER TABLE db.t DROP COLUMN d", 200L, "sink down")), 3L)
+
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    dl.drainDdl("db", sql =>
+      if (sql.contains("DROP COLUMN")) sys.error("target still down")
+      else ran += sql)
+
+    // the ADD applied; the unparseable and the still-failing DROP stayed
+    // parked — under the original batch id, with the fresh error
+    assert(ran.length == 1 && ran.head.contains("ADD COLUMN"))
+    val parked = dl.read("db", "_ddl").get.collect()
+    assert(parked.length == 2)
+    assert(parked.forall(_.getAs[Long]("_batch_id") == 3L))
+    val byStmt = parked.map(r =>
+      r.getAs[String]("values") -> r.getAs[String]("_ddl_error")).toMap
+    assert(byStmt("ALTER TABLE db.t FROBNICATE") == "unparseable")
+    assert(byStmt("ALTER TABLE db.t DROP COLUMN d").contains("target still down"))
+
+    // once the target heals, the next drain applies the DROP without
+    // re-running the already-applied ADD, and only the unparseable stays
+    val ran2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    dl.drainDdl("db", sql => ran2 += sql)
+    assert(ran2.length == 1 && ran2.head.contains("DROP COLUMN"))
+    assert(dl.read("db", "_ddl").get.count() == 1)
+  }
+
+  test("drainDdl replays same-timestamp statements in recorded order") {
+    // binlog timestamps are coarse: an ADD + MODIFY pair from one
+    // migration can share a second, and replaying them reversed fails
+    // (MODIFY of a column that doesn't exist yet)
+    val root = Files.createTempDirectory("dlddlorder").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    dl.recordDdl("db", Seq(
+      ("ALTER TABLE db.t ADD COLUMN c INT", 100L, "down"),
+      ("ALTER TABLE db.t MODIFY COLUMN c BIGINT", 100L, "down")), 5L)
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    dl.drainDdl("db", sql => ran += sql)
+    assert(ran.map(s => s.contains("ADD COLUMNS")) == Seq(true, false))
+    assert(dl.read("db", "_ddl").isEmpty)
+  }
+
+  test("drain re-applies a parked batch with mid-batch DDL under the intra-batch split") {
+    // the parked slice carries its own DDL row, so the drain must re-run
+    // the same slice-parse the live loop applies: rows logged after the
+    // ALTER keep their new column instead of silently nulling out
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlsplit").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    val slice = Seq(
+      ("db", "t", "insert", """{"id":1,"amount":10.0}""", 100L, 2),
+      ("db", "t", "query", "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 120L, 0),
+      ("db", "t", "insert", """{"id":2,"amount":20.0,"note":"new"}""", 200L, 2)
+    ).toDF("schema", "table", "action", "values", "event_unixtime", "action_seq")
+    dl.record(slice, "db", "t", 4L, "sink down")
+
+    dl.drain(t, stateRoot) // t = the PRE-alter schema, as documented
+
+    val evolved = t.copy(valueSchema = valueSchema.add(StructField("note", StringType)))
+    val state = Consume.currentState(evolved,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set((1L, 10.0, None), (2L, 20.0, Some("new"))))
+    assert(dl.read("db", "t").isEmpty)
+  }
 }
