@@ -318,24 +318,61 @@ object SimilarityOps {
                         scale: Int = 512, idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     require(iters >= 0 && nlist > 0 && nprobe > 0 && scale > 0)
-    def codesCol(c: Column): Column =
-      transform(c, x => floor(x.cast("double") * scale).cast("long"))
-    val corp = corpus.select(col(idCol), codesCol(col(vecCol)).as("cv"))
+    val corp = corpus.select(col(idCol), gridCodes(col(vecCol), scale).as("cv"))
+    val cents = trainCoarseInt(corp, idCol, nlist, iters)
+    val lists = corp.withColumn("cid", nearestCoarse(col("cv"), cents))
+      .select(col(idCol).as("neighbor_id"), col("cv").as("nv"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), gridCodes(col(vecCol), scale).as("qv"))
+      .select(col("query_id"), col("qv"),
+        coarseProbes(col("qv"), cents, nprobe).as("_p"))
+      .select(col("query_id"), col("qv"), col("_p.cid").as("cid"))
+    val joined = broadcast(probes).join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("dist"))
+  }
 
+  /** Integer squared-L2 between a grid-code column and one centroid. */
+  private def coarseDist(c: Column, cent: Seq[Long]): Column =
+    aggregate(zip_with(c, typedLit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest trained centroid's cid (ties to the lowest cid). */
+  private def nearestCoarse(c: Column, cents: Seq[(Int, Seq[Long])]): Column =
+    element_at(array_sort(array(cents.map { case (cid, cv) =>
+      struct(coarseDist(c, cv).as("d"), lit(cid).as("cid")) }: _*)), 1)
+      .getField("cid")
+
+  /** The `nprobe` nearest coarse lists per query, as an exploded
+    * struct<d,cid> column. */
+  private def coarseProbes(qv: Column, cents: Seq[(Int, Seq[Long])],
+                           nprobe: Int): Column =
+    explode(slice(array_sort(array(cents.map { case (cid, cv) =>
+      struct(coarseDist(qv, cv).as("d"), lit(cid).as("cid")) }: _*)),
+      1, nprobe))
+
+  /** The coarse integer-Lloyd quantizer shared by [[ivfTopKTrainedInt]]
+    * and [[ivfPqTopKTrainedInt]]: seeds = the `nlist` lowest-id grid-code
+    * vectors, each round one exact floor-div mean update per (cid, dim),
+    * empty lists keep their centroid, ties to the lowest cid — fully
+    * order-independent, so both callers replay bit-for-bit in the oracle.
+    * Driver state is nlist×dims longs; each round's post-shuffle
+    * aggregate is ≤ nlist×dims rows regardless of corpus size. */
+  private def trainCoarseInt(corp: DataFrame, idCol: String, nlist: Int,
+                             iters: Int): Seq[(Int, Seq[Long])] = {
     var cents: Seq[(Int, Seq[Long])] = corp.orderBy(col(idCol)).limit(nlist)
       .select(col("cv")).collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Long](0)) }.toSeq
-
-    def dist(c: Column, cent: Seq[Long]): Column =
-      aggregate(zip_with(c, typedLit(cent), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    def nearest(c: Column): Column =
-      element_at(array_sort(array(cents.map { case (cid, cv) =>
-        struct(dist(c, cv).as("d"), lit(cid).as("cid")) }: _*)), 1)
-        .getField("cid")
-
     for (_ <- 0 until iters) {
-      val means = corp.withColumn("cid", nearest(col("cv")))
+      val means = corp.withColumn("cid", nearestCoarse(col("cv"), cents))
         .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -353,27 +390,7 @@ object SimilarityOps {
         }
       }
     }
-
-    val lists = corp.withColumn("cid", nearest(col("cv")))
-      .select(col(idCol).as("neighbor_id"), col("cv").as("nv"), col("cid"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), codesCol(col(vecCol)).as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(array(cents.map { case (cid, cv) =>
-          struct(dist(col("qv"), cv).as("d"), lit(cid).as("cid")) }: _*)),
-          1, nprobe)).as("_p"))
-      .select(col("query_id"), col("qv"), col("_p.cid").as("cid"))
-    val joined = broadcast(probes).join(lists, Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist",
-        aggregate(zip_with(col("qv"), col("nv"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("dist"))
+    cents
   }
 
   /** Deterministic LCG centroids (same exact-rational generator as the
@@ -505,19 +522,8 @@ object SimilarityOps {
     // centroid of subspace s, in code order
     val qtabs = queries.select(col(idCol).as("query_id"),
       pqAdcTabs(col(vecCol), m, ncode, sub).as("_tabs"))
-    val adc = (0 until m).map(s =>
-        element_at(element_at(col("_tabs"), s + 1),
-          element_at(col("_codes"), s + 1) + 1))
-      .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
-    val joined = broadcast(qtabs).crossJoin(codes)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), round(col("adc"), 6).as("adc"))
+    pqAdcRank(broadcast(qtabs).crossJoin(codes), m, k,
+      seed = lit(0.0d), finish = round(_, 6))
   }
 
   /** PQ with ORACLE-GATED *trained* codebooks — the recall fix for
@@ -583,12 +589,16 @@ object SimilarityOps {
 
   /** Shared ADC ranking tail: sum the per-subspace table lookups, rank
     * ascending with neighbor-id ties, keep top k. Input must carry
-    * `query_id`, `neighbor_id`, `_tabs`, `_codes`. */
-  private def pqAdcRank(joined: DataFrame, m: Int, k: Int): DataFrame = {
+    * `query_id`, `neighbor_id`, `_tabs`, `_codes`. The trained (integer)
+    * tiers fold from a 0L seed and emit the exact sum; the float tiers
+    * fold from 0.0 and round the output to 6 places (oracle parity). */
+  private def pqAdcRank(joined: DataFrame, m: Int, k: Int,
+                        seed: Column = lit(0L),
+                        finish: Column => Column = identity): DataFrame = {
     val adc = (0 until m).map(s =>
         element_at(element_at(col("_tabs"), s + 1),
           element_at(col("_codes"), s + 1) + 1))
-      .foldLeft(lit(0L): Column)(_ + _)
+      .foldLeft(seed)(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     joined.filter(col("query_id") =!= col("neighbor_id"))
@@ -596,7 +606,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), col("adc"))
+        col("neighbor_id"), finish(col("adc")).as("adc"))
   }
 
   /** Per-subspace integer Lloyd: trains all m codebooks in ONE aggregate
@@ -668,43 +678,15 @@ object SimilarityOps {
     val sub = dims / m
     val corp = corpus.select(col(idCol), gridCodes(col(vecCol), scale).as("cv"))
 
-    // coarse quantizer: ivfTopKTrainedInt's integer Lloyd, verbatim rules
-    var cents: Seq[(Int, Seq[Long])] = corp.orderBy(col(idCol)).limit(nlist)
-      .select(col("cv")).collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Long](0)) }.toSeq
-    def dist(c: Column, cent: Seq[Long]): Column =
-      aggregate(zip_with(c, typedLit(cent), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-    def nearest(c: Column): Column =
-      element_at(array_sort(array(cents.map { case (cid, cv) =>
-        struct(dist(c, cv).as("d"), lit(cid).as("cid")) }: _*)), 1)
-        .getField("cid")
-    for (_ <- 0 until iters) {
-      val means = corp.withColumn("cid", nearest(col("cv")))
-        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .select(col("cid"), col("dim"),
-          graft.functions.IntMath.floorDiv(col("s"), col("n")).as("m"))
-        .collect()
-      val byCid = means.groupBy(_.getInt(0))
-      cents = cents.map { case (cid, old) =>
-        byCid.get(cid) match {
-          case Some(rows) =>
-            val v = old.toArray.clone()
-            rows.foreach(r => v(r.getInt(1)) = r.getLong(2))
-            (cid, v.toSeq)
-          case None => (cid, old)
-        }
-      }
-    }
+    // coarse quantizer: the SAME integer Lloyd as ivfTopKTrainedInt
+    val cents = trainCoarseInt(corp, idCol, nlist, iters)
 
     // integer residuals: rv = cv − centroid(cid) (centroids as one
     // cid-indexed literal — no join)
     val centLit = typedLit(cents.sortBy(_._1).map(_._2))
     def residual(cv: Column, cid: Column): Column =
       zip_with(cv, element_at(centLit, cid + 1), (a, b) => a - b)
-    val rcodes = corp.withColumn("cid", nearest(col("cv")))
+    val rcodes = corp.withColumn("cid", nearestCoarse(col("cv"), cents))
       .select(col(idCol), col("cid"),
         residual(col("cv"), col("cid")).as("rv"))
     val books = trainPqBooksInt(rcodes, "rv", idCol, m, ncode, sub, iters)
@@ -716,9 +698,7 @@ object SimilarityOps {
     val probes = queries
       .select(col(idCol).as("query_id"), gridCodes(col(vecCol), scale).as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(array(cents.map { case (cid, cv) =>
-          struct(dist(col("qv"), cv).as("d"), lit(cid).as("cid")) }: _*)),
-          1, nprobe)).as("_p"))
+        coarseProbes(col("qv"), cents, nprobe).as("_p"))
       .select(col("query_id"), col("_p.cid").as("cid"),
         pqAdcTrained(residual(col("qv"), col("_p.cid")), books, m, ncode, sub)
           .as("_tabs"))
@@ -755,19 +735,8 @@ object SimilarityOps {
           1, nprobe)).as("_p"),
         pqAdcTabs(col(vecCol), m, ncode, sub).as("_tabs"))
       .withColumn("cid", col("_p.cid")).drop("_p")
-    val adc = (0 until m).map(s =>
-        element_at(element_at(col("_tabs"), s + 1),
-          element_at(col("_codes"), s + 1) + 1))
-      .foldLeft(lit(0.0d): org.apache.spark.sql.Column)(_ + _)
-    val joined = broadcast(probes).join(lists, Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("neighbor_id"), round(col("adc"), 6).as("adc"))
+    pqAdcRank(broadcast(probes).join(lists, Seq("cid")), m, k,
+      seed = lit(0.0d), finish = round(_, 6))
   }
 
   /** ANN top-k restricted to the query's LSH bucket. Approximate: recall
