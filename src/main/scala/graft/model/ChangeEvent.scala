@@ -24,18 +24,25 @@ case class ChangeEvent(
     action: String,
     values: String,
     event_unixtime: Long,
-    action_seq: Int)
+    action_seq: Int,
+    old_values: Option[String] = None)
 
 object ChangeEvent {
 
-  /** Wire schema of one serialized event (T8). */
+  /** Wire schema of one serialized event (T8). `old_values` is OPTIONAL
+    * (absent on the wire when null — the JSON generator omits null
+    * fields): an unsplit `update` event may carry its BEFORE image there,
+    * which [[graft.ops.CdcOps.splitUpdates]] gives the delete half —
+    * required for VersionedCollapsingMergeTree when the update changes
+    * the version column (the -1 row must cancel the OLD version). */
   val wireSchema: StructType = StructType(Seq(
     StructField("schema", StringType, nullable = false),
     StructField("table", StringType, nullable = false),
     StructField("action", StringType, nullable = false),
     StructField("values", StringType, nullable = true),
     StructField("event_unixtime", LongType, nullable = false),
-    StructField("action_seq", IntegerType, nullable = false)
+    StructField("action_seq", IntegerType, nullable = false),
+    StructField("old_values", StringType, nullable = true)
   ))
 }
 

@@ -73,13 +73,23 @@ object CdcOps {
   // (reference synch/reader/mysql.py:189-208)
   /** One update event becomes delete(action_seq=1) then insert(action_seq=2);
     * plain inserts/deletes keep their seq. Narrow op: `explode` of a 1- or
-    * 2-element array, no shuffle. When before/after images live in separate
-    * columns, pass them; otherwise the single row image is reused for both
-    * halves (the reference's Postgres behavior, postgres.py:81-102).
+    * 2-element array, no shuffle. When the update's BEFORE image travels in
+    * a separate column (wire `old_values`), pass it as `oldValuesCol`: the
+    * delete half then carries the before image, falling back to the after
+    * image when it is null. Without a before image the single row image is
+    * reused for both halves (the reference's Postgres behavior,
+    * postgres.py:81-102) — correct for MergeTree/Replacing/Collapsing, but
+    * NOT for VersionedCollapsingMergeTree with a version column the update
+    * changes: there the delete half must cancel the OLD version, and a
+    * same-version delete+insert pair sums to zero instead, silently
+    * keeping the stale row. Feed that engine pre-split events (the
+    * envelope adapters do) or wire old_values through.
     */
   def splitUpdates(df: DataFrame,
                    actionCol: String = "action",
-                   seqCol: String = "action_seq"): DataFrame = {
+                   seqCol: String = "action_seq",
+                   oldValuesCol: Option[String] = None,
+                   valuesCol: String = "values"): DataFrame = {
     val a = col(actionCol)
     // non-DML actions (DDL "query" rows, action_seq 0) pass through
     // untouched — rewriting them to inserts would turn an ALTER statement
@@ -94,7 +104,14 @@ object CdcOps {
     // reference col(seqCol) blindly: inputs like Changelog.fromEvents
     // carry no action_seq and the unresolved column kills the whole query
     val passThroughSeq = if (df.columns.contains(seqCol)) col(seqCol) else lit(0)
-    df.withColumn("_half", explode(halves))
+    val exploded = df.withColumn("_half", explode(halves))
+    val withImage = oldValuesCol.filter(df.columns.contains) match {
+      case Some(old) => exploded.withColumn(valuesCol,
+        when(a === "update" && col("_half") === "delete",
+          coalesce(col(old), col(valuesCol))).otherwise(col(valuesCol)))
+      case None => exploded
+    }
+    withImage
       .withColumn(seqCol,
         when(col("_half") === "delete", 1)
           .when(col("_half") === "insert", 2)
@@ -260,7 +277,15 @@ object CdcOps {
       .drop("_cnt")
     val wLoc = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    Some(withB.join(broadcast(offsets), keyCols)
+    // NULL-SAFE join: schema/table/seq keys can be null (the wire only
+    // guarantees a non-null action), and an EqualTo join would silently
+    // DROP those rows — the window fallback ranks them nulls-first, and
+    // this form must stay row-identical to it
+    val off = offsets.select(
+      keyCols.map(c => col(c).as(s"_o_$c")) :+ col("_off"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"_o_$c")).reduce(_ && _)
+    Some(withB.join(broadcast(off), cond)
+      .drop(keyCols.map(c => s"_o_$c"): _*)
       .withColumn("_rank", col("_off") + row_number().over(wLoc))
       .drop("_b", "_off"))
   }

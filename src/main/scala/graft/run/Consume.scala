@@ -51,7 +51,9 @@ object Consume {
       skipDeleteTables = if (t.skipDelete) Set(t.table) else Set.empty,
       skipUpdateTables = if (t.skipUpdate) Set(t.table) else Set.empty)
       .filter(col("action") =!= "query") // DDL rides the K4 path, not DML
-    val split = CdcOps.splitUpdates(filtered)
+    // the delete half of an unsplit update takes the wire before image
+    // when one travels (old_values) — see ChangeEvent.wireSchema
+    val split = CdcOps.splitUpdates(filtered, oldValuesCol = Some("old_values"))
     split
       .withColumn("_v", from_json(col("values"), t.valueSchema))
       .select(Seq(col("action"), col("event_unixtime"), col("action_seq")) ++

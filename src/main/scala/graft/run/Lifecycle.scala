@@ -8,15 +8,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The reference installs SIGINT/SIGTERM handlers that drain the current
   * buffer before exiting (synch/replication/continuous.py:20-38); here a
-  * JVM shutdown hook stops every active query, which lets the in-flight
-  * micro-batch finish and the checkpoint commit — restart resumes exactly
-  * after it. Multiple sources (C5) are just multiple concurrent queries
-  * awaited together — genuinely parallel, unlike the reference's
-  * serialized thread join (postgres.py:163-164, a documented quirk).
+  * JVM shutdown hook stops every active query. `StreamingQuery.stop()`
+  * INTERRUPTS the execution thread — an in-flight micro-batch does NOT
+  * drain and its checkpoint does not commit, so restart REPLAYS that
+  * batch from the last committed offset. End-to-end semantics therefore
+  * rest on replay-safe sinks, which every sink here is: the parquet state
+  * store is batch-id idempotent, the Redis producer XADDs under explicit
+  * replay-stable ids, and the file sink overwrites per-batch output.
+  * A side-effecting custom sink without one of those properties gets
+  * at-least-once on shutdown. Multiple sources (C5) are just multiple
+  * concurrent queries awaited together — genuinely parallel, unlike the
+  * reference's serialized thread join (postgres.py:163-164, a documented
+  * quirk).
   */
 object Lifecycle {
 
-  /** Install a drain-then-stop shutdown hook for the given queries. */
+  /** Install a stop-all shutdown hook for the given queries (see the
+    * object doc for the replay contract this relies on). */
   def withGracefulShutdown(queries: Seq[StreamingQuery]): Seq[StreamingQuery] = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       queries.foreach { q =>
@@ -26,8 +34,14 @@ object Lifecycle {
     queries
   }
 
-  /** Await all queries; returns when any terminates (with error) or all
-    * finish. */
+  /** Await ALL active queries: a failure propagates immediately (its
+    * StreamingQueryException rethrows), a clean stop of one query keeps
+    * awaiting the others. `awaitAnyTermination` alone returns on the
+    * FIRST termination — including a clean stop — which would let the
+    * caller exit (and the shutdown hook hard-stop) surviving queries. */
   def awaitAll(spark: SparkSession): Unit =
-    spark.streams.awaitAnyTermination()
+    while (spark.streams.active.nonEmpty) {
+      spark.streams.awaitAnyTermination() // throws on a failed query
+      spark.streams.resetTerminated()
+    }
 }

@@ -73,14 +73,44 @@ object Monitor {
     */
   final class PersistingListener(spark: SparkSession, path: String)
       extends CollectingListener {
+    // The write runs on a DEDICATED daemon thread, never on the listener
+    // bus: a parquet append is a full (tiny) Spark job, and several
+    // 1 s-trigger queries writing inline from the shared AsyncEventQueue
+    // thread can outrun the trigger cadence, fill the queue (default
+    // 10k), and make Spark silently DROP listener events — starving every
+    // other listener on the bus (the very anti-pattern AlertingListener's
+    // contract below warns about). The queue is bounded; when the writer
+    // cannot keep up the overflow row is dropped from PERSISTENCE with a
+    // stderr warning (it stays in the in-memory buffer) — monitoring
+    // must degrade before it degrades the stream.
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](4096)
+    private val writer = new Thread(() => {
+      while (true) {
+        val head = queue.take()
+        // drain whatever accumulated so a burst lands as ONE file
+        val batch = new java.util.ArrayList[BatchMetric]()
+        batch.add(head); queue.drainTo(batch)
+        try {
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(batch.asScala.toSeq)
+            .coalesce(1).write.mode("append").parquet(path)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
+        }
+      }
+    }, "graft-metrics-writer")
+    writer.setDaemon(true); writer.start()
+
     // Persist exactly the row this callback recorded — progress rows and
     // error rows both flow through record(), and using its return value
     // (not metrics.last) keeps concurrent queries from duplicating or
     // dropping each other's rows.
     override protected def record(m: BatchMetric): BatchMetric = {
       val appended = super.record(m)
-      spark.createDataFrame(Seq(appended))
-        .write.mode("append").parquet(path)
+      if (!queue.offer(appended))
+        System.err.println(
+          s"[monitor] metrics queue full; dropping persisted row for batch ${m.batchId}")
       appended
     }
   }

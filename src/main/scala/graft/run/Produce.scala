@@ -37,8 +37,7 @@ object Produce {
               topic: String, checkpoint: String,
               triggerInterval: String = "1 second"): StreamingQuery =
     events.select(col("schema").cast("string").as("key"),
-        to_json(struct(col("schema"), col("table"), col("action"), col("values"),
-          col("event_unixtime"), col("action_seq"))).as("value"))
+        EventSource.wireStruct(events).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -56,34 +55,47 @@ object Produce {
     * 512-command chunks — order-correct by construction, memory-bounded
     * by the A1 trigger contract (`insert_num` events per flush), and
     * ~2 orders of magnitude past the reference's one-RTT-per-event
-    * producer against a remote broker. Delivery is at-least-once across a crash
-    * between partial XADD and checkpoint commit; the consume side's
-    * batch-id-idempotent store absorbs replays, as with every other
-    * transport. `brokerF` is a factory so each batch gets a fresh
-    * connection (a long-lived socket would not survive driver restarts).
+    * producer against a remote broker.
+    *
+    * Delivery is EXACTLY-ONCE into the stream: entry ids are explicit
+    * `<batchId>-<seq>` over a TOTAL (deterministic) sort, so a crash
+    * between partial XADD and checkpoint commit replays the same ids and
+    * Redis rejects the already-delivered prefix
+    * ([[graft.streaming.RedisBroker.sendBatchAt]]) — `stop()` interrupts
+    * mid-batch (see [[Lifecycle]]), so without this the replayed batch
+    * would re-XADD under fresh auto-ids, land as NEW downstream batches,
+    * and a Collapsing-family table would keep a net +2 row no single
+    * delete can ever cancel. `brokerF` is a factory so each batch gets a
+    * fresh connection (a long-lived socket would not survive driver
+    * restarts).
     */
   def toRedis(spark: SparkSession, events: DataFrame,
               brokerF: () => graft.streaming.RedisBroker, checkpoint: String,
               triggerInterval: String = "1 second"): StreamingQuery =
-    events.select(col("schema").cast("string").as("schema"), to_json(struct(
-        col("schema"), col("table"), col("action"), col("values"),
-        col("event_unixtime"), col("action_seq"))).as("value"),
+    events.select(col("schema").cast("string").as("schema"),
+        EventSource.wireStruct(events).as("value"),
         col("event_unixtime"), col("action_seq"))
       .writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         val broker = brokerF()
         try {
-          val it = df.orderBy(col("event_unixtime").asc, col("action_seq").asc)
+          // the trailing (schema, value) keys make the sort TOTAL, so a
+          // replayed batch assigns every event the same id it got before
+          // the crash — ties on (time, seq) must not reorder across runs
+          val it = df.orderBy(col("event_unixtime").asc, col("action_seq").asc,
+              col("schema").asc, col("value").asc)
             .select(col("schema"), col("value")).toLocalIterator()
           // pipelined chunks: ordering is per XADD sequence, so chunking
           // only amortizes round-trips, it never reorders
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          var seq = 0L
           while (it.hasNext) {
             val r = it.next()
-            buf += ((r.getString(0), r.getString(1)))
-            if (buf.size >= 512) { broker.sendBatch(buf.toSeq); buf.clear() }
+            seq += 1
+            buf += ((r.getString(0), s"$batchId-$seq", r.getString(1)))
+            if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
           }
-          broker.sendBatch(buf.toSeq)
+          broker.sendBatchAt(buf.toSeq)
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)
@@ -95,9 +107,7 @@ object Produce {
   def toFiles(spark: SparkSession, events: DataFrame, dir: String,
               checkpoint: String,
               triggerInterval: String = "1 second"): StreamingQuery =
-    events.select(col("schema"), to_json(struct(
-        col("schema"), col("table"), col("action"), col("values"),
-        col("event_unixtime"), col("action_seq"))).as("value"))
+    events.select(col("schema"), EventSource.wireStruct(events).as("value"))
       .writeStream
       .format("text")
       .partitionBy("schema")

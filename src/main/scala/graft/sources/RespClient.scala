@@ -35,16 +35,25 @@ final class RespClient(host: String, port: Int) extends AutoCloseable {
     * protocol-aligned for reuse).
     */
   def pipeline(cmds: Seq[Seq[String]]): Seq[Any] = {
+    val replies = pipelineEither(cmds)
+    replies.collectFirst { case Left(e) => throw e }
+    replies.map(_.toOption.get)
+  }
+
+  /** [[pipeline]] that returns per-command outcomes instead of throwing
+    * on the first `-ERR`: callers with per-command error semantics (the
+    * idempotent XADD producer treats "equal or smaller ID" as
+    * already-delivered) decide per reply. The connection stays
+    * protocol-aligned either way — all replies are drained. */
+  def pipelineEither(cmds: Seq[Seq[String]]): Seq[Either[RuntimeException, Any]] = {
     cmds.foreach(writeCommand)
     out.flush()
-    val replies = cmds.map { _ =>
+    cmds.map { _ =>
       try Right(readReply()) catch {
         case e: RuntimeException if e.getMessage != null &&
           e.getMessage.startsWith("RESP error") => Left(e)
       }
     }
-    replies.collectFirst { case Left(e) => throw e }
-    replies.map(_.toOption.get)
   }
 
   private def writeCommand(args: Seq[String]): Unit = {

@@ -75,11 +75,22 @@ object EventSource {
       .select(col("e.schema").as("schema"), col("e.table").as("table"),
         col("e.action").as("action"), col("e.values").as("values"),
         col("e.event_unixtime").as("event_unixtime"),
-        col("e.action_seq").as("action_seq"))
+        col("e.action_seq").as("action_seq"),
+        col("e.old_values").as("old_values"))
+
+  /** The wire struct of one event — the ONE place the field list lives
+    * (every produce transport and the serializer build on it). The
+    * optional `old_values` rides along when the input carries it and is
+    * omitted from the JSON when null (generator default). */
+  def wireStruct(events: DataFrame): org.apache.spark.sql.Column = {
+    val base = Seq(col("schema"), col("table"), col("action"), col("values"),
+      col("event_unixtime"), col("action_seq"))
+    to_json(struct(
+      (if (events.columns.contains("old_values")) base :+ col("old_values")
+       else base): _*))
+  }
 
   /** Wire serialization for the produce leg (events → broker sink). */
   def serialize(events: DataFrame): DataFrame =
-    events.select(to_json(struct(
-      col("schema"), col("table"), col("action"), col("values"),
-      col("event_unixtime"), col("action_seq"))).as("value"))
+    events.select(wireStruct(events).as("value"))
 }

@@ -56,6 +56,28 @@ final class RedisBroker(host: String, port: Int, alias: String,
       ()
     }
 
+  /** [[sendBatch]] with EXPLICIT entry ids — the idempotent produce leg.
+    * Ids are `<batchId>-<seq>` (Redis entry-id format: two u64s, strictly
+    * increasing per stream), so a crash-replayed micro-batch re-sends the
+    * same ids and Redis rejects the already-delivered prefix with
+    * "equal or smaller ID", which is swallowed here: duplicates are
+    * impossible by construction instead of absorbed downstream. Any other
+    * error still throws. Requires the stream to carry ONLY explicit ids —
+    * auto-generated ids (wall-clock ms) dwarf batch ids, and mixing makes
+    * every explicit add fail loudly (which is the correct surface for a
+    * mixed deployment). */
+  def sendBatchAt(events: Seq[(String, String, String)]): Unit =
+    if (events.nonEmpty) {
+      client.pipelineEither(events.map { case (schema, id, msg) =>
+        Seq("XADD", queueKey(schema), "MAXLEN", "~",
+          queueMaxLen.toString, id, "msg", msg)
+      }).foreach {
+        case Left(e) if e.getMessage.contains("equal or smaller") => () // replay
+        case Left(e) => throw e
+        case Right(_) => ()
+      }
+    }
+
   def length(schema: String): Long =
     client.command("XLEN", queueKey(schema)).asInstanceOf[Long]
 

@@ -37,6 +37,46 @@ class CdcOpsSpec extends SparkSpec {
     assert(halves == Set(("delete", 1), ("insert", 2)))
   }
 
+  test("T4 splitUpdates delete half takes the BEFORE image from old_values") {
+    // required for VersionedCollapsingMergeTree: the -1 must cancel the
+    // OLD version — a delete half carrying the new image self-cancels the
+    // update and silently keeps the stale row
+    val upd = Seq(
+      ("db", "a", "update", """{"id":1,"ver":2}""", Some("""{"id":1,"ver":1}"""), 200L, 2),
+      ("db", "a", "update", """{"id":2,"ver":5}""", None, 210L, 2), // no before image
+      ("db", "a", "delete", """{"id":3,"ver":7}""", None, 220L, 1)
+    ).toDF("schema", "table", "action", "values", "old_values", "event_unixtime", "action_seq")
+    val out = CdcOps.splitUpdates(upd, oldValuesCol = Some("old_values"))
+      .select("action", "values").as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("delete", """{"id":1,"ver":1}"""), ("insert", """{"id":1,"ver":2}"""),
+      ("delete", """{"id":2,"ver":5}"""), ("insert", """{"id":2,"ver":5}"""),
+      ("delete", """{"id":3,"ver":7}""")))
+    // absent column → exactly the old single-image behavior
+    val noCol = CdcOps.splitUpdates(upd.drop("old_values"),
+      oldValuesCol = Some("old_values"))
+    assert(noCol.filter(col("values").contains("\"ver\":1")).count() == 0)
+  }
+
+  test("A4 distributed rank keeps NULL partition/seq keys (null-safe join)") {
+    // schema/table can be null on the wire (only action is guaranteed);
+    // an EqualTo join against the offsets table silently DROPPED those
+    // rows while the window fallback ranked them nulls-first
+    val withNullKey = Seq(
+      (Some("db"), "a", "insert", 1L, 100L, 2),
+      (None, "a", "insert", 2L, 150L, 2),
+      (None, "a", "delete", 3L, 50L, 1),
+      (Some("db"), "a", "insert", 4L, 200L, 2)
+    ).toDF("schema", "table", "action", "pk", "event_unixtime", "action_seq")
+    val win = CdcOps.applyOrder(withNullKey, orderCols = Seq("event_unixtime", "pk"))
+    val dist = CdcOps.applyOrderDistributed(withNullKey,
+      orderCols = Seq("event_unixtime", "pk"))
+    assert(dist.count() == 4, "null-keyed rows must not vanish")
+    assert(win.exceptAll(dist).isEmpty && dist.exceptAll(win).isEmpty)
+    val mb = CdcOps.microBatchId(withNullKey, insertNum = 10)
+    assert(mb.count() == 4)
+  }
+
   test("A2 dedupByPk keeps latest event per (table, action, pk)") {
     val out = CdcOps.dedupByPk(events, pkCols = Seq("pk"))
     // (a, insert, 1) and (a, update, 1) are different actions → both stay

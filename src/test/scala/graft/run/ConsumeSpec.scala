@@ -296,6 +296,37 @@ class ConsumeSpec extends SparkSpec {
     assert(versionDirs == 1, s"expected a single compacted version, got $versionDirs")
   }
 
+  test("wire old_values: an UNSPLIT update applies on VersionedCollapsing end-to-end") {
+    // regression: splitUpdates reused the single row image for both
+    // halves, so an unsplit wire update against a version column the
+    // update changes self-cancelled (-1/+1 at the same version) and the
+    // stale row survived; the optional wire old_values carries the
+    // before image into the delete half
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("vcwire").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val vs = StructType(Seq(StructField("id", LongType),
+      StructField("ver", LongType), StructField("amount", DoubleType)))
+    val t = TableSync("db", "vc", vs, Seq("id"),
+      Engine.VersionedCollapsingMergeTree, versionColumn = Some("ver"))
+    val store = new ParquetStateStore(spark, s"$root/state/db/vc")
+
+    def esc(j: String) = j.replace("\"", "\\\"")
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      s"""{"schema":"db","table":"vc","action":"insert","values":"${esc("""{"id":1,"ver":1,"amount":10.0}""")}","event_unixtime":100,"action_seq":2}""",
+      s"""{"schema":"db","table":"vc","action":"update","values":"${esc("""{"id":1,"ver":2,"amount":11.0}""")}","old_values":"${esc("""{"id":1,"ver":1,"amount":10.0}""")}","event_unixtime":200,"action_seq":2}"""
+    ).mkString("\n").getBytes("UTF-8"))
+
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t), s"$root/state", s"$root/ckpt", triggerInterval = "250 milliseconds")
+    q.processAllAvailable(); q.stop()
+
+    val state = Consume.currentState(t, store).get
+      .select("id", "ver", "amount").as[(Long, Long, Double)].collect().toSet
+    assert(state == Set((1L, 2L, 11.0)), "the update must replace, not self-cancel")
+  }
+
   test("VersionedCollapsing with a real version column cancels deletes and updates") {
     import org.apache.spark.sql.functions.{col, when}
     import spark.implicits._

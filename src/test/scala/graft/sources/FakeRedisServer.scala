@@ -19,7 +19,8 @@ final class FakeRedisServer extends AutoCloseable {
 
   private val streams =
     mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Long, String)]]
-  private val seqs = mutable.Map.empty[String, Long]
+  // last assigned id per stream — survives MAXLEN trims, like Redis
+  private val lastIds = mutable.Map.empty[String, (Long, Long)]
   private val hashes = mutable.Map.empty[String, mutable.Map[String, String]]
   @volatile private var closed = false
 
@@ -44,17 +45,26 @@ final class FakeRedisServer extends AutoCloseable {
           if (args(i) == "~" || args(i) == "=") i += 1
           maxlen = args(i).toLong; i += 1
         }
-        require(args(i) == "*", "only auto-ids supported"); i += 1
+        val idArg = args(i); i += 1
         require(args(i) == "msg", "broker writes a single msg field")
         val value = args(i + 1)
-        val sq = seqs.getOrElse(key, 0L) + 1
-        seqs(key) = sq
-        val buf = streams.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-        buf += ((0L, sq, value))
-        if (maxlen >= 0 && buf.length > maxlen)
-          buf.remove(0, buf.length - maxlen.toInt)
-        val id = s"0-$sq"
-        s"$$${id.length}\r\n$id\r\n"
+        val last = lastIds.getOrElse(key, (0L, 0L))
+        // explicit ids must be strictly greater than the stream top —
+        // the REAL Redis contract the idempotent producer leans on
+        val next =
+          if (idArg == "*") (last._1, last._2 + 1)
+          else parseId(idArg)
+        if (next._1 < last._1 || (next._1 == last._1 && next._2 <= last._2))
+          "-ERR The ID specified in XADD is equal or smaller than the target stream top item\r\n"
+        else {
+          lastIds(key) = next
+          val buf = streams.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+          buf += ((next._1, next._2, value))
+          if (maxlen >= 0 && buf.length > maxlen)
+            buf.remove(0, buf.length - maxlen.toInt)
+          val id = s"${next._1}-${next._2}"
+          s"$$${id.length}\r\n$id\r\n"
+        }
       case "XLEN" =>
         s":${streams.get(args(1)).map(_.length).getOrElse(0)}\r\n"
       case "XREAD" =>

@@ -140,6 +140,27 @@ class RedisBrokerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("sendBatchAt: a crash-replayed batch re-sends the same ids and dedupes exactly") {
+    // the idempotent produce leg: explicit <batchId>-<seq> entry ids make
+    // Redis itself reject the already-delivered prefix, so a stop()-
+    // interrupted batch replay cannot double-produce (a Collapsing-family
+    // consumer would otherwise keep a net +2 row no delete cancels)
+    val server = new FakeRedisServer
+    try {
+      val broker = new RedisBroker("127.0.0.1", server.port, "p")
+      val full = Seq(("db", "7-1", """{"i":1}"""),
+        ("db", "7-2", """{"i":2}"""), ("db", "7-3", """{"i":3}"""))
+      broker.sendBatchAt(full.take(2)) // crash after a partial pipeline
+      broker.sendBatchAt(full)         // restart replays the WHOLE batch
+      assert(broker.length("db") == 3, "replayed prefix must dedupe")
+      broker.sendBatchAt(full)         // full second replay adds nothing
+      assert(broker.length("db") == 3)
+      broker.sendBatchAt(Seq(("db", "8-1", """{"i":4}"""))) // next batch
+      assert(broker.length("db") == 4)
+      broker.close()
+    } finally server.close()
+  }
+
   test("MAXLEN caps the stream; count-limited polls page through it") {
     val server = new FakeRedisServer
     try {
