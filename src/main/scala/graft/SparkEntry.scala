@@ -2753,8 +2753,8 @@ object SparkEntry {
          |top AS (SELECT user_id, n_exact FROM exact
          |        ORDER BY n_exact DESC, user_id ASC LIMIT 10),
          |${cellCte("top", "pc")},
-         |est AS (SELECT pc.user_id, MIN(s.cnt) AS cm_estimate
-         |        FROM pc JOIN sketch s USING (row, col) GROUP BY pc.user_id)
+         |est AS (SELECT pc.user_id, MIN(COALESCE(s.cnt, 0)) AS cm_estimate
+         |        FROM pc LEFT JOIN sketch s USING (row, col) GROUP BY pc.user_id)
          |SELECT e.user_id, e.cm_estimate, t.n_exact
          |FROM est e JOIN top t USING (user_id)""".stripMargin
     },
@@ -2763,7 +2763,7 @@ object SparkEntry {
       val pow2 = (0 to 32).map(b => 1L << b).mkString("[", ",", "]")
       val h = OracleSql.ph("CAST(user_id AS VARCHAR)")
       s"""WITH h0 AS (
-         |  SELECT event_type, $h AS h0 FROM events),
+         |  SELECT event_type, $h AS h0 FROM events WHERE user_id IS NOT NULL),
          |hashed AS (
          |  SELECT event_type, (h0 * h0 + 12345) % ${OracleSql.P} AS h FROM h0),
          |rr AS (
@@ -2808,12 +2808,13 @@ object SparkEntry {
         |         event_type, COUNT(*) AS n_events
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type, COUNT(*) AS n, SUM(n_events) AS s,
-        |              SUM(n_events*n_events) AS ss
+        |              SUM(CAST(n_events AS HUGEINT)*n_events) AS ss
         |       FROM wc GROUP BY 1)
         |SELECT wc.win_start_us, wc.event_type, wc.n_events
         |FROM wc JOIN st USING (event_type)
-        |WHERE (wc.n_events*st.n - st.s)*(wc.n_events*st.n - st.s)
-        |      > 4*(st.n*st.ss - st.s*st.s)""".stripMargin,
+        |WHERE (CAST(wc.n_events AS HUGEINT)*st.n - st.s)
+        |        *(CAST(wc.n_events AS HUGEINT)*st.n - st.s)
+        |      > 4*(CAST(st.n AS HUGEINT)*st.ss - CAST(st.s AS HUGEINT)*st.s)""".stripMargin,
 
     "session_paths" ->
       """WITH ordered AS (

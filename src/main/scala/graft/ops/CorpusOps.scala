@@ -93,13 +93,27 @@ object CorpusOps {
     // row alive) and throws on the first evaluated row when it doesn't
     val wmaxBound = Long.MaxValue / 1000000L
     val guard = coalesce(
-      assert_true(col("_wmax") <= lit(wmaxBound),
-        lit(s"weightedSample: max($weightCol) exceeds $wmaxBound — " +
-          "u*wmax would overflow Long; rescale weights before sampling")),
+      assert_true(col("_wmax") <= lit(wmaxBound) && col("_wmax") >= 1L,
+        when(col("_wmax") < 1L,
+          lit(s"weightedSample: max($weightCol) < 1 after long truncation — " +
+            "fractional scores must be pre-scaled (e.g. x1e6) or the whole " +
+            "corpus is silently dropped"))
+          .otherwise(lit(s"weightedSample: max($weightCol) exceeds $wmaxBound — " +
+            "u*wmax would overflow Long; rescale weights before sampling"))),
+      lit(true))
+    // integrality guard: cast-to-long TRUNCATES, so a fractional weight
+    // (2.7 -> 2) would silently bias keep probabilities
+    // double-compare is exact here: weights are bounded ≤ 9.2e12 < 2^53
+    val rowGuard = coalesce(
+      assert_true(col(weightCol) >= 0 &&
+          col(weightCol).cast("double") === col(weightCol).cast("long").cast("double"),
+        lit(s"weightedSample: $weightCol must be a non-negative integer " +
+          "value — scale fractional scores (e.g. x1e6) before sampling")),
       lit(true))
     docs.select(col(idCol), col(weightCol), u.cast("long").as("_u"))
       .crossJoin(broadcast(wmax))
-      .filter(guard && col("_u") * col("_wmax") < col(weightCol).cast("long") * lit(1000000L))
+      .filter(guard && rowGuard &&
+        col("_u") * col("_wmax") < col(weightCol).cast("long") * lit(1000000L))
       .select(col(idCol), col(weightCol).cast("long").as("weight"),
         col("_u").cast("int").as("u_bucket"))
   }

@@ -120,9 +120,15 @@ object DedupOps {
     * span except the globally-first one (lowest doc id, then lowest
     * offset) is cut from its document. Output: one row per document with
     * the rebuilt (lowercased, space-joined) text and how many tokens were
-    * removed. Overlapping cut regions union naturally; a canonical
-    * occurrence is kept even when another span's cut overlaps it (greedy
-    * per-occurrence semantics, documented).
+    * removed. Overlapping cut regions union naturally. Greedy
+    * PER-OCCURRENCE semantics: each duplicated span's canonical
+    * occurrence is never cut FOR THAT SPAN, but a DIFFERENT span's cut
+    * interval that overlaps it still removes the shared tokens — so under
+    * adversarial overlaps a span's last intact copy can be destroyed
+    * (same one-pass greedy trade-off as Lee et al.'s implementation; an
+    * intact-copy guarantee needs an iterative fixpoint that re-protects
+    * canonicals against every overlapping cut, at a per-iteration
+    * full-corpus cost this operator deliberately does not pay).
     *
     * Scale shape: one windowed-gram pass → occurrence rows (id, pos,
     * span) → self-aggregated duplicate filter → per-span canonical pick
@@ -213,6 +219,17 @@ object DedupOps {
     val corpusD = corpus.select(sha2(col(textCol), 256).as("digest"))
     val numBits = math.max(64L,
       math.ceil(expectedItems * -math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps both parameters to the runtime-
+    // filter session caps (maxNumBits default 64M bits = 8 MB, maxNumItems
+    // 4M) — at expectedItems beyond that the filter would be undersized
+    // with no warning, might_contain would fire for most of the batch, and
+    // the prescreen would silently degrade to the exact anti-join for
+    // nearly every row. Raise the caps to what the caller asked for.
+    val sess = batch.sparkSession
+    def raiseCap(key: String, needed: Long): Unit =
+      if (sess.conf.get(key).toLong < needed) sess.conf.set(key, needed.toString)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
     val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate
       .BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("digest"))),
@@ -257,14 +274,7 @@ object DedupOps {
     def explBuckets(docs: DataFrame) =
       minhashBandRows(docs, n, k, bands, idCol, textCol)
     val be = explBuckets(batch)
-    val ce0 = explBuckets(corpus)
-    val ce =
-      if (maxBucket == Int.MaxValue) ce0
-      else ce0.join(
-        ce0.groupBy(col("band_idx"), col("bucket"))
-          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
-          .select(col("band_idx"), col("bucket")),
-        Seq("band_idx", "bucket"))
+    val ce = capHotBuckets(explBuckets(corpus), maxBucket)
     val cands = be.as("a").join(ce.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bucket") === col("b.bucket"))
@@ -387,6 +397,20 @@ object DedupOps {
         col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Hot-bucket cap shared by every LSH blocking stage: drop (band,
+    * bucket) groups larger than `maxBucket` before any pair join — the
+    * candidate count is Σ bucket², so one degenerate bucket (boilerplate
+    * shingles) otherwise dominates the whole stage. One implementation so
+    * a cap fix can never diverge between the within-corpus and
+    * batch-vs-corpus paths. */
+  private def capHotBuckets(bandRows: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) bandRows
+    else bandRows.join(
+      bandRows.groupBy(col("band_idx"), col("bucket"))
+        .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
+        .select(col("band_idx"), col("bucket")),
+      Seq("band_idx", "bucket"))
+
   /** LSH candidate pairs only (band equi-join, optional hot-bucket cap):
     * the blocking stage shared by [[minhashLsh]] (Jaccard verify) and
     * [[editVerifiedPairs]] (edit-distance verify). One ordered (id1 < id2)
@@ -397,14 +421,8 @@ object DedupOps {
                         bands: Int = 4, idCol: String = "doc_id",
                         textCol: String = "text",
                         maxBucket: Int = Int.MaxValue): DataFrame = {
-    val expl0 = minhashBandRows(docs, n, k, bands, idCol, textCol)
-    val expl =
-      if (maxBucket == Int.MaxValue) expl0
-      else expl0.join(
-        expl0.groupBy(col("band_idx"), col("bucket"))
-          .agg(count(lit(1)).as("_bf")).filter(col("_bf") <= maxBucket)
-          .select(col("band_idx"), col("bucket")),
-        Seq("band_idx", "bucket"))
+    val expl = capHotBuckets(
+      minhashBandRows(docs, n, k, bands, idCol, textCol), maxBucket)
     expl.as("a").join(expl.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bucket") === col("b.bucket") &&

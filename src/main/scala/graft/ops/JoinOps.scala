@@ -58,8 +58,14 @@ object JoinOps {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
     require(payloadCols.intersect(left.columns.toSeq).isEmpty,
       s"payload columns ${payloadCols.mkString(",")} must not collide with left columns")
-    require(!payloadCols.contains("_rt") && tieBreak != "_rt",
-      "_rt is reserved for the internal right-timestamp field")
+    // the final drop removes ALL of these names — a same-named left data
+    // column would be restored from _l and then silently deleted
+    val reserved = Set("_k", "_t", "_tag", "_r", "_l", "_m", "_m0", "_mb", "_mf", "_rt")
+    require(left.columns.forall(!reserved(_)),
+      s"left columns ${left.columns.filter(reserved).mkString(",")} collide " +
+        s"with asofJoin's internal names (${reserved.mkString(",")}) — rename them first")
+    require(!payloadCols.exists(reserved) && !reserved(tieBreak),
+      s"payload/tieBreak columns must not use the internal names ${reserved.mkString(",")}")
     // one right row per (key, ts): the tie-break winner. Keyed aggregate
     // with map-side partial combine; also what makes the merge window
     // deterministic (no equal sort keys on the tagged right side). The
@@ -181,8 +187,10 @@ object JoinOps {
         .drop("_bs", "_be", "_nb")
     val lb = explodeSide(left, lStart, lEnd, "_lb")
     val rb = explodeSide(right, rStart, rEnd, "_rb")
+    // side-qualified key refs: the natural same-named key on both sides
+    // (user_id = user_id) is otherwise an AMBIGUOUS_REFERENCE error
     val keyCond = (leftKey, rightKey) match {
-      case (Some(lk), Some(rk)) => col(lk) === col(rk)
+      case (Some(lk), Some(rk)) => lb(lk) === rb(rk)
       case (None, None) => lit(true)
       case _ => throw new IllegalArgumentException("both or neither join key")
     }
@@ -232,8 +240,9 @@ object JoinOps {
         raise_error(concat(lit(s"rangeJoin: interval spans > $maxBuckets buckets; "),
           lit(s"increase bucket width (current $bucket)"))))))
       .drop("_bs", "_be", "_nb")
+    // side-qualified key refs: same-named keys must not be ambiguous
     val keyCond = (leftKey, rightKey) match {
-      case (Some(lk), Some(rk)) => col(lk) === col(rk)
+      case (Some(lk), Some(rk)) => lb(lk) === rb(rk)
       case (None, None) => lit(true)
       case _ => throw new IllegalArgumentException("both or neither join key")
     }

@@ -33,13 +33,25 @@ object MultimodalOps {
 
   /** Deterministic fake decoder: "parses" dimensions out of a polynomial
     * hash of the payload. Replace with a real codec (??? markers) to ship.
+    *
+    * The hash folds UNICODE CODEPOINTS of the UTF-8-decoded payload —
+    * exactly [[graft.functions.CrossHash.polyHash]]'s fold — so
+    * [[blobMetaSql]] is its bit-identical pure-SQL twin on ANY text, not
+    * just ASCII (a byte-level fold diverged on the first multi-byte
+    * character: "é" is two UTF-8 bytes but one polyHash step). Non-UTF-8
+    * payloads decode with U+FFFD replacement — still deterministic.
     */
   final class StubDecoder extends MediaDecoder {
     override def decode(bytes: Array[Byte]): MediaMeta = {
       // def decodeReal(bytes: Array[Byte]): MediaMeta = ???  // real codec goes here
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       var h = 0L
       var i = 0
-      while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * 31 + cp) % P
+        i += Character.charCount(cp)
+      }
       MediaMeta(bytes.length.toLong, "fake/v1",
         (h % 1024).toInt, ((h / 1024) % 1024).toInt, (bytes.length / 256) + 1)
     }

@@ -137,9 +137,10 @@ object SessionOps {
     * one narrow filter. Windows with zero events are absent, not
     * zero-filled (their absence also keeps them out of μ/σ); zero-fill
     * against a generated window grid upstream if silence itself is the
-    * anomaly. Magnitude guard: c·n and n·ss must stay inside Long —
-    * holds to ~10⁹ events per window × 10⁴ windows; beyond that scale
-    * re-derive in DECIMAL.
+    * anomaly. The squared terms run in DECIMAL(38,0) — still exact
+    * integer arithmetic, but with 10³⁸ of headroom: in Long, Σc² wraps
+    * already at ~3·10⁹ total events (c² alone is 10¹⁸ at c = 10⁹), which
+    * silently flipped flags at a scale the op is explicitly for.
     */
   def rateAnomalies(events: DataFrame, windowSec: Long = 3600, kSigma: Int = 2,
                     typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
@@ -149,13 +150,16 @@ object SessionOps {
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("window.start").cast("timestamp_ltz")).as("win_start_us"),
         col(typeCol), col("n_events"))
+    // (19,0) factors → (38,0)-capped products, exact through 10³⁸
+    def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(19,0)")
     val stats = wc.groupBy(col(typeCol))
       .agg(count(lit(1)).as("_n"), sum(col("n_events")).as("_s"),
-        sum(col("n_events") * col("n_events")).as("_ss"))
-    val dev = col("n_events") * col("_n") - col("_s")
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("_ss"))
+    val dev = dec(col("n_events")) * dec(col("_n")) - dec(col("_s"))
     wc.join(broadcast(stats), typeCol)
       .filter(dev * dev > lit(kSigma.toLong * kSigma) *
-        (col("_n") * col("_ss") - col("_s") * col("_s")))
+        (dec(col("_n")) * col("_ss") - dec(col("_s")) * dec(col("_s"))))
       .select(col("win_start_us"), col(typeCol), col("n_events"))
   }
 

@@ -47,6 +47,11 @@ object SketchOps {
     // structure in its low bits (measured 3x cardinality bias); squaring
     // mod P breaks the linearity while staying in exact Long range
     // (h < P ≈ 2^30 → h² < 2^60) and portable to the oracle verbatim
+    // NULL keys are ignored, like COUNT(DISTINCT): hashing them yields a
+    // NULL register row that count(*) saw but sum(invPow) skipped — off
+    // by one in the empty-register term, and with all 64 registers hit,
+    // _nreg = 65 drove the raw estimator NEGATIVE
+    val input = df.filter(col(keyCol).isNotNull)
     val h0 = polyHash(col(keyCol).cast("string"))
     val h = (h0 * h0 + lit(12345L)) % lit(P)
     val w = graft.functions.IntMath.floorDiv(h, 64L)
@@ -61,7 +66,7 @@ object SketchOps {
     val rho = when(w === 0, lit(32)).otherwise(
       round(log(2.0, w.bitwiseAND(lit(0L) - w))).cast("int") + 1)
     val gcols = groupCols.map(col)
-    val regs = df
+    val regs = input
       .select(gcols :+ (h % 64).cast("int").as("_reg") :+ rho.as("_rho"): _*)
       .groupBy(gcols :+ col("_reg"): _*)
       .agg(max(col("_rho")).as("_m"))
@@ -155,11 +160,16 @@ object SketchOps {
       .select(posexplode(cells(col(keyCol))).as(Seq("_row", "_col")))
       .groupBy(col("_row"), col("_col"))
       .agg(count(lit(1)).as("_cnt"))
+    // LEFT join: a probe key absent from df hits empty (zero-count) cells
+    // that the sparse sketch has no row for — an inner join dropped those
+    // cells, so min() ran over only the colliding non-empty ones and a
+    // never-seen key got an INFLATED estimate (or vanished entirely),
+    // breaking the one-sided "min over d rows" bound
     probes
       .select(col(keyCol), posexplode(cells(col(keyCol))).as(Seq("_row", "_col")))
-      .join(sketch, Seq("_row", "_col"))
+      .join(sketch, Seq("_row", "_col"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("_cnt")).as("cm_estimate"))
+      .agg(min(coalesce(col("_cnt"), lit(0L))).as("cm_estimate"))
   }
 
   /** Equi-width histogram quantile estimates per group — the constant-

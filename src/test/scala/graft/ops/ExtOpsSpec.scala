@@ -16,6 +16,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(viaUdf.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaUdf).isEmpty)
   }
 
+  test("multimodal: stub decoder matches the SQL twin on NON-ASCII text") {
+    // regression: the stub folded UTF-8 BYTES while blobMetaSql folds
+    // codepoints — width/height diverged on the first multi-byte char
+    val docs = Seq((1L, "café au lait"), (2L, "日本語テキスト"), (3L, "plain ascii"))
+      .toDF("doc_id", "text")
+    val viaUdf = MultimodalOps.decodeMeta(
+      MultimodalOps.withBlob(docs), new StubDecoder)
+    val viaSql = MultimodalOps.blobMetaSql(docs)
+    assert(viaUdf.exceptAll(viaSql).isEmpty && viaSql.exceptAll(viaUdf).isEmpty)
+  }
+
+  test("weightedSample: fractional weights fail loud instead of silently dropping the corpus") {
+    // regression: cast-to-long truncation made wmax = 0 for scores in
+    // (0,1) and the keep test dropped EVERY row with no error
+    val frac = Seq((1L, 0.9), (2L, 0.4)).toDF("doc_id", "quality")
+    val e = intercept[Exception] {
+      CorpusOps.weightedSample(frac, "quality").collect()
+    }
+    assert(e.getMessage != null)
+    // integral weights pass and the heaviest row is kept with certainty
+    val ints = Seq((1L, 900000L), (2L, 400000L)).toDF("doc_id", "quality")
+    val kept = CorpusOps.weightedSample(ints, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+  }
+
+  test("incrementalBloom: sizing past the session caps raises them instead of silently clamping") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val corpus = Seq((10L, "a")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalBloom(batch, corpus,
+      expectedItems = 100000000L, fpp = 0.03)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
+    // the aggregate clamps to these session confs — they must have been
+    // raised to what the caller asked for (>= ~7.3 bits/item)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      >= 500000000L)
+    assert(spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      >= 100000000L)
+  }
+
   test("multimodal: feature extraction yields stable fixed-dim vectors usable by ANN") {
     val docs = Tables(spark, sf, "documents").limit(50)
     val feats = MultimodalOps.extractFeatures(MultimodalOps.withBlob(docs), dim = 16)

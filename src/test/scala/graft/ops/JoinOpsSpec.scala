@@ -150,6 +150,37 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Set(("p1", "i1"), ("p2", "i1"), ("p4", "i2")))
   }
 
+  test("rangeJoin and intervalJoin accept the SAME key column name on both sides") {
+    // regression: col(lk) === col(rk) resolved against both join children
+    // and threw AMBIGUOUS_REFERENCE for the natural same-named key
+    val pts = Seq(("p1", 1L, 100L), ("p2", 2L, 120L)).toDF("pid", "user_id", "t")
+    val ivs = Seq(("i1", 1L, 90L, 110L), ("i2", 2L, 115L, 125L))
+      .toDF("iid", "user_id", "s", "e")
+    val out = JoinOps.rangeJoin(pts, ivs, "t", "s", "e", bucket = 10L,
+        leftKey = Some("user_id"), rightKey = Some("user_id"))
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(out == Set(("p1", "i1"), ("p2", "i2")))
+    val li = Seq(("a", 1L, 100L, 120L)).toDF("lid", "user_id", "ls", "le")
+    val ri = Seq(("b", 1L, 110L, 130L), ("c", 2L, 110L, 130L))
+      .toDF("rid", "user_id", "rs", "re")
+    val iv = JoinOps.intervalJoin(li, ri, "ls", "le", "rs", "re", bucket = 10L,
+        leftKey = Some("user_id"), rightKey = Some("user_id"))
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(iv == Set(("a", "b")))
+  }
+
+  test("asofJoin rejects left columns that collide with internal names") {
+    // regression: a left data column named _t (or _k/_tag/_r/_l/_m) was
+    // restored from the packed struct and then silently DROPPED from the
+    // output by the final internal-column cleanup
+    val left = Seq((1L, 100L, "x")).toDF("k", "ts", "_t")
+    val right = Seq((1L, 90L, 5.0)).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.asofJoin(left, right, "k", "k", "ts", "ts", Seq("v"), tieBreak = "v")
+    }
+    assert(e.getMessage.contains("_t"))
+  }
+
   test("intervalJoin: overlap pairs exactly once, even when spanning many buckets") {
     import spark.implicits._
     val left = Seq(

@@ -35,6 +35,36 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("countMin: a probe key absent from the corpus estimates 0, not an inflated min") {
+    // regression: the inner join dropped empty (zero-count) cells, so a
+    // never-seen key took min() over only its COLLIDING cells — inflated,
+    // or missing from the output entirely when no cell collided
+    val events = Seq.fill(100)(("hot", 1)).toDF("k", "x")
+    val probes = Seq(("hot", 1), ("never-seen-key", 1)).toDF("k", "x").select("k")
+    val est = SketchOps.countMin(events, "k", probes, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size == 2, "every probe key must produce an estimate row")
+    assert(est("hot") == 100L)
+    assert(est("never-seen-key") == 0L,
+      "an absent key with any empty cell must estimate 0 (min over d rows)")
+  }
+
+  test("hllDistinct: NULL keys are ignored, like COUNT(DISTINCT)") {
+    // regression: a NULL key hashed to a NULL register row that count(*)
+    // saw but sum skipped — off-by-one empty-register term, and with all
+    // 64 registers hit the raw estimator went NEGATIVE
+    val withNulls = ((1 to 500).map(i => (Some(s"u$i"), "g")) ++
+      Seq((Option.empty[String], "g"), (Option.empty[String], "g")))
+      .toDF("k", "grp")
+    val clean = (1 to 500).map(i => (s"u$i", "g")).toDF("k", "grp")
+    val a = SketchOps.hllDistinct(withNulls, "k", Seq("grp"))
+      .select("hll_estimate").as[Double].collect().head
+    val b = SketchOps.hllDistinct(clean, "k", Seq("grp"))
+      .select("hll_estimate").as[Double].collect().head
+    assert(a == b, "null keys must not perturb the estimate")
+    assert(a > 0, "estimate must stay positive")
+  }
+
   test("histogramQuantiles: within one bucket width of the exact percentile") {
     val rnd = new scala.util.Random(7)
     val vals = (1 to 2000).map(_ => ("g", math.abs(rnd.nextInt(1000)).toLong))
