@@ -2530,7 +2530,8 @@ object SparkEntry {
          |          list_transform(tk, t -> $w)), (a, x) -> a + x)
          |          / len(tk)
          |      ELSE 0.0 END AS logit FROM toks)
-         |SELECT doc_id, round(logit, 6) AS clf_logit, logit > 0 AS clf_keep
+         |SELECT doc_id, round(logit, 6) AS clf_logit,
+         |       round(logit, 6) > 0 AS clf_keep
          |FROM s""".stripMargin
     },
 
@@ -2866,7 +2867,8 @@ object SparkEntry {
     "dedup_graph_degree" ->
       s"""WITH ${OracleSql.minhashPairsCte()},
          |ends AS (SELECT id1 AS id FROM pairs UNION ALL SELECT id2 FROM pairs),
-         |deg AS (SELECT id, COUNT(*) AS degree FROM ends GROUP BY id),
+         |deg AS (SELECT id, COUNT(*) AS degree FROM ends
+         |        WHERE id IN (SELECT doc_id FROM documents) GROUP BY id),
          |hist AS (SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree),
          |zero AS (SELECT CAST(0 AS BIGINT) AS degree,
          |         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_docs)
@@ -3006,7 +3008,8 @@ object SparkEntry {
     },
 
     "corpus_filter" -> {
-      s"""WITH base AS (SELECT doc_id, ${OracleSql.tokens("lower(text)")} AS tk FROM documents),
+      // COALESCE mirrors the Spark side's null-text fold to zero tokens
+      s"""WITH base AS (SELECT doc_id, ${OracleSql.tokens("lower(COALESCE(text, ''))")} AS tk FROM documents),
          |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
          |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |        list_transform(tk, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)

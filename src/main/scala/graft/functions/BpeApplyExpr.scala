@@ -22,6 +22,10 @@ case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_apply"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SigExprs.requireStringArray(child, prettyName)
+
   @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
 
   def applyAll(input: ArrayData): ArrayData = {
@@ -29,33 +33,39 @@ case class BpeApplyExpr(child: Expression, merges: Seq[(String, String)])
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var w = 0
     while (w < nWords) {
-      val word = input.getUTF8String(w).toString
-      var syms = {
-        val b = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < word.length) {
-          val cp = word.codePointAt(i)
-          b += new String(Character.toChars(cp))
-          i += Character.charCount(cp)
+      val u = input.getUTF8String(w)
+      // null words contribute no symbols (tokens() never yields them, but
+      // the expression is public API over any array<string> — an NPE here
+      // would kill the whole job)
+      if (u != null) {
+        val word = u.toString
+        var syms = {
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < word.length) {
+            val cp = word.codePointAt(i)
+            b += new String(Character.toChars(cp))
+            i += Character.charCount(cp)
+          }
+          b += "</w>"
+          b
         }
-        b += "</w>"
-        b
-      }
-      var m = 0
-      while (m < mergeArr.length) {
-        val (a, bSym) = mergeArr(m)
-        // greedy left-to-right, skip both symbols after a merge
-        val next = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == bSym) {
-            next += a + bSym; i += 2
-          } else { next += syms(i); i += 1 }
+        var m = 0
+        while (m < mergeArr.length) {
+          val (a, bSym) = mergeArr(m)
+          // greedy left-to-right, skip both symbols after a merge
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == bSym) {
+              next += a + bSym; i += 2
+            } else { next += syms(i); i += 1 }
+          }
+          syms = next
+          m += 1
         }
-        syms = next
-        m += 1
+        syms.foreach(s => out += UTF8String.fromString(s))
       }
-      syms.foreach(s => out += UTF8String.fromString(s))
       w += 1
     }
     new GenericArrayData(out.toArray[Any])

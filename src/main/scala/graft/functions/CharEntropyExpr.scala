@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shannon entropy of a string's codepoint distribution — the
@@ -21,6 +22,12 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_char_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     CharEntropyExpr.entropy(input.asInstanceOf[UTF8String])

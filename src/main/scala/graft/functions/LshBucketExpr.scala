@@ -79,7 +79,10 @@ object LshBucketExpr {
         dot += x * hyperplane(base + d)
         d += 1
       }
-      acc = acc * 2L + (if (dot >= 0) 1L else 0L)
+      // NaN parity: Spark SQL (and DuckDB) order NaN ABOVE every numeric,
+      // so the spec form's `when(dot >= 0, 1)` is TRUE for a NaN dot —
+      // the JVM's `NaN >= 0` is false and silently bucketed differently
+      acc = acc * 2L + (if (dot >= 0 || java.lang.Double.isNaN(dot)) 1L else 0L)
       p += 1
     }
     acc

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's polynomial rolling hash
@@ -19,6 +20,14 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
+
+  // SQL-registered: wrong-typed input must fail at analysis, not as a
+  // runtime ClassCastException / codegen compile error
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHashExpr.hash(input.asInstanceOf[UTF8String].toString)

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native per-document signature expressions.
   *
@@ -25,6 +26,9 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    SigExprs.requireStringArray(child, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     SimHashExpr.sig(input.asInstanceOf[ArrayData])
 
@@ -35,18 +39,37 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared analysis-time gate: these expressions are SQL-registered, so a
+  * wrong-typed argument must fail at analysis, not be reinterpreted as
+  * UTF8String (offset,length) words at runtime. */
+object SigExprs {
+  def requireStringArray(child: Expression, name: String): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      // the empty/all-null literal `array()` types as array<void> — valid
+      // input (documented empty-array semantics), nothing to misread
+      case ArrayType(org.apache.spark.sql.types.NullType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<string>, got ${other.catalogString}")
+    }
+}
+
 object SimHashExpr {
   /** 32-bit SimHash over the DISTINCT elements of `arr` (duplicates are
     * deduped here, so both raw token arrays and pre-deduped shingle
-    * arrays produce the set-semantics signature). */
+    * arrays produce the set-semantics signature). NULL elements are
+    * skipped — the HOF twin's transform yields a null hash that the
+    * vote aggregation ignores. */
   def sig(arr: ArrayData): Long = {
     val n = arr.numElements()
     val seen = new java.util.HashSet[String](Math.max(16, n * 2))
     val votes = new Array[Int](32)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i).toString
-      if (seen.add(s)) {
+      val u = arr.getUTF8String(i)
+      val s = if (u == null) null else u.toString
+      if (s != null && seen.add(s)) {
         val h = PolyHashExpr.hash(s)
         var b = 0
         while (b < 32) {
@@ -77,6 +100,9 @@ case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    SigExprs.requireStringArray(child, prettyName)
+
   override protected def nullSafeEval(input: Any): Any =
     MinHashExpr.sig(input.asInstanceOf[ArrayData], k)
 
@@ -92,17 +118,22 @@ object MinHashExpr {
   private[functions] val B: Array[Long] = CrossHash.B.toArray
   private[functions] val P: Long = CrossHash.P
 
+  /** NULL elements are skipped — array_min over the HOF twin's
+    * transformed hashes ignores the null they map to. */
   def sig(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = PolyHashExpr.hash(arr.getUTF8String(i).toString)
-      var j = 0
-      while (j < k) {
-        val v = (h * A(j) + B(j)) % P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      val u = arr.getUTF8String(i)
+      if (u != null) {
+        val h = PolyHashExpr.hash(u.toString)
+        var j = 0
+        while (j < k) {
+          val v = (h * A(j) + B(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
@@ -138,6 +169,9 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    SigExprs.requireStringArray(child, prettyName)
 
   override protected def nullSafeEval(input: Any): Any =
     MinHashBandsExpr.buckets(input.asInstanceOf[ArrayData], k, bands)

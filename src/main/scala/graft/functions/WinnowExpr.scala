@@ -50,11 +50,17 @@ object WinnowExpr {
     var i = 0
     while (i < sh) {
       sb.setLength(0)
+      // concat_ws semantics: a null token drops WITH its separator (the
+      // old form left a double space, diverging from the HOF/oracle gram)
       var j = 0
+      var appended = 0
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        val u = toks.getUTF8String(i + j) // null tokens contribute nothing
-        if (u != null) sb.append(u.toString)
+        val u = toks.getUTF8String(i + j)
+        if (u != null) {
+          if (appended > 0) sb.append(' ')
+          sb.append(u.toString)
+          appended += 1
+        }
         j += 1
       }
       hashes(i) = PolyHashExpr.hash(sb.toString)

@@ -327,7 +327,12 @@ object GraphOps {
                       idCol: String = "doc_id", id1Col: String = "id1",
                       id2Col: String = "id2"): DataFrame = {
     val ends = pairs.select(explode(array(col(id1Col), col(id2Col))).as("id"))
+    // the histogram is over DOCS: a pair endpoint not present in docs
+    // (pairs built against a superset corpus) must neither occupy a
+    // degree bucket nor shrink the degree-0 row (total - touched could
+    // even go negative and drop the bucket entirely)
     val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
     val touched = deg.agg(count(lit(1)).as("_touched"))
     val total = docs.agg(count(lit(1)).as("_total"))

@@ -485,7 +485,13 @@ object TextOps {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val allStop = stopwords.flatMap(_._2).distinct
     def ratio(num: Column, den: Column) = num.cast("double") / greatest(den, lit(1L))
-    val flagged = docs.select(col(idCol), tokens(lower(col(textCol))).as("_tk"))
+    // NULL text folds to zero tokens (→ f_short, keep = false): raw flags
+    // over a null text are all NULL, and a null keep makes the doc vanish
+    // from BOTH filter(keep) and filter(!keep) — breaking keep + drop =
+    // total accounting
+    val flagged = docs.select(col(idCol),
+        coalesce(tokens(lower(col(textCol))),
+          array().cast("array<string>")).as("_tk"))
       .withColumn("_n", size(col("_tk")).cast("long"))
       .withColumn("_avg", ratio(
         aggregate(col("_tk"), lit(0L), (a, x) => a + length(x)), col("_n")))
@@ -535,8 +541,12 @@ object TextOps {
           lit(bias) + aggregate(col("_tk"), lit(0.0d), (a, t) => a + weight(t))
             / size(col("_tk")).cast("double"))
           .otherwise(lit(bias)))
+      // keep derives from the ROUNDED logit: the published (logit, keep)
+      // pair must be self-consistent — deciding on the raw value could
+      // report (0.0, true) for a logit of +4e-7 and any consumer
+      // recomputing keep from the 6dp surface would disagree
       .select(col(idCol), round(col("clf_logit"), 6).as("clf_logit"),
-        (col("clf_logit") > 0).as("clf_keep"))
+        (round(col("clf_logit"), 6) > 0).as("clf_keep"))
   }
 
   /** Character-distribution statistics — the encoding-level quality

@@ -73,7 +73,8 @@ object StreamOps {
     */
   def funnelStages(events: DataFrame, steps: Seq[String],
                    userCol: String = "user_id", tsCol: String = "ts",
-                   typeCol: String = "event_type"): DataFrame = {
+                   typeCol: String = "event_type",
+                   idCol: String = "event_id"): DataFrame = {
     require(steps.nonEmpty && steps.distinct.length == steps.length,
       "funnel steps must be non-empty and distinct")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -81,7 +82,7 @@ object StreamOps {
     import spark.implicits._
     val typed = events.select(
       col(userCol).cast("long"), unix_micros(col(tsCol)),
-      col("event_id").cast("long"), col(typeCol))
+      col(idCol).cast("long"), col(typeCol))
       .as[(Long, Long, Long, String)]
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     def advance(user: Long, rows: Iterator[(Long, Long, Long, String)],
@@ -112,7 +113,8 @@ object StreamOps {
     */
   def joinWithin(left: DataFrame, right: DataFrame, withinSec: Long,
                  keyCol: String = "user_id", tsCol: String = "ts",
-                 watermark: String = "1 hour"): DataFrame = {
+                 watermark: String = "1 hour",
+                 idCol: String = "event_id"): DataFrame = {
     require(withinSec > 0, "withinSec must be positive")
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
@@ -121,8 +123,8 @@ object StreamOps {
         col(s"r.$tsCol") >= col(s"l.$tsCol") &&
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $withinSec SECONDS"))
       .select(col(s"l.$keyCol").as(keyCol),
-        col("l.event_id").as("lead_id"), col(s"l.$tsCol").as("lead_ts"),
-        col("r.event_id").as("follow_id"), col(s"r.$tsCol").as("follow_ts"))
+        col(s"l.$idCol").as("lead_id"), col(s"l.$tsCol").as("lead_ts"),
+        col(s"r.$idCol").as("follow_id"), col(s"r.$tsCol").as("follow_ts"))
   }
 
   /** Tumbling-window event counts per type — the monitoring-style rollup. */

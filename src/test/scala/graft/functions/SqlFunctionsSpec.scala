@@ -119,6 +119,70 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(ids == Seq(1L))
   }
 
+  test("signature expressions skip null elements instead of NPEing") {
+    FunctionRegistration.register(spark)
+    // regression: getUTF8String(i).toString NPE'd the whole task on a
+    // null element; the HOF twins map nulls to null hashes that min/vote
+    // aggregation ignores — so a null element must act like it's absent
+    val withNull = spark.sql(
+      "SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS sh, " +
+        "graft_minhash(array('a', CAST(NULL AS STRING), 'b'), 4) AS mh, " +
+        "graft_minhash_bands(array('a', CAST(NULL AS STRING), 'b'), 4, 2) AS bd, " +
+        "graft_winnow(array('a', CAST(NULL AS STRING), 'b', 'c'), 2, 2) AS wn")
+      .collect().head
+    val clean = spark.sql(
+      "SELECT graft_simhash(array('a', 'b')) AS sh, " +
+        "graft_minhash(array('a', 'b'), 4) AS mh, " +
+        "graft_minhash_bands(array('a', 'b'), 4, 2) AS bd")
+      .collect().head
+    assert(withNull.getLong(0) == clean.getLong(0))
+    assert(withNull.getSeq[Long](1) == clean.getSeq[Long](1))
+    assert(withNull.getSeq[Long](2) == clean.getSeq[Long](2))
+    assert(!withNull.isNullAt(3)) // winnow survives too
+    // and the winnow gram drops a null WITH its separator (concat_ws
+    // parity: "a b", never "a  b")
+    val viaNull = spark.sql(
+      "SELECT graft_winnow(array('a', CAST(NULL AS STRING), 'b'), 3, 1)")
+      .collect().head.getSeq[Long](0)
+    val viaWs = spark.sql("SELECT graft_winnow(array('a', 'b'), 2, 1)")
+      .collect().head.getSeq[Long](0)
+    assert(viaNull == viaWs)
+  }
+
+  test("wrong-typed input fails at ANALYSIS, not as runtime garbage") {
+    FunctionRegistration.register(spark)
+    // regression: no checkInputDataTypes meant array<bigint> was
+    // reinterpreted as UTF8String (offset,length) words — silently wrong
+    // signatures poisoning dedup joins
+    for (q <- Seq(
+      "SELECT graft_minhash(array(1L, 2L), 4)",
+      "SELECT graft_simhash(array(1L, 2L))",
+      "SELECT graft_minhash_bands(array(1L, 2L), 4, 2)",
+      "SELECT graft_polyhash(123)",
+      "SELECT graft_char_entropy(123)",
+      "SELECT graft_word_grams(123, 2)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("requires"), s"$q: ${e.getMessage}")
+    }
+  }
+
+  test("lsh bucket: NaN components follow Spark SQL's NaN-above-everything ordering") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.SimilarityOps
+    // regression: JVM NaN >= 0 is false, but the HOF spec's when(dot >= 0)
+    // is TRUE under Spark's NaN ordering — the native expr bucketed NaN
+    // vectors differently from the executable spec
+    val nanVec = Array.fill(64)(Double.NaN)
+    val df = spark.createDataFrame(Seq(Tuple1(nanVec.toSeq))).toDF("embedding")
+    val both = df.select(
+      SimilarityOps.lshBucket(col("embedding"), 4, 64).as("native"),
+      SimilarityOps.lshBucketHof(col("embedding"), 4, 64).as("hof"))
+      .collect().head
+    assert(both.getLong(0) == both.getLong(1))
+  }
+
   test("polyhash equals the portable HOF formulation") {
     import org.apache.spark.sql.functions._
     val df = spark.sql("SELECT text FROM (SELECT 'spark engine test row' AS text)")
