@@ -79,6 +79,23 @@ object Main {
     else FullEtl.JdbcSource(jdbcUrl(cfg, db), dbtable(cfg, db, table),
       cfg.user, cfg.password, partitionColumn = None)
 
+  /** [[source]] wired for the actual SCAN: a numeric leading PK drives
+    * FullEtl's two-phase partitioned read (32 range scans), which is the
+    * whole point of the Spark-native snapshot path — without it every
+    * etl/bootstrap/check pulls the production table over ONE JDBC
+    * connection. Schema reads stay on the plain source (metadata only). */
+  def scanSource(cfg: graft.config.SourceConfig, db: String, table: String,
+                 pk: Seq[String],
+                 schema: org.apache.spark.sql.types.StructType): FullEtl.Source =
+    source(cfg, db, table) match {
+      case j: FullEtl.JdbcSource =>
+        val numericPk = pk.headOption.filter(c =>
+          schema.fields.find(_.name == c).map(_.dataType)
+            .exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        j.copy(partitionColumn = numericPk)
+      case s => s
+    }
+
   /** Redis-Streams broker from the CLI arg + config: `redis:` uses the
     * config's `redis:` section host/port (the reference's layout);
     * `redis:<host>:<port>` overrides them. prefix / db / password /
@@ -106,9 +123,16 @@ object Main {
     * the poll is inherently serial — see [[graft.streaming.RedisBroker]])
     * with `EventSource.files` owning Spark-side checkpointing; anything
     * else is a JSON-event directory.
+    *
+    * `aliasSchemas`: EVERY selected source's (alias, schema) pairs — the
+    * reference keys its streams per source alias, and a consume over a
+    * multi-source config must drain every alias (polling only the first
+    * would silently starve the other sources' tables forever). Each alias
+    * stages into its own subdirectory — staged-file names are
+    * schema+entry-id derived and two aliases can share a schema name.
     */
   def eventStream(spark: SparkSession, broker: String, cfg: SyncConfig,
-                  alias: Option[String] = None, schemas: Seq[String] = Nil,
+                  aliasSchemas: Seq[(String, String)] = Nil,
                   stagingDir: String = "/tmp/graft_redis_staging"): org.apache.spark.sql.DataFrame =
     if (broker.startsWith("kafka:")) {
       val rest = broker.stripPrefix("kafka:")
@@ -117,29 +141,33 @@ object Main {
       EventSource.kafka(spark, rest.substring(0, slash), rest.substring(slash + 1),
         maxOffsetsPerTrigger = cfg.maxOffsetsPerTrigger)
     } else if (broker == "redis" || broker.startsWith("redis:")) {
-      val a = alias.orElse(cfg.sources.headOption.map(_.alias)).getOrElse("synch")
-      require(schemas.nonEmpty, "redis broker needs at least one schema to poll")
+      require(aliasSchemas.nonEmpty,
+        "redis broker needs at least one (alias, schema) to poll")
       // fresh connection per poll cycle: a broken socket heals on the
       // next cycle instead of killing the stream; the staged-file names
       // are entry-id-derived, so a re-poll after a crashed commit
       // overwrites identical content (at-least-once, absorbed downstream)
       val pollMs = math.max(500L, cfg.core.insertIntervalSec * 1000L / 4)
+      val byAlias = aliasSchemas.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
       val poller = new Thread(() => {
         while (true) {
-          try {
-            val b = redisBroker(broker, cfg, a)
-            try schemas.foreach(s => b.drainToStaging(s, stagingDir, cfg.core.insertNum))
-            finally b.close()
-          } catch {
-            case e: Exception =>
-              System.err.println(s"[redis] poll failed (will retry): ${e.getMessage}")
+          byAlias.foreach { case (a, schemas) =>
+            try {
+              val b = redisBroker(broker, cfg, a)
+              try schemas.foreach(s =>
+                b.drainToStaging(s, s"$stagingDir/$a", cfg.core.insertNum))
+              finally b.close()
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[redis] poll of alias $a failed (will retry): ${e.getMessage}")
+            }
           }
           Thread.sleep(pollMs)
         }
       }, "graft-redis-poller")
       poller.setDaemon(true)
       poller.start()
-      EventSource.files(spark, stagingDir)
+      EventSource.files(spark, s"$stagingDir/*")
     } else EventSource.files(spark, broker.stripPrefix("file:"))
 
   def main(args: Array[String]): Unit = {
@@ -167,6 +195,16 @@ object Main {
       val kv = f.stripPrefix("--").split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "true")
     }.toMap
+    // reject-loudly applies to long flags too: a typo'd --renue or
+    // --last-bach silently ignored means a skipped rewind or a surprise
+    // full re-snapshot
+    val knownFlags = Set("alias", "schema", "table", "renew", "last-batch",
+      "shards", "min-tokens", "rates", "eval", "paragraph-sep")
+    flags.keys.foreach(k =>
+      require(knownFlags(k), s"unknown flag --$k (known: ${knownFlags.toSeq.sorted.mkString(", ")})"))
+    // --renew=false must NOT renew: boolean flags are true only when bare
+    // or explicitly truthy
+    def boolFlag(name: String): Boolean = flags.get(name).exists(_ != "false")
     require(pos.length >= 2,
       "usage: Main <etl|produce|consume|check|rewind|corpus> <config|docsParquet> " +
         "[broker|checkpoint|outDir] [stateRoot] [lastBatchId] [--alias=A] " +
@@ -235,37 +273,37 @@ object Main {
 
     mode match {
       case "etl" =>
-        // The snapshot lands as the store's version -1 changelog delta
-        // (action/event_unixtime/action_seq stamped), so a later `consume`
-        // appends deltas on top without a state rewrite — and without
-        // colliding with the stream's first micro-batch id 0. --renew drops
-        // the whole store first (reference `etl --renew`: drop target tables).
+        // The snapshot lands as the store's version -1 changelog delta via
+        // the SAME apply path `consume`'s bootstrap uses (engine stamping,
+        // recoverCompaction, committed-version idempotence — a hand-rolled
+        // parquet write would be invisible behind a pending compaction swap
+        // and would silently skip its batch-id check). --renew drops the
+        // whole store first (reference `etl --renew`: drop target tables);
+        // without it a committed v=-1 makes the re-run a no-op. Manual etl
+        // deliberately ignores auto_full_etl: that flag opts a table out of
+        // the AUTOMATIC consume-time bootstrap, and this command is exactly
+        // the documented manual path for those tables.
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
-        for ((src, d, t) <- selected if t.autoFullEtl) {
-          val store = s"$stateRoot/${d.database}/${t.table}"
-          if (flags.contains("renew")) deleteDir(store)
-          val snap0 = FullEtl.read(spark, source(src, d.database, t.table))
-          val signed = t.engine == Engine.CollapsingMergeTree ||
-            t.engine == Engine.VersionedCollapsingMergeTree
-          val stamped = Consume.snapshotAsChangelog(
-            if (signed) CdcOps.withSnapshotSign(snap0) else snap0)
-          // MergeTree deltas carry the arrival batch; the snapshot is batch -1
-          val snap =
-            if (t.engine == Engine.MergeTree)
-              stamped.withColumn("_batch", org.apache.spark.sql.functions.lit(-1L))
-            else stamped
-          snap.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store/v=-1")
-          // count the WRITTEN parquet only — a source count() would scan
-          // the production table a second time just for a log line
-          val c = spark.read.parquet(s"$store/v=-1").count()
-          println(s"[etl] ${d.database}.${t.table}: $c rows")
+        for ((src, sync) <- syncTables) {
+          val storePath = s"$stateRoot/${sync.schema}/${sync.table}"
+          if (boolFlag("renew")) deleteDir(storePath)
+          val store = new ParquetStateStore(spark, storePath)
+          val snap = FullEtl.read(spark,
+            scanSource(src, sync.schema, sync.table, sync.pkCols, sync.valueSchema))
+          Consume.applyBatch(spark, sync, store,
+            Consume.snapshotAsChangelog(snap), batchId = -1L)
+          // count the WRITTEN store version only — a source count() would
+          // scan the production table a second time just for a log line
+          val c = store.readVersion(-1L).map(_.count()).getOrElse(0L)
+          println(s"[etl] ${sync.schema}.${sync.table}: $c rows")
         }
 
       case "check" =>
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
         for ((src, sync) <- syncTables) {
           val store = new ParquetStateStore(spark, s"$stateRoot/${sync.schema}/${sync.table}")
-          val sourceDf = FullEtl.read(spark, source(src, sync.schema, sync.table))
+          val sourceDf = FullEtl.read(spark,
+            scanSource(src, sync.schema, sync.table, sync.pkCols, sync.valueSchema))
           Consume.currentState(sync, store) match {
             case Some(tgt) =>
               val res = CdcOps.countCheck(Seq((s"${sync.schema}.${sync.table}", sourceDf, tgt)))
@@ -293,15 +331,21 @@ object Main {
         Consume.bootstrap(spark, tables, stateRoot,
           byTable.collect {
             case (src, t) if autoEtl((t.schema, t.table)) =>
-              (t.schema, t.table) -> source(src, t.schema, t.table)
+              (t.schema, t.table) ->
+                scanSource(src, t.schema, t.table, t.pkCols, t.valueSchema)
           }.toMap)
         val stream = eventStream(spark, pos(2), cfg,
-          alias = flags.get("alias"),
-          schemas = selected.map(_._2.database).distinct,
+          aliasSchemas = selected.map(x => (x._1.alias, x._2.database)).distinct,
           stagingDir = s"$stateRoot/_redis_staging")
+        // skip-error without a dead letter would DISCARD failing slices
+        // (the batch commits, idempotence blocks replay) — C3's whole
+        // point is that they park for replay instead
+        val dl =
+          if (cfg.core.skipError) Some(new DeadLetter(spark, s"$stateRoot/_dead_letter"))
+          else None
         val q = Consume.start(spark, stream, tables,
           stateRoot, ckpt, triggerInterval = cfg.triggerInterval,
-          skipError = cfg.core.skipError)
+          skipError = cfg.core.skipError, deadLetter = dl)
         Lifecycle.withGracefulShutdown(Seq(q))
         q.awaitTermination()
 
@@ -312,8 +356,12 @@ object Main {
         require(pos.length >= 3, "usage: Main rewind <config> <checkpoint> [stateRoot] [lastBatchId|--last-batch=N]")
         val ckpt = pos(2)
         val stateRoot = pos.lift(3).getOrElse("/tmp/graft_state")
+        // no silent default: rewind-to-0 truncates ALL state above batch 0
+        // — an operator omitting the id must get an error, not a wipe
         val lastBatch = pos.lift(4).map(_.toLong)
-          .orElse(flags.get("last-batch").map(_.toLong)).getOrElse(0L)
+          .orElse(flags.get("last-batch").map(_.toLong))
+          .getOrElse(sys.error(
+            "rewind requires an explicit batch id (positional or --last-batch=N)"))
         val removed = Resume.rewind(spark, ckpt, stateRoot, syncTables.map(_._2), lastBatch)
         println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
           s"state truncated to batch $lastBatch")

@@ -39,9 +39,13 @@ object ClickHouseDdl {
                            cluster: Option[String], db: String, table: String): String = {
     val (base, args) = engine match {
       case Engine.MergeTree => ("MergeTree", "")
-      case Engine.ReplacingMergeTree => ("ReplacingMergeTree", version)
-      case Engine.CollapsingMergeTree => ("CollapsingMergeTree", sign)
-      case Engine.VersionedCollapsingMergeTree => ("VersionedCollapsingMergeTree", s"$sign, $version")
+      // empty version = ClickHouse's no-arg ReplacingMergeTree
+      // (last-insert-wins) — for tables synced without a version column
+      case Engine.ReplacingMergeTree =>
+        ("ReplacingMergeTree", if (version.isEmpty) "" else quoteId(version))
+      case Engine.CollapsingMergeTree => ("CollapsingMergeTree", quoteId(sign))
+      case Engine.VersionedCollapsingMergeTree =>
+        ("VersionedCollapsingMergeTree", s"${quoteId(sign)}, ${quoteId(version)}")
     }
     // On a cluster the reference swaps in the Replicated twin of EVERY
     // engine with the standard zk path macros (synch/writer/
@@ -61,6 +65,21 @@ object ClickHouseDdl {
   private def onCluster(cluster: Option[String]): String =
     cluster.map(c => s" ON CLUSTER $c").getOrElse("")
 
+  /** Identifier quoting for column references OUTSIDE the backticked
+    * column list (ORDER BY, engine args, delete predicates): plain words
+    * that cannot collide with keywords stay bare — preserving the
+    * reference-golden DDL shape — while names needing quoting (special
+    * characters, or reserved words like `order`) are backticked; unquoted
+    * they render invalid DDL. */
+  private val Reserved = Set("order", "by", "from", "select", "where",
+    "group", "limit", "offset", "table", "index", "key", "join", "using",
+    "as", "in", "on", "settings", "partition", "primary", "format",
+    "sample", "ttl", "engine")
+  private def quoteId(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*") && !Reserved(name.toLowerCase))
+      name
+    else s"`${name.replace("`", "``")}`"
+
   /** CREATE TABLE with explicit columns (PK columns forced non-nullable —
     * ClickHouse ORDER BY keys cannot be Nullable). */
   def createTable(db: String, table: String, schema: StructType, pk: Seq[String],
@@ -73,7 +92,8 @@ object ClickHouseDdl {
       val nullable = f.nullable && !pk.contains(f.name)
       s"`${f.name}` ${renderType(f.dataType, nullable)}"
     }.mkString(", ")
-    val orderBy = if (pk.size == 1) pk.head else pk.mkString("(", ",", ")")
+    val quoted = pk.map(quoteId)
+    val orderBy = if (quoted.size == 1) quoted.head else quoted.mkString("(", ",", ")")
     val part = partitionBy.map(p => s" PARTITION BY $p").getOrElse("")
     val settings = engineSettings.map(s => s" SETTINGS $s").getOrElse("")
     s"CREATE TABLE IF NOT EXISTS $db.$table${onCluster(cluster)} ($cols) " +
@@ -124,10 +144,10 @@ object ClickHouseDdl {
                          keys: Seq[Seq[Any]]): (String, Seq[Any]) =
     if (pk.size == 1) {
       val holes = keys.map(_ => "?").mkString("(", ",", ")")
-      (s"alter table $db.$table delete where ${pk.head} in $holes",
+      (s"alter table $db.$table delete where ${quoteId(pk.head)} in $holes",
         keys.map(_.head))
     } else {
-      val disjunct = pk.map(c => s"$c=?").mkString("(", " and ", ")")
+      val disjunct = pk.map(c => s"${quoteId(c)}=?").mkString("(", " and ", ")")
       (s"alter table $db.$table delete where ${Seq.fill(keys.size)(disjunct).mkString(" or ")}",
         keys.flatten)
     }

@@ -138,11 +138,46 @@ object JdbcSink {
     appendBatch(inserts, t, table)
   }
 
-  /** K5/K6: ensure target database and table exist. */
+  /** K5/K6: ensure target database and table exist.
+    *
+    * The engine clause references columns the VALUE schema may not carry:
+    * collapsing engines read a sign column that is stamped at APPLY time
+    * (never part of the source schema), so it is declared here; and
+    * Replacing/VersionedCollapsing resolve on a REAL source column, so a
+    * configured `versionColumn` absent from the schema fails loudly
+    * instead of creating a table ClickHouse rejects (or that silently
+    * resolves on some unrelated column named `version`). */
   def ensureTable(t: JdbcTarget, table: String,
                   schema: org.apache.spark.sql.types.StructType, pk: Seq[String],
-                  engine: Engine.Value): Unit = {
-    execute(t, ClickHouseDdl.createDatabase(t.db))
-    execute(t, ClickHouseDdl.createTable(t.db, table, schema, pk, engine))
+                  engine: Engine.Value,
+                  signColumn: String = "sign",
+                  versionColumn: Option[String] = None,
+                  partitionBy: Option[String] = None,
+                  engineSettings: Option[String] = None,
+                  cluster: Option[String] = None): Unit = {
+    execute(t, ClickHouseDdl.createDatabase(t.db, cluster))
+    val declared = engine match {
+      case Engine.CollapsingMergeTree | Engine.VersionedCollapsingMergeTree
+          if !schema.fieldNames.contains(signColumn) =>
+        schema.add(org.apache.spark.sql.types.StructField(
+          signColumn, org.apache.spark.sql.types.ByteType, nullable = false))
+      case _ => schema
+    }
+    val ver = engine match {
+      case Engine.ReplacingMergeTree =>
+        // no configured version → ClickHouse's no-arg last-insert-wins form
+        versionColumn.getOrElse("")
+      case Engine.VersionedCollapsingMergeTree => versionColumn.getOrElse("version")
+      case _ => versionColumn.getOrElse("version")
+    }
+    if (ver.nonEmpty && (engine == Engine.ReplacingMergeTree ||
+        engine == Engine.VersionedCollapsingMergeTree))
+      require(declared.fieldNames.contains(ver),
+        s"engine $engine resolves on version column '$ver', which is not " +
+          "in the table schema — configure the table's version_column")
+    execute(t, ClickHouseDdl.createTable(t.db, table, declared, pk, engine,
+      signColumn = signColumn, versionColumn = ver,
+      partitionBy = partitionBy, engineSettings = engineSettings,
+      cluster = cluster))
   }
 }

@@ -21,11 +21,21 @@ object PkDiscovery {
                           table: String): Seq[String] =
     try {
       val rs = conn.getMetaData.getPrimaryKeys(catalog, schema, table)
-      val buf = mutable.Buffer.empty[(Short, String)]
+      val buf = mutable.Buffer.empty[(String, String, Short, String)]
       try {
-        while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+        while (rs.next()) buf += ((
+          Option(rs.getString("TABLE_CAT")).getOrElse(""),
+          Option(rs.getString("TABLE_SCHEM")).getOrElse(""),
+          rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
       } finally rs.close()
-      buf.sortBy(_._1).map(_._2).toSeq
+      // A wildcard placement (null catalog AND schema) matches every
+      // same-named table across all databases; concatenating their PK
+      // rows would fabricate a corrupt composite key (e.g. (id, id)) —
+      // only answer when exactly ONE table matched, else fall through to
+      // the dialect catalog queries which scope by name.
+      val byPlacement = buf.groupBy(r => (r._1, r._2))
+      if (byPlacement.size == 1) byPlacement.head._2.sortBy(_._3).map(_._4).toSeq
+      else Nil
     } catch { case _: Exception => Nil }
 
   /** PK column names in ordinal (KEY_SEQ) order via driver metadata;

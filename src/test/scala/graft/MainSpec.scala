@@ -95,6 +95,43 @@ class MainSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$root/state4")) && !Files.exists(Paths.get(s"$root/state5")))
   }
 
+  test("manual etl snapshots auto_full_etl=false tables; flag hygiene") {
+    val root = Files.createTempDirectory("mainmanual").toString
+    val props =
+      s"""source.0.alias=pq
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db
+         |source.0.database.0.table.0=region
+         |source.0.database.0.table.0.auto_full_etl=false
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+
+    // regression: etl filtered on autoFullEtl, so the documented manual
+    // path for opt-out tables silently did nothing — no snapshot, ever
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state"))
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
+
+    // regression: --renew=false still wiped the store (contains-only test)
+    val marker = Paths.get(s"$root/state/db/region/v=0")
+    Files.createDirectories(marker)
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--renew=false"))
+    assert(Files.exists(marker), "--renew=false must not delete the store")
+
+    // regression: a typo'd long flag was silently ignored
+    val typo = intercept[IllegalArgumentException] {
+      Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--renue"))
+    }
+    assert(typo.getMessage.contains("--renue"))
+
+    // regression: rewind defaulted to batch 0 — a silent full truncation
+    val noId = intercept[RuntimeException] {
+      Main.main(Array("rewind", cfgPath, s"$root/ckpt", s"$root/state"))
+    }
+    assert(noId.getMessage.contains("batch id"))
+  }
+
   test("postgres sources get a per-database URL and schema-qualified dbtable") {
     val pg = graft.config.SourceConfig(
       alias = "pg", dbType = "postgres",

@@ -50,6 +50,25 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(vt.contains(s"ReplicatedVersionedCollapsingMergeTree($zk, sign, version)"))
   }
 
+  test("reserved/special PK names are backticked outside the column list") {
+    // regression: the column list backticked `order` but ORDER BY (and the
+    // delete predicates) rendered it bare — invalid ClickHouse DDL
+    val s = StructType(Seq(
+      StructField("order", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val ddl = ClickHouseDdl.createTable("db", "t", s, Seq("order"))
+    assert(ddl.endsWith("ORDER BY `order`"), ddl)
+    // plain names keep the reference-golden bare shape
+    assert(ClickHouseDdl.createTable("db", "t", schema, Seq("id"))
+      .endsWith("ORDER BY id"))
+    val (sql, binds) = ClickHouseDdl.deleteByPkPrepared(
+      "db", "t", Seq("order"), Seq(Seq(1L), Seq(2L)))
+    assert(sql.contains("`order` in (?,?)") && binds == Seq(1L, 2L))
+    val (csql, _) = ClickHouseDdl.deleteByPkPrepared(
+      "db", "t", Seq("order", "name"), Seq(Seq(1L, "a")))
+    assert(csql.contains("(`order`=? and name=?)"))
+  }
+
   test("distributed proxy and database DDL") {
     assert(ClickHouseDdl.createDistributed("db", "t", "_all", "c1", "rand()") ==
       "CREATE TABLE IF NOT EXISTS db.t_all ON CLUSTER c1 AS db.t ENGINE = Distributed(c1, db, t, rand())")
