@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftshim.FunctionRegistration
 
 /** Cluster deployment hook: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -16,7 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     FunctionRegistration.builders.foreach { case (name, usage, b) =>
       ext.injectFunction((new FunctionIdentifier(name),
-        new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in"),
-        b))
+        FunctionRegistration.info(name, usage), b))
     }
 }

@@ -27,13 +27,19 @@ object RecallReport {
 
     val truth = SimilarityOps.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id")).cache()
-    truth.count()
+    // denominator = ACTUAL truth size, not nQueries*k: a corpus with fewer
+    // than nQueries vectors (or fewer than k non-self neighbors) otherwise
+    // understates every recall — a perfect variant reported < 1.0 — and an
+    // empty truth divided to NaN, which is not even legal JSON
+    val nTruth = truth.count()
+    require(nTruth > 0, s"no ground-truth pairs: corpus at $sfDir has " +
+      s"fewer than 2 vectors under vec_id < $nQueries")
 
     def recall(result: DataFrame): Double = {
       val hits = truth.join(
         result.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id")).count()
-      hits.toDouble / (nQueries.toLong * k)
+      hits.toDouble / nTruth
     }
 
     // parameters mirror the gated queries (SparkEntry ann_*), scaled-up

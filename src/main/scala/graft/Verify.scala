@@ -7,6 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query subset for local iteration
     // (the driver always runs the full set)
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [q1,q2,...]")
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).headOption
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -21,7 +22,6 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -33,6 +33,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a PREVIOUS run's parquet for this query must not survive: the
+        // driver's DuckDB compare would validate the stale (passing)
+        // result and the regression would be invisible
+        val staleDir = Paths.get(outDir, name)
+        if (Files.exists(staleDir)) {
+          Files.walk(staleDir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -27,8 +27,17 @@ object MiniYaml {
       get(key).flatMap(_.scalar).getOrElse(default)
     def int(key: String, default: Int): Int =
       get(key).flatMap(_.scalar).map(_.toInt).getOrElse(default)
+    def long(key: String, default: Long): Long =
+      get(key).flatMap(_.scalar).map(_.toLong).getOrElse(default)
+    /** YAML-1.1 booleans, the set PyYAML (the reference's loader) accepts:
+      * a reference user's existing `monitoring: yes` must parse. */
     def bool(key: String, default: Boolean): Boolean =
-      get(key).flatMap(_.scalar).map(_.toBoolean).getOrElse(default)
+      get(key).flatMap(_.scalar).map(_.toLowerCase match {
+        case "true" | "yes" | "on" | "1" => true
+        case "false" | "no" | "off" | "0" => false
+        case other => throw new IllegalArgumentException(
+          s"key '$key': not a boolean: '$other'")
+      }).getOrElse(default)
     def strings(key: String): Seq[String] =
       get(key).map(_.items.flatMap(_.scalar)).getOrElse(Nil)
   }
@@ -45,20 +54,31 @@ object MiniYaml {
       .filter(_.trim.nonEmpty)
       .map { raw =>
         val indent = raw.takeWhile(_ == ' ').length
+        // YAML forbids tabs in indentation; silently counting them as
+        // zero-width would re-parent the line and drop config keys
+        if (indent < raw.length && raw.charAt(indent) == '\t')
+          throw new IllegalArgumentException(
+            s"tab in indentation (YAML requires spaces): '${raw.trim}'")
         Line(indent, raw.trim)
       }
       .toVector
     if (lines.isEmpty) YScalar(None) else parseBlock(lines)
   }
 
-  /** Drop a ` # comment` tail (quote-aware) and full-line comments. */
+  /** Drop a ` # comment` tail (quote-aware) and full-line comments.
+    * A quote OPENS a string only at a value boundary (start of line, or
+    * after space/colon/comma/dash) — an apostrophe inside an unquoted
+    * scalar (`bob's db`) is data, not a delimiter, and treating it as one
+    * made the value absorb its own trailing comment. */
   private def stripComment(raw: String): String = {
     var inS = false; var inD = false
+    def boundary(i: Int): Boolean =
+      i == 0 || " :,-".contains(raw.charAt(i - 1))
     var i = 0
     while (i < raw.length) {
       raw.charAt(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD => if (inS) inS = false else if (boundary(i)) inS = true
+        case '"' if !inS => if (inD) inD = false else if (boundary(i)) inD = true
         case '#' if !inS && !inD && (i == 0 || raw.charAt(i - 1).isWhitespace) =>
           return raw.substring(0, i)
         case _ =>
@@ -100,6 +120,9 @@ object MiniYaml {
 
   private def parseList(lines: Vector[Line]): YList = {
     val base = lines.head.indent
+    lines.find(_.indent < base).foreach(l =>
+      throw new IllegalArgumentException(
+        s"misaligned indentation (${l.indent} < block indent $base): '${l.text}'"))
     // group: each item starts at a base-indent dash line
     val starts = lines.zipWithIndex.collect {
       case (Line(i, t), idx) if i == base && t.startsWith("-") => idx
@@ -124,6 +147,12 @@ object MiniYaml {
 
   private def parseMap(lines: Vector[Line]): YMap = {
     val base = lines.head.indent
+    // a line OUTDENTED below this block's head is aligned with no open
+    // block: PyYAML rejects it, and silently re-parenting it under the
+    // previous entry (then dropping it there) loses config keys
+    lines.find(_.indent < base).foreach(l =>
+      throw new IllegalArgumentException(
+        s"misaligned indentation (${l.indent} < block indent $base): '${l.text}'"))
     // dash lines at the parent key's own indent (zero-indent list style,
     // which PyYAML accepts) belong to the preceding key's value, not to
     // the map — only non-dash lines open entries
@@ -135,6 +164,11 @@ object MiniYaml {
       val (key, value) = mapKeySplit(lines(s).text).getOrElse(
         throw new IllegalArgumentException(s"not a mapping line: '${lines(s).text}'"))
       val children = lines.slice(s + 1, end)
+      // `key: scalar` followed by a deeper block is invalid YAML — erroring
+      // beats silently discarding the block
+      if (value.nonEmpty && children.nonEmpty)
+        throw new IllegalArgumentException(
+          s"key '$key' has both a scalar value and an indented block")
       val node =
         if (value.nonEmpty) cleanScalar(value)
         else if (children.nonEmpty) parseBlock(children)

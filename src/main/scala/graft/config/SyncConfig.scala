@@ -104,7 +104,10 @@ object SyncConfig {
         db = r.int("db", 0),
         password = r.get("password").flatMap(_.scalar).filter(_.nonEmpty),
         prefix = r.str("prefix", "synch"),
-        queueMaxLen = r.int("queue_max_len", 200000).toLong)
+        // long: XADD MAXLEN caps above Int.MaxValue are legal, and the
+        // properties loader already accepts them — the two loaders must
+        // agree on the same documented key
+        queueMaxLen = r.long("queue_max_len", 200000L))
     }.getOrElse(RedisConfig())
 
     val sources = root.get("source_dbs").map(_.items).getOrElse(Nil).map { s =>

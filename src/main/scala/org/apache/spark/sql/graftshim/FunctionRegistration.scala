@@ -12,7 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object FunctionRegistration {
 
-  private def info(name: String, usage: String) =
+  /** The one ExpressionInfo shape both registration surfaces share
+    * ([[graft.GraftExtensions]] calls this too — metadata edited here
+    * cannot diverge between the per-session and cluster paths). */
+  def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   /** The single function registry — both the imperative registration and
@@ -21,10 +24,7 @@ object FunctionRegistration {
     ("graft_polyhash", "polynomial rolling hash mod 1e9+7",
       exprs => PolyHashExpr(exprs.head)),
     ("graft_word_grams", "distinct word n-grams: graft_word_grams(text, n)",
-      exprs => WordGramsExpr(exprs.head, exprs(1) match {
-        case Literal(v: Int, _) => v
-        case other => other.eval().toString.toInt
-      })),
+      exprs => WordGramsExpr(exprs.head, litInt(exprs(1)))),
     ("graft_cosine", "exact cosine similarity of two numeric arrays",
       exprs => CosineSimExpr(exprs.head, exprs(1))),
     ("graft_lsh_bucket", "random-hyperplane LSH bucket: graft_lsh_bucket(vec, planes, dims)",
@@ -48,9 +48,19 @@ object FunctionRegistration {
     ("graft_char_entropy", "Shannon entropy of a string's codepoint distribution",
       exprs => CharEntropyExpr(exprs.head)))
 
+  /** Integer parameters of the SQL surface must be literal and non-null:
+    * a raw eval() of a NULL literal NPE'd with no context, and a column
+    * reference surfaced an opaque "Cannot evaluate expression". */
   private def litInt(e: Expression): Int = e match {
+    case Literal(null, _) => throw new IllegalArgumentException(
+      "graft function parameter must be a non-null integer literal")
     case Literal(v: Int, _) => v
-    case other => other.eval().toString.toInt
+    case other if other.foldable =>
+      Option(other.eval()).map(_.toString.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          "graft function parameter must be a non-null integer literal"))
+    case _ => throw new IllegalArgumentException(
+      "graft function parameter must be a literal, not a column reference")
   }
 
   /** Imperative per-session registration (tests, notebooks). */

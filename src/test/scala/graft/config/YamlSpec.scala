@@ -165,4 +165,45 @@ class YamlSpec extends AnyFunSuite {
     assert(n.get("nothing").flatMap(_.scalar).isEmpty)
     assert(n.str("quoted") == "a: b # c")
   }
+
+  test("misaligned or tab indentation fails loud instead of dropping keys") {
+    // regression: an outdented key was silently swallowed as a child of
+    // the previous entry and then discarded — skip_error quietly reverted
+    // to its default where PyYAML rejects the file
+    val outdented = intercept[IllegalArgumentException] {
+      MiniYaml.parse("core:\n    insert_num: 5\n  skip_error: true\n")
+    }
+    assert(outdented.getMessage.contains("misaligned"))
+    val tabbed = intercept[IllegalArgumentException] {
+      MiniYaml.parse("core:\n\tinsert_num: 5\n")
+    }
+    assert(tabbed.getMessage.contains("tab"))
+    val both = intercept[IllegalArgumentException] {
+      MiniYaml.parse("key: scalar\n  child: 1\n")
+    }
+    assert(both.getMessage.contains("both"))
+  }
+
+  test("apostrophe inside an unquoted scalar does not absorb the comment") {
+    // regression: "bob's" flipped the quote tracker, so the trailing
+    // comment leaked into the value
+    val n = MiniYaml.parse("alias: bob's db  # production\n")
+    assert(n.str("alias") == "bob's db")
+  }
+
+  test("YAML-1.1 booleans and long values parse like the reference loader") {
+    val cfg = SyncConfig.fromYaml(
+      """core:
+        |  skip_error: yes
+        |  monitoring: 'off'
+        |redis:
+        |  queue_max_len: 3000000000
+        |""".stripMargin)
+    assert(cfg.core.skipError)
+    assert(cfg.redis.queueMaxLen == 3000000000L)
+    val bad = intercept[IllegalArgumentException] {
+      MiniYaml.parse("x: maybe\n").bool("x", default = false)
+    }
+    assert(bad.getMessage.contains("not a boolean"))
+  }
 }
