@@ -410,6 +410,45 @@ class DdlMidStreamSpec extends SparkSpec {
     assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
   }
 
+  test("evolveTable: sequence-replay idempotence over every short ALTER combination") {
+    // the restart contract leans on this: replaying an already-applied
+    // DDL batch against the evolved TableSync must converge, whatever the
+    // ALTER mix (exhaustive over all length-<=3 sequences from a pool
+    // covering add/drop/modify/rename/same-name-retype/pk-rename)
+    val pool = Seq(
+      "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)",
+      "ALTER TABLE db.t DROP COLUMN qty",
+      "ALTER TABLE db.t MODIFY COLUMN qty BIGINT",
+      "ALTER TABLE db.t CHANGE COLUMN qty amount BIGINT",
+      "ALTER TABLE db.t CHANGE COLUMN qty qty BIGINT",
+      "ALTER TABLE db.t CHANGE COLUMN id ident BIGINT")
+    val base = TableSync("db", "t",
+      StructType(Seq(StructField("id", LongType), StructField("qty", IntegerType))),
+      Seq("id"), Engine.ReplacingMergeTree, versionColumn = Some("qty"))
+    val seqs =
+      pool.map(Seq(_)) ++
+        (for (a <- pool; b <- pool) yield Seq(a, b)) ++
+        (for (a <- pool; b <- pool; c <- pool) yield Seq(a, b, c))
+    seqs.foreach { stmts =>
+      val ddls = stmts.zipWithIndex.map { case (s, i) => (s, 100L + i) }
+      val once = Consume.evolveTable(base, ddls)
+      val twice = Consume.evolveTable(once, ddls)
+      assert(twice.valueSchema == once.valueSchema,
+        s"schema not replay-stable for $stmts: ${once.valueSchema.simpleString} vs ${twice.valueSchema.simpleString}")
+      assert(twice.pkCols == once.pkCols && twice.versionColumn == once.versionColumn,
+        s"keys not replay-stable for $stmts")
+      // a tracked pk/version column always names a real field unless the
+      // sequence dropped it outright
+      val dropped = stmts.exists(_.contains("DROP COLUMN qty"))
+      once.pkCols.foreach(p => assert(once.valueSchema.fieldNames.contains(p),
+        s"pk $p missing from schema after $stmts"))
+      if (!dropped)
+        once.versionColumn.foreach(v =>
+          assert(once.valueSchema.fieldNames.contains(v),
+            s"version $v missing from schema after $stmts"))
+    }
+  }
+
   test("evolveSchema is idempotent under batch replay with a pre-widened TableSync") {
     import graft.ddl.AlterParser._
     val base = StructType(Seq(StructField("id", LongType), StructField("note", StringType)))
