@@ -140,6 +140,45 @@ class RedisBrokerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("multi-alias consume: two sources' streams drain into one consume loop") {
+    // regression: the CLI's redis leg polled only the FIRST source's
+    // alias, so a multi-source config bootstrapped every table and then
+    // silently starved all but one source forever. The fix drains each
+    // alias into its own staging subdir (staged names are schema+id
+    // derived and two aliases can share a schema name) read via a glob.
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-multi").toString
+      val staging = s"$root/staging"
+      val b1 = new RedisBroker("127.0.0.1", server.port, "a1")
+      val b2 = new RedisBroker("127.0.0.1", server.port, "a2")
+      // SAME schema name under both aliases — the staged-file collision case
+      b1.send("db", ev("t1", "insert", 1, 10.0, 100))
+      b2.send("db", ev("t2", "insert", 2, 20.0, 100))
+      assert(b1.drainToStaging("db", s"$staging/a1") == 1)
+      assert(b2.drainToStaging("db", s"$staging/a2") == 1)
+
+      val tables = Seq(
+        TableSync("db", "t1", valueSchema, Seq("id"), Engine.ReplacingMergeTree),
+        TableSync("db", "t2", valueSchema, Seq("id"), Engine.ReplacingMergeTree))
+      val q = Consume.start(spark, EventSource.files(spark, s"$staging/*"),
+        tables, s"$root/state", s"$root/ckpt",
+        triggerInterval = "250 milliseconds")
+      q.processAllAvailable(); q.stop()
+
+      // BOTH sources' tables received their events
+      for ((t, id, amt) <- Seq(("t1", 1L, 10.0), ("t2", 2L, 20.0))) {
+        val st = Consume.currentState(
+          tables.find(_.table == t).get,
+          new ParquetStateStore(spark, s"$root/state/db/$t")).get
+          .select("id", "amount").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        assert(st == Set((id, amt)), s"table $t")
+      }
+      b1.close(); b2.close()
+    } finally server.close()
+  }
+
   test("sendBatchAt: a crash-replayed batch re-sends the same ids and dedupes exactly") {
     // the idempotent produce leg: explicit <batchId>-<seq> entry ids make
     // Redis itself reject the already-delivered prefix, so a stop()-
