@@ -25,6 +25,7 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string, got ${other.catalogString}")
   }

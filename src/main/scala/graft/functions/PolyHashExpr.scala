@@ -25,6 +25,9 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
   // runtime ClassCastException / codegen compile error
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
+    // a bare NULL literal types as void — the expression returns NULL
+    // for it (nullSafeEval), which generated CASE branches rely on
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string, got ${other.catalogString}")
   }

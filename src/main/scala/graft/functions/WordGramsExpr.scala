@@ -26,6 +26,7 @@ case class WordGramsExpr(child: Expression, n: Int, distinct: Boolean = true)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string, got ${other.catalogString}")
   }

@@ -103,10 +103,12 @@ object CorpusOps {
       lit(true))
     // integrality guard: cast-to-long TRUNCATES, so a fractional weight
     // (2.7 -> 2) would silently bias keep probabilities
-    // double-compare is exact here: weights are bounded ≤ 9.2e12 < 2^53
+    // double-compare is exact here: weights are bounded ≤ 9.2e12 < 2^53.
+    // NULL weights pass the guard (and fail the keep test naturally —
+    // null-weight docs are simply never sampled, the pre-guard behavior).
     val rowGuard = coalesce(
-      assert_true(col(weightCol) >= 0 &&
-          col(weightCol).cast("double") === col(weightCol).cast("long").cast("double"),
+      assert_true(col(weightCol).isNull || (col(weightCol) >= 0 &&
+          col(weightCol).cast("double") === col(weightCol).cast("long").cast("double")),
         lit(s"weightedSample: $weightCol must be a non-negative integer " +
           "value — scale fractional scores (e.g. x1e6) before sampling")),
       lit(true))

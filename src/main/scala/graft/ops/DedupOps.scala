@@ -224,20 +224,30 @@ object DedupOps {
     // 4M) — at expectedItems beyond that the filter would be undersized
     // with no warning, might_contain would fire for most of the batch, and
     // the prescreen would silently degrade to the exact anti-join for
-    // nearly every row. Raise the caps to what the caller asked for.
+    // nearly every row. Raise the caps for THIS build only and restore
+    // after (the aggregate reads the conf at execution, which completes
+    // inside the head() below) — leaving them raised would let the
+    // optimizer's own injected runtime filters on unrelated joins build
+    // filters at this caller's size for the rest of the session.
     val sess = batch.sparkSession
-    def raiseCap(key: String, needed: Long): Unit =
-      if (sess.conf.get(key).toLong < needed) sess.conf.set(key, needed.toString)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col("digest"))),
-        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-      .toAggregateExpression()
-    val bloomBytes = corpusD.select(ColumnBridge.column(aggExpr).as("_bf"))
-      .head.getAs[Array[Byte]](0)
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
+    val saved = capKeys.map { case (k, _) => k -> sess.conf.get(k) }
+    val bloomBytes =
+      try {
+        capKeys.foreach { case (k, needed) =>
+          if (sess.conf.get(k).toLong < needed) sess.conf.set(k, needed.toString)
+        }
+        val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("digest"))),
+            org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+            org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+          .toAggregateExpression()
+        corpusD.select(ColumnBridge.column(aggExpr).as("_bf"))
+          .head.getAs[Array[Byte]](0)
+      } finally saved.foreach { case (k, v) => sess.conf.set(k, v) }
     if (bloomBytes == null) // empty corpus: aggregate yields null — all new
       return batchD.select(col(idCol), col("digest"))
     val mightContain = ColumnBridge.column(

@@ -50,7 +50,10 @@ object SketchOps {
     // NULL keys are ignored, like COUNT(DISTINCT): hashing them yields a
     // NULL register row that count(*) saw but sum(invPow) skipped — off
     // by one in the empty-register term, and with all 64 registers hit,
-    // _nreg = 65 drove the raw estimator NEGATIVE
+    // _nreg = 65 drove the raw estimator NEGATIVE. Consequence: a group
+    // whose keys are ALL null has no registers and produces NO output row
+    // (the GROUP BY runs over the filtered input) — left-join a group
+    // list and coalesce to 0 if absent groups must read as estimate 0.
     val input = df.filter(col(keyCol).isNotNull)
     val h0 = polyHash(col(keyCol).cast("string"))
     val h = (h0 * h0 + lit(12345L)) % lit(P)

@@ -151,21 +151,27 @@ final class DeadLetter(spark: SparkSession, root: String) {
     read(schema, "_ddl").foreach { dead =>
       val rows = dead.select("values", "event_unixtime", "action_seq", "_batch_id")
         .orderBy("_batch_id", "event_unixtime", "action_seq").collect()
-      val failures = rows.flatMap { r =>
-        val stmt = r.getString(0); val eu = r.getLong(1); val bid = r.getLong(3)
-        graft.ddl.AlterParser.toSparkSql(schema, stmt) match {
-          case Some(sql) =>
-            try { runDdl(sql); None }
-            catch { case e: Exception =>
-              Some((bid, (stmt, eu, Option(e.getMessage).getOrElse(e.getClass.getName)))) }
-          case None => Some((bid, (stmt, eu, "unparseable")))
+      val store = storeFor(schema, "_ddl")
+      // PER-BATCH clear-and-repark: clearing the whole queue before
+      // re-parking would make a crash in that window lose every still-
+      // failing statement; per batch the loss window shrinks to one
+      // batch's re-park (and a crash after an apply but before its clear
+      // re-runs the non-idempotent DDL on the next drain, which FAILS
+      // VISIBLY — "already exists" re-parks with that error rather than
+      // disappearing).
+      rows.groupBy(_.getLong(3)).toSeq.sortBy(_._1).foreach { case (bid, batch) =>
+        val failures = batch.flatMap { r =>
+          val stmt = r.getString(0); val eu = r.getLong(1)
+          graft.ddl.AlterParser.toSparkSql(schema, stmt) match {
+            case Some(sql) =>
+              try { runDdl(sql); None }
+              catch { case e: Exception =>
+                Some((stmt, eu, Option(e.getMessage).getOrElse(e.getClass.getName))) }
+            case None => Some((stmt, eu, "unparseable"))
+          }
         }
-      }
-      // bounded clear (same live-stream rationale as drain), then re-park
-      // the still-failing statements under their original batch ids
-      storeFor(schema, "_ddl").dropThrough(rows.map(_.getLong(3)).max)
-      failures.groupBy(_._1).foreach { case (bid, fs) =>
-        recordDdl(schema, fs.map(_._2).toSeq, bid)
+        store.deleteVersion(bid)
+        if (failures.nonEmpty) recordDdl(schema, failures.toSeq, bid)
       }
     }
 }

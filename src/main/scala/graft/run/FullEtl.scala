@@ -21,6 +21,15 @@ object FullEtl {
                               partitionColumn: Option[String] = None,
                               numPartitions: Int = 32) extends Source
 
+  /** Dialect-aware identifier quoting for the hand-rolled bounds query
+    * and Spark's generated range predicates: a reserved-word or
+    * case-sensitive PK (`order`, `"userId"`) renders invalid SQL bare.
+    * Plain lowercase words stay bare. */
+  private[run] def quotePk(url: String, pk: String): String =
+    if (pk.matches("[a-z_][a-z0-9_]*")) pk
+    else if (url.startsWith("jdbc:mysql")) s"`${pk.replace("`", "``")}`"
+    else s""""${pk.replace("\"", "\"\"")}""""
+
   def read(spark: SparkSession, src: Source): DataFrame = src match {
     case ParquetSource(p) => spark.read.parquet(p)
     case j: JdbcSource =>
@@ -28,7 +37,8 @@ object FullEtl {
         .option("url", j.url).option("dbtable", j.table)
         .option("user", j.user).option("password", j.password)
       j.partitionColumn match {
-        case Some(pk) =>
+        case Some(pk0) =>
+          val pk = quotePk(j.url, pk0)
           // Two-phase read: cheap bounds query, then numPartitions range
           // scans in parallel (the 100 TB path; reference has no analogue).
           val bounds = spark.read.format("jdbc")

@@ -34,14 +34,26 @@ object Lifecycle {
     queries
   }
 
-  /** Await ALL active queries: a failure propagates immediately (its
+  /** Await ALL active queries: a failure propagates (its
     * StreamingQueryException rethrows), a clean stop of one query keeps
     * awaiting the others. `awaitAnyTermination` alone returns on the
     * FIRST termination — including a clean stop — which would let the
-    * caller exit (and the shutdown hook hard-stop) surviving queries. */
-  def awaitAll(spark: SparkSession): Unit =
+    * caller exit (and the shutdown hook hard-stop) surviving queries.
+    * Deliberately NO `resetTerminated`: a failure landing between an
+    * await return and a reset would be cleared and never rethrown; by
+    * never resetting, a recorded failure throws on the next await call.
+    * After the first clean stop each timed await returns immediately, so
+    * the loop paces itself with a short sleep — a CLI await, not a hot
+    * path. */
+  def awaitAll(spark: SparkSession): Unit = {
     while (spark.streams.active.nonEmpty) {
-      spark.streams.awaitAnyTermination() // throws on a failed query
-      spark.streams.resetTerminated()
+      spark.streams.awaitAnyTermination(500L) // throws on any failed query
+      if (spark.streams.active.nonEmpty) Thread.sleep(200L)
     }
+    // a failure recorded BEFORE entry (the last query died first) or in
+    // the final loop window leaves active empty — the loop body never
+    // sees it, so check once more after the loop
+    spark.streams.awaitAnyTermination(1L)
+    ()
+  }
 }

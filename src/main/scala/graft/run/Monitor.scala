@@ -84,19 +84,33 @@ object Monitor {
     // stderr warning (it stays in the in-memory buffer) — monitoring
     // must degrade before it degrades the stream.
     private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](4096)
+    private def persist(batch: Seq[BatchMetric]): Unit =
+      try spark.createDataFrame(batch)
+        .coalesce(1).write.mode("append").parquet(path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
+      }
     private val writer = new Thread(() => {
-      while (true) {
-        val head = queue.take()
-        // drain whatever accumulated so a burst lands as ONE file
-        val batch = new java.util.ArrayList[BatchMetric]()
-        batch.add(head); queue.drainTo(batch)
+      var running = true
+      while (running) {
+        // an interrupt must not kill the loop silently (one stray
+        // interrupt would end ALL persistence with only queue-full
+        // stderr lines later) — it drains what's queued and exits
         try {
+          val head = queue.take()
+          // drain whatever accumulated so a burst lands as ONE file
+          val batch = new java.util.ArrayList[BatchMetric]()
+          batch.add(head); queue.drainTo(batch)
           import scala.jdk.CollectionConverters._
-          spark.createDataFrame(batch.asScala.toSeq)
-            .coalesce(1).write.mode("append").parquet(path)
+          persist(batch.asScala.toSeq)
         } catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
+          case _: InterruptedException =>
+            val rest = new java.util.ArrayList[BatchMetric]()
+            queue.drainTo(rest)
+            import scala.jdk.CollectionConverters._
+            if (!rest.isEmpty) persist(rest.asScala.toSeq)
+            running = false
         }
       }
     }, "graft-metrics-writer")
@@ -105,10 +119,15 @@ object Monitor {
     // Persist exactly the row this callback recorded — progress rows and
     // error rows both flow through record(), and using its return value
     // (not metrics.last) keeps concurrent queries from duplicating or
-    // dropping each other's rows.
+    // dropping each other's rows. ERROR rows (terminal query failures,
+    // the C6 alerting signal) are written SYNCHRONOUSLY: they are rare,
+    // they are the rows an operator's alerting reads, and the async
+    // queue's contents die with the daemon writer at JVM exit — exactly
+    // when a terminal failure is being recorded.
     override protected def record(m: BatchMetric): BatchMetric = {
       val appended = super.record(m)
-      if (!queue.offer(appended))
+      if (appended.error.isDefined) persist(Seq(appended))
+      else if (!queue.offer(appended))
         System.err.println(
           s"[monitor] metrics queue full; dropping persisted row for batch ${m.batchId}")
       appended

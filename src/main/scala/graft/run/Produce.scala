@@ -88,11 +88,17 @@ object Produce {
           // pipelined chunks: ordering is per XADD sequence, so chunking
           // only amortizes round-trips, it never reorders
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+          // replay-vs-reset guard, once per schema per batch: a stream top
+          // from a LATER batch means a reset checkpoint or foreign ids,
+          // where the replay tolerance would silently drop everything
+          val guarded = scala.collection.mutable.Set.empty[String]
           var seq = 0L
           while (it.hasNext) {
             val r = it.next()
+            val schema = r.getString(0)
+            if (guarded.add(schema)) broker.guardProduceAt(Seq(schema), batchId)
             seq += 1
-            buf += ((r.getString(0), s"$batchId-$seq", r.getString(1)))
+            buf += ((schema, s"$batchId-$seq", r.getString(1)))
             if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
           }
           broker.sendBatchAt(buf.toSeq)

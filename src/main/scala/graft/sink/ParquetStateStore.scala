@@ -231,6 +231,13 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     versions.filter(_._1 <= batchId).foreach { case (_, p) => fs.delete(p, true) }
   }
 
+  /** Drop ONE committed version (dead-letter drainDdl: per-batch clear,
+    * so a crash between batches loses at most that batch's re-park). */
+  def deleteVersion(batchId: Long): Unit = {
+    recoverCompaction() // writer entry: settle any pending swap physically
+    versions.find(_._1 == batchId).foreach { case (_, p) => fs.delete(p, true) }
+  }
+
   /** Ids of the committed versions, oldest first — a pure listing (no
     * Spark job), for callers that iterate versions as batches. */
   def versionIds(): Seq[Long] = versions.map(_._1)
@@ -276,7 +283,13 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     recoverCompaction(keepStage = Some(stage))
     val tmp = new Path(s"$root/$CompactTmpPrefix$keep")
     if (fs.exists(tmp)) fs.delete(tmp, true) // unmarked leftover
-    fs.rename(stage, tmp)
+    // the rename result MUST be checked: on a false return (quota, S3A
+    // semantics, interference) the marker create below would auto-create
+    // an EMPTY tmp dir that recovery then treats as the committed
+    // compaction — deleting every superseded version for a data-less swap
+    if (!fs.rename(stage, tmp))
+      throw new java.io.IOException(
+        s"compact: rename $stage -> $tmp failed; aborting before the marker commit")
     fs.create(new Path(tmp, CompactedMarker), true).close() // logical commit
     recoverCompaction() // physical swap, crash-resumable
   }

@@ -62,10 +62,12 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * same ids and Redis rejects the already-delivered prefix with
     * "equal or smaller ID", which is swallowed here: duplicates are
     * impossible by construction instead of absorbed downstream. Any other
-    * error still throws. Requires the stream to carry ONLY explicit ids —
-    * auto-generated ids (wall-clock ms) dwarf batch ids, and mixing makes
-    * every explicit add fail loudly (which is the correct surface for a
-    * mixed deployment). */
+    * error still throws. The swallow is only safe when rejections really
+    * ARE replays — callers run [[guardProduceAt]] first, which detects
+    * the two shapes where they are not (a reset produce checkpoint
+    * restarting batch ids, or a stream already carrying auto-generated
+    * wall-clock ids that dwarf batch ids) and fails loudly instead of
+    * letting every add be swallowed as "already delivered". */
   def sendBatchAt(events: Seq[(String, String, String)]): Unit =
     if (events.nonEmpty) {
       client.pipelineEither(events.map { case (schema, id, msg) =>
@@ -76,6 +78,34 @@ final class RedisBroker(host: String, port: Int, alias: String,
         case Left(e) => throw e
         case Right(_) => ()
       }
+    }
+
+  /** The newest entry id of a schema's stream ("0-0" when empty) — the
+    * producer's replay-vs-reset guard reads this before each batch. */
+  def lastEntryId(schema: String): String =
+    client.command("XREVRANGE", queueKey(schema), "+", "-", "COUNT", "1") match {
+      case s: Seq[_] if s.nonEmpty =>
+        s.head.asInstanceOf[Seq[Any]].head.asInstanceOf[String]
+      case _ => "0-0"
+    }
+
+  /** Refuse to produce batch `batchId` into a stream whose top entry is
+    * from a LATER batch: that shape is impossible under a healthy
+    * checkpoint (batch N replays only before N+1 ever produced), so it
+    * means the produce checkpoint was reset (batch ids restarted at 0) or
+    * the stream carries foreign/auto-generated ids — either way,
+    * [[sendBatchAt]]'s replay tolerance would swallow EVERY add as
+    * "already delivered" and silently drop the events forever. */
+  def guardProduceAt(schemas: Iterable[String], batchId: Long): Unit =
+    schemas.foreach { schema =>
+      val top = lastEntryId(schema)
+      val topMs = top.takeWhile(_ != '-').toLong
+      if (topMs > batchId)
+        throw new IllegalStateException(
+          s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
+            s"batch $batchId: the producer checkpoint was reset or the " +
+            "stream carries foreign ids — refusing to silently drop events " +
+            "(re-point the checkpoint, or start a fresh stream)")
     }
 
   def length(schema: String): Long =

@@ -166,6 +166,10 @@ class SqlFunctionsSpec extends SparkSpec {
       }
       assert(e.getMessage.toLowerCase.contains("requires"), s"$q: ${e.getMessage}")
     }
+    // ...but a bare NULL literal is not "wrong-typed": it returns NULL,
+    // as generated CASE branches rely on
+    assert(spark.sql("SELECT graft_polyhash(NULL)").collect().head.isNullAt(0))
+    assert(spark.sql("SELECT graft_word_grams(NULL, 2)").collect().head.isNullAt(0))
   }
 
   test("lsh bucket: NaN components follow Spark SQL's NaN-above-everything ordering") {

@@ -175,6 +175,22 @@ class DeadLetterSpec extends SparkSpec {
     assert(dl.read("db", "_ddl").get.count() == 1)
   }
 
+  test("drainDdl clears batches individually: an applied batch is gone even when a later one still fails") {
+    // regression: the drain cleared the WHOLE queue before re-parking, so
+    // a crash in that window lost every still-failing statement; per-batch
+    // clear bounds any loss to one batch's re-park
+    val root = Files.createTempDirectory("dlddlperbid").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    dl.recordDdl("db", Seq(("ALTER TABLE db.t ADD COLUMN a INT", 100L, "down")), 1L)
+    dl.recordDdl("db", Seq(("ALTER TABLE db.t ADD COLUMN b INT", 200L, "down")), 2L)
+    dl.drainDdl("db", sql =>
+      if (sql.contains("(b INT")) sys.error("still down") else ())
+    val parked = dl.read("db", "_ddl").get.collect()
+    assert(parked.length == 1)
+    assert(parked.head.getAs[Long]("_batch_id") == 2L)
+    assert(parked.head.getAs[String]("values").contains("COLUMN b"))
+  }
+
   test("drainDdl replays same-timestamp statements in recorded order") {
     // binlog timestamps are coarse: an ADD + MODIFY pair from one
     // migration can share a second, and replaying them reversed fails

@@ -30,4 +30,31 @@ class LifecycleSpec extends SparkSpec {
     q2.stop()
     assert(returned.await(30, TimeUnit.SECONDS), "awaitAll must return once all stopped")
   }
+
+  test("awaitAll rethrows a query failure even after another query stopped cleanly") {
+    // the race the no-reset design closes: with resetTerminated between
+    // awaits, a failure landing in that window was cleared and never
+    // rethrown — the caller exited thinking the pipeline succeeded
+    spark.streams.active.foreach(_.stop())
+    spark.streams.resetTerminated()
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ok = MemoryStream[Long]
+    val bad = MemoryStream[Long]
+    val q1 = ok.toDF().writeStream.format("noop").start()
+    val q2 = bad.toDF()
+      .select(assert_true(col("value") < 100L).as("x"))
+      .writeStream.format("noop").start()
+    q1.stop() // clean stop first
+    bad.addData(500L) // then the poison row
+    val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() =>
+      try Lifecycle.awaitAll(spark)
+      catch { case e: Throwable => thrown.set(e) })
+    t.start(); t.join(30000)
+    assert(!t.isAlive, "awaitAll must have returned")
+    assert(thrown.get != null, "the q2 failure must rethrow out of awaitAll")
+    spark.streams.resetTerminated() // don't poison later suites
+  }
 }

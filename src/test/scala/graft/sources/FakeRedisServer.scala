@@ -65,6 +65,16 @@ final class FakeRedisServer extends AutoCloseable {
           val id = s"${next._1}-${next._2}"
           s"$$${id.length}\r\n$id\r\n"
         }
+      case "XREVRANGE" =>
+        // XREVRANGE key + - COUNT 1 — newest entry (the produce guard)
+        val buf = streams.getOrElse(args(1), mutable.ArrayBuffer.empty)
+        if (buf.isEmpty) "*0\r\n"
+        else {
+          val (ms, sq, v) = buf.last
+          val id = s"$ms-$sq"
+          val vb = v.getBytes(UTF_8).length
+          s"*1\r\n*2\r\n$$${id.length}\r\n$id\r\n*2\r\n$$3\r\nmsg\r\n$$$vb\r\n$v\r\n"
+        }
       case "XLEN" =>
         s":${streams.get(args(1)).map(_.length).getOrElse(0)}\r\n"
       case "XREAD" =>

@@ -196,6 +196,18 @@ class RedisBrokerSpec extends SparkSpec {
       assert(broker.length("db") == 3)
       broker.sendBatchAt(Seq(("db", "8-1", """{"i":4}"""))) // next batch
       assert(broker.length("db") == 4)
+
+      // the guard that keeps the replay-swallow honest: a stream whose
+      // top is from a LATER batch means a reset checkpoint (or foreign
+      // auto ids) — every add would be silently "absorbed", so it must
+      // throw instead
+      broker.guardProduceAt(Seq("db"), batchId = 8L) // replay of 8: fine
+      broker.guardProduceAt(Seq("db"), batchId = 9L) // next batch: fine
+      val reset = intercept[IllegalStateException] {
+        broker.guardProduceAt(Seq("db"), batchId = 3L) // top is 8-1
+      }
+      assert(reset.getMessage.contains("ahead of produce batch"))
+      broker.guardProduceAt(Seq("fresh-stream"), 0L) // empty stream: fine
       broker.close()
     } finally server.close()
   }
