@@ -34,7 +34,11 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
     CharEntropyExpr.entropy(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyExpr.entropy($c)")
+    // explicit cast: a (non-foldable) NullType child declares its codegen
+    // value as Object, and entropy(UTF8String) would fail javac, dropping
+    // the whole stage to the interpreted fallback
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharEntropyExpr.entropy((org.apache.spark.unsafe.types.UTF8String) $c)")
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)

@@ -92,8 +92,11 @@ object CorpusOps {
     // assert_true returns NULL when the bound holds (→ coalesce keeps the
     // row alive) and throws on the first evaluated row when it doesn't
     val wmaxBound = Long.MaxValue / 1000000L
+    // a NULL _wmax (all weights null) is an EMPTY sample, not an abort:
+    // the keep test's null comparison filters every row
     val guard = coalesce(
-      assert_true(col("_wmax") <= lit(wmaxBound) && col("_wmax") >= 1L,
+      assert_true(col("_wmax").isNull ||
+          (col("_wmax") <= lit(wmaxBound) && col("_wmax") >= 1L),
         when(col("_wmax") < 1L,
           lit(s"weightedSample: max($weightCol) < 1 after long truncation — " +
             "fractional scores must be pre-scaled (e.g. x1e6) or the whole " +

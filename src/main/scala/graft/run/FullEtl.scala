@@ -22,12 +22,23 @@ object FullEtl {
                               numPartitions: Int = 32) extends Source
 
   /** Dialect-aware identifier quoting for the hand-rolled bounds query
-    * and Spark's generated range predicates: a reserved-word or
-    * case-sensitive PK (`order`, `"userId"`) renders invalid SQL bare.
-    * Plain lowercase words stay bare. */
+    * and Spark's generated range predicates. Quote ONLY what cannot be
+    * written bare: reserved words (`order`, `user`, `group` — quoted
+    * lowercase they still resolve on case-folding databases) and names
+    * with special characters. Plain identifiers — mixed case included —
+    * stay bare: an unquoted `UserId` resolves via the database's case
+    * folding exactly as it did before partitioned scans, whereas quoting
+    * it would suddenly demand an exact-case match and break previously
+    * working configs. MySQL-family URLs (mysql, mariadb) take backticks;
+    * everything else ANSI double quotes. */
+  private val ReservedPk = Set("order", "group", "by", "select", "from",
+    "where", "limit", "offset", "index", "key", "table", "desc", "asc",
+    "join", "user", "in", "on", "to", "as", "and", "or", "not", "between",
+    "check", "default", "primary", "references", "values")
   private[run] def quotePk(url: String, pk: String): String =
-    if (pk.matches("[a-z_][a-z0-9_]*")) pk
-    else if (url.startsWith("jdbc:mysql")) s"`${pk.replace("`", "``")}`"
+    if (pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)) pk
+    else if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb"))
+      s"`${pk.replace("`", "``")}`"
     else s""""${pk.replace("\"", "\"\"")}""""
 
   def read(spark: SparkSession, src: Source): DataFrame = src match {

@@ -42,9 +42,12 @@ object Lifecycle {
     * Deliberately NO `resetTerminated`: a failure landing between an
     * await return and a reset would be cleared and never rethrown; by
     * never resetting, a recorded failure throws on the next await call.
-    * After the first clean stop each timed await returns immediately, so
-    * the loop paces itself with a short sleep — a CLI await, not a hot
-    * path. */
+    * Consequence: after HANDLING a failure thrown from here, a
+    * supervisor that restarts queries in the same session must call
+    * `spark.streams.resetTerminated()` itself before re-awaiting — the
+    * stale failure would otherwise rethrow immediately. After the first
+    * clean stop each timed await returns immediately, so the loop paces
+    * itself with a short sleep — a CLI await, not a hot path. */
   def awaitAll(spark: SparkSession): Unit = {
     while (spark.streams.active.nonEmpty) {
       spark.streams.awaitAnyTermination(500L) // throws on any failed query

@@ -84,13 +84,19 @@ object Monitor {
     // stderr warning (it stays in the in-memory buffer) — monitoring
     // must degrade before it degrades the stream.
     private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](4096)
-    private def persist(batch: Seq[BatchMetric]): Unit =
+    // serializes the writer thread against the rare inline error-row
+    // persist: two concurrent appends to one parquet path share a
+    // _temporary staging dir, and whichever job commits first deletes the
+    // other's staged files — the lost row could be the error row itself
+    private val persistLock = new Object
+    private def persist(batch: Seq[BatchMetric]): Unit = persistLock.synchronized {
       try spark.createDataFrame(batch)
         .coalesce(1).write.mode("append").parquet(path)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
       }
+    }
     private val writer = new Thread(() => {
       var running = true
       while (running) {

@@ -90,18 +90,42 @@ object Produce {
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
           // replay-vs-reset guard, once per schema per batch: a stream top
           // from a LATER batch means a reset checkpoint or foreign ids,
-          // where the replay tolerance would silently drop everything
+          // where the replay tolerance would silently drop everything. A
+          // top from THIS batch is ambiguous — a genuine crash replay, or
+          // a reset that restarted on the same batch id — so the event at
+          // the top's seq must be byte-identical (the deterministic total
+          // sort makes a real replay reproduce ids AND payloads exactly).
           val guarded = scala.collection.mutable.Set.empty[String]
+          val sameBatchTops = scala.collection.mutable.Map.empty[String, (Long, String)]
           var seq = 0L
           while (it.hasNext) {
             val r = it.next()
             val schema = r.getString(0)
-            if (guarded.add(schema)) broker.guardProduceAt(Seq(schema), batchId)
+            if (guarded.add(schema))
+              sameBatchTops ++= broker.guardProduceAt(Seq(schema), batchId)
             seq += 1
-            buf += ((schema, s"$batchId-$seq", r.getString(1)))
+            val value = r.getString(1)
+            sameBatchTops.get(schema).filter(_._1 == seq).foreach { case (_, topMsg) =>
+              if (value != topMsg)
+                throw new IllegalStateException(
+                  s"stream for schema $schema already holds a DIFFERENT event " +
+                    s"at id $batchId-$seq: the producer checkpoint was reset " +
+                    "onto an existing stream — refusing to silently drop events")
+              sameBatchTops.remove(schema) // verified: a genuine replay
+            }
+            buf += ((schema, s"$batchId-$seq", value))
             if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
           }
           broker.sendBatchAt(buf.toSeq)
+          // a top seq this batch never reached means the ORIGINAL batch
+          // had more events than this one — not a replay; fail before the
+          // checkpoint commits so nothing is silently absorbed
+          if (sameBatchTops.nonEmpty)
+            throw new IllegalStateException(
+              s"streams ${sameBatchTops.keys.mkString(",")} hold batch-$batchId " +
+                s"entries beyond this batch's ${seq} events: producer " +
+                "checkpoint reset onto an existing stream — refusing to " +
+                "silently drop events")
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)

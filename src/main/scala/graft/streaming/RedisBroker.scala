@@ -80,33 +80,50 @@ final class RedisBroker(host: String, port: Int, alias: String,
       }
     }
 
-  /** The newest entry id of a schema's stream ("0-0" when empty) — the
-    * producer's replay-vs-reset guard reads this before each batch. */
-  def lastEntryId(schema: String): String =
+  /** The newest entry of a schema's stream as (id, msg) — None when
+    * empty. The producer's replay-vs-reset guard reads this. */
+  def lastEntry(schema: String): Option[(String, String)] =
     client.command("XREVRANGE", queueKey(schema), "+", "-", "COUNT", "1") match {
       case s: Seq[_] if s.nonEmpty =>
-        s.head.asInstanceOf[Seq[Any]].head.asInstanceOf[String]
-      case _ => "0-0"
+        val e = s.head.asInstanceOf[Seq[Any]]
+        val id = e.head.asInstanceOf[String]
+        val msg = e(1).asInstanceOf[Seq[String]].grouped(2)
+          .collectFirst { case Seq("msg", v) => v }
+        msg.map(id -> _)
+      case _ => None
     }
 
-  /** Refuse to produce batch `batchId` into a stream whose top entry is
-    * from a LATER batch: that shape is impossible under a healthy
-    * checkpoint (batch N replays only before N+1 ever produced), so it
-    * means the produce checkpoint was reset (batch ids restarted at 0) or
-    * the stream carries foreign/auto-generated ids — either way,
-    * [[sendBatchAt]]'s replay tolerance would swallow EVERY add as
-    * "already delivered" and silently drop the events forever. */
-  def guardProduceAt(schemas: Iterable[String], batchId: Long): Unit =
-    schemas.foreach { schema =>
-      val top = lastEntryId(schema)
-      val topMs = top.takeWhile(_ != '-').toLong
-      if (topMs > batchId)
-        throw new IllegalStateException(
-          s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
-            s"batch $batchId: the producer checkpoint was reset or the " +
-            "stream carries foreign ids — refusing to silently drop events " +
-            "(re-point the checkpoint, or start a fresh stream)")
-    }
+  def lastEntryId(schema: String): String =
+    lastEntry(schema).map(_._1).getOrElse("0-0")
+
+  /** Replay-vs-reset guard for producing batch `batchId` into a schema's
+    * stream. Returns the top entry's (seq, msg) when the top is from THIS
+    * batch — the caller must verify its own event at that seq is
+    * byte-identical (a genuine replay is, by the deterministic total
+    * sort; a RESET checkpoint restarting at the same batch id is not).
+    * Throws when the top is from a LATER batch: impossible under a
+    * healthy checkpoint (batch N replays only before N+1 ever produced),
+    * so the checkpoint was reset or the stream carries foreign
+    * auto-generated ids — either way [[sendBatchAt]]'s replay tolerance
+    * would swallow EVERY add as "already delivered" and silently drop
+    * the events forever. */
+  def guardProduceAt(schemas: Iterable[String], batchId: Long): Map[String, (Long, String)] =
+    schemas.flatMap { schema =>
+      lastEntry(schema) match {
+        case None => None
+        case Some((top, msg)) =>
+          val topMs = top.takeWhile(_ != '-').toLong
+          if (topMs > batchId)
+            throw new IllegalStateException(
+              s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
+                s"batch $batchId: the producer checkpoint was reset or the " +
+                "stream carries foreign ids — refusing to silently drop events " +
+                "(re-point the checkpoint, or start a fresh stream)")
+          if (topMs == batchId)
+            Some(schema -> (top.dropWhile(_ != '-').drop(1).toLong, msg))
+          else None
+      }
+    }.toMap
 
   def length(schema: String): Long =
     client.command("XLEN", queueKey(schema)).asInstanceOf[Long]

@@ -201,13 +201,52 @@ class RedisBrokerSpec extends SparkSpec {
       // top is from a LATER batch means a reset checkpoint (or foreign
       // auto ids) — every add would be silently "absorbed", so it must
       // throw instead
-      broker.guardProduceAt(Seq("db"), batchId = 8L) // replay of 8: fine
-      broker.guardProduceAt(Seq("db"), batchId = 9L) // next batch: fine
+      assert(broker.guardProduceAt(Seq("db"), batchId = 9L).isEmpty) // next batch
+      // a top from the SAME batch is ambiguous — the guard hands back
+      // (seq, msg) for the caller's byte-identity check
+      assert(broker.guardProduceAt(Seq("db"), batchId = 8L) ==
+        Map("db" -> ((1L, """{"i":4}"""))))
       val reset = intercept[IllegalStateException] {
         broker.guardProduceAt(Seq("db"), batchId = 3L) // top is 8-1
       }
       assert(reset.getMessage.contains("ahead of produce batch"))
-      broker.guardProduceAt(Seq("fresh-stream"), 0L) // empty stream: fine
+      assert(broker.guardProduceAt(Seq("fresh-stream"), 0L).isEmpty) // empty
+      broker.close()
+    } finally server.close()
+  }
+
+  test("toRedis refuses a reset checkpoint that restarts on the stream's top batch id") {
+    // the equal-batch-id hole: first run produces batch 0, the checkpoint
+    // is wiped, a fresh run restarts at batch 0 with DIFFERENT data — the
+    // replay swallow would silently drop it all; the content check at the
+    // stream's top seq must fail the batch instead
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-reset").toString
+      def runProduce(rawDir: String, ckpt: String): Unit = {
+        val q = graft.run.Produce.toRedis(spark,
+          EventSource.files(spark, rawDir),
+          () => new RedisBroker("127.0.0.1", server.port, "rst"),
+          ckpt, triggerInterval = "200 milliseconds")
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      val raw1 = s"$root/raw1"; Files.createDirectories(Paths.get(raw1))
+      Files.write(Paths.get(raw1, "a.json"),
+        ev("t", "insert", 1, 10.0, 100).getBytes)
+      runProduce(raw1, s"$root/ckpt1")
+      val broker = new RedisBroker("127.0.0.1", server.port, "rst")
+      assert(broker.length("db") == 1)
+
+      // fresh checkpoint (the reset), different raw data, same batch id 0
+      val raw2 = s"$root/raw2"; Files.createDirectories(Paths.get(raw2))
+      Files.write(Paths.get(raw2, "b.json"),
+        ev("t", "insert", 99, 77.0, 500).getBytes)
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        runProduce(raw2, s"$root/ckpt2")
+      }
+      assert(err.getMessage.contains("refusing to silently drop") ||
+        Option(err.getCause).exists(_.getMessage.contains("refusing to silently drop")))
+      assert(broker.length("db") == 1, "nothing from the reset run may land")
       broker.close()
     } finally server.close()
   }
