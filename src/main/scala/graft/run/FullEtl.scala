@@ -22,24 +22,48 @@ object FullEtl {
                               numPartitions: Int = 32) extends Source
 
   /** Dialect-aware identifier quoting for the hand-rolled bounds query
-    * and Spark's generated range predicates. Quote ONLY what cannot be
-    * written bare: reserved words (`order`, `user`, `group` — quoted
-    * lowercase they still resolve on case-folding databases) and names
-    * with special characters. Plain identifiers — mixed case included —
-    * stay bare: an unquoted `UserId` resolves via the database's case
-    * folding exactly as it did before partitioned scans, whereas quoting
-    * it would suddenly demand an exact-case match and break previously
-    * working configs. MySQL-family URLs (mysql, mariadb) take backticks;
-    * everything else ANSI double quotes. */
-  private val ReservedPk = Set("order", "group", "by", "select", "from",
-    "where", "limit", "offset", "index", "key", "table", "desc", "asc",
-    "join", "user", "in", "on", "to", "as", "and", "or", "not", "between",
-    "check", "default", "primary", "references", "values")
-  private[run] def quotePk(url: String, pk: String): String =
-    if (pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)) pk
-    else if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb"))
-      s"`${pk.replace("`", "``")}`"
-    else s""""${pk.replace("\"", "\"\"")}""""
+    * and Spark's generated range predicates, scoped to the dialects the
+    * reference supports (MySQL/MariaDB → backticks; Postgres → ANSI
+    * double quotes, whose lower-folding makes a quoted lowercase
+    * reserved word resolve). Quote ONLY what cannot be written bare:
+    * reserved words and names with special characters. Plain
+    * identifiers — mixed case included — stay bare: an unquoted
+    * `UserId` resolves via the database's case folding exactly as it
+    * did before partitioned scans, whereas quoting it would demand an
+    * exact-case match and break previously working configs; a column
+    * CREATED quoted with exact case must be configured pre-quoted
+    * (`pk: '"userId"'`), which passes through verbatim. Other dialects
+    * (upper-folding Oracle/DB2/...) keep the pre-quoting bare behavior —
+    * a wrong-case quote there is strictly worse than bare. */
+  private val ReservedPk = Set(
+    "order", "group", "by", "select", "from", "where", "limit", "offset",
+    "index", "key", "table", "desc", "asc", "join", "user", "in", "on",
+    "to", "as", "and", "or", "not", "between", "check", "default",
+    "primary", "references", "values", "partition", "rank", "rows", "row",
+    "case", "when", "then", "else", "end", "distinct", "having",
+    "interval", "is", "like", "union", "set", "left", "right", "cross",
+    "inner", "outer", "natural", "using", "window", "over", "recursive",
+    "lateral", "fetch", "match", "of", "for", "with", "all", "any",
+    "some", "exists", "true", "false", "null", "create", "drop", "alter",
+    "insert", "update", "delete", "grant", "column", "constraint",
+    "foreign", "unique", "collate", "cast", "current_date",
+    "current_time", "current_timestamp", "current_user", "session_user",
+    "localtime", "localtimestamp", "symmetric", "asymmetric", "both",
+    "leading", "trailing", "placing", "returning", "ilike", "similar",
+    "isnull", "notnull", "freeze", "verbose", "analyze", "analyse",
+    "dense_rank", "percent_rank", "cume_dist", "ntile", "lag", "lead",
+    "groups", "exclude", "others", "ties", "generated", "stored",
+    "virtual", "system_time")
+  private[run] def quotePk(url: String, pk: String): String = {
+    val preQuoted = (pk.startsWith("`") && pk.endsWith("`")) ||
+      (pk.startsWith("\"") && pk.endsWith("\""))
+    val plain = pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)
+    val mysqlFamily = url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
+    if (preQuoted || plain) pk
+    else if (mysqlFamily) s"`${pk.replace("`", "``")}`"
+    else if (url.startsWith("jdbc:postgresql")) s""""${pk.replace("\"", "\"\"")}""""
+    else pk // unknown dialect: keep the pre-partitioning bare behavior
+  }
 
   def read(spark: SparkSession, src: Source): DataFrame = src match {
     case ParquetSource(p) => spark.read.parquet(p)

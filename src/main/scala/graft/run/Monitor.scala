@@ -121,19 +121,26 @@ object Monitor {
       }
     }, "graft-metrics-writer")
     writer.setDaemon(true); writer.start()
+    // JVM-exit drain: without it the queue's contents die with the daemon
+    // writer — including the terminal-error row the C6 alerting contract
+    // exists for, which is recorded at exactly the moment the process is
+    // likely exiting. The interrupt lands in the writer's drain-and-exit
+    // path; best-effort (Spark itself may already be shutting down).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      writer.interrupt()
+      try writer.join(10000) catch { case _: InterruptedException => () }
+    }))
 
     // Persist exactly the row this callback recorded — progress rows and
     // error rows both flow through record(), and using its return value
     // (not metrics.last) keeps concurrent queries from duplicating or
-    // dropping each other's rows. ERROR rows (terminal query failures,
-    // the C6 alerting signal) are written SYNCHRONOUSLY: they are rare,
-    // they are the rows an operator's alerting reads, and the async
-    // queue's contents die with the daemon writer at JVM exit — exactly
-    // when a terminal failure is being recorded.
+    // dropping each other's rows. Everything rides the queue: the
+    // listener-bus thread must never run a Spark job inline (the
+    // anti-pattern AlertingListener's contract warns about), and the
+    // shutdown drain above is what makes the error row durable.
     override protected def record(m: BatchMetric): BatchMetric = {
       val appended = super.record(m)
-      if (appended.error.isDefined) persist(Seq(appended))
-      else if (!queue.offer(appended))
+      if (!queue.offer(appended))
         System.err.println(
           s"[monitor] metrics queue full; dropping persisted row for batch ${m.batchId}")
       appended

@@ -88,44 +88,70 @@ object Produce {
           // pipelined chunks: ordering is per XADD sequence, so chunking
           // only amortizes round-trips, it never reorders
           val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-          // replay-vs-reset guard, once per schema per batch: a stream top
-          // from a LATER batch means a reset checkpoint or foreign ids,
-          // where the replay tolerance would silently drop everything. A
-          // top from THIS batch is ambiguous — a genuine crash replay, or
-          // a reset that restarted on the same batch id — so the event at
-          // the top's seq must be byte-identical (the deterministic total
-          // sort makes a real replay reproduce ids AND payloads exactly).
-          val guarded = scala.collection.mutable.Set.empty[String]
-          val sameBatchTops = scala.collection.mutable.Map.empty[String, (Long, String)]
+          // Per-schema mode from the broker-side produce commit
+          // (RedisBroker.producedBatch — see its scaladoc for the replay/
+          // reset/foreign case analysis):
+          //   batchId >  produced → SEND (guard the top against foreign
+          //                         ids first; prefix rejections are then
+          //                         provably our own pre-crash partials)
+          //   batchId == produced → SKIP: the batch is fully in the
+          //                         stream; verify byte-identity at the
+          //                         stream top's seq WITHOUT sending, so
+          //                         a reset that landed on the same batch
+          //                         id fails loudly with zero pollution
+          //   batchId <  produced → reset checkpoint: fail loudly
+          val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
+          val verify = scala.collection.mutable.Map.empty[String, (Long, String)]
+          val sent = scala.collection.mutable.Set.empty[String]
           var seq = 0L
           while (it.hasNext) {
             val r = it.next()
             val schema = r.getString(0)
-            if (guarded.add(schema))
-              sameBatchTops ++= broker.guardProduceAt(Seq(schema), batchId)
-            seq += 1
             val value = r.getString(1)
-            sameBatchTops.get(schema).filter(_._1 == seq).foreach { case (_, topMsg) =>
-              if (value != topMsg)
+            seq += 1
+            val send = sendMode.getOrElseUpdate(schema, {
+              val produced = broker.producedBatch(schema)
+              if (batchId < produced)
                 throw new IllegalStateException(
-                  s"stream for schema $schema already holds a DIFFERENT event " +
-                    s"at id $batchId-$seq: the producer checkpoint was reset " +
-                    "onto an existing stream — refusing to silently drop events")
-              sameBatchTops.remove(schema) // verified: a genuine replay
-            }
-            buf += ((schema, s"$batchId-$seq", value))
-            if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
+                  s"schema $schema was already produced through batch " +
+                    s"$produced but this run is at batch $batchId: the " +
+                    "producer checkpoint was reset — refusing to silently " +
+                    "drop events (re-point the checkpoint, or clear the " +
+                    "stream AND its produced_batch commit)")
+              else if (batchId == produced) {
+                broker.lastEntry(schema).foreach { case (top, msg) =>
+                  if (top.takeWhile(_ != '-').toLong == batchId)
+                    verify(schema) =
+                      (top.dropWhile(_ != '-').drop(1).toLong, msg)
+                }
+                false
+              } else { broker.guardForeignTop(schema, batchId); true }
+            })
+            if (send) {
+              buf += ((schema, s"$batchId-$seq", value))
+              sent += schema
+              if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
+            } else if (verify.nonEmpty)
+              verify.get(schema).filter(_._1 == seq).foreach { case (_, topMsg) =>
+                if (value != topMsg)
+                  throw new IllegalStateException(
+                    s"stream for schema $schema already holds a DIFFERENT " +
+                      s"event at id $batchId-$seq: the producer checkpoint " +
+                      "was reset onto an existing stream — refusing to " +
+                      "silently drop events")
+                verify.remove(schema) // byte-identical: a completed batch
+              }
           }
           broker.sendBatchAt(buf.toSeq)
-          // a top seq this batch never reached means the ORIGINAL batch
-          // had more events than this one — not a replay; fail before the
-          // checkpoint commits so nothing is silently absorbed
-          if (sameBatchTops.nonEmpty)
+          // a SKIP schema whose top seq never matched: the stream's copy
+          // of this batch differs from ours — reset, and nothing was sent
+          if (verify.nonEmpty)
             throw new IllegalStateException(
-              s"streams ${sameBatchTops.keys.mkString(",")} hold batch-$batchId " +
-                s"entries beyond this batch's ${seq} events: producer " +
+              s"streams ${verify.keys.mkString(",")} hold batch-$batchId " +
+                s"entries this run's $seq events never reproduced: producer " +
                 "checkpoint reset onto an existing stream — refusing to " +
                 "silently drop events")
+          sent.foreach(s => broker.commitProduced(s, batchId))
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)

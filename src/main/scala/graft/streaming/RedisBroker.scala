@@ -81,7 +81,8 @@ final class RedisBroker(host: String, port: Int, alias: String,
     }
 
   /** The newest entry of a schema's stream as (id, msg) — None when
-    * empty. The producer's replay-vs-reset guard reads this. */
+    * empty; a top entry WITHOUT a `msg` field (foreign producer) still
+    * yields its id, with an empty msg. */
   def lastEntry(schema: String): Option[(String, String)] =
     client.command("XREVRANGE", queueKey(schema), "+", "-", "COUNT", "1") match {
       case s: Seq[_] if s.nonEmpty =>
@@ -89,41 +90,51 @@ final class RedisBroker(host: String, port: Int, alias: String,
         val id = e.head.asInstanceOf[String]
         val msg = e(1).asInstanceOf[Seq[String]].grouped(2)
           .collectFirst { case Seq("msg", v) => v }
-        msg.map(id -> _)
+        Some(id -> msg.getOrElse(""))
       case _ => None
     }
 
-  def lastEntryId(schema: String): String =
-    lastEntry(schema).map(_._1).getOrElse("0-0")
+  private def producedKey = s"$prefix:$alias:produced_batch"
 
-  /** Replay-vs-reset guard for producing batch `batchId` into a schema's
-    * stream. Returns the top entry's (seq, msg) when the top is from THIS
-    * batch — the caller must verify its own event at that seq is
-    * byte-identical (a genuine replay is, by the deterministic total
-    * sort; a RESET checkpoint restarting at the same batch id is not).
-    * Throws when the top is from a LATER batch: impossible under a
-    * healthy checkpoint (batch N replays only before N+1 ever produced),
-    * so the checkpoint was reset or the stream carries foreign
-    * auto-generated ids — either way [[sendBatchAt]]'s replay tolerance
-    * would swallow EVERY add as "already delivered" and silently drop
-    * the events forever. */
-  def guardProduceAt(schemas: Iterable[String], batchId: Long): Map[String, (Long, String)] =
-    schemas.flatMap { schema =>
-      lastEntry(schema) match {
-        case None => None
-        case Some((top, msg)) =>
-          val topMs = top.takeWhile(_ != '-').toLong
-          if (topMs > batchId)
-            throw new IllegalStateException(
-              s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
-                s"batch $batchId: the producer checkpoint was reset or the " +
-                "stream carries foreign ids — refusing to silently drop events " +
-                "(re-point the checkpoint, or start a fresh stream)")
-          if (topMs == batchId)
-            Some(schema -> (top.dropWhile(_ != '-').drop(1).toLong, msg))
-          else None
-      }
-    }.toMap
+  /** The highest batch id FULLY produced into a schema's stream (-1 when
+    * none) — the produce-side analogue of the reference's consumer
+    * `last_msg_id` commit. [[commitProduced]] advances it after the last
+    * XADD of a batch, which is what makes the replay-vs-reset decision
+    * unambiguous for the producer (see [[graft.run.Produce.toRedis]]):
+    *  - batchId <  produced: a RESET checkpoint (a healthy lineage only
+    *    ever replays its LAST batch) — fail loudly;
+    *  - batchId == produced: the batch is already fully in the stream —
+    *    verify one entry byte-identical and SKIP (no re-send, so no
+    *    stream pollution on mismatch);
+    *  - batchId >  produced: send; any "equal or smaller ID" rejection
+    *    can only be this run's OWN partial pre-crash attempt of this
+    *    same deterministic batch (a completed earlier production would
+    *    have advanced `produced`), so swallowing it is provably safe —
+    *    PROVIDED the stream top is not beyond this batch, which
+    *    [[guardForeignTop]] checks (foreign auto-ids / reset remnants).
+    */
+  def producedBatch(schema: String): Long =
+    Option(client.command("HGET", producedKey, schema))
+      .map(_.asInstanceOf[String].toLong).getOrElse(-1L)
+
+  def commitProduced(schema: String, batchId: Long): Unit =
+    client.command("HSET", producedKey, schema, batchId.toString)
+
+  /** Fail loudly when a stream's top entry is from beyond `batchId`:
+    * with `producedBatch < batchId` that cannot be this lineage's work —
+    * the stream carries foreign auto-generated ids or a reset's
+    * remnants, and the send path's replay tolerance would silently
+    * swallow every add as already-delivered. */
+  def guardForeignTop(schema: String, batchId: Long): Unit =
+    lastEntry(schema).foreach { case (top, _) =>
+      val topMs = top.takeWhile(_ != '-').toLong
+      if (topMs > batchId)
+        throw new IllegalStateException(
+          s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
+            s"batch $batchId: the producer checkpoint was reset or the " +
+            "stream carries foreign ids — refusing to silently drop events " +
+            "(re-point the checkpoint, or start a fresh stream)")
+    }
 
   def length(schema: String): Long =
     client.command("XLEN", queueKey(schema)).asInstanceOf[Long]

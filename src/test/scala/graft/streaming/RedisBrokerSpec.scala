@@ -197,20 +197,22 @@ class RedisBrokerSpec extends SparkSpec {
       broker.sendBatchAt(Seq(("db", "8-1", """{"i":4}"""))) // next batch
       assert(broker.length("db") == 4)
 
-      // the guard that keeps the replay-swallow honest: a stream whose
-      // top is from a LATER batch means a reset checkpoint (or foreign
-      // auto ids) — every add would be silently "absorbed", so it must
-      // throw instead
-      assert(broker.guardProduceAt(Seq("db"), batchId = 9L).isEmpty) // next batch
-      // a top from the SAME batch is ambiguous — the guard hands back
-      // (seq, msg) for the caller's byte-identity check
-      assert(broker.guardProduceAt(Seq("db"), batchId = 8L) ==
-        Map("db" -> ((1L, """{"i":4}"""))))
+      // the foreign-top guard that keeps the replay-swallow honest: a
+      // stream whose top is beyond the batch being produced (foreign
+      // auto ids, reset remnants) must throw, not be silently absorbed
+      broker.guardForeignTop("db", batchId = 8L) // replay of 8: fine
+      broker.guardForeignTop("db", batchId = 9L) // next batch: fine
       val reset = intercept[IllegalStateException] {
-        broker.guardProduceAt(Seq("db"), batchId = 3L) // top is 8-1
+        broker.guardForeignTop("db", batchId = 3L) // top is 8-1
       }
       assert(reset.getMessage.contains("ahead of produce batch"))
-      assert(broker.guardProduceAt(Seq("fresh-stream"), 0L).isEmpty) // empty
+      broker.guardForeignTop("fresh-stream", 0L) // empty stream: fine
+      // the produce commit hash: the replay/reset discriminator
+      assert(broker.producedBatch("db") == -1L)
+      broker.commitProduced("db", 8L)
+      assert(broker.producedBatch("db") == 8L)
+      // a foreign top entry WITHOUT a msg field still yields its id —
+      // treating it as an empty stream would disable the guard
       broker.close()
     } finally server.close()
   }
