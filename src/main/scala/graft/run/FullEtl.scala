@@ -55,14 +55,26 @@ object FullEtl {
     "groups", "exclude", "others", "ties", "generated", "stored",
     "virtual", "system_time")
   private[run] def quotePk(url: String, pk: String): String = {
-    val preQuoted = (pk.startsWith("`") && pk.endsWith("`")) ||
-      (pk.startsWith("\"") && pk.endsWith("\""))
-    val plain = pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)
     val mysqlFamily = url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")
-    if (preQuoted || plain) pk
+    val backtickQuoted = pk.length >= 2 && pk.startsWith("`") && pk.endsWith("`")
+    val ansiQuoted = pk.length >= 2 && pk.startsWith("\"") && pk.endsWith("\"")
+    // a pre-quoted config name passes through — but only in its OWN
+    // dialect (MySQL reads "x" as a string literal, Postgres reads `x`
+    // as a syntax error; failing at config beats a confusing bounds row)
+    if (backtickQuoted || ansiQuoted) {
+      require(if (mysqlFamily) backtickQuoted else ansiQuoted,
+        s"partition column $pk is quoted for the wrong dialect of $url " +
+          "(MySQL-family takes backticks, others ANSI double quotes)")
+      pk
+    } else if (pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)) pk
     else if (mysqlFamily) s"`${pk.replace("`", "``")}`"
-    else if (url.startsWith("jdbc:postgresql")) s""""${pk.replace("\"", "\"\"")}""""
-    else pk // unknown dialect: keep the pre-partitioning bare behavior
+    else if (url.startsWith("jdbc:postgresql")) {
+      // a reserved WORD is lower-folded before quoting: pk "Order" bare
+      // resolved to the folded column `order` pre-partitioning, and a
+      // case-preserving "Order" quote would break that config
+      val name = if (pk.matches("[A-Za-z_][A-Za-z0-9_]*")) pk.toLowerCase else pk
+      s""""${name.replace("\"", "\"\"")}""""
+    } else pk // unknown dialect: keep the pre-partitioning bare behavior
   }
 
   def read(spark: SparkSession, src: Source): DataFrame = src match {

@@ -84,19 +84,16 @@ object Monitor {
     // stderr warning (it stays in the in-memory buffer) — monitoring
     // must degrade before it degrades the stream.
     private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](4096)
-    // serializes the writer thread against the rare inline error-row
-    // persist: two concurrent appends to one parquet path share a
-    // _temporary staging dir, and whichever job commits first deletes the
-    // other's staged files — the lost row could be the error row itself
-    private val persistLock = new Object
-    private def persist(batch: Seq[BatchMetric]): Unit = persistLock.synchronized {
+    // persist() runs ONLY on the writer thread (its loop and its
+    // interrupt-drain path; the shutdown hook merely joins it) — no
+    // concurrent appends to the shared parquet path
+    private def persist(batch: Seq[BatchMetric]): Unit =
       try spark.createDataFrame(batch)
         .coalesce(1).write.mode("append").parquet(path)
       catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
       }
-    }
     private val writer = new Thread(() => {
       var running = true
       while (running) {
@@ -126,10 +123,21 @@ object Monitor {
     // exists for, which is recorded at exactly the moment the process is
     // likely exiting. The interrupt lands in the writer's drain-and-exit
     // path; best-effort (Spark itself may already be shutting down).
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    private val drainHook = new Thread(() => {
       writer.interrupt()
       try writer.join(10000) catch { case _: InterruptedException => () }
-    }))
+    })
+    Runtime.getRuntime.addShutdownHook(drainHook)
+
+    /** Detach for long-lived drivers creating many listeners: interrupts
+      * the writer (which drains and persists what's queued) and removes
+      * the shutdown hook so instances don't accumulate in the Runtime. */
+    def close(): Unit = {
+      try Runtime.getRuntime.removeShutdownHook(drainHook)
+      catch { case _: IllegalStateException => () } // already shutting down
+      writer.interrupt()
+      try writer.join(10000) catch { case _: InterruptedException => () }
+    }
 
     // Persist exactly the row this callback recorded — progress rows and
     // error rows both flow through record(), and using its return value
@@ -137,12 +145,22 @@ object Monitor {
     // dropping each other's rows. Everything rides the queue: the
     // listener-bus thread must never run a Spark job inline (the
     // anti-pattern AlertingListener's contract warns about), and the
-    // shutdown drain above is what makes the error row durable.
+    // shutdown drain above is what makes rows durable at exit. A full
+    // queue drops PROGRESS rows, never the terminal-ERROR row the C6
+    // contract reads — that one displaces the oldest queued progress row
+    // (queue-full correlates with exactly the distress that produces
+    // terminal errors).
     override protected def record(m: BatchMetric): BatchMetric = {
       val appended = super.record(m)
-      if (!queue.offer(appended))
-        System.err.println(
+      if (!queue.offer(appended)) {
+        if (appended.error.isDefined) {
+          queue.poll() // displace one progress row; never blocks the bus
+          if (!queue.offer(appended))
+            System.err.println(
+              s"[monitor] metrics queue full; error row for ${m.queryName} not persisted")
+        } else System.err.println(
           s"[monitor] metrics queue full; dropping persisted row for batch ${m.batchId}")
+      }
       appended
     }
   }

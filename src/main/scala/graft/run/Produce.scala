@@ -101,7 +101,10 @@ object Produce {
           //                         id fails loudly with zero pollution
           //   batchId <  produced → reset checkpoint: fail loudly
           val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
-          val verify = scala.collection.mutable.Map.empty[String, (Long, String)]
+          // SKIP schemas: the stream top's (seq, msg); byte-verified when
+          // this run's event at that seq passes, pending until then
+          val skipTops = scala.collection.mutable.Map.empty[String, (Long, String)]
+          val pending = scala.collection.mutable.Set.empty[String]
           val sent = scala.collection.mutable.Set.empty[String]
           var seq = 0L
           while (it.hasNext) {
@@ -120,9 +123,11 @@ object Produce {
                     "stream AND its produced_batch commit)")
               else if (batchId == produced) {
                 broker.lastEntry(schema).foreach { case (top, msg) =>
-                  if (top.takeWhile(_ != '-').toLong == batchId)
-                    verify(schema) =
+                  if (top.takeWhile(_ != '-').toLong == batchId) {
+                    skipTops(schema) =
                       (top.dropWhile(_ != '-').drop(1).toLong, msg)
+                    pending += schema
+                  }
                 }
                 false
               } else { broker.guardForeignTop(schema, batchId); true }
@@ -131,27 +136,39 @@ object Produce {
               buf += ((schema, s"$batchId-$seq", value))
               sent += schema
               if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
-            } else if (verify.nonEmpty)
-              verify.get(schema).filter(_._1 == seq).foreach { case (_, topMsg) =>
-                if (value != topMsg)
+            } else if (skipTops.nonEmpty)
+              skipTops.get(schema).foreach { case (topSeq, topMsg) =>
+                // a faithful replay's LAST event for this schema sits at
+                // exactly topSeq — a row beyond it means this run's batch
+                // has MORE events than the produced copy (reset onto a
+                // superset source): fail, never silently drop the tail
+                if (seq > topSeq)
                   throw new IllegalStateException(
-                    s"stream for schema $schema already holds a DIFFERENT " +
-                      s"event at id $batchId-$seq: the producer checkpoint " +
-                      "was reset onto an existing stream — refusing to " +
-                      "silently drop events")
-                verify.remove(schema) // byte-identical: a completed batch
+                    s"schema $schema: this run's batch $batchId has events " +
+                      s"beyond the produced copy's last entry $batchId-$topSeq: " +
+                      "producer checkpoint reset onto an existing stream — " +
+                      "refusing to silently drop events")
+                if (seq == topSeq) {
+                  if (value != topMsg)
+                    throw new IllegalStateException(
+                      s"stream for schema $schema already holds a DIFFERENT " +
+                        s"event at id $batchId-$seq: the producer checkpoint " +
+                        "was reset onto an existing stream — refusing to " +
+                        "silently drop events")
+                  pending -= schema // byte-identical: a completed batch
+                }
               }
           }
           broker.sendBatchAt(buf.toSeq)
           // a SKIP schema whose top seq never matched: the stream's copy
-          // of this batch differs from ours — reset, and nothing was sent
-          if (verify.nonEmpty)
+          // of this batch has MORE events than ours — reset, nothing sent
+          if (pending.nonEmpty)
             throw new IllegalStateException(
-              s"streams ${verify.keys.mkString(",")} hold batch-$batchId " +
+              s"streams ${pending.mkString(",")} hold batch-$batchId " +
                 s"entries this run's $seq events never reproduced: producer " +
                 "checkpoint reset onto an existing stream — refusing to " +
                 "silently drop events")
-          sent.foreach(s => broker.commitProduced(s, batchId))
+          broker.commitProducedAll(sent, batchId)
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)

@@ -63,11 +63,11 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * "equal or smaller ID", which is swallowed here: duplicates are
     * impossible by construction instead of absorbed downstream. Any other
     * error still throws. The swallow is only safe when rejections really
-    * ARE replays — callers run [[guardProduceAt]] first, which detects
-    * the two shapes where they are not (a reset produce checkpoint
-    * restarting batch ids, or a stream already carrying auto-generated
-    * wall-clock ids that dwarf batch ids) and fails loudly instead of
-    * letting every add be swallowed as "already delivered". */
+    * ARE replays — callers follow the [[producedBatch]] protocol
+    * (send only when batchId > the broker-side commit, with
+    * [[guardForeignTop]] against auto-id/foreign streams, and
+    * [[commitProduced]]/[[commitProducedAll]] after the last chunk) so
+    * that rejections can only be this run's own pre-crash partials. */
   def sendBatchAt(events: Seq[(String, String, String)]): Unit =
     if (events.nonEmpty) {
       client.pipelineEither(events.map { case (schema, id, msg) =>
@@ -119,6 +119,15 @@ final class RedisBroker(host: String, port: Int, alias: String,
 
   def commitProduced(schema: String, batchId: Long): Unit =
     client.command("HSET", producedKey, schema, batchId.toString)
+
+  /** [[commitProduced]] for every schema of a batch in ONE round-trip
+    * (HSET takes multiple field/value pairs). */
+  def commitProducedAll(schemas: Iterable[String], batchId: Long): Unit =
+    if (schemas.nonEmpty) {
+      client.command("HSET" +: producedKey +:
+        schemas.toSeq.flatMap(s => Seq(s, batchId.toString)): _*)
+      ()
+    }
 
   /** Fail loudly when a stream's top entry is from beyond `batchId`:
     * with `producedBatch < batchId` that cannot be this lineage's work —

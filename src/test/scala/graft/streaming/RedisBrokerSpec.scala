@@ -211,8 +211,18 @@ class RedisBrokerSpec extends SparkSpec {
       assert(broker.producedBatch("db") == -1L)
       broker.commitProduced("db", 8L)
       assert(broker.producedBatch("db") == 8L)
+      broker.commitProducedAll(Seq("db", "db2"), 9L) // multi-pair HSET
+      assert(broker.producedBatch("db") == 9L && broker.producedBatch("db2") == 9L)
       // a foreign top entry WITHOUT a msg field still yields its id —
-      // treating it as an empty stream would disable the guard
+      // treating it as an empty stream would disable the guard entirely
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XADD", "synch:p:foreign", "999-1", "payload", "x")
+      finally raw.close()
+      assert(broker.lastEntry("foreign").map(_._1).contains("999-1"))
+      val foreign = intercept[IllegalStateException] {
+        broker.guardForeignTop("foreign", batchId = 5L)
+      }
+      assert(foreign.getMessage.contains("ahead of produce batch"))
       broker.close()
     } finally server.close()
   }
