@@ -62,9 +62,16 @@ object FullEtl {
     // dialect (MySQL reads "x" as a string literal, Postgres reads `x`
     // as a syntax error; failing at config beats a confusing bounds row)
     if (backtickQuoted || ansiQuoted) {
-      require(if (mysqlFamily) backtickQuoted else ansiQuoted,
-        s"partition column $pk is quoted for the wrong dialect of $url " +
-          "(MySQL-family takes backticks, others ANSI double quotes)")
+      // enforce the quote style only for dialects we KNOW (unknown
+      // dialects keep pre-partitioning passthrough — sqlite et al accept
+      // backticks); scheme-only in the message: the full url can carry
+      // credentials that must not land in logs
+      val pg = url.startsWith("jdbc:postgresql")
+      if (mysqlFamily || pg)
+        require(if (mysqlFamily) backtickQuoted else ansiQuoted,
+          s"partition column $pk is quoted for the wrong dialect of " +
+            s"${url.split(':').take(2).mkString(":")} (MySQL-family takes " +
+            "backticks, Postgres ANSI double quotes)")
       pk
     } else if (pk.matches("[A-Za-z_][A-Za-z0-9_]*") && !ReservedPk(pk.toLowerCase)) pk
     else if (mysqlFamily) s"`${pk.replace("`", "``")}`"

@@ -94,12 +94,13 @@ object Monitor {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[monitor] metrics append failed: ${e.getMessage}")
       }
+    // stop signal OUTSIDE the interrupt flag: Spark's FileFormatWriter
+    // wraps an interrupt landing mid-append into a NonFatal
+    // SparkException that persist() absorbs — the flag would be consumed
+    // and the loop would re-block forever; the volatile survives that
+    @volatile private var stopping = false
     private val writer = new Thread(() => {
-      var running = true
-      while (running) {
-        // an interrupt must not kill the loop silently (one stray
-        // interrupt would end ALL persistence with only queue-full
-        // stderr lines later) — it drains what's queued and exits
+      while (!stopping) {
         try {
           val head = queue.take()
           // drain whatever accumulated so a burst lands as ONE file
@@ -107,15 +108,15 @@ object Monitor {
           batch.add(head); queue.drainTo(batch)
           import scala.jdk.CollectionConverters._
           persist(batch.asScala.toSeq)
-        } catch {
-          case _: InterruptedException =>
-            val rest = new java.util.ArrayList[BatchMetric]()
-            queue.drainTo(rest)
-            import scala.jdk.CollectionConverters._
-            if (!rest.isEmpty) persist(rest.asScala.toSeq)
-            running = false
-        }
+        } catch { case _: InterruptedException => stopping = true }
       }
+      // final drain on EITHER exit path (take() interrupted, or the
+      // interrupt was swallowed inside a Spark write and the loop
+      // condition caught the stop flag)
+      val rest = new java.util.ArrayList[BatchMetric]()
+      queue.drainTo(rest)
+      import scala.jdk.CollectionConverters._
+      if (!rest.isEmpty) persist(rest.asScala.toSeq)
     }, "graft-metrics-writer")
     writer.setDaemon(true); writer.start()
     // JVM-exit drain: without it the queue's contents die with the daemon
@@ -123,20 +124,21 @@ object Monitor {
     // exists for, which is recorded at exactly the moment the process is
     // likely exiting. The interrupt lands in the writer's drain-and-exit
     // path; best-effort (Spark itself may already be shutting down).
-    private val drainHook = new Thread(() => {
+    private def stopWriter(): Unit = {
+      stopping = true
       writer.interrupt()
       try writer.join(10000) catch { case _: InterruptedException => () }
-    })
+    }
+    private val drainHook = new Thread(() => stopWriter())
     Runtime.getRuntime.addShutdownHook(drainHook)
 
-    /** Detach for long-lived drivers creating many listeners: interrupts
-      * the writer (which drains and persists what's queued) and removes
-      * the shutdown hook so instances don't accumulate in the Runtime. */
+    /** Detach for long-lived drivers creating many listeners: stops the
+      * writer (which drains and persists what's queued) and removes the
+      * shutdown hook so instances don't accumulate in the Runtime. */
     def close(): Unit = {
       try Runtime.getRuntime.removeShutdownHook(drainHook)
       catch { case _: IllegalStateException => () } // already shutting down
-      writer.interrupt()
-      try writer.join(10000) catch { case _: InterruptedException => () }
+      stopWriter()
     }
 
     // Persist exactly the row this callback recorded — progress rows and
@@ -154,8 +156,18 @@ object Monitor {
       val appended = super.record(m)
       if (!queue.offer(appended)) {
         if (appended.error.isDefined) {
-          queue.poll() // displace one progress row; never blocks the bus
-          if (!queue.offer(appended))
+          // displace a PROGRESS row, never a queued error row (another
+          // query's terminal failure could sit at the head when the
+          // writer is hung) — bounded attempts, never blocks the bus
+          var tries = 8
+          var placed = false
+          while (!placed && tries > 0) {
+            tries -= 1
+            val victim = queue.poll()
+            if (victim != null && victim.error.isDefined) queue.offer(victim)
+            else placed = queue.offer(appended)
+          }
+          if (!placed)
             System.err.println(
               s"[monitor] metrics queue full; error row for ${m.queryName} not persisted")
         } else System.err.println(

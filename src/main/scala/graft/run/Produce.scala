@@ -122,6 +122,11 @@ object Produce {
                     "drop events (re-point the checkpoint, or clear the " +
                     "stream AND its produced_batch commit)")
               else if (batchId == produced) {
+                // a top BEYOND the committed batch is a foreign entry
+                // XADDed after the commit — skipping unverified against
+                // it would be the silent-drop shape again; a top BELOW
+                // means MAXLEN trimmed the batch away (trust the commit)
+                broker.guardForeignTop(schema, batchId)
                 broker.lastEntry(schema).foreach { case (top, msg) =>
                   if (top.takeWhile(_ != '-').toLong == batchId) {
                     skipTops(schema) =

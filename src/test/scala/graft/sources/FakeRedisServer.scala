@@ -17,11 +17,11 @@ final class FakeRedisServer extends AutoCloseable {
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
 
-  // (ms, seq, fieldName, value) — the field name is stored so foreign
-  // producers' non-msg fields round-trip (the broker's guard relies on
-  // seeing a msg-less top entry's id)
+  // (ms, seq, flattened field/value list) — ALL pairs are stored so
+  // foreign producers' non-msg (or multi-field) entries round-trip like
+  // real Redis (the broker's guard and msg-scan rely on it)
   private val streams =
-    mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Long, String, String)]]
+    mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Long, Seq[String])]]
   // last assigned id per stream — survives MAXLEN trims, like Redis
   private val lastIds = mutable.Map.empty[String, (Long, Long)]
   private val hashes = mutable.Map.empty[String, mutable.Map[String, String]]
@@ -49,8 +49,9 @@ final class FakeRedisServer extends AutoCloseable {
           maxlen = args(i).toLong; i += 1
         }
         val idArg = args(i); i += 1
-        val field = args(i)
-        val value = args(i + 1)
+        val fields = args.drop(i)
+        if (fields.isEmpty || fields.length % 2 != 0)
+          return "-ERR wrong number of arguments for 'xadd' command\r\n"
         val last = lastIds.getOrElse(key, (0L, 0L))
         // explicit ids must be strictly greater than the stream top —
         // the REAL Redis contract the idempotent producer leans on
@@ -62,7 +63,7 @@ final class FakeRedisServer extends AutoCloseable {
         else {
           lastIds(key) = next
           val buf = streams.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-          buf += ((next._1, next._2, field, value))
+          buf += ((next._1, next._2, fields))
           if (maxlen >= 0 && buf.length > maxlen)
             buf.remove(0, buf.length - maxlen.toInt)
           val id = s"${next._1}-${next._2}"
@@ -73,11 +74,10 @@ final class FakeRedisServer extends AutoCloseable {
         val buf = streams.getOrElse(args(1), mutable.ArrayBuffer.empty)
         if (buf.isEmpty) "*0\r\n"
         else {
-          val (ms, sq, f, v) = buf.last
+          def bulk(s: String) = s"$$${s.getBytes(UTF_8).length}\r\n$s\r\n"
+          val (ms, sq, fs) = buf.last
           val id = s"$ms-$sq"
-          val fb = f.getBytes(UTF_8).length
-          val vb = v.getBytes(UTF_8).length
-          s"*1\r\n*2\r\n$$${id.length}\r\n$id\r\n*2\r\n$$$fb\r\n$f\r\n$$$vb\r\n$v\r\n"
+          s"*1\r\n*2\r\n${bulk(id)}*${fs.length}\r\n${fs.map(bulk).mkString}"
         }
       case "XLEN" =>
         s":${streams.get(args(1)).map(_.length).getOrElse(0)}\r\n"
@@ -89,19 +89,21 @@ final class FakeRedisServer extends AutoCloseable {
         require(args(i).equalsIgnoreCase("STREAMS")); i += 1
         val key = args(i); val after = parseId(args(i + 1))
         val hits = streams.getOrElse(key, mutable.ArrayBuffer.empty)
-          .iterator.filter { case (ms, sq, _, _) =>
+          .iterator.filter { case (ms, sq, _) =>
             ms > after._1 || (ms == after._1 && sq > after._2) }
           .take(count).toSeq
         if (hits.isEmpty) "*-1\r\n"
         else {
           def bulk(s: String) = s"$$${s.getBytes(UTF_8).length}\r\n$s\r\n"
-          val entries = hits.map { case (ms, sq, f, v) =>
-            s"*2\r\n${bulk(s"$ms-$sq")}*2\r\n${bulk(f)}${bulk(v)}"
+          val entries = hits.map { case (ms, sq, fs) =>
+            s"*2\r\n${bulk(s"$ms-$sq")}*${fs.length}\r\n${fs.map(bulk).mkString}"
           }.mkString
           s"*1\r\n*2\r\n${bulk(key)}*${hits.length}\r\n$entries"
         }
       case "HSET" =>
         // multi-pair form: HSET key f1 v1 [f2 v2 ...]
+        if (args.length < 4 || args.length % 2 != 0)
+          return "-ERR wrong number of arguments for 'hset' command\r\n"
         val h = hashes.getOrElseUpdate(args(1), mutable.Map.empty)
         var added = 0
         args.drop(2).grouped(2).foreach { case Seq(f, v) =>
