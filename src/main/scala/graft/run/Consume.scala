@@ -109,12 +109,46 @@ object Consume {
         df.withColumn(bare(name), lit(null).cast(graft.ddl.TypeMap.toSpark(dt)))
       case DropColumn(name) => df.drop(bare(name))
       case ChangeColumn(o, n, dt) =>
+        val (bo, bn) = (bare(o), bare(n))
         val renamed =
-          if (bare(o) == bare(n)) df else df.withColumnRenamed(bare(o), bare(n))
-        dt.map(d => renamed.withColumn(bare(n),
-          col(bare(n)).cast(graft.ddl.TypeMap.toSpark(d)))).getOrElse(renamed)
+          if (bo == bn) df
+          else if (df.columns.contains(bo) && df.columns.contains(bn))
+            // crash-replay degraded parse carried BOTH names (see
+            // [[widenForRenames]]) — each row holds its value under
+            // exactly one; pick row-wise, preferring the new name,
+            // mirroring [[renameTransform]]'s convention
+            df.withColumn(bn, coalesce(col(bn), col(bo))).drop(bo)
+          else df.withColumnRenamed(bo, bn)
+        dt.map(d => renamed.withColumn(bn,
+          col(bn).cast(graft.ddl.TypeMap.toSpark(d)))).getOrElse(renamed)
       case ModifyColumn(name, dt, _, _, _) =>
         df.withColumn(bare(name), col(bare(name)).cast(graft.ddl.TypeMap.toSpark(dt)))
+    }
+  }
+
+  /** Crash-replay degradation guard for the intra-batch split: if a
+    * slice's parse schema already carries a LATER rename's NEW name (a
+    * restart handed in a TableSync rebuilt from the already-renamed
+    * source schema, so the scanLeft from it never held the old name),
+    * rows in that slice still carry the OLD name on the wire — widen the
+    * parse schema with the old-named field, walking the rename chain
+    * BACKWARDS so `a→b, b→c` recovers `a`, and let [[liftSlice]]'s
+    * coalesce fold old into new row-wise. The recovered field parses
+    * under the new name's type: the pre-rename wire type is
+    * unrecoverable after the crash, and for the overwhelmingly common
+    * same-type rename this is exact. In a normal run the slice schema
+    * still holds the old name, so this is the identity — zero change on
+    * the hot path. */
+  private[run] def widenForRenames(schema: StructType,
+      later: Seq[graft.ddl.AlterParser.AlterAction]): StructType = {
+    import graft.ddl.AlterParser.ChangeColumn
+    later.reverse.foldLeft(schema) {
+      case (s, ChangeColumn(o, n, _))
+          if bare(o) != bare(n) && !s.fieldNames.contains(bare(o)) &&
+            s.fieldNames.contains(bare(n)) =>
+        s.add(org.apache.spark.sql.types.StructField(
+          bare(o), s(bare(n)).dataType))
+      case (s, _) => s
     }
   }
 
@@ -147,7 +181,8 @@ object Consume {
         val sliceEvents = events
           .filter(if (k == 0) lit(true) else col("event_unixtime") > alters(k - 1)._2)
           .filter(if (k == alters.size) lit(true) else col("event_unixtime") <= alters(k)._2)
-        val cl = tableChangelog(sliceEvents, t.copy(valueSchema = schemas(k)))
+        val parseSchema = widenForRenames(schemas(k), alters.drop(k).map(_._1))
+        val cl = tableChangelog(sliceEvents, t.copy(valueSchema = parseSchema))
         alters.drop(k).foldLeft(cl) { case (df, (a, _)) => liftSlice(df, a) }
       }
       slices.reduce(_.unionByName(_))
@@ -230,22 +265,36 @@ object Consume {
 
   /** Collect schema `db`'s DDL statements from a batch, in event order —
     * the one driver-side materialization of the K4 path (DDL rows are
-    * rare: one per ALTER, never data). */
+    * rare: one per ALTER, never data).
+    *
+    * Binlog timestamps are second-coarse and every DDL row carries
+    * action_seq 0, so `event_unixtime` alone leaves same-second ALTERs
+    * (ADD then MODIFY of one column) at the mercy of partition order —
+    * Spark's sort is not stable across equal keys. The tiebreak is
+    * `monotonically_increasing_id()` stamped BEFORE the filter: it
+    * encodes (partition, row-offset), so two ALTERs in one staged
+    * file/partition keep their log order deterministically. Downstream
+    * consumers (`evolveTable`, `tableChangelog`, `renamesIn`) re-sort
+    * with Scala's STABLE `sortBy(_._2)`, so the refined order threads
+    * through untouched. */
   private[run] def collectDdl(batch: DataFrame, db: String): Seq[(String, Long)] =
-    batch.filter(col("action") === "query" && col("schema") === db)
-      .select(col("values"), col("event_unixtime"))
-      .orderBy(col("event_unixtime"))
+    batch.withColumn("_src_seq", monotonically_increasing_id())
+      .filter(col("action") === "query" && col("schema") === db)
+      .select(col("values"), col("event_unixtime"), col("_src_seq"))
+      .orderBy(col("event_unixtime"), col("_src_seq"))
       .collect().toSeq
       .map(row => (row.getString(0), row.getLong(1)))
 
   /** All schemas' DDL in one Spark job — the consume loop runs this once
     * per micro-batch (vs one filter+collect job per schema, which showed
     * up as N sequential driver round-trips per trigger on multi-schema
-    * pipelines). */
+    * pipelines). Same `_src_seq` tiebreak as [[collectDdl]]; Scala's
+    * `groupBy` preserves encounter order within each group. */
   private[run] def collectDdlAll(batch: DataFrame): Map[String, Seq[(String, Long)]] =
-    batch.filter(col("action") === "query")
-      .select(col("schema"), col("values"), col("event_unixtime"))
-      .orderBy(col("event_unixtime"))
+    batch.withColumn("_src_seq", monotonically_increasing_id())
+      .filter(col("action") === "query")
+      .select(col("schema"), col("values"), col("event_unixtime"), col("_src_seq"))
+      .orderBy(col("event_unixtime"), col("_src_seq"))
       .collect().toSeq
       .groupBy(_.getString(0))
       .map { case (db, rows) =>

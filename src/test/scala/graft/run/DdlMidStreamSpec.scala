@@ -410,6 +410,113 @@ class DdlMidStreamSpec extends SparkSpec {
     assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
   }
 
+  test("rename batch consumed under an ALREADY-renamed TableSync keeps pre-rename values") {
+    // regression (crash-replay degradation): a restart after a crash on a
+    // rename-carrying batch hands in a TableSync rebuilt from the
+    // already-renamed SOURCE schema. The intra-batch split's scanLeft then
+    // derives slice-0's parse schema from the post-rename shape, so
+    // pre-rename rows used to parse their old-named column to null and
+    // liftSlice's withColumnRenamed no-op'd — silent data loss in exactly
+    // the crash window the replay protocol targets. widenForRenames now
+    // parses such slices under BOTH names and liftSlice coalesces.
+    val root = Files.createTempDirectory("ddlrenamereplay").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v2 = StructType(Seq(StructField("id", LongType), StructField("amount", LongType)))
+    val t2 = TableSync("db", "t", v2, Seq("id"), Engine.ReplacingMergeTree)
+
+    // ONE file -> ONE batch: old-named DML, the rename, new-named DML —
+    // consumed by a query handed the POST-rename TableSync from the start
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t CHANGE COLUMN qty amount BIGINT", 120),
+      ev("t", "insert", """{"id":3,"amount":30}""", 200),
+      ev("t", "update", """{"id":1,"amount":11}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q.processAllAvailable(); q.stop()
+
+    val state = Consume.currentState(t2, store).get
+      .select("id", "amount").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    // rows 1 and 2 predate the rename: their qty values must land under
+    // amount, not null (row 2 is never touched after the rename)
+    assert(state == Set(
+      (1L, Some(11L)), (2L, Some(20L)), (3L, Some(30L))))
+  }
+
+  test("PK-rename batch consumed under an already-renamed TableSync keeps key resolution") {
+    // same crash-replay degradation with the renamed column being the
+    // PRIMARY KEY: pre-rename rows used to parse a null key (one resolved
+    // null-PK row swallowing them all); now they coalesce into the new key
+    val root = Files.createTempDirectory("ddlpkrenamereplay").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+
+    val v2 = StructType(Seq(StructField("ident", LongType), StructField("qty", LongType)))
+    val t2 = TableSync("db", "t", v2, Seq("ident"), Engine.ReplacingMergeTree)
+
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("t", "insert", """{"id":1,"qty":10}""", 100),
+      ev("t", "insert", """{"id":2,"qty":20}""", 110),
+      ddl("ALTER TABLE db.t CHANGE COLUMN id ident BIGINT", 120),
+      ev("t", "update", """{"ident":1,"qty":11}""", 200),
+      ev("t", "insert", """{"ident":3,"qty":30}""", 210)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t2), stateRoot, ckpt, triggerInterval = "250 milliseconds")
+    q.processAllAvailable(); q.stop()
+
+    val state = Consume.currentState(t2, store).get
+      .select("ident", "qty").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("widenForRenames recovers the whole rename chain, backwards") {
+    import graft.ddl.AlterParser._
+    val handed = StructType(Seq(
+      StructField("id", LongType), StructField("c", LongType)))
+    // a→b then b→c, schema already holds only the final name: the reverse
+    // walk must recover b (from b→c) and then a (from a→b via b)
+    val widened = Consume.widenForRenames(handed, Seq(
+      ChangeColumn("a", "b", None), ChangeColumn("b", "c", None)))
+    assert(widened.fieldNames.toSet == Set("id", "c", "b", "a"))
+    // normal-run identity: schema still carries the old name -> no change
+    val normal = StructType(Seq(
+      StructField("id", LongType), StructField("a", LongType)))
+    assert(Consume.widenForRenames(normal,
+      Seq(ChangeColumn("a", "b", None))) == normal)
+    // same-name retype is not a rename -> no change
+    assert(Consume.widenForRenames(handed,
+      Seq(ChangeColumn("c", "c", Some("BIGINT")))) == handed)
+  }
+
+  test("same-second DDL rows collect in staged-file order (deterministic tiebreak)") {
+    // binlog timestamps are second-coarse and DDL rows all carry
+    // action_seq 0 — two ALTERs in one second must apply in log order,
+    // not partition-luck order (ADD before MODIFY of the added column)
+    val root = Files.createTempDirectory("ddlorder").toString
+    val f = Paths.get(root, "b0.json")
+    Files.write(f, Seq(
+      ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 100),
+      ddl("ALTER TABLE db.t MODIFY COLUMN note TEXT", 100),
+      ddl("ALTER TABLE db.t CHANGE COLUMN note note2 TEXT", 100)
+    ).mkString("\n").getBytes("UTF-8"))
+    val batch = spark.read.schema(graft.model.ChangeEvent.wireSchema)
+      .json(f.toString)
+    val got = Consume.collectDdlAll(batch)("db").map(_._1)
+    assert(got == Seq(
+      "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)",
+      "ALTER TABLE db.t MODIFY COLUMN note TEXT",
+      "ALTER TABLE db.t CHANGE COLUMN note note2 TEXT"))
+  }
+
   test("evolveTable: sequence-replay idempotence over every short ALTER combination") {
     // the restart contract leans on this: replaying an already-applied
     // DDL batch against the evolved TableSync must converge, whatever the
