@@ -217,39 +217,40 @@ object DedupOps {
       .select(col(idCol), sha2(col(textCol), 256).as("digest"))
       .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
     val corpusD = corpus.select(sha2(col(textCol), 256).as("digest"))
-    val numBits = math.max(64L,
-      math.ceil(expectedItems * -math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // BloomFilterAggregate SILENTLY clamps both parameters to the runtime-
-    // filter session caps (maxNumBits default 64M bits = 8 MB, maxNumItems
-    // 4M) — at expectedItems beyond that the filter would be undersized
-    // with no warning, might_contain would fire for most of the batch, and
-    // the prescreen would silently degrade to the exact anti-join for
-    // nearly every row. Raise the caps for THIS build only and restore
-    // after (the aggregate reads the conf at execution, which completes
-    // inside the head() below) — leaving them raised would let the
-    // optimizer's own injected runtime filters on unrelated joins build
-    // filters at this caller's size for the rest of the session.
-    val sess = batch.sparkSession
-    val capKeys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems)
-    val saved = capKeys.map { case (k, _) => k -> sess.conf.get(k) }
-    val bloomBytes =
-      try {
-        capKeys.foreach { case (k, needed) =>
-          if (sess.conf.get(k).toLong < needed) sess.conf.set(k, needed.toString)
-        }
-        val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(
-            ColumnBridge.expression(xxhash64(col("digest"))),
-            org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
-            org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-          .toAggregateExpression()
-        corpusD.select(ColumnBridge.column(aggExpr).as("_bf"))
-          .head.getAs[Array[Byte]](0)
-      } finally saved.foreach { case (k, v) => sess.conf.set(k, v) }
-    if (bloomBytes == null) // empty corpus: aggregate yields null — all new
-      return batchD.select(col(idCol), col("digest"))
+    // The filter is built by a per-partition sketch.BloomFilter pass +
+    // pairwise merge, NOT via catalyst's BloomFilterAggregate (nor
+    // stat.bloomFilter, which delegates to it in Spark 4 — measured:
+    // a 7.3e8-bit request comes back clamped to the session's 64M-bit
+    // runtime-filter cap). The aggregate SILENTLY clamps its size to the
+    // session caps (maxNumBits default 8 MB, maxNumItems 4M), and
+    // raising those caps around the build mutates SESSION-GLOBAL conf —
+    // a concurrent query in the same session could build oversized
+    // injected runtime filters during the window, and two interleaved
+    // raise/restore pairs could race save/restore and leave a raised cap
+    // behind for the rest of the session. The direct build reads no conf
+    // at all, sizes from (expectedItems, fpp) exactly, creates each
+    // partition's filter locally (no multi-MB zero value shipped with
+    // the closure), and writes the same sketch wire format with the same
+    // putLong hashing that BloomFilterMightContain's mightContainLong
+    // reads — the codegen'd might_contain predicate below is unchanged.
+    // An empty corpus yields an empty filter: might_contain is false
+    // everywhere and every batch row lands on the definite-new side.
+    val expected = math.max(1L, expectedItems)
+    val hashedRdd = corpusD.select(xxhash64(col("digest")).as("_h"))
+      .queryExecution.toRdd
+    val bf =
+      if (hashedRdd.getNumPartitions == 0)
+        org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+      else hashedRdd.mapPartitions { rows =>
+        val f = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+        rows.foreach(r => f.putLong(r.getLong(0)))
+        Iterator.single(f)
+      }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     val mightContain = ColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(

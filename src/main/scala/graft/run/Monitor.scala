@@ -71,7 +71,8 @@ object Monitor {
     * cadence is per-trigger, so the append is a single small file per
     * batch; compact/TTL the table like any other log.
     */
-  final class PersistingListener(spark: SparkSession, path: String)
+  final class PersistingListener(spark: SparkSession, path: String,
+                                 private[run] val queueCapacity: Int = 4096)
       extends CollectingListener {
     // The write runs on a DEDICATED daemon thread, never on the listener
     // bus: a parquet append is a full (tiny) Spark job, and several
@@ -83,7 +84,16 @@ object Monitor {
     // cannot keep up the overflow row is dropped from PERSISTENCE with a
     // stderr warning (it stays in the in-memory buffer) — monitoring
     // must degrade before it degrades the stream.
-    private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](4096)
+    private val queue = new java.util.concurrent.LinkedBlockingQueue[BatchMetric](queueCapacity)
+    // error rows are never dropped for queue pressure: a full main queue
+    // sends them to this dedicated overflow, drained alongside every
+    // writer batch. (The old poll-and-reoffer displacement on the shared
+    // queue had a narrow race: if the queue refilled between poll and
+    // re-offer, the polled victim — possibly ANOTHER query's terminal
+    // error row — was dropped silently, and a re-offered error row moved
+    // to the tail, reordering persisted metrics.)
+    private val errorOverflow =
+      new java.util.concurrent.LinkedBlockingQueue[BatchMetric](1024)
     // persist() runs ONLY on the writer thread (its loop and its
     // interrupt-drain path; the shutdown hook merely joins it) — no
     // concurrent appends to the shared parquet path
@@ -102,19 +112,33 @@ object Monitor {
     private val writer = new Thread(() => {
       while (!stopping) {
         try {
-          val head = queue.take()
-          // drain whatever accumulated so a burst lands as ONE file
-          val batch = new java.util.ArrayList[BatchMetric]()
-          batch.add(head); queue.drainTo(batch)
-          import scala.jdk.CollectionConverters._
-          persist(batch.asScala.toSeq)
+          // poll-with-timeout, not take(): stopWriter() must be able to
+          // stop the loop WITHOUT interrupting — an interrupt landing
+          // inside persist()'s Spark write is wrapped NonFatal and the
+          // in-flight batch (possibly the terminal-error row) is lost
+          val head = queue.poll(200, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (head == null) {
+            // idle tick: overflow only fills while the main queue is
+            // full, but drain it anyway so no path can strand a row
+            val spill = new java.util.ArrayList[BatchMetric]()
+            errorOverflow.drainTo(spill)
+            import scala.jdk.CollectionConverters._
+            if (!spill.isEmpty) persist(spill.asScala.toSeq)
+          } else {
+            // drain whatever accumulated so a burst lands as ONE file
+            val batch = new java.util.ArrayList[BatchMetric]()
+            batch.add(head); queue.drainTo(batch)
+            errorOverflow.drainTo(batch)
+            import scala.jdk.CollectionConverters._
+            persist(batch.asScala.toSeq)
+          }
         } catch { case _: InterruptedException => stopping = true }
       }
-      // final drain on EITHER exit path (take() interrupted, or the
-      // interrupt was swallowed inside a Spark write and the loop
-      // condition caught the stop flag)
+      // final drain on EITHER exit path (poll interrupted, or the stop
+      // flag caught by the loop condition)
       val rest = new java.util.ArrayList[BatchMetric]()
       queue.drainTo(rest)
+      errorOverflow.drainTo(rest)
       import scala.jdk.CollectionConverters._
       if (!rest.isEmpty) persist(rest.asScala.toSeq)
     }, "graft-metrics-writer")
@@ -122,12 +146,19 @@ object Monitor {
     // JVM-exit drain: without it the queue's contents die with the daemon
     // writer — including the terminal-error row the C6 alerting contract
     // exists for, which is recorded at exactly the moment the process is
-    // likely exiting. The interrupt lands in the writer's drain-and-exit
-    // path; best-effort (Spark itself may already be shutting down).
+    // likely exiting. The stop flag routes the writer into its
+    // drain-and-exit path; best-effort (Spark itself may already be
+    // shutting down).
     private def stopWriter(): Unit = {
       stopping = true
-      writer.interrupt()
-      try writer.join(10000) catch { case _: InterruptedException => () }
+      // no eager interrupt: the poll timeout wakes the loop within
+      // 200 ms and lets an in-flight persist COMPLETE (an interrupt
+      // inside the Spark write would lose that batch); interrupt only
+      // a writer that is genuinely hung
+      try {
+        writer.join(10000)
+        if (writer.isAlive) { writer.interrupt(); writer.join(10000) }
+      } catch { case _: InterruptedException => () }
     }
     private val drainHook = new Thread(() => stopWriter())
     Runtime.getRuntime.addShutdownHook(drainHook)
@@ -149,25 +180,15 @@ object Monitor {
     // anti-pattern AlertingListener's contract warns about), and the
     // shutdown drain above is what makes rows durable at exit. A full
     // queue drops PROGRESS rows, never the terminal-ERROR row the C6
-    // contract reads — that one displaces the oldest queued progress row
+    // contract reads — that one rides the dedicated errorOverflow queue,
+    // which never touches (so never races or reorders) the main queue
     // (queue-full correlates with exactly the distress that produces
     // terminal errors).
     override protected def record(m: BatchMetric): BatchMetric = {
       val appended = super.record(m)
       if (!queue.offer(appended)) {
         if (appended.error.isDefined) {
-          // displace a PROGRESS row, never a queued error row (another
-          // query's terminal failure could sit at the head when the
-          // writer is hung) — bounded attempts, never blocks the bus
-          var tries = 8
-          var placed = false
-          while (!placed && tries > 0) {
-            tries -= 1
-            val victim = queue.poll()
-            if (victim != null && victim.error.isDefined) queue.offer(victim)
-            else placed = queue.offer(appended)
-          }
-          if (!placed)
+          if (!errorOverflow.offer(appended))
             System.err.println(
               s"[monitor] metrics queue full; error row for ${m.queryName} not persisted")
         } else System.err.println(
@@ -175,6 +196,9 @@ object Monitor {
       }
       appended
     }
+
+    /** Test seam (package-private): drive the record path directly. */
+    private[run] def recordDirect(m: BatchMetric): BatchMetric = record(m)
   }
 
   /** C6 — the alert dispatch hook. The reference mails terminal errors

@@ -96,14 +96,26 @@ object Produce {
           //                         provably our own pre-crash partials)
           //   batchId == produced → SKIP: the batch is fully in the
           //                         stream; verify byte-identity at the
-          //                         stream top's seq WITHOUT sending, so
-          //                         a reset that landed on the same batch
-          //                         id fails loudly with zero pollution
+          //                         stream's FIRST surviving batch entry
+          //                         and at its top WITHOUT sending, so a
+          //                         reset that landed on the same batch
+          //                         id fails loudly with zero pollution.
+          //                         (Interior entries are deliberately
+          //                         unverified — full verification would
+          //                         re-read the whole stream; first+last
+          //                         +count catches every reset shape
+          //                         except one that forges identical
+          //                         endpoints around different interiors.)
           //   batchId <  produced → reset checkpoint: fail loudly
           val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
           // SKIP schemas: the stream top's (seq, msg); byte-verified when
           // this run's event at that seq passes, pending until then
           val skipTops = scala.collection.mutable.Map.empty[String, (Long, String)]
+          // SKIP schemas: the oldest SURVIVING batch entry's (seq, msg,
+          // headIntact) — headIntact = the stream still holds pre-batch
+          // entries, so MAXLEN trimming cannot have eaten the batch head
+          val skipFirsts = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
+          val firstSeen = scala.collection.mutable.Set.empty[String]
           val pending = scala.collection.mutable.Set.empty[String]
           val sent = scala.collection.mutable.Set.empty[String]
           var seq = 0L
@@ -132,6 +144,13 @@ object Produce {
                     skipTops(schema) =
                       (top.dropWhile(_ != '-').drop(1).toLong, msg)
                     pending += schema
+                    broker.firstEntryOfBatch(schema, batchId).foreach {
+                      case (fid, fmsg) =>
+                        val headIntact = broker.firstEntry(schema).exists(
+                          _._1.takeWhile(_ != '-').toLong < batchId)
+                        skipFirsts(schema) =
+                          (fid.dropWhile(_ != '-').drop(1).toLong, fmsg, headIntact)
+                    }
                   }
                 }
                 false
@@ -141,7 +160,35 @@ object Produce {
               buf += ((schema, s"$batchId-$seq", value))
               sent += schema
               if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
-            } else if (skipTops.nonEmpty)
+            } else {
+              // first-entry leg: this run's FIRST event for a SKIP schema
+              // must sit at the stream's first surviving batch entry
+              if (firstSeen.add(schema))
+                skipFirsts.get(schema).foreach { case (fs, fmsg, headIntact) =>
+                  if (seq == fs) {
+                    if (value != fmsg)
+                      throw new IllegalStateException(
+                        s"stream for schema $schema already holds a DIFFERENT " +
+                          s"event at id $batchId-$seq: the producer checkpoint " +
+                          "was reset onto an existing stream — refusing to " +
+                          "silently drop events")
+                  } else if (seq > fs)
+                    throw new IllegalStateException(
+                      s"schema $schema: the stream's copy of batch $batchId " +
+                        s"starts at $batchId-$fs, BEFORE this run's first event " +
+                        s"at seq $seq: producer checkpoint reset onto an " +
+                        "existing stream — refusing to silently drop events")
+                  else if (headIntact)
+                    throw new IllegalStateException(
+                      s"schema $schema: the stream's copy of batch $batchId " +
+                        s"starts at $batchId-$fs but this run's first event is " +
+                        s"at seq $seq, and the stream still holds pre-batch " +
+                        "entries so MAXLEN trimming cannot explain the gap: " +
+                        "producer checkpoint reset onto an existing stream — " +
+                        "refusing to silently drop events")
+                  // else: MAXLEN trimmed into the batch head — trust the
+                  // produced-batch commit (the top leg still verifies)
+                }
               skipTops.get(schema).foreach { case (topSeq, topMsg) =>
                 // a faithful replay's LAST event for this schema sits at
                 // exactly topSeq — a row beyond it means this run's batch
@@ -163,6 +210,7 @@ object Produce {
                   pending -= schema // byte-identical: a completed batch
                 }
               }
+            }
           }
           broker.sendBatchAt(buf.toSeq)
           // a SKIP schema whose top seq never matched: the stream's copy

@@ -84,15 +84,31 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * empty; a top entry WITHOUT a `msg` field (foreign producer) still
     * yields its id, with an empty msg. */
   def lastEntry(schema: String): Option[(String, String)] =
-    client.command("XREVRANGE", queueKey(schema), "+", "-", "COUNT", "1") match {
-      case s: Seq[_] if s.nonEmpty =>
-        val e = s.head.asInstanceOf[Seq[Any]]
-        val id = e.head.asInstanceOf[String]
-        val msg = e(1).asInstanceOf[Seq[String]].grouped(2)
-          .collectFirst { case Seq("msg", v) => v }
-        Some(id -> msg.getOrElse(""))
-      case _ => None
-    }
+    entryAt(client.command("XREVRANGE", queueKey(schema), "+", "-", "COUNT", "1"))
+
+  private def entryAt(reply: Any): Option[(String, String)] = reply match {
+    case s: Seq[_] if s.nonEmpty =>
+      val e = s.head.asInstanceOf[Seq[Any]]
+      val id = e.head.asInstanceOf[String]
+      val msg = e(1).asInstanceOf[Seq[String]].grouped(2)
+        .collectFirst { case Seq("msg", v) => v }
+      Some(id -> msg.getOrElse(""))
+    case _ => None
+  }
+
+  /** The OLDEST surviving entry of a schema's stream as (id, msg) —
+    * None when empty. Together with [[firstEntryOfBatch]] this lets the
+    * produce SKIP verification tell "MAXLEN trimmed the batch's head"
+    * from "the stream's copy of the batch starts later than ours". */
+  def firstEntry(schema: String): Option[(String, String)] =
+    entryAt(client.command("XRANGE", queueKey(schema), "-", "+", "COUNT", "1"))
+
+  /** The oldest SURVIVING entry of batch `batchId` in a schema's stream
+    * (MAXLEN trimming eats from the head, so this may be later than the
+    * batch's true first entry) — None when the whole batch was trimmed. */
+  def firstEntryOfBatch(schema: String, batchId: Long): Option[(String, String)] =
+    entryAt(client.command("XRANGE", queueKey(schema),
+      s"$batchId-0", batchId.toString, "COUNT", "1"))
 
   private def producedKey = s"$prefix:$alias:produced_batch"
 
@@ -104,8 +120,10 @@ final class RedisBroker(host: String, port: Int, alias: String,
     *  - batchId <  produced: a RESET checkpoint (a healthy lineage only
     *    ever replays its LAST batch) — fail loudly;
     *  - batchId == produced: the batch is already fully in the stream —
-    *    verify one entry byte-identical and SKIP (no re-send, so no
-    *    stream pollution on mismatch);
+    *    verify the first and last surviving batch entries byte-identical
+    *    (plus the count bound) and SKIP (no re-send, so no stream
+    *    pollution on mismatch); interior entries are deliberately
+    *    unverified — see [[graft.run.Produce.toRedis]];
     *  - batchId >  produced: send; any "equal or smaller ID" rejection
     *    can only be this run's OWN partial pre-crash attempt of this
     *    same deterministic batch (a completed earlier production would

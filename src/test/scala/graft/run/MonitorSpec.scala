@@ -97,4 +97,39 @@ class MonitorSpec extends SparkSpec {
       assert(alerts.peek().error.isDefined)
     } finally spark.streams.removeListener(listener)
   }
+
+  test("error rows survive queue pressure: every error row is persisted (C6)") {
+    // regression: the old poll-and-reoffer displacement could silently
+    // drop a polled error row when the queue refilled between poll and
+    // offer; error rows now ride a dedicated overflow queue the writer
+    // drains with every batch — under a concurrent burst against a
+    // capacity-1 main queue, ALL error rows must reach the parquet table
+    val path = Files.createTempDirectory("metricsburst").toString + "/log"
+    val listener = new Monitor.PersistingListener(spark, path, queueCapacity = 1)
+    try {
+      val nThreads = 4; val perThread = 50
+      val threads = (0 until nThreads).map { t =>
+        new Thread(() => {
+          (0 until perThread).foreach { i =>
+            listener.recordDirect(Monitor.BatchMetric(
+              s"q$t", batchId = i.toLong, numEvents = 1L,
+              System.currentTimeMillis()))
+            listener.recordDirect(Monitor.BatchMetric(
+              s"q$t", batchId = -1L, numEvents = 0L,
+              System.currentTimeMillis(), error = Some(s"err-$t-$i")))
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      listener.close() // drains and persists everything still queued
+
+      val persisted = Monitor.metricsTable(spark, path)
+        .collect().flatMap(r => Option(r.getAs[String]("error"))).toSet
+      val expected =
+        (for (t <- 0 until nThreads; i <- 0 until perThread)
+          yield s"err-$t-$i").toSet
+      assert(persisted == expected,
+        s"lost error rows: ${(expected -- persisted).take(5)}...")
+    } finally spark.streams.removeListener(listener)
+  }
 }

@@ -79,6 +79,34 @@ final class FakeRedisServer extends AutoCloseable {
           val id = s"$ms-$sq"
           s"*1\r\n*2\r\n${bulk(id)}*${fs.length}\r\n${fs.map(bulk).mkString}"
         }
+      case "XRANGE" =>
+        // XRANGE key start end [COUNT n] — '-'/'+' sentinels and partial
+        // ids (a bare ms means ms-0 as start, ms-MAX as end), per the
+        // real Redis contract the first-entry produce verification uses
+        val buf = streams.getOrElse(args(1), mutable.ArrayBuffer.empty)
+        var count = Int.MaxValue
+        if (args.length >= 6 && args(4).equalsIgnoreCase("COUNT"))
+          count = args(5).toInt
+        val lo = args(2) match {
+          case "-" => (Long.MinValue, Long.MinValue)
+          case s => parseId(s) // bare ms parses as ms-0
+        }
+        val hi = args(3) match {
+          case "+" => (Long.MaxValue, Long.MaxValue)
+          case s => s.split("-") match {
+            case Array(ms) => (ms.toLong, Long.MaxValue)
+            case Array(ms, sq) => (ms.toLong, sq.toLong)
+          }
+        }
+        val hits = buf.iterator.filter { case (ms, sq, _) =>
+          (ms > lo._1 || (ms == lo._1 && sq >= lo._2)) &&
+            (ms < hi._1 || (ms == hi._1 && sq <= hi._2))
+        }.take(count).toSeq
+        def bulk(s: String) = s"$$${s.getBytes(UTF_8).length}\r\n$s\r\n"
+        val entries = hits.map { case (ms, sq, fs) =>
+          s"*2\r\n${bulk(s"$ms-$sq")}*${fs.length}\r\n${fs.map(bulk).mkString}"
+        }.mkString
+        s"*${hits.length}\r\n$entries"
       case "XLEN" =>
         s":${streams.get(args(1)).map(_.length).getOrElse(0)}\r\n"
       case "XREAD" =>
