@@ -85,148 +85,213 @@ object Produce {
           val it = df.orderBy(col("event_unixtime").asc, col("action_seq").asc,
               col("schema").asc, col("value").asc)
             .select(col("schema"), col("value")).toLocalIterator()
-          // pipelined chunks: ordering is per XADD sequence, so chunking
-          // only amortizes round-trips, it never reorders
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-          // Per-schema mode from the broker-side produce commit
-          // (RedisBroker.producedBatch — see its scaladoc for the replay/
-          // reset/foreign case analysis):
-          //   batchId >  produced → SEND (guard the top against foreign
-          //                         ids first; prefix rejections are then
-          //                         provably our own pre-crash partials)
-          //   batchId == produced → SKIP: the batch is fully in the
-          //                         stream; verify byte-identity at the
-          //                         stream's FIRST surviving batch entry
-          //                         and at its top WITHOUT sending, so a
-          //                         reset that landed on the same batch
-          //                         id fails loudly with zero pollution.
-          //                         (Interior entries are deliberately
-          //                         unverified — full verification would
-          //                         re-read the whole stream; first+last
-          //                         +count catches every reset shape
-          //                         except one that forges identical
-          //                         endpoints around different interiors.)
-          //   batchId <  produced → reset checkpoint: fail loudly
-          val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
-          // SKIP schemas: the stream top's (seq, msg); byte-verified when
-          // this run's event at that seq passes, pending until then
-          val skipTops = scala.collection.mutable.Map.empty[String, (Long, String)]
-          // SKIP schemas: the oldest SURVIVING batch entry's (seq, msg,
-          // headIntact) — headIntact = the stream still holds pre-batch
-          // entries, so MAXLEN trimming cannot have eaten the batch head
-          val skipFirsts = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
-          val firstSeen = scala.collection.mutable.Set.empty[String]
-          val pending = scala.collection.mutable.Set.empty[String]
-          val sent = scala.collection.mutable.Set.empty[String]
-          var seq = 0L
-          while (it.hasNext) {
-            val r = it.next()
-            val schema = r.getString(0)
-            val value = r.getString(1)
-            seq += 1
-            val send = sendMode.getOrElseUpdate(schema, {
-              val produced = broker.producedBatch(schema)
-              if (batchId < produced)
-                throw new IllegalStateException(
-                  s"schema $schema was already produced through batch " +
-                    s"$produced but this run is at batch $batchId: the " +
-                    "producer checkpoint was reset — refusing to silently " +
-                    "drop events (re-point the checkpoint, or clear the " +
-                    "stream AND its produced_batch commit)")
-              else if (batchId == produced) {
-                // a top BEYOND the committed batch is a foreign entry
-                // XADDed after the commit — skipping unverified against
-                // it would be the silent-drop shape again; a top BELOW
-                // means MAXLEN trimmed the batch away (trust the commit)
-                broker.guardForeignTop(schema, batchId)
-                broker.lastEntry(schema).foreach { case (top, msg) =>
-                  if (top.takeWhile(_ != '-').toLong == batchId) {
-                    skipTops(schema) =
-                      (top.dropWhile(_ != '-').drop(1).toLong, msg)
-                    pending += schema
-                    broker.firstEntryOfBatch(schema, batchId).foreach {
-                      case (fid, fmsg) =>
-                        val headIntact = broker.firstEntry(schema).exists(
-                          _._1.takeWhile(_ != '-').toLong < batchId)
-                        skipFirsts(schema) =
-                          (fid.dropWhile(_ != '-').drop(1).toLong, fmsg, headIntact)
-                    }
-                  }
-                }
-                false
-              } else { broker.guardForeignTop(schema, batchId); true }
-            })
-            if (send) {
-              buf += ((schema, s"$batchId-$seq", value))
-              sent += schema
-              if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
-            } else {
-              // first-entry leg: this run's FIRST event for a SKIP schema
-              // must sit at the stream's first surviving batch entry
-              if (firstSeen.add(schema))
-                skipFirsts.get(schema).foreach { case (fs, fmsg, headIntact) =>
-                  if (seq == fs) {
-                    if (value != fmsg)
-                      throw new IllegalStateException(
-                        s"stream for schema $schema already holds a DIFFERENT " +
-                          s"event at id $batchId-$seq: the producer checkpoint " +
-                          "was reset onto an existing stream — refusing to " +
-                          "silently drop events")
-                  } else if (seq > fs)
-                    throw new IllegalStateException(
-                      s"schema $schema: the stream's copy of batch $batchId " +
-                        s"starts at $batchId-$fs, BEFORE this run's first event " +
-                        s"at seq $seq: producer checkpoint reset onto an " +
-                        "existing stream — refusing to silently drop events")
-                  else if (headIntact)
-                    throw new IllegalStateException(
-                      s"schema $schema: the stream's copy of batch $batchId " +
-                        s"starts at $batchId-$fs but this run's first event is " +
-                        s"at seq $seq, and the stream still holds pre-batch " +
-                        "entries so MAXLEN trimming cannot explain the gap: " +
-                        "producer checkpoint reset onto an existing stream — " +
-                        "refusing to silently drop events")
-                  // else: MAXLEN trimmed into the batch head — trust the
-                  // produced-batch commit (the top leg still verifies)
-                }
-              skipTops.get(schema).foreach { case (topSeq, topMsg) =>
-                // a faithful replay's LAST event for this schema sits at
-                // exactly topSeq — a row beyond it means this run's batch
-                // has MORE events than the produced copy (reset onto a
-                // superset source): fail, never silently drop the tail
-                if (seq > topSeq)
-                  throw new IllegalStateException(
-                    s"schema $schema: this run's batch $batchId has events " +
-                      s"beyond the produced copy's last entry $batchId-$topSeq: " +
-                      "producer checkpoint reset onto an existing stream — " +
-                      "refusing to silently drop events")
-                if (seq == topSeq) {
-                  if (value != topMsg)
-                    throw new IllegalStateException(
-                      s"stream for schema $schema already holds a DIFFERENT " +
-                        s"event at id $batchId-$seq: the producer checkpoint " +
-                        "was reset onto an existing stream — refusing to " +
-                        "silently drop events")
-                  pending -= schema // byte-identical: a completed batch
-                }
-              }
-            }
-          }
-          broker.sendBatchAt(buf.toSeq)
-          // a SKIP schema whose top seq never matched: the stream's copy
-          // of this batch has MORE events than ours — reset, nothing sent
-          if (pending.nonEmpty)
-            throw new IllegalStateException(
-              s"streams ${pending.mkString(",")} hold batch-$batchId " +
-                s"entries this run's $seq events never reproduced: producer " +
-                "checkpoint reset onto an existing stream — refusing to " +
-                "silently drop events")
-          broker.commitProducedAll(sent, batchId)
+          import scala.jdk.CollectionConverters._
+          produceBatch(broker,
+            it.asScala.map(r => (r.getString(0), r.getString(1))), batchId)
         } finally broker.close()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
+
+  /** One micro-batch of the exactly-once Redis produce protocol, over
+    * the batch's rows in TOTAL (deterministic, replay-stable) order.
+    * Package-private so the crash-matrix spec can drive every crash
+    * point × resume directly (ProduceProtocolSpec).
+    */
+  private[run] def produceBatch(broker: graft.streaming.RedisBroker,
+                                rows: Iterator[(String, String)],
+                                batchId: Long): Unit = {
+    // pipelined chunks: ordering is per XADD sequence, so chunking
+    // only amortizes round-trips, it never reorders
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    // Per-schema mode from the broker-side produce commit
+    // (RedisBroker.producedBatch — see its scaladoc for the replay/
+    // reset/foreign case analysis):
+    //   batchId >  produced → SEND (guard the top against foreign
+    //                         ids first; when the top sits INSIDE
+    //                         this batch's id space it must be this
+    //                         run's own pre-crash partial — verify
+    //                         byte-identity at that seq, so a
+    //                         foreign entry crafted into the batch
+    //                         space cannot silently swallow the
+    //                         replayed event whose id it occupies;
+    //                         prefix rejections are then provably
+    //                         our own pre-crash partials)
+    //   batchId == produced → SKIP: the batch is fully in the
+    //                         stream; verify byte-identity at the
+    //                         stream's FIRST surviving batch entry
+    //                         and at its top WITHOUT sending, so a
+    //                         reset that landed on the same batch
+    //                         id fails loudly with zero pollution.
+    //                         (Interior entries are deliberately
+    //                         unverified — full verification would
+    //                         re-read the whole stream; first+last
+    //                         +count catches every reset shape
+    //                         except one that forges identical
+    //                         endpoints around different interiors.)
+    //   batchId <  produced → reset checkpoint: fail loudly
+    val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
+    // SKIP schemas: the stream top's (seq, msg); byte-verified when
+    // this run's event at that seq passes, pending until then
+    val skipTops = scala.collection.mutable.Map.empty[String, (Long, String)]
+    // SKIP schemas: the oldest SURVIVING batch entry's (seq, msg,
+    // headIntact) — headIntact = the stream still holds pre-batch
+    // entries, so MAXLEN trimming cannot have eaten the batch head
+    val skipFirsts = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
+    val firstSeen = scala.collection.mutable.Set.empty[String]
+    val pending = scala.collection.mutable.Set.empty[String]
+    // SEND schemas whose stream top sits inside this batch's id
+    // space: a genuine replay's top is this run's own pre-crash
+    // partial — (topSeq, topMsg) byte-verified when this run's
+    // event at that seq passes, pending until then
+    val sendTops = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val pendingSend = scala.collection.mutable.Set.empty[String]
+    val sent = scala.collection.mutable.Set.empty[String]
+    var seq = 0L
+    while (rows.hasNext) {
+      val (schema, value) = rows.next()
+      seq += 1
+      val send = sendMode.getOrElseUpdate(schema, {
+        val produced = broker.producedBatch(schema)
+        if (batchId < produced)
+          throw new IllegalStateException(
+            s"schema $schema was already produced through batch " +
+              s"$produced but this run is at batch $batchId: the " +
+              "producer checkpoint was reset — refusing to silently " +
+              "drop events (re-point the checkpoint, or clear the " +
+              "stream AND its produced_batch commit)")
+        else if (batchId == produced) {
+          // a top BEYOND the committed batch is a foreign entry
+          // XADDed after the commit — skipping unverified against
+          // it would be the silent-drop shape again; a top BELOW
+          // means MAXLEN trimmed the batch away (trust the commit)
+          broker.guardForeignTop(schema, batchId)
+          broker.lastEntry(schema).foreach { case (top, msg) =>
+            if (top.takeWhile(_ != '-').toLong == batchId) {
+              skipTops(schema) =
+                (top.dropWhile(_ != '-').drop(1).toLong, msg)
+              pending += schema
+              broker.firstEntryOfBatch(schema, batchId).foreach {
+                case (fid, fmsg) =>
+                  val headIntact = broker.firstEntry(schema).exists(
+                    _._1.takeWhile(_ != '-').toLong < batchId)
+                  skipFirsts(schema) =
+                    (fid.dropWhile(_ != '-').drop(1).toLong, fmsg, headIntact)
+              }
+            }
+          }
+          false
+        } else {
+          broker.guardForeignTop(schema, batchId)
+          broker.lastEntry(schema).foreach { case (top, msg) =>
+            if (top.takeWhile(_ != '-').toLong == batchId) {
+              sendTops(schema) =
+                (top.dropWhile(_ != '-').drop(1).toLong, msg)
+              pendingSend += schema
+            }
+          }
+          true
+        }
+      })
+      if (send) {
+        sendTops.get(schema).foreach { case (topSeq, topMsg) =>
+          if (seq == topSeq) {
+            if (value != topMsg)
+              throw new IllegalStateException(
+                s"stream for schema $schema holds a DIFFERENT event at " +
+                  s"the replayed id $batchId-$seq: a foreign producer " +
+                  "wrote into this batch's id space, or the checkpoint " +
+                  "was reset onto a diverged stream — refusing to " +
+                  "silently drop events")
+            pendingSend -= schema // byte-identical: our own partial
+          } else if (seq > topSeq && pendingSend.contains(schema))
+            // passing the top without reproducing it proves the top
+            // is not ours — fail BEFORE any id beyond it can flush
+            // (ids below the top are reject-swallowed, never added)
+            throw new IllegalStateException(
+              s"stream for schema $schema holds a batch-$batchId top " +
+                s"entry at seq $topSeq this run's events never " +
+                "reproduced: a foreign producer wrote into this " +
+                "batch's id space — refusing to silently drop events")
+        }
+        buf += ((schema, s"$batchId-$seq", value))
+        sent += schema
+        if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
+      } else {
+        // first-entry leg: this run's FIRST event for a SKIP schema
+        // must sit at the stream's first surviving batch entry
+        if (firstSeen.add(schema))
+          skipFirsts.get(schema).foreach { case (fs, fmsg, headIntact) =>
+            if (seq == fs) {
+              if (value != fmsg)
+                throw new IllegalStateException(
+                  s"stream for schema $schema already holds a DIFFERENT " +
+                    s"event at id $batchId-$seq: the producer checkpoint " +
+                    "was reset onto an existing stream — refusing to " +
+                    "silently drop events")
+            } else if (seq > fs)
+              throw new IllegalStateException(
+                s"schema $schema: the stream's copy of batch $batchId " +
+                  s"starts at $batchId-$fs, BEFORE this run's first event " +
+                  s"at seq $seq: producer checkpoint reset onto an " +
+                  "existing stream — refusing to silently drop events")
+            else if (headIntact)
+              throw new IllegalStateException(
+                s"schema $schema: the stream's copy of batch $batchId " +
+                  s"starts at $batchId-$fs but this run's first event is " +
+                  s"at seq $seq, and the stream still holds pre-batch " +
+                  "entries so MAXLEN trimming cannot explain the gap: " +
+                  "producer checkpoint reset onto an existing stream — " +
+                  "refusing to silently drop events")
+            // else: MAXLEN trimmed into the batch head — trust the
+            // produced-batch commit (the top leg still verifies)
+          }
+        skipTops.get(schema).foreach { case (topSeq, topMsg) =>
+          // a faithful replay's LAST event for this schema sits at
+          // exactly topSeq — a row beyond it means this run's batch
+          // has MORE events than the produced copy (reset onto a
+          // superset source): fail, never silently drop the tail
+          if (seq > topSeq)
+            throw new IllegalStateException(
+              s"schema $schema: this run's batch $batchId has events " +
+                s"beyond the produced copy's last entry $batchId-$topSeq: " +
+                "producer checkpoint reset onto an existing stream — " +
+                "refusing to silently drop events")
+          if (seq == topSeq) {
+            if (value != topMsg)
+              throw new IllegalStateException(
+                s"stream for schema $schema already holds a DIFFERENT " +
+                  s"event at id $batchId-$seq: the producer checkpoint " +
+                  "was reset onto an existing stream — refusing to " +
+                  "silently drop events")
+            pending -= schema // byte-identical: a completed batch
+          }
+        }
+      }
+    }
+    // a SEND schema whose in-batch top seq never matched any of
+    // this run's events: the top cannot be our pre-crash partial —
+    // a foreign entry occupies our id space, and sending would let
+    // the id-rejection swallow real events as already-delivered.
+    // Checked BEFORE the final flush so nothing lands post-facto.
+    if (pendingSend.nonEmpty)
+      throw new IllegalStateException(
+        s"streams ${pendingSend.mkString(",")} hold batch-$batchId " +
+          "top entries this run's events never reproduced: a foreign " +
+          "producer wrote into this batch's id space — refusing to " +
+          "silently drop events")
+    broker.sendBatchAt(buf.toSeq)
+    // a SKIP schema whose top seq never matched: the stream's copy
+    // of this batch has MORE events than ours — reset, nothing sent
+    if (pending.nonEmpty)
+      throw new IllegalStateException(
+        s"streams ${pending.mkString(",")} hold batch-$batchId " +
+          s"entries this run's $seq events never reproduced: producer " +
+          "checkpoint reset onto an existing stream — refusing to " +
+          "silently drop events")
+    broker.commitProducedAll(sent, batchId)
+  }
 
   /** Hermetic broker stand-in: JSON files partitioned by schema — same
     * routing contract (one directory per schema, FIFO within). */

@@ -1,0 +1,307 @@
+package graft.run
+
+import graft.sources.FakeRedisServer
+import graft.streaming.RedisBroker
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial crash-matrix for the exactly-once Redis produce protocol
+  * ([[Produce.produceBatch]] + [[RedisBroker]]'s producedBatch/
+  * guardForeignTop/sendBatchAt/commitProducedAll): every crash point ×
+  * resume must leave the stream byte-identical to a no-crash run, and
+  * every adversary shape (foreign XADD above / inside / beyond the batch
+  * id space, MAXLEN trim, checkpoint reset onto a diverged stream) must
+  * either be provably harmless or fail loudly — never silently drop or
+  * corrupt events. The broker under test is the REAL RedisBroker over a
+  * real socket; crashes are injected at command boundaries
+  * ([[FakeRedisServer.failAfterWrites]] — the write is not applied and
+  * the connection dies, a producer killed mid-pipeline) and at row
+  * boundaries (a throwing row iterator — a producer killed between
+  * chunks).
+  *
+  * No Spark session needed: the protocol is driver-side by design.
+  */
+class ProduceProtocolSpec extends AnyFunSuite {
+
+  private def ev(schema: String, i: Int): String =
+    s"""{"s":"$schema","n":$i,"payload":"p$i"}"""
+
+  /** Deterministic interleaved two-schema workload for batch `b`. */
+  private def batchRows(b: Int, n: Int): Seq[(String, String)] =
+    (1 to n).map(i =>
+      (if (i % 3 == 0) "db2" else "db1", ev(if (i % 3 == 0) "db2" else "db1", b * 10000 + i)))
+
+  private val schemas = Seq("db1", "db2")
+  private def key(s: String) = s"synch:a:$s"
+
+  private def withServer[T](f: FakeRedisServer => T): T = {
+    val server = new FakeRedisServer
+    try f(server) finally server.close()
+  }
+
+  private def broker(server: FakeRedisServer, maxLen: Long = 1000000L) =
+    new RedisBroker("127.0.0.1", server.port, alias = "a", queueMaxLen = maxLen)
+
+  private def runBatch(server: FakeRedisServer, rows: Seq[(String, String)],
+                       batchId: Long, maxLen: Long = 1000000L): Unit = {
+    val b = broker(server, maxLen)
+    try Produce.produceBatch(b, rows.iterator, batchId)
+    finally b.close()
+  }
+
+  /** Full server state relevant to the protocol: every stream's (id,
+    * fields) plus the produced-batch commit hash. */
+  private def snapshot(server: FakeRedisServer): Map[String, Any] =
+    schemas.map(s => s -> server.dumpStream(key(s))).toMap +
+      ("produced" -> server.dumpHash("synch:a:produced_batch"))
+
+  /** The no-crash reference state after the given batches. */
+  private def reference(batches: Seq[(Long, Seq[(String, String)])],
+                        maxLen: Long = 1000000L): Map[String, Any] =
+    withServer { server =>
+      batches.foreach { case (id, rows) => runBatch(server, rows, id, maxLen) }
+      snapshot(server)
+    }
+
+  // ---------------------------------------------------------------------
+  // Crash matrix: command-boundary crashes at every interesting write
+  // count, then resume; final state must equal the no-crash reference.
+  // Batch 0 has 40 XADD writes + 1 HSET (commit) = 41 writes; batch 1
+  // likewise. Crash points: before any XADD (0), first XADD (1), mid
+  // pipeline (7, 23), last XADD (39), all XADDs but not the commit (40).
+  // ---------------------------------------------------------------------
+  test("crash at every command boundary of batch 0, then resume, is byte-identical") {
+    val b0 = batchRows(0, 40); val b1 = batchRows(1, 40)
+    val ref = reference(Seq(0L -> b0, 1L -> b1))
+    for (crashAt <- Seq(0L, 1L, 7L, 23L, 39L, 40L)) {
+      withServer { server =>
+        server.failAfterWrites(crashAt)
+        val crashed = intercept[Exception] { runBatch(server, b0, 0L) }
+        assert(!crashed.isInstanceOf[IllegalStateException],
+          s"crashAt=$crashAt: protocol error instead of transport crash: $crashed")
+        server.failAfterWrites(-1) // "restart"
+        runBatch(server, b0, 0L) // Spark replays the uncommitted batch
+        runBatch(server, b1, 1L)
+        assert(snapshot(server) == ref, s"state diverged after crashAt=$crashAt")
+      }
+    }
+  }
+
+  test("crash between pipelined chunks (row-boundary) then resume is byte-identical") {
+    // >512 rows forces multiple sendBatchAt flushes; a throwing iterator
+    // models a producer killed between chunks (some chunks applied)
+    val big = batchRows(0, 1100)
+    val ref = reference(Seq(0L -> big))
+    for (crashRow <- Seq(1, 511, 512, 513, 1024, 1099)) {
+      withServer { server =>
+        val b = broker(server)
+        val it = big.iterator.zipWithIndex.map { case (r, i) =>
+          if (i == crashRow) throw new RuntimeException("producer killed")
+          r
+        }
+        intercept[RuntimeException] {
+          try Produce.produceBatch(b, it, 0L) finally b.close()
+        }
+        runBatch(server, big, 0L)
+        assert(snapshot(server) == ref, s"state diverged after crashRow=$crashRow")
+      }
+    }
+  }
+
+  test("crash after commit but before checkpoint (full batch replay) is a verified no-op") {
+    val b0 = batchRows(0, 40)
+    val ref = reference(Seq(0L -> b0))
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      runBatch(server, b0, 0L) // checkpoint never advanced: Spark replays
+      assert(snapshot(server) == ref)
+    }
+  }
+
+  test("crash mid-XADD + replay + crash mid-commit + replay still converges") {
+    // two successive crashes in one batch's lifetime: partial XADD, then
+    // all XADDs but a dead commit, then a clean third attempt
+    val b0 = batchRows(0, 40); val b1 = batchRows(1, 40)
+    val ref = reference(Seq(0L -> b0, 1L -> b1))
+    withServer { server =>
+      server.failAfterWrites(13)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      // replay: 27 remaining XADDs apply (13 replays rejected as dup,
+      // costing no writes), then the commit HSET dies
+      server.failAfterWrites(27)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      runBatch(server, b0, 0L)
+      runBatch(server, b1, 1L)
+      assert(snapshot(server) == ref)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Adversaries
+  // ---------------------------------------------------------------------
+  test("foreign XADD with a realistic (wall-clock) id after a crash fails loudly") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(7)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val foreign = new graft.sources.RespClient("127.0.0.1", server.port)
+      try foreign.command("XADD", key("db1"), "1755000000000-0", "msg", "{intruder}")
+      finally foreign.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("foreign"), e.getMessage)
+    }
+  }
+
+  test("foreign XADD crafted INSIDE the batch id space fails loudly (occupied seq)") {
+    // the nastiest shape: after a partial crash the adversary writes the
+    // NEXT id our replay would use, with different bytes — the replay's
+    // XADD would be reject-swallowed and the event silently corrupted if
+    // the send-mode top verification didn't byte-check that seq
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(7) // applied XADDs end at some 0-seq id
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val bk = broker(server)
+      val topSeq = try bk.lastEntry("db1").get._1.split("-")(1).toLong
+      finally bk.close()
+      val foreign = new graft.sources.RespClient("127.0.0.1", server.port)
+      try foreign.command("XADD", key("db1"), s"0-${topSeq + 1}", "msg", "{intruder}")
+      finally foreign.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("DIFFERENT event") ||
+        e.getMessage.contains("never reproduced"), e.getMessage)
+    }
+  }
+
+  test("foreign XADD beyond the batch's last seq fails loudly (top never reproduced)") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(7)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      // 40 rows -> max global seq 40; plant a top at seq 50
+      val foreign = new graft.sources.RespClient("127.0.0.1", server.port)
+      try foreign.command("XADD", key("db1"), "0-50", "msg", "{intruder}")
+      finally foreign.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("never reproduced"), e.getMessage)
+    }
+  }
+
+  test("MAXLEN trim: committed-batch replay tolerates a trimmed head, verifies the top") {
+    // stream cap 10 < 27 db1-events: after the commit the head of the
+    // batch is gone; a full replay (skip mode) must trust the commit —
+    // trim is the only explanation consistent with surviving pre-batch
+    // ids — and still byte-verify the surviving top
+    val b0 = batchRows(0, 40)
+    val ref = reference(Seq(0L -> b0), maxLen = 10L)
+    withServer { server =>
+      runBatch(server, b0, 0L, maxLen = 10L)
+      runBatch(server, b0, 0L, maxLen = 10L) // replay after checkpoint loss
+      assert(snapshot(server) == ref)
+    }
+  }
+
+  test("MAXLEN trim mid-crash: partial XADDs trimmed, resume still converges") {
+    val b0 = batchRows(0, 40)
+    val ref = reference(Seq(0L -> b0), maxLen = 10L)
+    withServer { server =>
+      server.failAfterWrites(30)
+      intercept[Exception] { runBatch(server, b0, 0L, maxLen = 10L) }
+      server.failAfterWrites(-1)
+      runBatch(server, b0, 0L, maxLen = 10L)
+      assert(snapshot(server) == ref)
+    }
+  }
+
+  test("reset onto a committed stream with a DIFFERENT first event fails loudly") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      // a reset re-runs batch 0 from a diverged source: same count, same
+      // last event, different FIRST event — only the first-entry leg of
+      // the skip verification can catch this
+      val diverged = b0.updated(0, (b0.head._1, """{"s":"db1","n":666,"payload":"evil"}"""))
+      val e = intercept[IllegalStateException] { runBatch(server, diverged, 0L) }
+      assert(e.getMessage.contains("DIFFERENT event"), e.getMessage)
+      assert(snapshot(server) == reference(Seq(0L -> b0)), "stream was polluted")
+    }
+  }
+
+  test("reset onto a committed stream with a DIFFERENT last event fails loudly") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      val diverged = b0.updated(39, (b0.last._1, """{"s":"db1","n":666,"payload":"evil"}"""))
+      val e = intercept[IllegalStateException] { runBatch(server, diverged, 0L) }
+      assert(e.getMessage.contains("DIFFERENT event"), e.getMessage)
+    }
+  }
+
+  test("reset onto a committed stream with MORE events (superset tail) fails loudly") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      val superset = b0 ++ Seq(("db1", """{"s":"db1","n":999}"""))
+      val e = intercept[IllegalStateException] { runBatch(server, superset, 0L) }
+      assert(e.getMessage.contains("beyond the produced copy"), e.getMessage)
+    }
+  }
+
+  test("reset onto a committed stream with FEWER events (subset) fails loudly") {
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      val subset = b0.dropRight(3)
+      val e = intercept[IllegalStateException] { runBatch(server, subset, 0L) }
+      assert(e.getMessage.contains("never reproduced"), e.getMessage)
+    }
+  }
+
+  test("reset to an EARLIER batch id than the commit fails loudly") {
+    val b0 = batchRows(0, 40); val b1 = batchRows(1, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      runBatch(server, b1, 1L)
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("checkpoint was reset"), e.getMessage)
+    }
+  }
+
+  test("documented residual: identical endpoints around a diverged interior pass the skip check") {
+    // the skip verification is first+last+count by design (full interior
+    // verification would re-read the whole stream); this pins the
+    // documented residual so a future tightening shows up as a diff here
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      // diverge an interior db1 event only (index 4 -> global seq 5,
+      // neither first nor last for db1)
+      val diverged = b0.updated(4, (b0(4)._1, """{"s":"db1","n":777,"payload":"interior"}"""))
+      runBatch(server, diverged, 0L) // passes: endpoints + count match
+      assert(snapshot(server) == reference(Seq(0L -> b0)),
+        "the skip path must never write")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-schema atomicity
+  // ---------------------------------------------------------------------
+  test("commitProducedAll is one atomic HSET: no schema can be half-committed") {
+    // crash ON the commit write: neither schema's produced_batch moves,
+    // both replay in SEND mode, and the final state still converges
+    val b0 = batchRows(0, 40)
+    val ref = reference(Seq(0L -> b0))
+    withServer { server =>
+      server.failAfterWrites(40) // all XADDs land, the single HSET dies
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      assert(server.dumpHash("synch:a:produced_batch").isEmpty,
+        "a partial commit is impossible by construction")
+      server.failAfterWrites(-1)
+      runBatch(server, b0, 0L)
+      assert(snapshot(server) == ref)
+    }
+  }
+}

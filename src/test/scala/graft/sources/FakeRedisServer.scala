@@ -27,6 +27,35 @@ final class FakeRedisServer extends AutoCloseable {
   private val hashes = mutable.Map.empty[String, mutable.Map[String, String]]
   @volatile private var closed = false
 
+  /** Fault injection for crash-matrix tests: when >= 0, every WRITE
+    * command (XADD/HSET) after the first `n` applied ones is NOT applied
+    * and the connection dies — a command-boundary crash, modelling a
+    * producer killed mid-pipeline (the TCP stream delivered only a
+    * prefix of its commands). Reads stay up so a post-mortem can
+    * inspect; call again with -1 to "restart". */
+  def failAfterWrites(n: Long): Unit = synchronized {
+    failAt = n; writesApplied = 0L
+  }
+  private var failAt = -1L
+  private var writesApplied = 0L
+  private final class CrashInjected extends RuntimeException
+  private def writeGate(): Unit = {
+    if (failAt >= 0 && writesApplied >= failAt) throw new CrashInjected
+    writesApplied += 1
+  }
+
+  /** Test-side dump of a stream's full contents as (id, fields) — the
+    * byte-identity oracle for crash-matrix runs. */
+  def dumpStream(key: String): Seq[(String, Seq[String])] = synchronized {
+    streams.getOrElse(key, mutable.ArrayBuffer.empty).toSeq
+      .map { case (ms, sq, fs) => (s"$ms-$sq", fs) }
+  }
+
+  /** Test-side dump of a hash (commit stores). */
+  def dumpHash(key: String): Map[String, String] = synchronized {
+    hashes.get(key).map(_.toMap).getOrElse(Map.empty)
+  }
+
   private def parseId(s: String): (Long, Long) = s.split("-") match {
     case Array(ms) => (ms.toLong, 0L)
     case Array(ms, sq) => (ms.toLong, sq.toLong)
@@ -61,6 +90,7 @@ final class FakeRedisServer extends AutoCloseable {
         if (next._1 < last._1 || (next._1 == last._1 && next._2 <= last._2))
           "-ERR The ID specified in XADD is equal or smaller than the target stream top item\r\n"
         else {
+          writeGate()
           lastIds(key) = next
           val buf = streams.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
           buf += ((next._1, next._2, fields))
@@ -132,6 +162,7 @@ final class FakeRedisServer extends AutoCloseable {
         // multi-pair form: HSET key f1 v1 [f2 v2 ...]
         if (args.length < 4 || args.length % 2 != 0)
           return "-ERR wrong number of arguments for 'hset' command\r\n"
+        writeGate()
         val h = hashes.getOrElseUpdate(args(1), mutable.Map.empty)
         var added = 0
         args.drop(2).grouped(2).foreach { case Seq(f, v) =>
@@ -181,7 +212,10 @@ final class FakeRedisServer extends AutoCloseable {
         if (in.available() == 0) out.flush()
         line = readLine()
       }
-    } catch { case _: Exception if closed => () }
+    } catch {
+      case _: CrashInjected => () // injected crash: drop the connection
+      case _: Exception if closed => ()
+    }
     finally sock.close()
   }
 
