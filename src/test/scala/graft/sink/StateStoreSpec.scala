@@ -96,4 +96,108 @@ class StateStoreSpec extends SparkSpec {
     assert(store.readVersion(9L).get.collect().map(_.getLong(0)).toSeq == Seq(3L))
     assert(store.readVersion(7L).isEmpty)
   }
+
+  test("negative control: the legacy destructive reader recovery loses the base " +
+      "under the documented two-reader interleaving") {
+    // the pre-fix design ran the physical swap recovery on EVERY listing,
+    // including reads. Deterministic step-through of the race the scaladoc
+    // names: readers A and B both observe the pending marker-committed tmp
+    // (stale views), A completes the swap (delete v<=K, rename tmp->v=K),
+    // then B's inner listing sees A's freshly renamed v=K as 'superseded',
+    // deletes it, and B's rename of the now-gone tmp fails silently — the
+    // committed base is LOST. This pins why readers must never mutate.
+    val root = Files.createTempDirectory("sslegacy").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    store.append(df(1), 0); store.append(df(2), 1)
+    crashAfterMarker(root, keep = 1)
+
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = fs.listStatus(new Path(root)).toSeq
+      .filter(_.getPath.getName.startsWith(".compact_tmp_v=")).map(_.getPath).head
+    val keep = 1L
+    // both readers pass the legacy recovery's marker check while the tmp
+    // still exists — the stale-view window
+    assert(fs.exists(new Path(tmpP, "_graft_compacted"))) // reader A's check
+    assert(fs.exists(new Path(tmpP, "_graft_compacted"))) // reader B's check
+    def legacyDeleteAndRename(): Unit = {
+      // the legacy recovery body after the marker check: delete every
+      // superseded v<=keep, then rename the tmp into place (result ignored)
+      fs.listStatus(new Path(root)).toSeq
+        .filter(v => v.isDirectory && v.getPath.getName.startsWith("v=") &&
+          v.getPath.getName.stripPrefix("v=").toLong <= keep)
+        .foreach(v => fs.delete(v.getPath, true))
+      // rename of a vanished source returns false on HDFS and throws on
+      // RawLocalFileSystem — either way the loss already happened at the
+      // delete above, so the control tolerates both shapes
+      try { fs.rename(tmpP, new Path(s"$root/v=$keep")); () }
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+    legacyDeleteAndRename() // A: swap completes, v=1 is the renamed tmp
+    legacyDeleteAndRename() // B: deletes A's fresh v=1, rename of gone tmp no-ops
+    assert(new ParquetStateStore(spark, root).isEmpty,
+      "interleaving did not reproduce the legacy loss — update the scenario")
+
+    // the CURRENT reader path under the same stale-view interleaving:
+    // reads resolve the swap logically, mutate nothing, lose nothing
+    val root2 = Files.createTempDirectory("sslogical").toString + "/s"
+    val s2 = new ParquetStateStore(spark, root2)
+    s2.append(df(1), 0); s2.append(df(2), 1)
+    crashAfterMarker(root2, keep = 1)
+    val r1 = new ParquetStateStore(spark, root2)
+    val r2 = new ParquetStateStore(spark, root2)
+    assert(r1.read().get.collect().map(_.getLong(0)).toSeq == Seq(101L))
+    assert(r2.read().get.collect().map(_.getLong(0)).toSeq == Seq(101L))
+    assert(r1.read().get.collect().map(_.getLong(0)).toSeq == Seq(101L))
+    assert(!new ParquetStateStore(spark, root2).isEmpty)
+  }
+
+  test("race: concurrent readers never observe a lost base across 50 append+compact cycles") {
+    // VERDICT r10 #2: N reader threads loop read()/readLog() while the
+    // single writer loops append+compact. Every SUCCESSFUL read must
+    // observe a complete committed state (all 5 keys present); transient
+    // listing races (path deleted between list and read) are documented
+    // retryable and only counted. The base must survive to the end.
+    import spark.implicits._
+    val root = Files.createTempDirectory("ssrace").toString + "/s"
+    val keys = (1L to 5L)
+    val writer = new ParquetStateStore(spark, root)
+    writer.append(keys.toDF("id"), 0) // committed base before readers start
+
+    @volatile var done = false
+    val wrongReads = new java.util.concurrent.atomic.AtomicLong
+    val goodReads = new java.util.concurrent.atomic.AtomicLong
+    val transients = new java.util.concurrent.atomic.AtomicLong
+    val readers = (1 to 4).map { _ =>
+      new Thread(() => {
+        val store = new ParquetStateStore(spark, root) // own handle, like a process
+        while (!done) {
+          try {
+            store.readLog().foreach { log =>
+              val ids = log.select("id").distinct().collect().map(_.getLong(0)).toSet
+              if (ids != keys.toSet) wrongReads.incrementAndGet()
+              else goodReads.incrementAndGet()
+            }
+            if (store.readLog().isEmpty) wrongReads.incrementAndGet() // base lost
+          } catch { case _: Exception => transients.incrementAndGet() }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try {
+      (1L to 50L).foreach { c =>
+        writer.append(keys.toDF("id"), c)
+        if (c % 3 == 0) writer.compact(writer.readLog().get.distinct())
+      }
+    } finally { done = true; readers.foreach(_.join(60000)) }
+
+    assert(wrongReads.get == 0,
+      s"${wrongReads.get} reads observed an incomplete committed state " +
+        s"(good=${goodReads.get}, transient=${transients.get})")
+    assert(goodReads.get > 0, "the readers never completed a read — not a race test")
+    val finalIds = writer.readLog().get.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(finalIds == keys.toSet)
+    assert(writer.latestVersion.contains(50L))
+    info(s"good=${goodReads.get} transient=${transients.get}")
+  }
 }
