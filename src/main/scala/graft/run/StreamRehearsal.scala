@@ -43,7 +43,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object StreamRehearsal {
 
-  private def mutations(orders: DataFrame, maxKey: Long): DataFrame = {
+  private[run] def mutations(orders: DataFrame, maxKey: Long): DataFrame = {
     // key-disjoint mutation classes off a third of the table:
     // m in [0,6) update, [6,8) delete, [8,10) insert under a fresh key
     val base = orders.filter(col("o_orderkey") % 3 === 0)
@@ -59,7 +59,7 @@ object StreamRehearsal {
     upd.unionByName(del).unionByName(ins)
   }
 
-  private def wireLines(muts: DataFrame, table: String): DataFrame = {
+  private[run] def wireLines(muts: DataFrame, table: String): DataFrame = {
     val valueCols = muts.columns.filter(c => c != "action" && c != "_m")
     EventSource.serialize(
       muts.select(
@@ -69,11 +69,11 @@ object StreamRehearsal {
         when(col("action") === "delete", lit(1)).otherwise(lit(2)).as("action_seq")))
   }
 
-  private final case class PhaseStats(name: String, batches: Int, rows: Long,
+  private[run] final case class PhaseStats(name: String, batches: Int, rows: Long,
                                       wallSec: Double, batchSecs: Seq[Double],
                                       firstBatchId: Long, lastBatchId: Long)
 
-  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+  private[run] def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
                     name: String, stopAfterBatches: Int = Int.MaxValue): PhaseStats = {
     val t0 = System.nanoTime()
     if (stopAfterBatches == Int.MaxValue) q.processAllAvailable()
@@ -97,6 +97,68 @@ object StreamRehearsal {
       prog.map(_.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq,
       if (all.isEmpty) -1L else all.map(_.batchId).min,
       if (all.isEmpty) -1L else all.map(_.batchId).max)
+  }
+
+  /** Simulate the real at-least-once crash window: the sink committed
+    * batch N but the query died before the offset commit landed. Deleting
+    * the newest commit marker forces the restart to re-run that batch;
+    * the store's batch-id idempotence must absorb the duplicate. This is
+    * deterministic, unlike hoping the watcher interrupts mid-batch. */
+  private[run] def injectCrashWindow(ckpt: String): Unit = {
+    def logEntries(dir: java.nio.file.Path) = Files.list(dir).toArray
+      .map(_.toString).map(Paths.get(_))
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .sortBy(_.getFileName.toString.toLong)
+    def deleteWithCrc(p: java.nio.file.Path): Unit = {
+      Files.delete(p)
+      // the local checksum FS keeps a ".N.crc" sibling; leaving it behind
+      // fails the re-commit rename on restart
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
+    }
+    logEntries(Paths.get(ckpt, "commits")).lastOption.foreach { c =>
+      val n = c.getFileName.toString.toLong
+      deleteWithCrc(c)
+      // also drop any NEWER planned-but-uncommitted offsets entries: the
+      // restart must re-execute the batch that WAS applied (offsets N,
+      // no commit N), not just the in-flight one that never touched the
+      // store — otherwise no duplicate reaches the idempotence layer
+      logEntries(Paths.get(ckpt, "offsets"))
+        .filter(_.getFileName.toString.toLong > n).foreach(deleteWithCrc)
+    }
+  }
+
+  /** Exact final-state checks against batch-computed expectations —
+    * empty means every table resolved to exactly the mutated truth. */
+  private[run] def finalStateFailures(spark: SparkSession, muts: DataFrame,
+      orders: DataFrame, tables: Seq[TableSync], stateRoot: String): Seq[String] = {
+    val updKeys = muts.filter(col("action") === "update")
+      .select(col("o_orderkey"), col("o_totalprice").as("exp_price"))
+    val delKeys = muts.filter(col("action") === "delete").select("o_orderkey")
+    val expCount = orders.count() -
+      delKeys.count() + muts.filter(col("action") === "insert").count()
+    tables.flatMap { t =>
+      val st = Consume.currentState(t,
+        new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).get.cache()
+      val n = st.count()
+      val deletedSurvive = st.join(delKeys, Seq("o_orderkey")).count()
+      val updWrong = st.join(updKeys, Seq("o_orderkey"))
+        .filter(col("o_totalprice") =!= col("exp_price")).count()
+      st.unpersist()
+      Seq(
+        Option.when(n != expCount)(s"${t.table}: count $n != $expCount"),
+        Option.when(deletedSurvive != 0L)(s"${t.table}: $deletedSurvive deleted keys survive"),
+        Option.when(updWrong != 0L)(s"${t.table}: $updWrong updates not applied")).flatten
+    }
+  }
+
+  private[run] def phaseJson(p: PhaseStats): String = {
+    val sorted = p.batchSecs.sorted
+    def pct(q: Double) =
+      if (sorted.isEmpty) 0.0 else sorted(math.min(sorted.length - 1,
+        (q * sorted.length).toInt))
+    f"""{"phase":"${p.name}","batches":${p.batches},"events":${p.rows},""" +
+      f""""wall_sec":${p.wallSec}%.2f,"events_per_sec":${p.rows / p.wallSec}%.0f,""" +
+      f""""batch_p50_sec":${pct(0.5)}%.3f,"batch_p95_sec":${pct(0.95)}%.3f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,32 +229,7 @@ object StreamRehearsal {
     val p1 = drain(startQuery(), "phase1_interrupted",
       stopAfterBatches = math.max(1, half / 2))
 
-    // --- simulate the real at-least-once crash window: the sink committed
-    // batch N but the query died before the offset commit landed. Deleting
-    // the newest commit marker forces the restart to re-run that batch;
-    // the store's batch-id idempotence must absorb the duplicate. This is
-    // deterministic, unlike hoping the watcher interrupts mid-batch. ---
-    def logEntries(dir: java.nio.file.Path) = Files.list(dir).toArray
-      .map(_.toString).map(Paths.get(_))
-      .filter(_.getFileName.toString.forall(_.isDigit))
-      .sortBy(_.getFileName.toString.toLong)
-    def deleteWithCrc(p: java.nio.file.Path): Unit = {
-      Files.delete(p)
-      // the local checksum FS keeps a ".N.crc" sibling; leaving it behind
-      // fails the re-commit rename on restart
-      Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
-    }
-    val latestCommit = logEntries(Paths.get(ckpt, "commits")).lastOption
-    latestCommit.foreach { c =>
-      val n = c.getFileName.toString.toLong
-      deleteWithCrc(c)
-      // also drop any NEWER planned-but-uncommitted offsets entries: the
-      // restart must re-execute the batch that WAS applied (offsets N,
-      // no commit N), not just the in-flight one that never touched the
-      // store — otherwise no duplicate reaches the idempotence layer
-      logEntries(Paths.get(ckpt, "offsets"))
-        .filter(_.getFileName.toString.toLong > n).foreach(deleteWithCrc)
-    }
+    injectCrashWindow(ckpt)
 
     // --- phase 2: restart from checkpoint (replays the crashed batch),
     //     then the rest of the files land and drain to the end ---
@@ -202,35 +239,9 @@ object StreamRehearsal {
     val p2 = drain(startQuery(), "phase2_restart_drain")
 
     // --- exact final-state checks against batch-computed expectations ---
-    val updKeys = muts.filter(col("action") === "update")
-      .select(col("o_orderkey"), col("o_totalprice").as("exp_price"))
-    val delKeys = muts.filter(col("action") === "delete").select("o_orderkey")
-    val expCount = orders.count() -
-      delKeys.count() + muts.filter(col("action") === "insert").count()
-    val failures = tables.flatMap { t =>
-      val st = Consume.currentState(t,
-        new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).get.cache()
-      val n = st.count()
-      val deletedSurvive = st.join(delKeys, Seq("o_orderkey")).count()
-      val updWrong = st.join(updKeys, Seq("o_orderkey"))
-        .filter(col("o_totalprice") =!= col("exp_price")).count()
-      st.unpersist()
-      Seq(
-        Option.when(n != expCount)(s"${t.table}: count $n != $expCount"),
-        Option.when(deletedSurvive != 0L)(s"${t.table}: $deletedSurvive deleted keys survive"),
-        Option.when(updWrong != 0L)(s"${t.table}: $updWrong updates not applied")).flatten
-    }
+    val failures = finalStateFailures(spark, muts, orders, tables, stateRoot)
     muts.unpersist()
 
-    def phaseJson(p: PhaseStats): String = {
-      val sorted = p.batchSecs.sorted
-      def pct(q: Double) =
-        if (sorted.isEmpty) 0.0 else sorted(math.min(sorted.length - 1,
-          (q * sorted.length).toInt))
-      f"""{"phase":"${p.name}","batches":${p.batches},"events":${p.rows},""" +
-        f""""wall_sec":${p.wallSec}%.2f,"events_per_sec":${p.rows / p.wallSec}%.0f,""" +
-        f""""batch_p50_sec":${pct(0.5)}%.3f,"batch_p95_sec":${pct(0.95)}%.3f}"""
-    }
     println(phaseJson(p1))
     println(phaseJson(p2))
     // state-file bound: the shouldCompact policy's observable contract is

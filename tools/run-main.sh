@@ -9,6 +9,9 @@ set -euo pipefail
 MEM="${MEM:-8g}"
 XMS="${XMS:-$MEM}"
 CLASSES=/root/repo/target/scala-2.13/classes
+# test-classes carries the hermetic RESP server double for
+# graft.run.RedisRehearsal; harmless for mains that don't need it
+CLASSES="$CLASSES:/root/repo/target/scala-2.13/test-classes"
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/java.lang.reflect java.base/java.io java.base/java.net \
