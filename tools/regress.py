@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression verdicts with per-query noise floors.
+
+Usage: regress.py <old_bench> <new_bench>
+
+Both args are either raw graft.Bench stdout (a line with {"metric":...})
+or a driver BENCH_r{N}.json (the metric lines are extracted from its
+"tail" field; when the full "queries" line is truncated the compact
+"top20_ms" map is used instead).
+
+Motivation (VERDICT r10 #6): the minhash_pairs inter-JVM variance floor
+(~1.4x, established in the round-9/10 adjudications — the fastest run had
+the WORST start canary, ruling out page cache) kept getting re-flagged
+and re-adjudicated by hand. This tool applies the measured per-query
+floors so future rounds' deltas arrive pre-classified:
+
+  - FLAG        ratio beyond the query's floor AND the delta is material
+                (>= MATERIAL_S) -> adjudicate (isolated canary-gated
+                re-run via SPARK_GRAFT_BENCH_ONLY=<q>)
+  - watch       beyond the floor but immaterial in seconds — ignored
+                individually; many of them promote to a run-level DRIFT
+  - within      inside the floor -> known machine noise, no action
+  - improved    beyond the floor in the GOOD direction (informational)
+  - noise-abs   both runs under the absolute floor where scheduling
+                overhead dominates any ratio
+
+Exit 1 when anything needs adjudication (FLAG rows, a flagged TOTAL, or
+DRIFT), 2 on a contaminated canary, 0 otherwise.
+
+Canary gate: if either run's start/end canary exceeds CANARY_BAD the run
+is machine-contaminated and per-query verdicts are meaningless — exit 2
+and re-run the bench instead of adjudicating.
+
+Floors are MEASURED, not aspirational: add a query here only with an
+adjudication trail (SCALE.md) showing the variance is machine-state, not
+plan-state.
+"""
+import json, re, sys
+
+DEFAULT_FLOOR = 1.20   # +-20% run-to-run band for an uncontaminated box
+FLOORS = {
+    # inter-JVM machine-state floor: r10 min-of-3 + per-pass instrumentation
+    # (SCALE.md round-10 note; BENCH_sf10_r10_adjudication.json)
+    "dedup_minhash_pairs": 1.40,
+}
+ABS_NOISE_S = 0.30     # both-run seconds below which ratios are scheduling noise
+MATERIAL_S = 0.25      # beyond-floor deltas smaller than this are "watch", not FLAG
+TOTAL_FLOOR = 1.10     # whole-run total is far more stable than any query
+CANARY_BAD = 0.50      # canary seconds beyond this = contaminated run
+
+
+def metric_objects(text):
+    """Every parseable {...} JSON object in `text` that has a "metric" key."""
+    out = []
+    for m in re.finditer(r'\{"metric"', text):
+        depth, i = 0, m.start()
+        for j in range(m.start(), len(text)):
+            if text[j] == '{':
+                depth += 1
+            elif text[j] == '}':
+                depth -= 1
+                if depth == 0:
+                    try:
+                        out.append(json.loads(text[i:j + 1]))
+                    except json.JSONDecodeError:
+                        pass
+                    break
+    return out
+
+
+def load(path):
+    with open(path) as f:
+        text = f.read()
+    tail = text
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict) and "tail" in obj:
+            tail = obj["tail"]
+    except json.JSONDecodeError:
+        pass
+    metrics = metric_objects(tail)
+    full = [m for m in metrics if "queries" in m]
+    compact = [m for m in metrics if "top20_ms" in m]
+    if full:
+        m = full[-1]
+        queries = dict(m["queries"])
+    elif compact:
+        m = compact[-1]
+        queries = {q: ms / 1000.0 for q, ms in m["top20_ms"].items()}
+    else:
+        # head-truncated driver tails (pre-r10 format): the fragment is a
+        # run of  "query":seconds  pairs from inside the queries map —
+        # recover what survives, excluding the metric line's own scalars
+        not_queries = {"metric", "value", "unit", "sf", "total_s", "nq",
+                       "canary_start_sec", "canary_end_sec"}
+        frag = tail[:tail.find("}}") + 1] if "}}" in tail else tail
+        pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
+        m = {}
+        queries = {q: float(v) for q, v in pairs if q not in not_queries}
+        if not queries:
+            raise SystemExit(f"{path}: no parseable metric line")
+    return {
+        "queries": queries,
+        "total_s": m.get("total_s", m.get("value", sum(queries.values()))) or
+                   sum(queries.values()),
+        "canary_start": m.get("canary_start_sec"),
+        "canary_end": m.get("canary_end_sec"),
+        "partial": not full,
+    }
+
+
+def main():
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+
+    for name, run in (("old", old), ("new", new)):
+        for side in ("canary_start", "canary_end"):
+            c = run[side]
+            if c is not None and c > CANARY_BAD:
+                print(f"CONTAMINATED: {name} run {side}={c}s > {CANARY_BAD}s "
+                      f"— re-run the bench; per-query verdicts withheld")
+                sys.exit(2)
+
+    shared = sorted(set(old["queries"]) & set(new["queries"]))
+    scope = "top20-only" if (old["partial"] or new["partial"]) else "full"
+    flags, improved, within, noise, watch = [], [], [], [], []
+    print(f"{'query':<34}{'old_s':>9}{'new_s':>9}{'ratio':>8}{'floor':>7}  verdict")
+    rows = []
+    for q in shared:
+        to, tn = old["queries"][q], new["queries"][q]
+        ratio = tn / to if to > 0 else float("inf")
+        floor = FLOORS.get(q, DEFAULT_FLOOR)
+        if to < ABS_NOISE_S and tn < ABS_NOISE_S:
+            verdict, bucket = "noise-abs", noise
+        elif ratio > floor and (tn - to) >= MATERIAL_S:
+            verdict, bucket = "FLAG", flags
+        elif ratio > floor:
+            verdict, bucket = "watch", watch
+        elif ratio < 1.0 / floor:
+            verdict, bucket = "improved", improved
+        else:
+            verdict, bucket = "within", within
+        bucket.append(q)
+        rows.append((ratio, q, to, tn, floor, verdict))
+    for ratio, q, to, tn, floor, verdict in sorted(rows, reverse=True):
+        print(f"{q:<34}{to:>9.3f}{tn:>9.3f}{ratio:>8.2f}{floor:>7.2f}  {verdict}")
+
+    # a partial side's stored total covers a different query set — compare
+    # the shared-query sums instead so the ratio is like-for-like
+    if old["partial"] or new["partial"]:
+        old_total = sum(old["queries"][q] for q in shared)
+        new_total = sum(new["queries"][q] for q in shared)
+    else:
+        old_total, new_total = old["total_s"], new["total_s"]
+    tr = new_total / old_total if old_total else float("inf")
+    tv = "FLAG" if tr > TOTAL_FLOOR else ("improved" if tr < 1 / TOTAL_FLOOR else "within")
+    label = "TOTAL(shared)" if (old["partial"] or new["partial"]) else "TOTAL"
+    print(f"\n{label:<34}{old_total:>9.2f}{new_total:>9.2f}"
+          f"{tr:>8.2f}{TOTAL_FLOOR:>7.2f}  {tv}")
+    # many small beyond-floor wobbles in ONE direction = drift even when no
+    # single query is material — promote to a run-level flag
+    drift = len(watch) > max(3, len(shared) // 8)
+    print(f"\nscope={scope} shared={len(shared)} flag={len(flags)} "
+          f"watch={len(watch)} within={len(within)} improved={len(improved)} "
+          f"noise-abs={len(noise)}" + (" DRIFT" if drift else ""))
+    if flags or tv == "FLAG" or drift:
+        todo = flags + (watch if (drift or tv == "FLAG") else [])
+        print("adjudicate (isolated canary-gated re-run, SPARK_GRAFT_BENCH_ONLY=):",
+              ",".join(todo) if todo else "<total-only>")
+        sys.exit(1)
+    print("no per-query regressions beyond measured noise floors")
+
+
+if __name__ == "__main__":
+    main()
