@@ -55,13 +55,20 @@ object EventSource {
 
   /** File-based stream of JSON events — the hermetic test/bench source.
     * `maxFilesPerTrigger` plays the role of `insert_num` (A1 count cap).
+    * `cleanSource` ("delete" | "archive") bounds the source directory on
+    * long-horizon runs (a weeks-long consume otherwise accumulates every
+    * staged file and pays a growing per-trigger listing) — the semantics
+    * the Redis bridge's consumed-staging cleanup would want anyway.
     */
-  def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+  def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10,
+            cleanSource: Option[String] = None): DataFrame = {
+    val reader = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
     parse(
-      spark.readStream
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      cleanSource.fold(reader)(m => reader.option("cleanSource", m))
         .text(dir)
         .select(col("value").as("json")))
+  }
 
   /** Wire deserialization (operator T8): JSON → typed event columns.
     * Records `from_json` cannot parse (null struct) are DROPPED, not
