@@ -238,14 +238,23 @@ object DedupOps {
     val expected = math.max(1L, expectedItems)
     val hashedRdd = corpusD.select(xxhash64(col("digest")).as("_h"))
       .queryExecution.toRdd
-    val bf =
-      if (hashedRdd.getNumPartitions == 0)
-        org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
-      else hashedRdd.mapPartitions { rows =>
+    // merge profile matters as much as the build: a plain reduce() would
+    // ship EVERY partition's full-size filter to the driver as task
+    // results (at the scaladoc's own 1e8-item example that is ~91 MB ×
+    // partitions — spark.driver.maxResultSize aborts long before the
+    // documented ceiling). Shuffling the partials to ONE merge task and
+    // collecting the single merged filter restores the executor-side
+    // merge + one-filter-to-driver profile BloomFilterAggregate had.
+    val bf = hashedRdd.mapPartitions { rows =>
         val f = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
         rows.foreach(r => f.putLong(r.getLong(0)))
         Iterator.single(f)
-      }.reduce { (a, b) => a.mergeInPlace(b); a }
+      }.repartition(1).mapPartitions { fs =>
+        // streaming merge: at most two partials resident at once
+        if (!fs.hasNext) Iterator.empty
+        else { val h = fs.next(); fs.foreach(h.mergeInPlace); Iterator.single(h) }
+      }.collect().headOption
+      .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

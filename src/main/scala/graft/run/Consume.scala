@@ -270,31 +270,45 @@ object Consume {
     * Binlog timestamps are second-coarse and every DDL row carries
     * action_seq 0, so `event_unixtime` alone leaves same-second ALTERs
     * (ADD then MODIFY of one column) at the mercy of partition order —
-    * Spark's sort is not stable across equal keys. The tiebreak is
-    * `monotonically_increasing_id()` stamped BEFORE the filter: it
-    * encodes (partition, row-offset), so two ALTERs in one staged
-    * file/partition keep their log order deterministically. Downstream
-    * consumers (`evolveTable`, `tableChangelog`, `renamesIn`) re-sort
-    * with Scala's STABLE `sortBy(_._2)`, so the refined order threads
-    * through untouched. */
+    * Spark's sort is not stable across equal keys, and the file scan
+    * packs partitions in SIZE order, not staged order. The tiebreak is
+    * (source file name, `monotonically_increasing_id()`), both stamped
+    * BEFORE the filter (see [[stampSourceOrder]]): staged file names
+    * carry the chronological order (the Redis bridge zero-pads entry
+    * ids into them), and within a file the monotonic id follows read
+    * order even across split chunks (chunk offsets map to partition
+    * indexes in order). Downstream consumers (`evolveTable`,
+    * `tableChangelog`, `renamesIn`) re-sort with Scala's STABLE
+    * `sortBy(_._2)`, so the refined order threads through untouched. */
   private[run] def collectDdl(batch: DataFrame, db: String): Seq[(String, Long)] =
-    batch.withColumn("_src_seq", monotonically_increasing_id())
+    stampSourceOrder(batch)
       .filter(col("action") === "query" && col("schema") === db)
-      .select(col("values"), col("event_unixtime"), col("_src_seq"))
-      .orderBy(col("event_unixtime"), col("_src_seq"))
+      .select(col("values"), col("event_unixtime"), col("_src_file"), col("_src_seq"))
+      .orderBy(col("event_unixtime"), col("_src_file"), col("_src_seq"))
       .collect().toSeq
       .map(row => (row.getString(0), row.getLong(1)))
+
+  /** Stamp the source-order tiebreak columns unless the caller already
+    * did. MUST run on the un-cached plan: `input_file_name()` over an
+    * InMemoryTableScan evaluates to "" (the consume loop stamps before
+    * its `.cache()` for exactly this reason). Non-file sources get a
+    * constant "" file and fall back to the monotonic id alone. */
+  private[run] def stampSourceOrder(batch: DataFrame): DataFrame =
+    if (batch.columns.contains("_src_file")) batch
+    else batch.withColumn("_src_file", input_file_name())
+      .withColumn("_src_seq", monotonically_increasing_id())
 
   /** All schemas' DDL in one Spark job — the consume loop runs this once
     * per micro-batch (vs one filter+collect job per schema, which showed
     * up as N sequential driver round-trips per trigger on multi-schema
-    * pipelines). Same `_src_seq` tiebreak as [[collectDdl]]; Scala's
+    * pipelines). Same source-order tiebreak as [[collectDdl]]; Scala's
     * `groupBy` preserves encounter order within each group. */
   private[run] def collectDdlAll(batch: DataFrame): Map[String, Seq[(String, Long)]] =
-    batch.withColumn("_src_seq", monotonically_increasing_id())
+    stampSourceOrder(batch)
       .filter(col("action") === "query")
-      .select(col("schema"), col("values"), col("event_unixtime"), col("_src_seq"))
-      .orderBy(col("event_unixtime"), col("_src_seq"))
+      .select(col("schema"), col("values"), col("event_unixtime"),
+        col("_src_file"), col("_src_seq"))
+      .orderBy(col("event_unixtime"), col("_src_file"), col("_src_seq"))
       .collect().toSeq
       .groupBy(_.getString(0))
       .map { case (db, rows) =>
@@ -477,7 +491,11 @@ object Consume {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cached = batch.cache()
+        // source-order tiebreak stamped BEFORE the cache (input_file_name
+        // reads "" through an InMemoryTableScan); the canonical event
+        // view the appliers see drops the bookkeeping columns
+        val cached = stampSourceOrder(batch).cache()
+        val events = cached.drop("_src_file", "_src_seq")
         try {
           // The batch's DDL statements, collected ONCE across all schemas
           // (tiny: one row per ALTER, one Spark job per batch): they feed
@@ -496,14 +514,14 @@ object Consume {
             val tNext = evolveTable(tCur, ddls)
             Future {
               try { applyBatch(spark, tNext, stores(t),
-                tableChangelog(cached, tCur, ddls), batchId); None }
+                tableChangelog(events, tCur, ddls), batchId); None }
               catch {
                 case e: Exception if skipError =>
                   // C3 skip-error mode: continue with the next table,
                   // parking the failed slice for replay
                   System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
                   deadLetter.foreach(_.record(
-                    CdcOps.filterTables(cached, Seq(t.schema), Seq(t.table)),
+                    CdcOps.filterTables(events, Seq(t.schema), Seq(t.table)),
                     t.schema, t.table, batchId,
                     Option(e.getMessage).getOrElse(e.getClass.getName)))
                   None

@@ -136,8 +136,12 @@ object Produce {
     // this run's event at that seq passes, pending until then
     val skipTops = scala.collection.mutable.Map.empty[String, (Long, String)]
     // SKIP schemas: the oldest SURVIVING batch entry's (seq, msg,
-    // headIntact) — headIntact = the stream still holds pre-batch
-    // entries, so MAXLEN trimming cannot have eaten the batch head
+    // trimCouldExplain) — a missing batch head is tolerated ONLY when
+    // trimming can actually explain it: no pre-batch entries survive
+    // AND the stream sits at its MAXLEN cap (nothing else deletes
+    // entries, and `MAXLEN ~` never trims below the cap, so a stream
+    // under the cap PROVES no trim ever happened — a gap there is a
+    // diverged reset, not a trim)
     val skipFirsts = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
     val firstSeen = scala.collection.mutable.Set.empty[String]
     val pending = scala.collection.mutable.Set.empty[String]
@@ -176,8 +180,11 @@ object Produce {
                 case (fid, fmsg) =>
                   val headIntact = broker.firstEntry(schema).exists(
                     _._1.takeWhile(_ != '-').toLong < batchId)
+                  val trimCouldExplain =
+                    !headIntact && broker.trimPlausible(schema)
                   skipFirsts(schema) =
-                    (fid.dropWhile(_ != '-').drop(1).toLong, fmsg, headIntact)
+                    (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
+                      trimCouldExplain)
               }
             }
           }
@@ -222,7 +229,7 @@ object Produce {
         // first-entry leg: this run's FIRST event for a SKIP schema
         // must sit at the stream's first surviving batch entry
         if (firstSeen.add(schema))
-          skipFirsts.get(schema).foreach { case (fs, fmsg, headIntact) =>
+          skipFirsts.get(schema).foreach { case (fs, fmsg, trimCouldExplain) =>
             if (seq == fs) {
               if (value != fmsg)
                 throw new IllegalStateException(
@@ -236,14 +243,15 @@ object Produce {
                   s"starts at $batchId-$fs, BEFORE this run's first event " +
                   s"at seq $seq: producer checkpoint reset onto an " +
                   "existing stream — refusing to silently drop events")
-            else if (headIntact)
+            else if (!trimCouldExplain)
               throw new IllegalStateException(
                 s"schema $schema: the stream's copy of batch $batchId " +
                   s"starts at $batchId-$fs but this run's first event is " +
-                  s"at seq $seq, and the stream still holds pre-batch " +
-                  "entries so MAXLEN trimming cannot explain the gap: " +
-                  "producer checkpoint reset onto an existing stream — " +
-                  "refusing to silently drop events")
+                  s"at seq $seq, and MAXLEN trimming cannot explain the " +
+                  "gap (pre-batch entries survive, or the stream sits " +
+                  "under its cap so nothing was ever trimmed): producer " +
+                  "checkpoint reset onto an existing stream — refusing " +
+                  "to silently drop events")
             // else: MAXLEN trimmed into the batch head — trust the
             // produced-batch commit (the top leg still verifies)
           }

@@ -130,8 +130,10 @@ object Soak {
       new ParquetStateStore(spark, s"$dlRoot/db/_ddl").versionIds().size
     @volatile var maxRss = 0L
     @volatile var maxMt = 0; @volatile var maxRt = 0
+    val windowRates = scala.collection.mutable.ArrayBuffer.empty[Double]
     val t0 = System.nanoTime()
     val sampler = new Thread(() => {
+      var prevB = -1L; var prevT = System.nanoTime()
       while (q.isActive) {
         try {
           val rss = rssMb(); val mt = versionCount("orders_mt")
@@ -140,8 +142,17 @@ object Soak {
           maxRss = math.max(maxRss, rss)
           maxMt = math.max(maxMt, mt); maxRt = math.max(maxRt, rt)
           val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-          val wall = (System.nanoTime() - t0) / 1e9
-          println(f"""{"soak_sample":$b,"wall_sec":$wall%.0f,"rss_mb":$rss,"heap_mb":$heap,"mt_versions":$mt,"rt_versions":$rt,"dl_ddl_batches":$dlc}""")
+          val now = System.nanoTime()
+          // per-WINDOW batch rate: latency drift (e.g. a growing
+          // per-trigger source-listing cost) shows here as a downward
+          // slope even when memory stays flat — the end-of-run average
+          // would dilute it away
+          val winRate =
+            if (prevB >= 0 && b > prevB) (b - prevB) / ((now - prevT) / 1e9) else 0.0
+          if (winRate > 0) windowRates.synchronized { windowRates += winRate }
+          prevB = b; prevT = now
+          val wall = (now - t0) / 1e9
+          println(f"""{"soak_sample":$b,"wall_sec":$wall%.0f,"rss_mb":$rss,"heap_mb":$heap,"mt_versions":$mt,"rt_versions":$rt,"dl_ddl_batches":$dlc,"window_batches_per_sec":$winRate%.2f}""")
         } catch { case _: Exception => () }
         Thread.sleep(30000)
       }
@@ -153,7 +164,23 @@ object Soak {
 
     // --- bounds + exact state checks ---
     val dlFinal = dlCount()
+    // latency-drift bound: the last window quarter must hold at least
+    // half the rate of the first quarter (compaction sawtooth and DDL
+    // batches make windows noisy; a real leak-driven drift is monotonic
+    // and far below 0.5×)
+    val drift = windowRates.synchronized {
+      val rs = windowRates.toSeq
+      if (rs.length < 8) None
+      else {
+        val q = rs.length / 4
+        val early = rs.take(q).sum / q
+        val late = rs.takeRight(q).sum / q
+        Option.when(late < early * 0.5)(
+          f"batch-rate drift: first-quarter ${early}%.2f -> last-quarter ${late}%.2f batches/s")
+      }
+    }
     val failures = StreamRehearsal.finalStateFailures(spark, muts, orders, tables, stateRoot) ++
+      drift.toSeq ++
       Seq(
         Option.when(dlFinal != expectedParks)(
           s"dead-letter: $dlFinal parked DDL batches != scheduled $expectedParks"),
@@ -168,6 +195,8 @@ object Soak {
     println(f"""{"summary":"soak","sf_dir":"$sfDir","batches":$batches,"events":$events,""" +
       f""""wall_sec":$wall%.1f,"events_per_sec":${events / wall}%.0f,""" +
       f""""batches_per_sec":${batches / wall}%.2f,""" +
+      s""""window_rates_first_to_last":"${windowRates.synchronized {
+        windowRates.map(r => f"$r%.2f").mkString(",")}}",""" +
       s""""max_rss_mb":$maxRss,"final_rss_mb":${rssMb()},""" +
       s""""max_versions":{"orders_mt":$maxMt,"orders_rt":$maxRt},""" +
       s""""final_versions":{"orders_mt":${versionCount("orders_mt")},"orders_rt":${versionCount("orders_rt")}},""" +

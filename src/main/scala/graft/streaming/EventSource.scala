@@ -55,13 +55,18 @@ object EventSource {
 
   /** File-based stream of JSON events — the hermetic test/bench source.
     * `maxFilesPerTrigger` plays the role of `insert_num` (A1 count cap).
-    * `cleanSource` ("delete" | "archive") bounds the source directory on
+    * `cleanSource = Some("delete")` bounds the source directory on
     * long-horizon runs (a weeks-long consume otherwise accumulates every
     * staged file and pays a growing per-trigger listing) — the semantics
     * the Redis bridge's consumed-staging cleanup would want anyway.
+    * (Spark's "archive" mode additionally requires `sourceArchiveDir`,
+    * which this API deliberately does not plumb — only "delete" works.)
     */
   def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10,
             cleanSource: Option[String] = None): DataFrame = {
+    require(cleanSource.forall(_ == "delete"),
+      s"cleanSource supports only \"delete\" (got $cleanSource): Spark's " +
+        "archive mode needs a sourceArchiveDir this API does not expose")
     val reader = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
     parse(

@@ -166,6 +166,15 @@ final class RedisBroker(host: String, port: Int, alias: String,
   def length(schema: String): Long =
     client.command("XLEN", queueKey(schema)).asInstanceOf[Long]
 
+  /** Could MAXLEN trimming have removed entries from this stream?
+    * Nothing else deletes entries in this protocol (no XDEL), and
+    * `MAXLEN ~ N` never trims BELOW N — so a current length under the
+    * cap PROVES no trim ever happened. The produce SKIP verification
+    * uses this to refuse a missing batch head it would otherwise have
+    * to attribute to trimming. */
+  def trimPlausible(schema: String): Boolean =
+    length(schema) >= queueMaxLen
+
   /** The committed resume position ("0" = from the beginning) — the
     * reference's `_get_last_msg_id` HGET. */
   def lastCommittedId(schema: String): String =
@@ -207,7 +216,15 @@ final class RedisBroker(host: String, port: Int, alias: String,
           val firstId = entries.head.head.asInstanceOf[String]
           val lastId = entries.last.head.asInstanceOf[String]
           Files.createDirectories(Paths.get(stagingDir))
-          val name = s"$schema-$firstId-$lastId.txt"
+          // zero-padded ids so LEXICOGRAPHIC file-name order equals
+          // chronological poll order ("0-10" would sort before "0-9"
+          // raw) — the consume loop's cross-file DDL tiebreak sorts on
+          // the staged file name (Consume.collectDdlAll)
+          def pad(id: String): String = id.split("-") match {
+            case Array(ms, sq) => f"${ms.toLong}%020d-${sq.toLong}%020d"
+            case _ => id
+          }
+          val name = s"$schema-${pad(firstId)}-${pad(lastId)}.txt"
           val tmp = Paths.get(stagingDir, s".$name.tmp")
           Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
           Files.move(tmp, Paths.get(stagingDir, name),

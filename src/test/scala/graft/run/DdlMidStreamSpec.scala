@@ -517,6 +517,55 @@ class DdlMidStreamSpec extends SparkSpec {
       "ALTER TABLE db.t CHANGE COLUMN note note2 TEXT"))
   }
 
+  test("same-second DDL rows ACROSS staged files collect in file-name order") {
+    // regression: the monotonic-id tiebreak alone is partition-ordered,
+    // and the file scan packs partitions in SIZE-descending order — a
+    // byte-larger later file used to sort its DDL first. The tiebreak now
+    // leads with input_file_name() (staged names are chronological), so
+    // the padded-larger MODIFY file must still collect AFTER the ADD.
+    val root = Files.createTempDirectory("ddlxfile").toString
+    val add = ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 100)
+    val modify = ddl("ALTER TABLE db.t MODIFY COLUMN note TEXT", 100)
+    // file 2 is made MUCH larger so size-order would put it first
+    Files.write(Paths.get(root, "f1.txt"), add.getBytes("UTF-8"))
+    Files.write(Paths.get(root, "f2.txt"),
+      (modify + (" " * 4096)).getBytes("UTF-8"))
+    val batch = spark.read.schema(graft.model.ChangeEvent.wireSchema)
+      .json(s"$root/f1.txt", s"$root/f2.txt")
+    val got = Consume.collectDdlAll(batch)("db").map(_._1)
+    assert(got == Seq(
+      "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)",
+      "ALTER TABLE db.t MODIFY COLUMN note TEXT"))
+  }
+
+  test("same-second cross-file DDL applies in staged order through the live loop") {
+    // E2E pin that input_file_name() resolves inside the foreachBatch
+    // micro-batch (stamped BEFORE the cache): two staged files in ONE
+    // trigger, the chronologically-later file byte-larger, the K4 sink
+    // must still see ADD before MODIFY
+    val root = Files.createTempDirectory("ddlxfilelive").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    val v1 = StructType(Seq(StructField("id", LongType), StructField("amount", DoubleType)))
+    val t1 = TableSync("db", "t", v1, Seq("id"), Engine.ReplacingMergeTree)
+    Files.write(Paths.get(eventsDir, "f1.txt"), Seq(
+      ev("t", "insert", """{"id":1,"amount":10.0}""", 90),
+      ddl("ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 100)
+    ).mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(eventsDir, "f2.txt"),
+      (ddl("ALTER TABLE db.t MODIFY COLUMN note TEXT", 100) + (" " * 4096))
+        .getBytes("UTF-8"))
+    val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(t1), stateRoot, ckpt, triggerInterval = "250 milliseconds",
+      ddlSink = Some(sql => applied.synchronized { applied += sql; () }))
+    q.processAllAvailable(); q.stop()
+    val addIdx = applied.indexWhere(_.contains("ADD COLUMNS"))
+    val modIdx = applied.indexWhere(_.contains("ALTER COLUMN"))
+    assert(addIdx >= 0 && modIdx >= 0, s"DDL missing: $applied")
+    assert(addIdx < modIdx, s"MODIFY applied before ADD: $applied")
+  }
+
   test("evolveTable: sequence-replay idempotence over every short ALTER combination") {
     // the restart contract leans on this: replaying an already-applied
     // DDL batch against the evolved TableSync must converge, whatever the

@@ -204,6 +204,28 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("a missing batch head on an UNTRIMMED stream fails loudly (XLEN evidence)") {
+    // trimming never takes a stream below its MAXLEN cap and nothing
+    // else deletes entries — so when the stream sits under the cap, a
+    // batch whose copy starts mid-way is a diverged reset, not a trim,
+    // and 'trust the commit' would be the silent-drop shape. Manufacture
+    // it: commit batch 0 broker-side while the stream only ever held the
+    // batch's TAIL (as a tampered/partially-copied stream would).
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        (10 to 40).foreach(i => raw.command(
+          "XADD", key("db1"), s"0-$i", "msg", s"tail-$i"))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+        (1 to 40).foreach(i => raw.command(
+          "XADD", key("db2"), s"0-$i", "msg", "x"))
+      } finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("cannot explain the gap"), e.getMessage)
+    }
+  }
+
   test("MAXLEN trim mid-crash: partial XADDs trimmed, resume still converges") {
     val b0 = batchRows(0, 40)
     val ref = reference(Seq(0L -> b0), maxLen = 10L)

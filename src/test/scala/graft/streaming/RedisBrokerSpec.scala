@@ -80,8 +80,11 @@ class RedisBrokerSpec extends SparkSpec {
         .filter(_.endsWith(".txt")).sorted
       assert(staged.length == 2)
       // id-range-derived names: a crashed re-poll would overwrite, not dup
-      assert(staged.exists(_.endsWith("db-0-1-0-2.txt")) &&
-             staged.exists(_.endsWith("db-0-3-0-3.txt")))
+      // zero-padded id ranges: lexicographic name order = poll order
+      // (the consume loop's cross-file DDL tiebreak sorts on the name)
+      def pad(ms: Long, sq: Long) = f"$ms%020d-$sq%020d"
+      assert(staged.exists(_.endsWith(s"db-${pad(0, 1)}-${pad(0, 2)}.txt")) &&
+             staged.exists(_.endsWith(s"db-${pad(0, 3)}-${pad(0, 3)}.txt")))
       b2.close()
     } finally server.close()
   }
