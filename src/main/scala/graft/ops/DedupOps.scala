@@ -245,15 +245,17 @@ object DedupOps {
     // documented ceiling). Shuffling the partials to ONE merge task and
     // collecting the single merged filter restores the executor-side
     // merge + one-filter-to-driver profile BloomFilterAggregate had.
-    val bf = hashedRdd.mapPartitions { rows =>
-        val f = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
-        rows.foreach(r => f.putLong(r.getLong(0)))
-        Iterator.single(f)
-      }.repartition(1).mapPartitions { fs =>
+    val partials = hashedRdd.mapPartitions { rows =>
+      val f = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+      rows.foreach(r => f.putLong(r.getLong(0)))
+      Iterator.single(f)
+    }
+    val bf = (if (hashedRdd.getNumPartitions <= 1) partials // nothing to merge
+      else partials.repartition(1).mapPartitions { fs =>
         // streaming merge: at most two partials resident at once
         if (!fs.hasNext) Iterator.empty
         else { val h = fs.next(); fs.foreach(h.mergeInPlace); Iterator.single(h) }
-      }.collect().headOption
+      }).collect().headOption
       .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()

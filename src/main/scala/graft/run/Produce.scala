@@ -168,11 +168,18 @@ object Produce {
         else if (batchId == produced) {
           // a top BEYOND the committed batch is a foreign entry
           // XADDed after the commit — skipping unverified against
-          // it would be the silent-drop shape again; a top BELOW
-          // means MAXLEN trimmed the batch away (trust the commit)
+          // it would be the silent-drop shape again. A top BELOW the
+          // batch (or an empty stream) is IMPOSSIBLE under trimming:
+          // MAXLEN eats the OLDEST entries first, so the committed
+          // batch's entries — the newest at commit time — can never
+          // vanish while older entries (or nothing at all) survive.
+          // That shape means the stream was restored from a pre-batch
+          // backup or its key deleted/XTRIMmed while the commit hash
+          // survived — skipping would silently lose the whole batch.
           broker.guardForeignTop(schema, batchId)
-          broker.lastEntry(schema).foreach { case (top, msg) =>
-            if (top.takeWhile(_ != '-').toLong == batchId) {
+          broker.lastEntry(schema) match {
+            case Some((top, msg))
+                if top.takeWhile(_ != '-').toLong == batchId =>
               skipTops(schema) =
                 (top.dropWhile(_ != '-').drop(1).toLong, msg)
               pending += schema
@@ -186,7 +193,17 @@ object Produce {
                     (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
                       trimCouldExplain)
               }
-            }
+            case other =>
+              throw new IllegalStateException(
+                s"schema $schema: produced_batch says batch $batchId is " +
+                  "fully in the stream, but the stream " +
+                  other.fold("is empty")(t => s"tops out at ${t._1}, below it") +
+                  " — trimming removes oldest entries first and cannot " +
+                  "produce this shape; the stream was restored from a " +
+                  "pre-batch backup or its key was deleted while the " +
+                  "commit survived — refusing to silently drop the batch " +
+                  "(restore the stream, or clear BOTH the stream and its " +
+                  "produced_batch commit and re-point the checkpoint)")
           }
           false
         } else {

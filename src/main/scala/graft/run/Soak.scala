@@ -172,9 +172,9 @@ object Soak {
       val rs = windowRates.toSeq
       if (rs.length < 8) None
       else {
-        val q = rs.length / 4
-        val early = rs.take(q).sum / q
-        val late = rs.takeRight(q).sum / q
+        val quarter = rs.length / 4
+        val early = rs.take(quarter).sum / quarter
+        val late = rs.takeRight(quarter).sum / quarter
         Option.when(late < early * 0.5)(
           f"batch-rate drift: first-quarter ${early}%.2f -> last-quarter ${late}%.2f batches/s")
       }

@@ -171,7 +171,14 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * `MAXLEN ~ N` never trims BELOW N — so a current length under the
     * cap PROVES no trim ever happened. The produce SKIP verification
     * uses this to refuse a missing batch head it would otherwise have
-    * to attribute to trimming. */
+    * to attribute to trimming.
+    *
+    * Caveat: the comparison uses THIS broker's cap. Raising
+    * `queueMaxLen` across a restart that replays a committed batch can
+    * make a genuinely-trimmed head read as "never trimmed" and refuse
+    * the replay — a LOUD false refusal, never a silent drop (fail-safe
+    * by construction). Treat the cap as part of the stream's identity:
+    * change it on a batch boundary, not mid-replay (RUNBOOK §2). */
   def trimPlausible(schema: String): Boolean =
     length(schema) >= queueMaxLen
 
@@ -225,6 +232,11 @@ final class RedisBroker(host: String, port: Int, alias: String,
             case _ => id
           }
           val name = s"$schema-${pad(firstId)}-${pad(lastId)}.txt"
+          // version-boundary hygiene: a poll that crashed under the old
+          // UNPADDED naming and re-polls under this one would leave both
+          // files (double ingest) — drop the legacy name for this range
+          Files.deleteIfExists(
+            Paths.get(stagingDir, s"$schema-$firstId-$lastId.txt"))
           val tmp = Paths.get(stagingDir, s".$name.tmp")
           Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
           Files.move(tmp, Paths.get(stagingDir, name),

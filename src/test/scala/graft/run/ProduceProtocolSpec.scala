@@ -226,6 +226,37 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("a committed batch ABSENT from an empty stream fails loudly (restored backup)") {
+    // trimming eats oldest first and never empties a stream — an empty
+    // stream whose produced_batch commit names this batch means the key
+    // was deleted or restored from a pre-batch backup; 'trust the
+    // commit' here would silently lose the entire batch
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+      finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("restored from a pre-batch backup"), e.getMessage)
+    }
+  }
+
+  test("a committed batch absent while OLDER entries survive fails loudly") {
+    // stream tops out below the committed batch: impossible under
+    // trimming (the batch's entries were the newest at commit time and
+    // older ones survive) — a restore, not a trim
+    val b1 = batchRows(1, 40)
+    withServer { server =>
+      runBatch(server, batchRows(0, 40), 0L) // a real batch 0 in the stream
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("HSET", "synch:a:produced_batch", "db1", "1", "db2", "1")
+      finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b1, 1L) }
+      assert(e.getMessage.contains("tops out at") &&
+        e.getMessage.contains("restored from a pre-batch backup"), e.getMessage)
+    }
+  }
+
   test("MAXLEN trim mid-crash: partial XADDs trimmed, resume still converges") {
     val b0 = batchRows(0, 40)
     val ref = reference(Seq(0L -> b0), maxLen = 10L)
