@@ -176,8 +176,9 @@ object Produce {
           // That shape means the stream was restored from a pre-batch
           // backup or its key deleted/XTRIMmed while the commit hash
           // survived — skipping would silently lose the whole batch.
-          broker.guardForeignTop(schema, batchId)
-          broker.lastEntry(schema) match {
+          val streamTop = broker.lastEntry(schema) // ONE fetch: guard and
+          broker.guardForeignTop(schema, batchId, streamTop) // match agree
+          streamTop match {
             case Some((top, msg))
                 if top.takeWhile(_ != '-').toLong == batchId =>
               skipTops(schema) =
@@ -207,8 +208,9 @@ object Produce {
           }
           false
         } else {
-          broker.guardForeignTop(schema, batchId)
-          broker.lastEntry(schema).foreach { case (top, msg) =>
+          val streamTop = broker.lastEntry(schema)
+          broker.guardForeignTop(schema, batchId, streamTop)
+          streamTop.foreach { case (top, msg) =>
             if (top.takeWhile(_ != '-').toLong == batchId) {
               sendTops(schema) =
                 (top.dropWhile(_ != '-').drop(1).toLong, msg)

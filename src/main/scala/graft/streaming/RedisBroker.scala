@@ -136,14 +136,24 @@ final class RedisBroker(host: String, port: Int, alias: String,
       .map(_.asInstanceOf[String].toLong).getOrElse(-1L)
 
   def commitProduced(schema: String, batchId: Long): Unit =
-    client.command("HSET", producedKey, schema, batchId.toString)
+    commitProducedAll(Seq(schema), batchId)
 
-  /** [[commitProduced]] for every schema of a batch in ONE round-trip
-    * (HSET takes multiple field/value pairs). */
+  /** [[commitProduced]] for every schema of a batch in one pipelined
+    * round-trip (HSET takes multiple field/value pairs). The cap in
+    * force is recorded alongside so a later replay's trim inference
+    * ([[trimPlausible]]) judges against the cap the stream's history
+    * was actually trimmed under. */
   def commitProducedAll(schemas: Iterable[String], batchId: Long): Unit =
     if (schemas.nonEmpty) {
-      client.command("HSET" +: producedKey +:
-        schemas.toSeq.flatMap(s => Seq(s, batchId.toString)): _*)
+      val ss = schemas.toSeq
+      // cap record FIRST, produced-batch commit LAST: a crash between
+      // the two leaves an unreferenced cap record (harmless), never a
+      // committed batch whose trim inference lacks its cap ("produced
+      // implies cap recorded"); the produced HSET stays the single
+      // atomic commit point for all schemas of the batch
+      client.pipeline(Seq(
+        "HSET" +: maxlenKey +: ss.flatMap(s => Seq(s, queueMaxLen.toString)),
+        "HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
       ()
     }
 
@@ -153,11 +163,19 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * remnants, and the send path's replay tolerance would silently
     * swallow every add as already-delivered. */
   def guardForeignTop(schema: String, batchId: Long): Unit =
-    lastEntry(schema).foreach { case (top, _) =>
-      val topMs = top.takeWhile(_ != '-').toLong
+    guardForeignTop(schema, batchId, lastEntry(schema))
+
+  /** [[guardForeignTop]] against a top the caller already fetched — one
+    * XREVRANGE serves both the guard and the caller's own top analysis,
+    * and both see the SAME top (a foreign XADD racing between two
+    * fetches would otherwise make the second analysis misdiagnose). */
+  def guardForeignTop(schema: String, batchId: Long,
+                      top: Option[(String, String)]): Unit =
+    top.foreach { case (id, _) =>
+      val topMs = id.takeWhile(_ != '-').toLong
       if (topMs > batchId)
         throw new IllegalStateException(
-          s"stream ${queueKey(schema)} top entry $top is ahead of produce " +
+          s"stream ${queueKey(schema)} top entry $id is ahead of produce " +
             s"batch $batchId: the producer checkpoint was reset or the " +
             "stream carries foreign ids — refusing to silently drop events " +
             "(re-point the checkpoint, or start a fresh stream)")
@@ -166,6 +184,8 @@ final class RedisBroker(host: String, port: Int, alias: String,
   def length(schema: String): Long =
     client.command("XLEN", queueKey(schema)).asInstanceOf[Long]
 
+  private def maxlenKey = s"$prefix:$alias:produced_maxlen"
+
   /** Could MAXLEN trimming have removed entries from this stream?
     * Nothing else deletes entries in this protocol (no XDEL), and
     * `MAXLEN ~ N` never trims BELOW N — so a current length under the
@@ -173,14 +193,20 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * uses this to refuse a missing batch head it would otherwise have
     * to attribute to trimming.
     *
-    * Caveat: the comparison uses THIS broker's cap. Raising
-    * `queueMaxLen` across a restart that replays a committed batch can
-    * make a genuinely-trimmed head read as "never trimmed" and refuse
-    * the replay — a LOUD false refusal, never a silent drop (fail-safe
-    * by construction). Treat the cap as part of the stream's identity:
-    * change it on a batch boundary, not mid-replay (RUNBOOK §2). */
-  def trimPlausible(schema: String): Boolean =
-    length(schema) >= queueMaxLen
+    * The comparison uses the cap RECORDED at produce time
+    * ([[commitProduced]]/[[commitProducedAll]] persist it next to the
+    * batch commit), not this broker's configured cap: the stream's
+    * history was trimmed under the cap in force THEN. Without the
+    * record, a replay under a RAISED cap would loudly refuse a genuine
+    * trim, and a replay under a LOWERED cap would silently tolerate a
+    * diverged stream's missing head — the recorded cap removes both
+    * directions. Falls back to the configured cap for streams produced
+    * before the record existed. */
+  def trimPlausible(schema: String): Boolean = {
+    val producedCap = Option(client.command("HGET", maxlenKey, schema))
+      .map(_.asInstanceOf[String].toLong).getOrElse(queueMaxLen)
+    length(schema) >= producedCap
+  }
 
   /** The committed resume position ("0" = from the beginning) — the
     * reference's `_get_last_msg_id` HGET. */
@@ -232,11 +258,15 @@ final class RedisBroker(host: String, port: Int, alias: String,
             case _ => id
           }
           val name = s"$schema-${pad(firstId)}-${pad(lastId)}.txt"
-          // version-boundary hygiene: a poll that crashed under the old
-          // UNPADDED naming and re-polls under this one would leave both
-          // files (double ingest) — drop the legacy name for this range
-          Files.deleteIfExists(
-            Paths.get(stagingDir, s"$schema-$firstId-$lastId.txt"))
+          // NOTE (naming-version boundary): a poll that crashed under the
+          // old UNPADDED naming re-stages under this name, and the stale
+          // legacy file would double-ingest its overlap. Deleting it here
+          // is WORSE — Spark's file-source offset log may already
+          // reference the legacy path for an uncommitted batch, and
+          // deleting a referenced file kills the restarted query. The
+          // upgrade procedure (RUNBOOK §3) is to stop producer+consumer
+          // cleanly and drain or clear the staging dir across a naming
+          // change; this code never deletes staged files.
           val tmp = Paths.get(stagingDir, s".$name.tmp")
           Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
           Files.move(tmp, Paths.get(stagingDir, name),

@@ -257,6 +257,44 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("RAISING the cap across a replay still recognizes the old trim (recorded cap)") {
+    // the stream was trimmed under cap 10; the replay runs with cap 1M.
+    // Without the produce-time cap record, XLEN(10+13) < 1M would read as
+    // 'never trimmed' and the genuinely-trimmed head would be refused —
+    // a loud false refusal. The recorded cap makes the replay a no-op.
+    val b0 = batchRows(0, 40)
+    val ref = reference(Seq(0L -> b0), maxLen = 10L)
+    withServer { server =>
+      runBatch(server, b0, 0L, maxLen = 10L)
+      runBatch(server, b0, 0L, maxLen = 1000000L) // raised cap, same stream
+      assert(snapshot(server) == ref)
+    }
+  }
+
+  test("LOWERING the cap cannot launder a tampered head as a trim (recorded cap)") {
+    // the stream was produced (and its cap recorded) at 1M and NEVER
+    // trimmed; it then loses its head (tamper/partial restore). A replay
+    // whose broker is configured with a tiny cap must still refuse:
+    // trim plausibility is judged against the RECORDED cap, not the
+    // replayer's configuration.
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        (10 to 40).foreach(i => raw.command(
+          "XADD", key("db1"), s"0-$i", "msg", s"tail-$i"))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+        raw.command("HSET", "synch:a:produced_maxlen", "db1", "1000000", "db2", "1000000")
+        (1 to 40).foreach(i => raw.command(
+          "XADD", key("db2"), s"0-$i", "msg", "x"))
+      } finally raw.close()
+      val e = intercept[IllegalStateException] {
+        runBatch(server, b0, 0L, maxLen = 10L) // replayer configured tiny
+      }
+      assert(e.getMessage.contains("cannot explain the gap"), e.getMessage)
+    }
+  }
+
   test("MAXLEN trim mid-crash: partial XADDs trimmed, resume still converges") {
     val b0 = batchRows(0, 40)
     val ref = reference(Seq(0L -> b0), maxLen = 10L)
