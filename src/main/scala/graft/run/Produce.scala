@@ -152,6 +152,14 @@ object Produce {
     val sendTops = scala.collection.mutable.Map.empty[String, (Long, String)]
     val pendingSend = scala.collection.mutable.Set.empty[String]
     val sent = scala.collection.mutable.Set.empty[String]
+    // schemas whose XADDs this run ACTUALLY APPLIED (not reject-swallowed
+    // replays): only these could have trimmed, so only these get the cap
+    // in force recorded at commit (RedisBroker.commitProducedAll)
+    val trimExposed = scala.collection.mutable.Set.empty[String]
+    def flush(): Unit = {
+      trimExposed ++= broker.sendBatchAt(buf.toSeq).keys
+      buf.clear()
+    }
     var seq = 0L
     while (rows.hasNext) {
       val (schema, value) = rows.next()
@@ -243,7 +251,7 @@ object Produce {
         }
         buf += ((schema, s"$batchId-$seq", value))
         sent += schema
-        if (buf.size >= 512) { broker.sendBatchAt(buf.toSeq); buf.clear() }
+        if (buf.size >= 512) flush()
       } else {
         // first-entry leg: this run's FIRST event for a SKIP schema
         // must sit at the stream's first surviving batch entry
@@ -308,7 +316,7 @@ object Produce {
           "top entries this run's events never reproduced: a foreign " +
           "producer wrote into this batch's id space — refusing to " +
           "silently drop events")
-    broker.sendBatchAt(buf.toSeq)
+    flush()
     // a SKIP schema whose top seq never matched: the stream's copy
     // of this batch has MORE events than ours — reset, nothing sent
     if (pending.nonEmpty)
@@ -317,7 +325,7 @@ object Produce {
           s"entries this run's $seq events never reproduced: producer " +
           "checkpoint reset onto an existing stream — refusing to " +
           "silently drop events")
-    broker.commitProducedAll(sent, batchId)
+    broker.commitProducedAll(sent, batchId, trimExposed.toSet)
   }
 
   /** Hermetic broker stand-in: JSON files partitioned by schema — same

@@ -67,17 +67,25 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * (send only when batchId > the broker-side commit, with
     * [[guardForeignTop]] against auto-id/foreign streams, and
     * [[commitProduced]]/[[commitProducedAll]] after the last chunk) so
-    * that rejections can only be this run's own pre-crash partials. */
-  def sendBatchAt(events: Seq[(String, String, String)]): Unit =
-    if (events.nonEmpty) {
+    * that rejections can only be this run's own pre-crash partials.
+    *
+    * Returns the per-schema count of XADDs the broker ACTUALLY APPLIED
+    * (replay rejections excluded) — the produce commit uses it to record
+    * the trim-relevant cap only for runs that could have trimmed. */
+  def sendBatchAt(events: Seq[(String, String, String)]): Map[String, Long] =
+    if (events.isEmpty) Map.empty
+    else {
+      val applied = scala.collection.mutable.Map.empty[String, Long]
       client.pipelineEither(events.map { case (schema, id, msg) =>
         Seq("XADD", queueKey(schema), "MAXLEN", "~",
           queueMaxLen.toString, id, "msg", msg)
-      }).foreach {
-        case Left(e) if e.getMessage.contains("equal or smaller") => () // replay
-        case Left(e) => throw e
-        case Right(_) => ()
+      }).zip(events).foreach {
+        case (Left(e), _) if e.getMessage.contains("equal or smaller") => () // replay
+        case (Left(e), _) => throw e
+        case (Right(_), (schema, _, _)) =>
+          applied(schema) = applied.getOrElse(schema, 0L) + 1L
       }
+      applied.toMap
     }
 
   /** The newest entry of a schema's stream as (id, msg) — None when
@@ -136,24 +144,45 @@ final class RedisBroker(host: String, port: Int, alias: String,
       .map(_.asInstanceOf[String].toLong).getOrElse(-1L)
 
   def commitProduced(schema: String, batchId: Long): Unit =
-    commitProducedAll(Seq(schema), batchId)
+    commitProducedAll(Seq(schema), batchId, Set(schema))
 
   /** [[commitProduced]] for every schema of a batch in one pipelined
-    * round-trip (HSET takes multiple field/value pairs). The cap in
-    * force is recorded alongside so a later replay's trim inference
-    * ([[trimPlausible]]) judges against the cap the stream's history
-    * was actually trimmed under. */
-  def commitProducedAll(schemas: Iterable[String], batchId: Long): Unit =
+    * round-trip (HSET takes multiple field/value pairs).
+    *
+    * `trimExposed` — the schemas this run ACTUALLY APPLIED XADDs for
+    * (from [[sendBatchAt]]'s returned counts) — additionally get the
+    * cap in force recorded for [[trimPlausible]]. Reject-only replays
+    * record nothing: their XADDs never trim, and stamping THEIR cap
+    * over the applying run's would let a cap lowered between runs
+    * launder a tampered head as a trim. Recording the LAST applying
+    * run's cap can only err toward a loud false refusal, never silent
+    * tolerance — tolerance needs length >= recordedCap, which proves a
+    * trim under that cap was genuinely reachable. Cap record FIRST,
+    * produced commit LAST ("a trim-relevant produce implies its cap is
+    * recorded" survives a mid-pipeline crash); the produced HSET stays
+    * the single atomic commit point for all schemas of the batch. */
+  def commitProducedAll(schemas: Iterable[String], batchId: Long,
+                        trimExposed: Set[String]): Unit =
     if (schemas.nonEmpty) {
       val ss = schemas.toSeq
-      // cap record FIRST, produced-batch commit LAST: a crash between
-      // the two leaves an unreferenced cap record (harmless), never a
-      // committed batch whose trim inference lacks its cap ("produced
-      // implies cap recorded"); the produced HSET stays the single
-      // atomic commit point for all schemas of the batch
-      client.pipeline(Seq(
-        "HSET" +: maxlenKey +: ss.flatMap(s => Seq(s, queueMaxLen.toString)),
-        "HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
+      // absent-fill: a schema committed WITHOUT any record means an
+      // earlier attempt applied its XADDs but crashed between the last
+      // XADD and this commit's cap HSET — fill with the current cap,
+      // the best available bound. (Residual, documented: if the cap was
+      // LOWERED between that crashed attempt and this reject-only
+      // replay, the filled record is the lowered cap and a subsequent
+      // tampered-head replay could be tolerated — a 4-condition window:
+      // crash exactly post-XADD pre-commit, reject-only replay, cap
+      // lowering in between, then tampering.)
+      val fill = ss.filterNot(trimExposed).filter(s =>
+        Option(client.command("HGET", maxlenKey, s)).isEmpty)
+      val exposed = ss.filter(trimExposed) ++ fill
+      val cmds =
+        (if (exposed.isEmpty) Nil
+         else Seq("HSET" +: maxlenKey +:
+           exposed.flatMap(s => Seq(s, queueMaxLen.toString)))) :+
+          ("HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString)))
+      client.pipeline(cmds)
       ()
     }
 

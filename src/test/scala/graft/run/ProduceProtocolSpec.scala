@@ -52,7 +52,8 @@ class ProduceProtocolSpec extends AnyFunSuite {
     * fields) plus the produced-batch commit hash. */
   private def snapshot(server: FakeRedisServer): Map[String, Any] =
     schemas.map(s => s -> server.dumpStream(key(s))).toMap +
-      ("produced" -> server.dumpHash("synch:a:produced_batch"))
+      ("produced" -> server.dumpHash("synch:a:produced_batch")) +
+      ("maxlen" -> server.dumpHash("synch:a:produced_maxlen"))
 
   /** The no-crash reference state after the given batches. */
   private def reference(batches: Seq[(Long, Seq[(String, String)])],
@@ -65,14 +66,17 @@ class ProduceProtocolSpec extends AnyFunSuite {
   // ---------------------------------------------------------------------
   // Crash matrix: command-boundary crashes at every interesting write
   // count, then resume; final state must equal the no-crash reference.
-  // Batch 0 has 40 XADD writes + 1 HSET (commit) = 41 writes; batch 1
-  // likewise. Crash points: before any XADD (0), first XADD (1), mid
-  // pipeline (7, 23), last XADD (39), all XADDs but not the commit (40).
+  // Batch 0 is 40 XADD writes + the commit pipeline's cap-record HSET
+  // (41) + produced-batch HSET (42). Crash points: before any XADD (0),
+  // first XADD (1), mid pipeline (7, 23), last XADD (39), all XADDs but
+  // no commit write (40), cap record applied but produced commit dead
+  // (41 — the resume's reject-only replay must absent-fill nothing and
+  // still converge).
   // ---------------------------------------------------------------------
   test("crash at every command boundary of batch 0, then resume, is byte-identical") {
     val b0 = batchRows(0, 40); val b1 = batchRows(1, 40)
     val ref = reference(Seq(0L -> b0, 1L -> b1))
-    for (crashAt <- Seq(0L, 1L, 7L, 23L, 39L, 40L)) {
+    for (crashAt <- Seq(0L, 1L, 7L, 23L, 39L, 40L, 41L)) {
       withServer { server =>
         server.failAfterWrites(crashAt)
         val crashed = intercept[Exception] { runBatch(server, b0, 0L) }
@@ -380,19 +384,23 @@ class ProduceProtocolSpec extends AnyFunSuite {
   // ---------------------------------------------------------------------
   // Multi-schema atomicity
   // ---------------------------------------------------------------------
-  test("commitProducedAll is one atomic HSET: no schema can be half-committed") {
-    // crash ON the commit write: neither schema's produced_batch moves,
-    // both replay in SEND mode, and the final state still converges
+  test("the produced commit is one atomic HSET: no schema can be half-committed") {
+    // crash ON the commit pipeline: whether the cap-record HSET (write
+    // 41) or the produced HSET (write 42... never reached here) dies,
+    // neither schema's produced_batch moves — the produced HSET is the
+    // single atomic commit point — and the resume still converges
     val b0 = batchRows(0, 40)
     val ref = reference(Seq(0L -> b0))
-    withServer { server =>
-      server.failAfterWrites(40) // all XADDs land, the single HSET dies
-      intercept[Exception] { runBatch(server, b0, 0L) }
-      assert(server.dumpHash("synch:a:produced_batch").isEmpty,
-        "a partial commit is impossible by construction")
-      server.failAfterWrites(-1)
-      runBatch(server, b0, 0L)
-      assert(snapshot(server) == ref)
+    for (crashAt <- Seq(40L, 41L)) {
+      withServer { server =>
+        server.failAfterWrites(crashAt)
+        intercept[Exception] { runBatch(server, b0, 0L) }
+        assert(server.dumpHash("synch:a:produced_batch").isEmpty,
+          s"crashAt=$crashAt: a partial produced commit is impossible by construction")
+        server.failAfterWrites(-1)
+        runBatch(server, b0, 0L)
+        assert(snapshot(server) == ref, s"crashAt=$crashAt")
+      }
     }
   }
 }

@@ -214,7 +214,7 @@ class RedisBrokerSpec extends SparkSpec {
       assert(broker.producedBatch("db") == -1L)
       broker.commitProduced("db", 8L)
       assert(broker.producedBatch("db") == 8L)
-      broker.commitProducedAll(Seq("db", "db2"), 9L) // multi-pair HSET
+      broker.commitProducedAll(Seq("db", "db2"), 9L, Set("db", "db2")) // multi-pair HSET
       assert(broker.producedBatch("db") == 9L && broker.producedBatch("db2") == 9L)
       // a foreign top entry WITHOUT a msg field still yields its id —
       // treating it as an empty stream would disable the guard entirely
