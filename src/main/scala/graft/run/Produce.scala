@@ -157,7 +157,7 @@ object Produce {
     // in force recorded at commit (RedisBroker.commitProducedAll)
     val trimExposed = scala.collection.mutable.Set.empty[String]
     def flush(): Unit = {
-      trimExposed ++= broker.sendBatchAt(buf.toSeq).keys
+      trimExposed ++= broker.sendBatchAt(buf.toSeq)
       buf.clear()
     }
     var seq = 0L

@@ -69,23 +69,23 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * [[commitProduced]]/[[commitProducedAll]] after the last chunk) so
     * that rejections can only be this run's own pre-crash partials.
     *
-    * Returns the per-schema count of XADDs the broker ACTUALLY APPLIED
-    * (replay rejections excluded) — the produce commit uses it to record
-    * the trim-relevant cap only for runs that could have trimmed. */
-  def sendBatchAt(events: Seq[(String, String, String)]): Map[String, Long] =
-    if (events.isEmpty) Map.empty
+    * Returns the schemas for which the broker ACTUALLY APPLIED at least
+    * one XADD (replay rejections excluded) — the produce commit uses it
+    * to record the trim-relevant cap exactly for the runs whose XADDs
+    * could have trimmed. */
+  def sendBatchAt(events: Seq[(String, String, String)]): Set[String] =
+    if (events.isEmpty) Set.empty
     else {
-      val applied = scala.collection.mutable.Map.empty[String, Long]
+      val applied = scala.collection.mutable.Set.empty[String]
       client.pipelineEither(events.map { case (schema, id, msg) =>
         Seq("XADD", queueKey(schema), "MAXLEN", "~",
           queueMaxLen.toString, id, "msg", msg)
       }).zip(events).foreach {
         case (Left(e), _) if e.getMessage.contains("equal or smaller") => () // replay
         case (Left(e), _) => throw e
-        case (Right(_), (schema, _, _)) =>
-          applied(schema) = applied.getOrElse(schema, 0L) + 1L
+        case (Right(_), (schema, _, _)) => applied += schema
       }
-      applied.toMap
+      applied.toSet
     }
 
   /** The newest entry of a schema's stream as (id, msg) — None when
@@ -143,46 +143,52 @@ final class RedisBroker(host: String, port: Int, alias: String,
     Option(client.command("HGET", producedKey, schema))
       .map(_.asInstanceOf[String].toLong).getOrElse(-1L)
 
-  def commitProduced(schema: String, batchId: Long): Unit =
-    commitProducedAll(Seq(schema), batchId, Set(schema))
+  /** Single-schema [[commitProducedAll]]; `applied` = did this run
+    * actually apply (not reject-swallow) any XADD for the schema. */
+  def commitProduced(schema: String, batchId: Long, applied: Boolean = true): Unit =
+    commitProducedAll(Seq(schema), batchId,
+      if (applied) Set(schema) else Set.empty)
 
   /** [[commitProduced]] for every schema of a batch in one pipelined
     * round-trip (HSET takes multiple field/value pairs).
     *
-    * `trimExposed` — the schemas this run ACTUALLY APPLIED XADDs for
-    * (from [[sendBatchAt]]'s returned counts) — additionally get the
-    * cap in force recorded for [[trimPlausible]]. Reject-only replays
-    * record nothing: their XADDs never trim, and stamping THEIR cap
-    * over the applying run's would let a cap lowered between runs
-    * launder a tampered head as a trim. Recording the LAST applying
-    * run's cap can only err toward a loud false refusal, never silent
-    * tolerance — tolerance needs length >= recordedCap, which proves a
-    * trim under that cap was genuinely reachable. Cap record FIRST,
-    * produced commit LAST ("a trim-relevant produce implies its cap is
+    * Alongside the produced commit, each schema's trim-relevant cap is
+    * recorded for [[trimPlausible]]:
+    *  - `trimExposed` schemas (this run ACTUALLY APPLIED XADDs for
+    *    them, per [[sendBatchAt]]'s return) get the cap in force — the
+    *    exact cap their trims ran under;
+    *  - reject-only replays get `max(existing record, current cap)`:
+    *    the batch's XADDs were applied by a CRASHED attempt whose cap
+    *    is unknown and any existing record belongs to an OLDER batch —
+    *    stamping the replay's own (possibly lowered) cap would launder
+    *    a tampered head as a trim, and KEEPING a stale lower record
+    *    would do the same after a cap raise; max errs only toward a
+    *    loud false refusal. An absent record fills with the current
+    *    cap (residual, documented: a cap LOWERED between a crashed
+    *    fully-XADDed attempt and its reject-only replay commit, then
+    *    tampering, could be tolerated — a 4-condition window).
+    * Tolerance always requires length >= recordedCap, which proves a
+    * trim under that cap was genuinely reachable — silent tolerance of
+    * an impossible trim cannot occur outside the documented residual.
+    * Cap record FIRST, produced commit LAST ("produced implies cap
     * recorded" survives a mid-pipeline crash); the produced HSET stays
     * the single atomic commit point for all schemas of the batch. */
   def commitProducedAll(schemas: Iterable[String], batchId: Long,
                         trimExposed: Set[String]): Unit =
     if (schemas.nonEmpty) {
       val ss = schemas.toSeq
-      // absent-fill: a schema committed WITHOUT any record means an
-      // earlier attempt applied its XADDs but crashed between the last
-      // XADD and this commit's cap HSET — fill with the current cap,
-      // the best available bound. (Residual, documented: if the cap was
-      // LOWERED between that crashed attempt and this reject-only
-      // replay, the filled record is the lowered cap and a subsequent
-      // tampered-head replay could be tolerated — a 4-condition window:
-      // crash exactly post-XADD pre-commit, reject-only replay, cap
-      // lowering in between, then tampering.)
-      val fill = ss.filterNot(trimExposed).filter(s =>
-        Option(client.command("HGET", maxlenKey, s)).isEmpty)
-      val exposed = ss.filter(trimExposed) ++ fill
-      val cmds =
-        (if (exposed.isEmpty) Nil
-         else Seq("HSET" +: maxlenKey +:
-           exposed.flatMap(s => Seq(s, queueMaxLen.toString)))) :+
-          ("HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString)))
-      client.pipeline(cmds)
+      val (exposed, replayOnly) = ss.partition(trimExposed)
+      val replayCaps =
+        if (replayOnly.isEmpty) Nil
+        else client.pipeline(replayOnly.map(s => Seq("HGET", maxlenKey, s)))
+          .zip(replayOnly).map { case (v, s) =>
+            s -> math.max(Option(v).map(_.asInstanceOf[String].toLong)
+              .getOrElse(queueMaxLen), queueMaxLen)
+          }
+      val caps = exposed.map(_ -> queueMaxLen) ++ replayCaps
+      client.pipeline(Seq(
+        "HSET" +: maxlenKey +: caps.flatMap { case (s, c) => Seq(s, c.toString) },
+        "HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
       ()
     }
 

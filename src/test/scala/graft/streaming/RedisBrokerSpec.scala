@@ -212,7 +212,7 @@ class RedisBrokerSpec extends SparkSpec {
       broker.guardForeignTop("fresh-stream", 0L) // empty stream: fine
       // the produce commit hash: the replay/reset discriminator
       assert(broker.producedBatch("db") == -1L)
-      broker.commitProduced("db", 8L)
+      broker.commitProduced("db", 8L, applied = true)
       assert(broker.producedBatch("db") == 8L)
       broker.commitProducedAll(Seq("db", "db2"), 9L, Set("db", "db2")) // multi-pair HSET
       assert(broker.producedBatch("db") == 9L && broker.producedBatch("db2") == 9L)
