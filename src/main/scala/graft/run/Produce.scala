@@ -154,7 +154,9 @@ object Produce {
     val sent = scala.collection.mutable.Set.empty[String]
     // schemas whose XADDs this run ACTUALLY APPLIED (not reject-swallowed
     // replays): only these could have trimmed, so only these get the cap
-    // in force recorded at commit (RedisBroker.commitProducedAll)
+    // in force stamped EXACTLY at commit; reject-only schemas get the
+    // conservative max(existing, current) instead — see
+    // RedisBroker.commitProducedAll's record policy
     val trimExposed = scala.collection.mutable.Set.empty[String]
     def flush(): Unit = {
       trimExposed ++= broker.sendBatchAt(buf.toSeq)

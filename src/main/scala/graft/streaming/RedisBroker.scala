@@ -144,8 +144,11 @@ final class RedisBroker(host: String, port: Int, alias: String,
       .map(_.asInstanceOf[String].toLong).getOrElse(-1L)
 
   /** Single-schema [[commitProducedAll]]; `applied` = did this run
-    * actually apply (not reject-swallow) any XADD for the schema. */
-  def commitProduced(schema: String, batchId: Long, applied: Boolean = true): Unit =
+    * actually apply (not reject-swallow) any XADD for the schema.
+    * Deliberately NO default: the flag exists to distinguish the
+    * cap-stamping path from the max-record path, and defaulting it
+    * would silently opt callers into the hazardous branch. */
+  def commitProduced(schema: String, batchId: Long, applied: Boolean): Unit =
     commitProducedAll(Seq(schema), batchId,
       if (applied) Set(schema) else Set.empty)
 
@@ -164,12 +167,16 @@ final class RedisBroker(host: String, port: Int, alias: String,
     *    a tampered head as a trim, and KEEPING a stale lower record
     *    would do the same after a cap raise; max errs only toward a
     *    loud false refusal. An absent record fills with the current
-    *    cap (residual, documented: a cap LOWERED between a crashed
-    *    fully-XADDed attempt and its reject-only replay commit, then
-    *    tampering, could be tolerated — a 4-condition window).
-    * Tolerance always requires length >= recordedCap, which proves a
-    * trim under that cap was genuinely reachable — silent tolerance of
-    * an impossible trim cannot occur outside the documented residual.
+    *    cap.
+    * Residual (both record-present and record-absent variants): a cap
+    * LOWERED between a crashed fully-XADDed attempt and its reject-only
+    * replay commit bounds the record at the lowered cap (max cannot
+    * recover the crashed attempt's unrecorded higher cap), so
+    * subsequent tampering within that band could be tolerated — a
+    * 4-condition window (crash exactly post-XADD pre-commit,
+    * reject-only replay, cap lowering in between, then tampering).
+    * Outside it, tolerance always requires length >= recordedCap,
+    * which proves a trim under that cap was genuinely reachable.
     * Cap record FIRST, produced commit LAST ("produced implies cap
     * recorded" survives a mid-pipeline crash); the produced HSET stays
     * the single atomic commit point for all schemas of the batch. */
