@@ -382,6 +382,50 @@ class ProduceProtocolSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------------------
+  // Randomized generalization of the hand-enumerated matrix: random
+  // multi-schema workloads × random crash points × random crash counts,
+  // always converging byte-identically after resume. Deterministic seed
+  // so a failure reproduces.
+  // ---------------------------------------------------------------------
+  test("property: random workloads x random crash points always converge byte-identically") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 25).foreach { trial =>
+      val nSchemas = 1 + rnd.nextInt(3)
+      val schemaNames = (1 to nSchemas).map(i => s"db$i")
+      def randomBatch(b: Int): Seq[(String, String)] =
+        (1 to (10 + rnd.nextInt(70))).map { i =>
+          val s = schemaNames(rnd.nextInt(nSchemas))
+          (s, s"""{"s":"$s","b":$b,"n":$i,"v":${rnd.nextInt(1000)}}""")
+        }
+      val batches = (0 until (1 + rnd.nextInt(3))).map(b => b.toLong -> randomBatch(b))
+      val maxLen = if (rnd.nextBoolean()) 1000000L else (5 + rnd.nextInt(30)).toLong
+
+      def snapAll(server: FakeRedisServer): Map[String, Any] =
+        schemaNames.map(s => s -> server.dumpStream(key(s))).toMap +
+          ("produced" -> server.dumpHash("synch:a:produced_batch")) +
+          ("maxlen" -> server.dumpHash("synch:a:produced_maxlen"))
+      val ref = withServer { server =>
+        batches.foreach { case (id, rows) => runBatch(server, rows, id, maxLen) }
+        snapAll(server)
+      }
+      withServer { server =>
+        batches.foreach { case (id, rows) =>
+          // 0-2 crashes per batch at random write boundaries, then resume
+          (0 until rnd.nextInt(3)).foreach { _ =>
+            server.failAfterWrites(rnd.nextInt(rows.length + 3).toLong)
+            try runBatch(server, rows, id, maxLen)
+            catch { case _: Exception => () } // may or may not crash
+            server.failAfterWrites(-1)
+          }
+          runBatch(server, rows, id, maxLen) // clean attempt (or verified skip)
+        }
+        assert(snapAll(server) == ref,
+          s"trial $trial diverged (schemas=$nSchemas batches=${batches.length} maxLen=$maxLen)")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Multi-schema atomicity
   // ---------------------------------------------------------------------
   test("the produced commit is one atomic HSET: no schema can be half-committed") {
