@@ -113,9 +113,10 @@ object GraphOps {
     // bounds the mirrored edge count, so the gate is conservative vs the
     // configured threshold's original (mirrored) semantics.
     if (2L * p.count() <= localThreshold) {
-      val out = localComponents(nodes, p, idCol)
-      pFree()
-      return out
+      // free the pairs checkpoint on BOTH exits — a failure inside the
+      // local fast path used to leak it until session end
+      try return localComponents(nodes, p, idCol)
+      finally pFree()
     }
 
     // both directions once, deduped — the star rounds need the mirrored
@@ -136,31 +137,41 @@ object GraphOps {
     var cur = und
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
-      val next = checkpointed(smallStar(largeStar(cur)))
-      val stable = next.count() == cur.count() && next.except(cur).isEmpty
-      // cur's blocks are dead either way (next is materialized with
-      // lineage cut); keep only the newest checkpoint alive
-      if (it == 0) undFree()
-      freed.dropRight(1).foreach(_.apply())
-      freed.remove(0, freed.size - 1)
-      cur = next
-      it += 1
-      converged = stable
+    var undFreed = false
+    // try/finally: a task failure inside a star round, or the
+    // non-convergence require, used to skip every cleanup below and
+    // leak the und + round checkpoints until session end — the exact
+    // cache-leak class this function's choreography exists to prevent
+    try {
+      while (!converged && it < maxIter) {
+        val next = checkpointed(smallStar(largeStar(cur)))
+        val stable = next.count() == cur.count() && next.except(cur).isEmpty
+        // cur's blocks are dead either way (next is materialized with
+        // lineage cut); keep only the newest checkpoint alive
+        if (it == 0) { undFree(); undFreed = true }
+        freed.dropRight(1).foreach(_.apply())
+        freed.remove(0, freed.size - 1)
+        cur = next
+        it += 1
+        converged = stable
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      // final stars: one (child, root) edge per connected non-root node;
+      // roots and singletons label themselves. Only `nodes` rows come back
+      // (foreign endpoints conducted; they are not part of the answer);
+      // materialized so callers may unpersist upstream checkpoints as soon
+      // as this returns
+      nodes.select(col(idCol).as("id")).distinct()
+        .join(cur.select(col("src").as("id"), col("dst").as("_c")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
+        .localCheckpoint(true)
+    } finally {
+      // the try's last act materialized the result (or threw), so every
+      // intermediate checkpoint is dead on either path
+      if (!undFreed) undFree()
+      freed.foreach(_.apply())
+      freed.clear()
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    // final stars: one (child, root) edge per connected non-root node;
-    // roots and singletons label themselves. Only `nodes` rows come back
-    // (foreign endpoints conducted; they are not part of the answer);
-    // materialized so callers may unpersist upstream checkpoints as soon
-    // as this returns
-    val out = nodes.select(col(idCol).as("id")).distinct()
-      .join(cur.select(col("src").as("id"), col("dst").as("_c")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_c"), col("id")).as("comp"))
-      .localCheckpoint(true)
-    freed.foreach(_.apply())
-    freed.clear()
-    out
   }
 
   /** Large-star round: every node u attaches its LARGER neighbors to
@@ -383,14 +394,20 @@ object GraphOps {
     // (the LSH blocking chain) once per iteration: measured 5× the whole
     // query cost at iters=5 before this checkpoint
     val withDeg = edges.join(deg, "src").localCheckpoint(true)
+    // docs' lineage is joined back EVERY iteration — checkpoint the id
+    // column once, the same re-execution discipline as withDeg (a docs
+    // frame derived from a cleaning pipeline would otherwise re-run that
+    // pipeline iters+1 times)
+    val ids = docs.select(col(idCol).as("id")).localCheckpoint(true)
+    try {
     val base = lit(15L * scale / 100L)
-    var ranks = docs.select(col(idCol).as("id"), lit(scale).as("r"))
+    var ranks = ids.select(col("id"), lit(scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks, col("src") === col("id"))
         .select(col("dst"), floorDiv(col("r"), col("_deg")).as("_c"))
         .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
-      ranks = docs.select(col(idCol).as("id"))
+      ranks = ids
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (base + floorDiv(lit(85L) * coalesce(col("_in"), lit(0L)), 100L)).as("r"))
@@ -398,10 +415,14 @@ object GraphOps {
     // materialize the result (one job over the iters-level plan, each
     // level reading the cached edge table), then free the checkpoint —
     // the caller gets a lineage-free frame, nothing leaks across calls
-    val out = ranks.select(col("id").as(idCol), col("r").as("rank_units"))
+    ranks.select(col("id").as(idCol), col("r").as("rank_units"))
       .localCheckpoint(true)
-    freeCheckpoint(withDeg)
-    out
+    } finally {
+      // freed on BOTH paths: the result (if any) was materialized as the
+      // try's last act, so the inputs' blocks are dead either way
+      freeCheckpoint(withDeg)
+      freeCheckpoint(ids)
+    }
   }
 
   /** Free the spillable blocks behind a materialized `localCheckpoint`.

@@ -106,7 +106,7 @@ object SketchOps {
   private def cmCell(c: Column, row: Int, width: Int): Column = {
     val h0 = polyHash(c.cast("string"))
     val h = (h0 * h0 + lit(12345L)) % lit(P)
-    ((h * lit(A(row)) + lit(B(row))) % lit(P)) % lit(width.toLong)
+    graft.functions.CrossHash.permuted(h, row) % lit(width.toLong)
   }
 
   /** Exact heavy hitters (count ≥ `threshold`) via a count-min prescreen.
@@ -134,7 +134,12 @@ object SketchOps {
     require(width > 0, "width must be positive")
     require(threshold > 0, "threshold must be positive")
     val cellsArr = array((0 until depth).map(r => cmCell(col(keyCol), r, width)): _*)
+    // NULL keys are excluded, like hllDistinct: polyHash(null) is null,
+    // so a null key's cells are null rows whose driver-side getLong
+    // would NPE — and the exact phase's estimate-filter drops null keys
+    // anyway (least(null..) >= threshold is never true)
     val sketchRows = df
+      .filter(col(keyCol).isNotNull)
       .select(posexplode(cellsArr).as(Seq("_row", "_col")))
       .groupBy(col("_row"), col("_col"))
       .agg(count(lit(1)).as("_cnt"))
@@ -203,9 +208,15 @@ object SketchOps {
     import org.apache.spark.sql.expressions.Window
     val widthNum = maxValue  // bucket = min(v*nBuckets div maxValue, n-1)
     val gcols = groupCols.map(col)
+    // clamped on BOTH sides: the doc's contract is values in
+    // [0, maxValue], but a negative out-of-contract value used to land
+    // in bucket -1 and silently corrupt the cumulative histogram (the
+    // top clamp had no symmetric floor)
     val bucket = least(
-      graft.functions.IntMath.floorDiv(
-        col(valueCol).cast("long") * lit(nBuckets.toLong), widthNum),
+      greatest(
+        graft.functions.IntMath.floorDiv(
+          col(valueCol).cast("long") * lit(nBuckets.toLong), widthNum),
+        lit(0L)),
       lit(nBuckets - 1L)).cast("int")
     val hist = df.select(gcols :+ bucket.as("_b"): _*)
       .groupBy(gcols :+ col("_b"): _*)

@@ -518,10 +518,17 @@ object Consume {
               catch {
                 case e: Exception if skipError =>
                   // C3 skip-error mode: continue with the next table,
-                  // parking the failed slice for replay
+                  // parking the failed slice for replay. The slice keeps
+                  // the schema's DDL rows REGARDLESS of their table
+                  // column — Debezium schema-change documents carry
+                  // table="" (the statement names the table instead), and
+                  // a table-scoped filter would drop them, breaking the
+                  // drain's intra-batch schema split ("parked slices
+                  // carry their own DDL rows")
                   System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
                   deadLetter.foreach(_.record(
-                    CdcOps.filterTables(events, Seq(t.schema), Seq(t.table)),
+                    events.filter(col("schema") === t.schema &&
+                      (col("table") === t.table || col("action") === "query")),
                     t.schema, t.table, batchId,
                     Option(e.getMessage).getOrElse(e.getClass.getName)))
                   None

@@ -232,10 +232,21 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   }
 
   /** Drop ONE committed version (dead-letter drainDdl: per-batch clear,
-    * so a crash between batches loses at most that batch's re-park). */
+    * so a crash between batches loses at most that batch's re-park).
+    * Refuses a compacted base like [[truncateAfter]]: that directory
+    * folds every batch <= its id, and a single "delete one version"
+    * call destroying all of them is the silent-data-loss shape (today's
+    * only caller, the dead-letter DDL store, never compacts — the guard
+    * protects future callers of this public method). */
   def deleteVersion(batchId: Long): Unit = {
     recoverCompaction() // writer entry: settle any pending swap physically
-    versions.find(_._1 == batchId).foreach { case (_, p) => fs.delete(p, true) }
+    versions.find(_._1 == batchId).foreach { case (_, p) =>
+      if (fs.exists(new Path(p, CompactedMarker)))
+        throw new IllegalStateException(
+          s"cannot delete version $batchId: it is a compaction containing " +
+            "every earlier batch; use dropThrough/truncateAfter deliberately")
+      fs.delete(p, true)
+    }
   }
 
   /** Ids of the committed versions, oldest first — a pure listing (no

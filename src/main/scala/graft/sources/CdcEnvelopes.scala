@@ -65,6 +65,25 @@ object CdcEnvelopes {
     * wall-clock µs, postgres.py:92); pass a deterministic column for
     * replay/test use. It may reference columns of `df`.
     */
+  /** Column arrays usable by `map_from_arrays`: both absent (delete-only
+    * documents carry no new image), or same length with non-null,
+    * duplicate-free names. A corrupt document violating this would
+    * otherwise THROW inside the projection and kill the whole
+    * micro-batch — the C3 principle is that malformed input parks with
+    * a trace ([[wal2jsonDropped]]), never takes the stream down. */
+  private def saneArrays(names: Column, values: Column): Column =
+    (names.isNull && values.isNull) ||
+      (names.isNotNull && values.isNotNull &&
+        size(names) === size(values) &&
+        !exists(names, n => n.isNull) &&
+        size(array_distinct(names)) === size(names))
+
+  /** Sanity of one exploded wal2json change element `c`. */
+  private def saneChange: Column =
+    saneArrays(col("c.columnnames"), col("c.columnvalues")) &&
+      (col("c.oldkeys").isNull ||
+        saneArrays(col("c.oldkeys.keynames"), col("c.oldkeys.keyvalues")))
+
   def wal2json(df: DataFrame, jsonCol: String = "json",
                eventUnixtime: Column = unix_micros(current_timestamp())): DataFrame = {
     val newVals = to_json(map_from_arrays(col("c.columnnames"), col("c.columnvalues")))
@@ -79,6 +98,10 @@ object CdcEnvelopes {
       .otherwise(array().cast("array<struct<action string, values string, action_seq int>>"))
     df.withColumn("_t", eventUnixtime)
       .select(col("_t"), explode(from_json(col(jsonCol), lit(wal2jsonSchema))("change")).as("c"))
+      // the filter MUST precede the map_from_arrays projections: an
+      // insane element evaluated through them throws; filtered rows are
+      // [[wal2jsonDropped]]'s to park
+      .filter(coalesce(saneChange, lit(false)))
       .select(col("c.schema").as("schema"), col("c.table").as("table"),
         col("_t").as("event_unixtime"), explode(halves).as("h"))
       .select(col("schema"), col("table"), col("h.action").as("action"),
@@ -207,6 +230,14 @@ object CdcEnvelopes {
       // would filter it out of the complement too — coalesce keeps it
       .filter(!coalesce(col("c.kind").isin("insert", "update", "delete"), lit(false)))
       .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
-    unparsed.unionByName(unknownKind)
+    // handled kind but corrupt column arrays (length mismatch, null or
+    // duplicate names): excluded from [[wal2json]]'s stream by the
+    // sanity filter, parked here instead of crashing the projection
+    val insane = parsed.filter(col("chg").isNotNull)
+      .select(col("raw"), explode(col("chg")).as("c"))
+      .filter(coalesce(col("c.kind").isin("insert", "update", "delete"), lit(false)) &&
+        !coalesce(saneChange, lit(false)))
+      .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
+    unparsed.unionByName(unknownKind).unionByName(insane)
   }
 }

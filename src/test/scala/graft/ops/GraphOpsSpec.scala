@@ -250,4 +250,23 @@ class GraphOpsSpec extends SparkSpec {
       assert(dist == fast)
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
+
+  test("connectedComponents frees every checkpoint on the non-convergence exception path") {
+    // regression: a require(converged) failure (or any mid-round job
+    // failure) used to skip the cleanup choreography and leak the und +
+    // round checkpoints until session end
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val nodes = (1L to 200L).toDF("id")
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    // force the distributed loop (tiny threshold) and starve iterations
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "1")
+    try {
+      intercept[IllegalArgumentException] {
+        GraphOps.connectedComponents(nodes, pairs, maxIter = 1)
+      }
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"leaked checkpoint RDDs: $leaked")
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
 }

@@ -93,4 +93,29 @@ class SketchOpsSpec extends SparkSpec {
       .select("hll_estimate").as[Double].collect().head
     assert(e1 == e2, "duplicates and partitioning must not move the estimate")
   }
+
+  test("heavyHitters: NULL keys are excluded instead of crashing the sketch build") {
+    // regression: polyHash(null) is null, so a null key's cells were null
+    // rows whose driver-side getLong NPE'd the whole job
+    val df = (Seq.fill(10)(Option("hot")) ++ Seq.fill(3)(Option("cold")) ++
+      Seq.fill(5)(Option.empty[String])).toDF("k")
+    val hits = SketchOps.heavyHitters(df, "k", threshold = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hits == Set(("hot", 10L)))
+  }
+
+  test("histogramQuantiles: out-of-contract negative values clamp to bucket 0") {
+    // regression: a negative value produced bucket -1 and silently
+    // corrupted the cumulative histogram
+    val clean = Seq.tabulate(100)(i => ("g", i.toLong)).toDF("grp", "v")
+    val dirty = clean.union(Seq(("g", -1L), ("g", -500L)).toDF("grp", "v"))
+    def q50(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.histogramQuantiles(df, "v", Seq("grp"), maxValue = 128L)
+        .select("p50").as[Long].collect().head
+    // the two negatives land in bucket 0 (as if 0), shifting mass low by
+    // exactly two values — never a negative bucket or edge
+    val est = q50(dirty)
+    assert(est >= 0L, s"negative quantile edge: $est")
+    assert(math.abs(est - q50(clean)) <= 2L * 2L, "clamped values behave like zeros")
+  }
 }

@@ -233,4 +233,33 @@ class DeadLetterSpec extends SparkSpec {
     assert(state == Set((1L, 10.0, None), (2L, 20.0, Some("new"))))
     assert(dl.read("db", "t").isEmpty)
   }
+
+  test("parked slice keeps DDL rows whose table column is EMPTY (Debezium schema-change)") {
+    // regression: the park used a table-scoped filter, but Debezium
+    // schema-change documents carry table="" (the ALTER names the table
+    // in its text) — the DDL row was dropped from the parked slice and a
+    // drain re-parsed the whole batch under the pre-ALTER schema
+    val root = Files.createTempDirectory("dlddlpark").toString
+    val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val poisoned = TableSync("db", "bad", valueSchema, Seq("no_such_col"), Engine.MergeTree)
+
+    val debeziumStyleDdl =
+      s"""{"schema":"db","table":"","action":"query","values":"ALTER TABLE db.bad ADD COLUMN note VARCHAR(20)","event_unixtime":120,"action_seq":0}"""
+    Files.write(Paths.get(eventsDir, "b0.json"), Seq(
+      ev("bad", "insert", 1, 10.0, 100),
+      debeziumStyleDdl,
+      ev("bad", "insert", 2, 20.0, 200)).mkString("\n").getBytes("UTF-8"))
+
+    val q = Consume.start(spark, EventSource.files(spark, eventsDir),
+      Seq(poisoned), s"$root/state", s"$root/ckpt",
+      triggerInterval = "250 milliseconds", skipError = true,
+      deadLetter = Some(dl))
+    q.processAllAvailable(); q.stop()
+
+    val parked = dl.read("db", "bad").get.collect()
+    val queryRows = parked.filter(_.getAs[String]("action") == "query")
+    assert(queryRows.length == 1, s"DDL row missing from the parked slice: ${parked.toSeq}")
+    assert(queryRows.head.getAs[String]("values").contains("ADD COLUMN note"))
+  }
 }

@@ -97,6 +97,19 @@ class StateStoreSpec extends SparkSpec {
     assert(store.readVersion(7L).isEmpty)
   }
 
+  test("deleteVersion refuses a compacted base (it folds every earlier batch)") {
+    val root = Files.createTempDirectory("ssdelguard").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    store.append(df(1), 0); store.append(df(2), 1)
+    store.compact(store.readLog().get.distinct())
+    val e = intercept[IllegalStateException] { store.deleteVersion(1L) }
+    assert(e.getMessage.contains("compaction"), e.getMessage)
+    // plain delta versions still delete individually
+    store.append(df(3), 2)
+    store.deleteVersion(2L)
+    assert(store.versionIds() == Seq(1L))
+  }
+
   test("negative control: the legacy destructive reader recovery loses the base " +
       "under the documented two-reader interleaving") {
     // the pre-fix design ran the physical swap recovery on EVERY listing,

@@ -247,4 +247,22 @@ class CdcEnvelopesSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getString(2))).toSet
     assert(dropped == Set((Some("s"), None, nokind)))
   }
+
+  test("wal2json: corrupt column arrays park in the dropped complement, never crash") {
+    // regression: map_from_arrays THREW on a length mismatch / null or
+    // duplicate column names, killing the whole micro-batch instead of
+    // routing the document to the dead letter (C3)
+    val mismatch = """{"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columnvalues":[1,2]}]}"""
+    val nullName = """{"change":[{"kind":"insert","schema":"s","table":"t","columnnames":[null],"columnvalues":[1]}]}"""
+    val dupName = """{"change":[{"kind":"update","schema":"s","table":"t","columnnames":["a","a"],"columnvalues":[1,2],"oldkeys":{"keynames":["a"],"keyvalues":[1]}}]}"""
+    val good = """{"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columnvalues":[9]}]}"""
+    val df = Seq(mismatch, nullName, dupName, good).toDF("json")
+    val events = CdcEnvelopes.wal2json(df, eventUnixtime = lit(1L)).collect()
+    assert(events.length == 1 && events.head.getAs[String]("values").contains("9"),
+      "only the sane document becomes an event")
+    val dropped = CdcEnvelopes.wal2jsonDropped(df).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(dropped == Set(
+      ("insert", mismatch), ("insert", nullName), ("update", dupName)))
+  }
 }
