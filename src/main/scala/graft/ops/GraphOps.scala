@@ -112,20 +112,26 @@ object GraphOps {
     // local-cluster, where the collect is a real wire transfer). 2·|pairs|
     // bounds the mirrored edge count, so the gate is conservative vs the
     // configured threshold's original (mirrored) semantics.
-    if (2L * p.count() <= localThreshold) {
-      // free the pairs checkpoint on BOTH exits — a failure inside the
-      // local fast path used to leak it until session end
-      try return localComponents(nodes, p, idCol)
-      finally pFree()
-    }
-
-    // both directions once, deduped — the star rounds need the mirrored
-    // form (each endpoint must see its full neighborhood)
-    val und = p
-      .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    pFree()
+    // pFree on EVERY exit of this region — the fast path, the threshold
+    // count, and the eager und materialization (union+distinct over the
+    // mirrored pairs, the likeliest OOM point) can all throw, and each
+    // used to leak the pairs checkpoint until session end
+    val und =
+      try {
+        if (2L * p.count() <= localThreshold) {
+          val out = localComponents(nodes, p, idCol)
+          pFree()
+          return out
+        }
+        // both directions once, deduped — the star rounds need the
+        // mirrored form (each endpoint must see its full neighborhood)
+        val u = p
+          .union(p.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .localCheckpoint(true)
+        pFree()
+        u
+      } catch { case t: Throwable => pFree(); throw t }
     val undFree = () => freeCheckpoint(und)
 
     // alternating large-star / small-star until the edge set is a fixpoint.
@@ -394,10 +400,12 @@ object GraphOps {
     // (the LSH blocking chain) once per iteration: measured 5× the whole
     // query cost at iters=5 before this checkpoint
     val withDeg = edges.join(deg, "src").localCheckpoint(true)
+    try {
     // docs' lineage is joined back EVERY iteration — checkpoint the id
     // column once, the same re-execution discipline as withDeg (a docs
     // frame derived from a cleaning pipeline would otherwise re-run that
-    // pipeline iters+1 times)
+    // pipeline iters+1 times). Created INSIDE the try: a failure in this
+    // eager job must still free withDeg
     val ids = docs.select(col(idCol).as("id")).localCheckpoint(true)
     try {
     val base = lit(15L * scale / 100L)
@@ -417,12 +425,8 @@ object GraphOps {
     // the caller gets a lineage-free frame, nothing leaks across calls
     ranks.select(col("id").as(idCol), col("r").as("rank_units"))
       .localCheckpoint(true)
-    } finally {
-      // freed on BOTH paths: the result (if any) was materialized as the
-      // try's last act, so the inputs' blocks are dead either way
-      freeCheckpoint(withDeg)
-      freeCheckpoint(ids)
-    }
+    } finally freeCheckpoint(ids)
+    } finally freeCheckpoint(withDeg)
   }
 
   /** Free the spillable blocks behind a materialized `localCheckpoint`.

@@ -218,7 +218,12 @@ object SketchOps {
           col(valueCol).cast("long") * lit(nBuckets.toLong), widthNum),
         lit(0L)),
       lit(nBuckets - 1L)).cast("int")
-    val hist = df.select(gcols :+ bucket.as("_b"): _*)
+    // NULL values are EXCLUDED, like percentile/hllDistinct — without
+    // the filter a null bucket expression silently lands in a clamp
+    // bucket (least(null,63) skipped nulls into 63; greatest(null,0)
+    // would skew them into 0) and biases every quantile
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ bucket.as("_b"): _*)
       .groupBy(gcols :+ col("_b"): _*)
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(gcols: _*).orderBy(col("_b"))

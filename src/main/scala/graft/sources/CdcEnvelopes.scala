@@ -224,20 +224,18 @@ object CdcEnvelopes {
     val unparsed = parsed.filter(col("chg").isNull)
       .select(lit(null).cast("string").as("schema"),
         lit(null).cast("string").as("kind"), col("raw"))
-    val unknownKind = parsed.filter(col("chg").isNotNull)
+    // ONE exploded scan for the whole complement: an element is dropped
+    // from [[wal2json]]'s stream iff NOT (handled kind AND sane column
+    // arrays) — unknown/absent kinds (isin yields NULL on a missing
+    // kind; the coalesce keeps those in the complement) and corrupt
+    // arrays (length mismatch, null or duplicate names, which would
+    // crash map_from_arrays) land here together
+    val rejected = parsed.filter(col("chg").isNotNull)
       .select(col("raw"), explode(col("chg")).as("c"))
-      // a malformed element with NO kind: isin yields NULL and a bare NOT
-      // would filter it out of the complement too — coalesce keeps it
-      .filter(!coalesce(col("c.kind").isin("insert", "update", "delete"), lit(false)))
+      .filter(!coalesce(
+        col("c.kind").isin("insert", "update", "delete") && saneChange,
+        lit(false)))
       .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
-    // handled kind but corrupt column arrays (length mismatch, null or
-    // duplicate names): excluded from [[wal2json]]'s stream by the
-    // sanity filter, parked here instead of crashing the projection
-    val insane = parsed.filter(col("chg").isNotNull)
-      .select(col("raw"), explode(col("chg")).as("c"))
-      .filter(coalesce(col("c.kind").isin("insert", "update", "delete"), lit(false)) &&
-        !coalesce(saneChange, lit(false)))
-      .select(col("c.schema").as("schema"), col("c.kind").as("kind"), col("raw"))
-    unparsed.unionByName(unknownKind).unionByName(insane)
+    unparsed.unionByName(rejected)
   }
 }
