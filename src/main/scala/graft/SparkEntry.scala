@@ -2724,7 +2724,8 @@ object SparkEntry {
       s"""WITH n AS (SELECT lang,
          |           CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS v
          |           FROM documents),
-         |b AS (SELECT lang, CAST(least((v * 64) // 128, 63) AS INT) AS bk FROM n),
+         |b AS (SELECT lang, CAST(least(greatest((v * 64) // 128, 0), 63) AS INT) AS bk
+         |     FROM n WHERE v IS NOT NULL),
          |h AS (SELECT lang, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
          |cum AS (SELECT lang, bk, c,
          |        SUM(c) OVER (PARTITION BY lang ORDER BY bk

@@ -102,36 +102,33 @@ object GraphOps {
       .localCheckpoint(true)
     val pFree = () => freeCheckpoint(p)
 
-    val localThreshold = nodes.sparkSession.conf
-      .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
-      .getOrElse(defaultLocalEdgeThreshold())
-    // decide the path BEFORE mirroring: union-find doesn't care about
-    // direction or duplicate pairs, so the driver fast path collects the
-    // raw pair list directly — skipping the mirror+distinct shuffle and
-    // moving HALF the bytes of the old mirrored collect (measured under
-    // local-cluster, where the collect is a real wire transfer). 2·|pairs|
-    // bounds the mirrored edge count, so the gate is conservative vs the
-    // configured threshold's original (mirrored) semantics.
-    // pFree on EVERY exit of this region — the fast path, the threshold
-    // count, and the eager und materialization (union+distinct over the
-    // mirrored pairs, the likeliest OOM point) can all throw, and each
-    // used to leak the pairs checkpoint until session end
+    // pFree on EVERY exit of this region via ONE finally — the config
+    // parse, the threshold count, the fast path, and the eager und
+    // materialization (union+distinct over the mirrored pairs, the
+    // likeliest OOM point) can all throw, and each used to leak the
+    // pairs checkpoint until session end; every returned value is
+    // materialized before the finally runs, so the free is always safe
     val und =
       try {
-        if (2L * p.count() <= localThreshold) {
-          val out = localComponents(nodes, p, idCol)
-          pFree()
-          return out
-        }
+        val localThreshold = nodes.sparkSession.conf
+          .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong)
+          .getOrElse(defaultLocalEdgeThreshold())
+        // decide the path BEFORE mirroring: union-find doesn't care about
+        // direction or duplicate pairs, so the driver fast path collects
+        // the raw pair list directly — skipping the mirror+distinct
+        // shuffle and moving HALF the bytes of the old mirrored collect
+        // (measured under local-cluster, where the collect is a real wire
+        // transfer). 2·|pairs| bounds the mirrored edge count, so the
+        // gate is conservative vs the configured threshold's original
+        // (mirrored) semantics.
+        if (2L * p.count() <= localThreshold)
+          return localComponents(nodes, p, idCol)
         // both directions once, deduped — the star rounds need the
         // mirrored form (each endpoint must see its full neighborhood)
-        val u = p
-          .union(p.select(col("dst").as("src"), col("src").as("dst")))
+        p.union(p.select(col("dst").as("src"), col("src").as("dst")))
           .distinct()
           .localCheckpoint(true)
-        pFree()
-        u
-      } catch { case t: Throwable => pFree(); throw t }
+      } finally pFree()
     val undFree = () => freeCheckpoint(und)
 
     // alternating large-star / small-star until the edge set is a fixpoint.
@@ -306,9 +303,12 @@ object GraphOps {
     val p = pairs.select(col(id1Col), col(id2Col)).localCheckpoint(true)
     val touched = p.select(col(id1Col).as("id"))
       .union(p.select(col(id2Col).as("id"))).distinct()
-    val sub = connectedComponents(touched, p, "id", id1Col, id2Col)
-    // sub is eagerly materialized; the raw pair blocks can go
-    freeCheckpoint(p)
+    // sub is eagerly materialized by connectedComponents before the
+    // finally runs; freed on the exception path too (non-convergence or
+    // a mid-round task failure used to leak the pair blocks)
+    val sub =
+      try connectedComponents(touched, p, "id", id1Col, id2Col)
+      finally freeCheckpoint(p)
     // subgraph results are small (pair-touched docs only) → broadcast-able
     docs.select(col(idCol))
       .join(sub.withColumnRenamed("id", idCol), Seq(idCol), "left")
