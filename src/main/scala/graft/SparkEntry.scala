@@ -958,7 +958,12 @@ object SparkEntry {
     // per language, p50/p95 as covering-bucket upper edges (all-integer)
     "sketch_hist_quantiles" -> ((s, dir) => {
       import graft.functions.CrossHash.{tokens => tok}
+      // null-text docs are excluded ON THE TEXT COLUMN (not on n_tok):
+      // under legacy sizeOfNull, size(null) is -1 rather than null, and
+      // an n_tok-based exclusion would silently diverge from the oracle
+      // on a legacy-compat session
       val withLen = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("lang"), size(tok(col("text"))).cast("long").as("n_tok"))
       SketchOps.histogramQuantiles(withLen, "n_tok", Seq("lang"),
         maxValue = 128L, nBuckets = 64)
@@ -2723,7 +2728,7 @@ object SparkEntry {
     "sketch_hist_quantiles" ->
       s"""WITH n AS (SELECT lang,
          |           CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS v
-         |           FROM documents),
+         |           FROM documents WHERE text IS NOT NULL),
          |b AS (SELECT lang, CAST(least(greatest((v * 64) // 128, 0), 63) AS INT) AS bk
          |     FROM n WHERE v IS NOT NULL),
          |h AS (SELECT lang, bk, COUNT(*) AS c FROM b GROUP BY 1, 2),
