@@ -62,6 +62,21 @@ object Bench {
     "ann_ivf_auto_topk")
 
   def main(args: Array[String]): Unit = {
+    // Settle protocol as code (SettleGuard scaladoc: the r11 driver bench
+    // started 5 s after the correctness JVM and produced three false
+    // FLAGs the CPU canary missed). Sampled BEFORE Spark init so the
+    // ~10 s of session spin-up can't mask a just-exited/teardown JVM.
+    SettleGuard.install()
+    val settleGap = SettleGuard.gapSec()
+    val (busyFrac, activeJvms) = SettleGuard.activitySample()
+    val dirtyMb = SettleGuard.dirtyWritebackMb()
+    if (settleGap >= 0 && settleGap < SettleGuard.MinSettleSec)
+      System.err.println(f"[bench] WARNING: settle violation: last graft JVM exited $settleGap%.1f s ago (protocol: >=${SettleGuard.MinSettleSec}%.0f s); this run's numbers are suspect")
+    if (activeJvms.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${activeJvms.size} other ACTIVE java process(es) at bench start: this run's numbers are suspect:\n" +
+        activeJvms.map("[bench]   " + _).mkString("\n"))
+    if (dirtyMb > 1024)
+      System.err.println(f"[bench] WARNING: $dirtyMb%.0f MiB of dirty/writeback pages at bench start: residual I/O from a prior run; this run's numbers are suspect")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // local iteration aid: run a comma-separated subset of the headline
@@ -134,6 +149,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
     val canaryStart = canary()
+    // I/O-sensitive sibling of the CPU canary (write+fsync+readback;
+    // floors + the measured limits of this probe: SettleGuard scaladoc)
+    val ioStart = SettleGuard.ioProbeSec()
 
     // Cumulative stop-the-world GC seconds — sampled around each query so
     // a long-run measurement can attribute inflation to heap pressure
@@ -165,14 +183,17 @@ object Bench {
       // 3-10x the steady-state cost); then take the MIN of two timed
       // passes — the per-batch cost a pipeline actually pays when the
       // query runs repeatedly, with GC/AQE scheduling noise (measured
-      // up to ±30% run-to-run) filtered out. dedup_minhash_pairs gets a
-      // third timed pass: its isolated-run band measured ±50% across a
+      // up to ±30% run-to-run) filtered out. Two queries get a third
+      // timed pass — their measured inter-JVM bands are wide enough to
+      // masquerade as plan changes: dedup_minhash_pairs ±50% across a
       // day at sf10 (9.0-13.6 s, clean canaries, flat GC — r9
-      // adjudication), wide enough to masquerade as a plan change in
-      // exponent audits; min-of-3 narrows the sampled tail.
+      // adjudication) and envelope_debezium 1.18-1.66 s at sf0.1 on
+      // identical code (r11 judge's isolated canary-clean re-runs);
+      // min-of-3 narrows the sampled tail.
       run()
       val gc0 = gcSec()
-      val passes = if (name == "dedup_minhash_pairs") 3 else 2
+      val passes =
+        if (Set("dedup_minhash_pairs", "envelope_debezium")(name)) 3 else 2
       val dt = (0 until passes).map { i =>
         val t0 = System.nanoTime()
         run()
@@ -194,6 +215,7 @@ object Bench {
       name -> (dt, gcDt)
     }
     val canaryEnd = canary()
+    val ioEnd = SettleGuard.ioProbeSec()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
@@ -203,7 +225,11 @@ object Bench {
     // TAIL of this line, so the per-query times map goes LAST (and the gc
     // diagnostic map, the next-most-useful, right before it) — in round 8
     // the map fell off the capture and the gc numbers were misread as times
-    println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
+    // settle/contamination evidence rides in BOTH lines so regress.py can
+    // gate on whichever record survives the driver's fixed-size tail
+    val env = """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f"""
+      .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     // Second, COMPACT record (≤1.5 KB) printed after the full line: the
     // driver's bench capture keeps only a fixed-size tail of stdout, and
     // the full per-query map (~4.5 KB at 129 queries) overflows it — the
@@ -216,8 +242,8 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the default JVM locale, and a
     // comma-decimal locale would print total_s":123,4 — invalid JSON on
     // exactly the machine-parseability this line exists for
-    println("""{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,"top20_ms":%s}"""
-      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, top20))
+    println("""{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,%s,"top20_ms":%s}"""
+      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, env, top20))
     spark.stop()
   }
 }

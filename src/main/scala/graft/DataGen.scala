@@ -43,6 +43,7 @@ object DataGen {
     "vector", "data", "window", "customer", "the", "a")
 
   def main(args: Array[String]): Unit = {
+    SettleGuard.install()
     require(args.nonEmpty,
       "usage: DataGen <outDir> [multiplier-vs-sf0.1] [srcSfDir]")
     val outDir = args(0)

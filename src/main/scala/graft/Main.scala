@@ -171,6 +171,7 @@ object Main {
     } else EventSource.files(spark, broker.stripPrefix("file:"))
 
   def main(args: Array[String]): Unit = {
+    SettleGuard.install()
     // `--key=value` / `--flag` selectors can appear anywhere; positionals
     // keep their order (mode, config, broker/checkpoint, stateRoot, ...).
     // The reference's short `-t T` is accepted as an alias for --table

@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object RecallReport {
   def main(args: Array[String]): Unit = {
+    SettleGuard.install()
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/localdata/sf1"))
     val nQueries = args.lift(1).map(_.toInt).getOrElse(64)

@@ -1,0 +1,180 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+/** The bench settle protocol (SCALE.md "measurement protocol") as code.
+  *
+  * Round-11 incident: the driver's bench JVM started ~5 s after the
+  * 133-query correctness JVM exited (artifact mtimes prove it), the
+  * CPU-only canary read clean (0.146 s), and three false FLAGs landed on
+  * the scoreboard — adjudicated away only by a judge re-run. The canary
+  * measures a cached-codegen CPU loop, so it is blind to the two
+  * contamination channels a just-exited 32-thread Spark JVM leaves
+  * behind: residual kernel writeback of its outputs, and its own
+  * teardown (shuffle-dir deletion, executor pool shutdown) when the
+  * "exited" JVM is in fact still dying.
+  *
+  * Defense in depth, all mechanical:
+  *   - every graft main stamps a marker file at JVM exit
+  *     ([[install]]); Bench reads the gap at startup ([[gapSec]]) —
+  *     the ">=15 s settle between JVMs" rule as code, not prose;
+  *   - a 500 ms /proc sample at Bench startup ([[activitySample]])
+  *     counts OTHER java processes that are actively burning CPU (an
+  *     idle sbt shell does not count; a tearing-down Spark JVM does)
+  *     and the box-wide busy fraction;
+  *   - /proc/meminfo Dirty+Writeback ([[dirtyWritebackMb]]) exposes a
+  *     residual writeback backlog the CPU canary cannot see;
+  *   - a timed write+fsync+readback probe ([[ioProbeSec]]) at run
+  *     start/end. Measured floors on this box (ext4 on virtio,
+  *     host-cached): 0.021-0.031 s idle, and — measured, round 12 —
+  *     NOT inflated by a single sustained concurrent writer (the
+  *     virtual device absorbs it), which is exactly why the marker +
+  *     /proc checks above are the primary defense here and the probe
+  *     is the backstop for genuinely I/O-bound machines.
+  *
+  * Bench emits all of these in both metric lines; `tools/regress.py`
+  * exits 2 (contaminated, verdicts withheld) when any gate trips.
+  */
+object SettleGuard {
+  /** Minimum seconds between graft JVMs for a trustworthy bench. */
+  val MinSettleSec = 15.0
+
+  /** Marker location is anchored at the build's target/ dir (derived
+    * from where this class was loaded) so the driver's cwd does not
+    * matter; env override for exotic layouts. */
+  def markerFile: File = {
+    sys.env.get("SPARK_GRAFT_SETTLE_FILE").map(new File(_)).getOrElse {
+      val anchor = Option(getClass.getProtectionDomain.getCodeSource)
+        .map(cs => new File(cs.getLocation.toURI))
+        // .../target/scala-2.13/classes -> .../target
+        .flatMap(d => Option(d.getParentFile).flatMap(p => Option(p.getParentFile)))
+        .getOrElse(new File(sys.props("user.dir"), "target"))
+      new File(anchor, ".graft-settle-marker")
+    }
+  }
+
+  /** Register a shutdown hook stamping JVM-exit time. Every graft main
+    * calls this first thing so the NEXT main can measure its settle
+    * gap. Idempotent per JVM; never throws. */
+  @volatile private var installed = false
+  def install(): Unit = synchronized {
+    if (!installed) {
+      installed = true
+      Runtime.getRuntime.addShutdownHook(new Thread(() => stamp()))
+    }
+  }
+
+  def stamp(): Unit =
+    try {
+      val f = markerFile
+      Option(f.getParentFile).foreach(_.mkdirs())
+      Files.writeString(f.toPath, System.currentTimeMillis().toString)
+    } catch { case _: Throwable => () }
+
+  /** Seconds since the last graft JVM exited; -1 when unknown (no
+    * marker yet, unreadable, or clock skew). */
+  def gapSec(): Double =
+    try {
+      val f = markerFile
+      if (!f.exists()) -1.0
+      else {
+        val gap = (System.currentTimeMillis() -
+          Files.readString(f.toPath).trim.toLong) / 1e3
+        if (gap < 0) -1.0 else gap
+      }
+    } catch { case _: Throwable => -1.0 }
+
+  private def readProc(path: String): Option[String] =
+    try Some(Files.readString(java.nio.file.Paths.get(path)))
+    catch { case _: Throwable => None }
+
+  /** /proc/meminfo Dirty + Writeback in MiB; -1 when unreadable. */
+  def dirtyWritebackMb(): Double =
+    readProc("/proc/meminfo").map { text =>
+      val kb = "(?m)^(Dirty|Writeback):\\s+(\\d+) kB".r
+        .findAllMatchIn(text).map(_.group(2).toLong).sum
+      kb / 1024.0
+    }.getOrElse(-1.0)
+
+  /** One java-process CPU snapshot: pid -> (utime+stime ticks, cmdline
+    * head). comm=="java" only; self excluded. */
+  private def jvmTicks(): Map[Long, (Long, String)] = {
+    val self = ProcessHandle.current().pid()
+    val procDir = new File("/proc")
+    Option(procDir.listFiles()).getOrElse(Array.empty).iterator
+      .filter(f => f.getName.forall(_.isDigit))
+      .map(_.getName.toLong)
+      .filter(_ != self)
+      .flatMap { pid =>
+        for {
+          comm <- readProc(s"/proc/$pid/comm") if comm.trim == "java"
+          stat <- readProc(s"/proc/$pid/stat")
+          // fields after the parenthesised comm: index 11/12 (0-based
+          // post-paren) are utime/stime
+          rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+          if rest.length > 12
+        } yield {
+          val cmd = readProc(s"/proc/$pid/cmdline")
+            .map(_.replace('\u0000', ' ').trim.take(120)).getOrElse("?")
+          pid -> (rest(11).toLong + rest(12).toLong, cmd)
+        }
+      }.toMap
+  }
+
+  /** Box-wide non-idle CPU ticks snapshot from /proc/stat. */
+  private def cpuTicks(): Option[(Long, Long)] =
+    readProc("/proc/stat").flatMap { text =>
+      text.linesIterator.find(_.startsWith("cpu ")).map { line =>
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+        (f.sum, idle)
+      }
+    }
+
+  /** Sample /proc for `sampleMs`: returns (box busy fraction, other
+    * java processes that consumed >10% of one core during the window,
+    * as "pid cmdline-head"). An idle sbt shell or editor JVM does not
+    * trip this; a live Spark JVM — even one mid-teardown — does. */
+  def activitySample(sampleMs: Int = 500): (Double, Seq[String]) = {
+    val t0 = jvmTicks(); val c0 = cpuTicks()
+    Thread.sleep(sampleMs.toLong)
+    val t1 = jvmTicks(); val c1 = cpuTicks()
+    val hz = 100.0 // USER_HZ; Linux fixes this at 100 on all common arches
+    val minTicks = hz * sampleMs / 1000.0 * 0.10
+    val active = t1.toSeq.collect {
+      case (pid, (ticks1, cmd)) if ticks1 - t0.get(pid).map(_._1).getOrElse(ticks1) > minTicks =>
+        s"$pid $cmd"
+      // a java process that appeared mid-window counts as active too
+      case (pid, (_, cmd)) if !t0.contains(pid) => s"$pid $cmd (new)"
+    }.sorted
+    val busy = (for { (tot0, idle0) <- c0; (tot1, idle1) <- c1; if tot1 > tot0 }
+      yield 1.0 - (idle1 - idle0).toDouble / (tot1 - tot0)).getOrElse(-1.0)
+    (busy, active)
+  }
+
+  /** Timed 16 MiB write + fsync + readback + delete in target/, min of
+    * 3. Idle floor on this box: 0.021-0.031 s (round-12 measurement,
+    * SCALE.md). regress.py gates at 0.30 s. */
+  def ioProbeSec(): Double = {
+    val dir = markerFile.getParentFile
+    dir.mkdirs()
+    val buf = new Array[Byte](4 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    (0 until 3).map { i =>
+      val f = new File(dir, s".graft-ioprobe$i.tmp")
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var k = 0
+        while (k < 4) { out.write(buf); k += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(f)
+      try { while (in.read(buf) > 0) () } finally in.close()
+      val d = (System.nanoTime() - t0) / 1e9
+      f.delete()
+      d
+    }.min
+  }
+}

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    SettleGuard.install()
     // optional 3rd arg: comma-separated query subset for local iteration
     // (the driver always runs the full set)
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [q1,q2,...]")

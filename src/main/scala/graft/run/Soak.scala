@@ -48,6 +48,7 @@ object Soak {
     }.getOrElse(-1L)
 
   def main(args: Array[String]): Unit = {
+    graft.SettleGuard.install()
     require(args.length >= 2, "usage: Soak <sfDir> <workDir> [batches]")
     val (sfDir, workDir) = (args(0), args(1))
     val batches = if (args.length > 2) args(2).toInt else 5000

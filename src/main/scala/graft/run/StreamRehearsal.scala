@@ -162,6 +162,7 @@ object StreamRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.SettleGuard.install()
     require(args.length >= 2, "usage: StreamRehearsal <sfDir> <workDir> [eventsPerFile]")
     val (sfDir, workDir) = (args(0), args(1))
     val perFile = if (args.length > 2) args(2).toInt else 20000

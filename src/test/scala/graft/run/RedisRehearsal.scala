@@ -34,6 +34,7 @@ import scala.jdk.CollectionConverters._
 object RedisRehearsal {
 
   def main(args: Array[String]): Unit = {
+    graft.SettleGuard.install()
     require(args.length >= 2, "usage: RedisRehearsal <sfDir> <workDir> [eventsPerFile]")
     val (sfDir, workDir) = (args(0), args(1))
     val perFile = if (args.length > 2) args(2).toInt else 20000

@@ -42,11 +42,23 @@ FLOORS = {
     # inter-JVM machine-state floor: r10 min-of-3 + per-pass instrumentation
     # (SCALE.md round-10 note; BENCH_sf10_r10_adjudication.json)
     "dedup_minhash_pairs": 1.40,
+    # r11 judge adjudication: canary-clean isolated runs spanned
+    # 1.18-1.66 s at sf0.1 on identical code (code path untouched that
+    # round); FLAGged falsely in two independent full runs. Bench also
+    # runs it min-of-3 since r12.
+    "envelope_debezium": 1.40,
 }
 ABS_NOISE_S = 0.30     # both-run seconds below which ratios are scheduling noise
 MATERIAL_S = 0.25      # beyond-floor deltas smaller than this are "watch", not FLAG
 TOTAL_FLOOR = 1.10     # whole-run total is far more stable than any query
 CANARY_BAD = 0.50      # canary seconds beyond this = contaminated run
+# Settle-protocol gates (fields emitted by Bench since r12; absent in
+# older records -> not checked). Floors measured on clean runs, SCALE.md
+# round-12 "settle guard" note.
+IO_CANARY_BAD = 0.30   # write+fsync+readback probe; idle floor 0.021-0.031 s
+SETTLE_MIN_S = 15.0    # the >=15 s between-JVMs rule (SettleGuard.MinSettleSec)
+BUSY_FRAC_BAD = 0.25   # box-wide busy fraction sampled before Spark init
+DIRTY_MB_BAD = 1024.0  # residual dirty/writeback backlog at bench start
 
 
 def metric_objects(text):
@@ -105,6 +117,12 @@ def load(path):
                    sum(queries.values()),
         "canary_start": m.get("canary_start_sec"),
         "canary_end": m.get("canary_end_sec"),
+        "io_canary_start": m.get("io_canary_start_sec"),
+        "io_canary_end": m.get("io_canary_end_sec"),
+        "settle_gap_s": m.get("settle_gap_s"),
+        "active_jvms_start": m.get("active_jvms_start"),
+        "busy_frac_start": m.get("busy_frac_start"),
+        "dirty_mb_start": m.get("dirty_mb_start"),
         "partial": not full,
     }
 
@@ -115,12 +133,35 @@ def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
 
     for name, run in (("old", old), ("new", new)):
-        for side in ("canary_start", "canary_end"):
-            c = run[side]
-            if c is not None and c > CANARY_BAD:
-                print(f"CONTAMINATED: {name} run {side}={c}s > {CANARY_BAD}s "
-                      f"— re-run the bench; per-query verdicts withheld")
-                sys.exit(2)
+        # each gate checks only when Bench emitted the field (None on
+        # pre-r12 records) and -1 sentinels (unknown) never trip
+        checks = [
+            (run["canary_start"] or 0) > CANARY_BAD and
+            f"canary_start={run['canary_start']}s > {CANARY_BAD}s",
+            (run["canary_end"] or 0) > CANARY_BAD and
+            f"canary_end={run['canary_end']}s > {CANARY_BAD}s",
+            (run["io_canary_start"] or 0) > IO_CANARY_BAD and
+            f"io_canary_start={run['io_canary_start']}s > {IO_CANARY_BAD}s (idle floor 0.02-0.03)",
+            (run["io_canary_end"] or 0) > IO_CANARY_BAD and
+            f"io_canary_end={run['io_canary_end']}s > {IO_CANARY_BAD}s (idle floor 0.02-0.03)",
+            run["settle_gap_s"] is not None and 0 <= run["settle_gap_s"] < SETTLE_MIN_S and
+            f"settle_gap_s={run['settle_gap_s']} < {SETTLE_MIN_S} (bench started "
+            f"too soon after the previous graft JVM — the r11 failure mode)",
+            (run["active_jvms_start"] or 0) > 0 and
+            f"active_jvms_start={run['active_jvms_start']} (another java process "
+            f"was burning CPU at bench start)",
+            (run["busy_frac_start"] or 0) > BUSY_FRAC_BAD and
+            f"busy_frac_start={run['busy_frac_start']} > {BUSY_FRAC_BAD}",
+            (run["dirty_mb_start"] or 0) > DIRTY_MB_BAD and
+            f"dirty_mb_start={run['dirty_mb_start']} MiB > {DIRTY_MB_BAD} "
+            f"(residual writeback backlog)",
+        ]
+        tripped = [msg for msg in checks if msg]
+        if tripped:
+            for msg in tripped:
+                print(f"CONTAMINATED: {name} run: {msg}")
+            print("— re-run the bench; per-query verdicts withheld")
+            sys.exit(2)
 
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     scope = "top20-only" if (old["partial"] or new["partial"]) else "full"
