@@ -124,12 +124,11 @@ object Produce {
     //                         and at its top WITHOUT sending, so a
     //                         reset that landed on the same batch
     //                         id fails loudly with zero pollution.
-    //                         (Interior entries are deliberately
-    //                         unverified — full verification would
-    //                         re-read the whole stream; first+last
-    //                         +count catches every reset shape
-    //                         except one that forges identical
-    //                         endpoints around different interiors.)
+    //                         Interior entries are verified in O(1)
+    //                         space against the content digest the
+    //                         producing run committed (r12; pre-r12
+    //                         streams have no record and fall back
+    //                         to first+last+count alone).
     //   batchId <  produced → reset checkpoint: fail loudly
     val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
     // SKIP schemas: the stream top's (seq, msg); byte-verified when
@@ -158,6 +157,19 @@ object Produce {
     // conservative max(existing, current) instead — see
     // RedisBroker.commitProducedAll's record policy
     val trimExposed = scala.collection.mutable.Set.empty[String]
+    // Per-schema order-sensitive content digest over this run's rows,
+    // folded O(1) per event. SEND schemas record it with the commit;
+    // SKIP schemas compare it against the record the ORIGINAL producer
+    // committed — closing the one reset shape first+last+count cannot
+    // see (identical endpoints forged around a diverged interior,
+    // formerly the pinned residual in ProduceProtocolSpec). The digest
+    // is over the producer's deterministic row sequence, not the
+    // stream, so MAXLEN trimming never weakens it.
+    val digests = scala.collection.mutable.Map.empty[String, Long]
+    // SKIP schemas: the committed (batch-matching) digest to verify
+    // against after the loop; absent for pre-r12 streams (fall back to
+    // the endpoint checks alone)
+    val skipDigests = scala.collection.mutable.Map.empty[String, Long]
     def flush(): Unit = {
       trimExposed ++= broker.sendBatchAt(buf.toSeq)
       buf.clear()
@@ -204,6 +216,9 @@ object Produce {
                     (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
                       trimCouldExplain)
               }
+              broker.producedDigest(schema).foreach { case (bid, d) =>
+                if (bid == batchId) skipDigests(schema) = d
+              }
             case other =>
               throw new IllegalStateException(
                 s"schema $schema: produced_batch says batch $batchId is " +
@@ -230,6 +245,8 @@ object Produce {
           true
         }
       })
+      digests(schema) =
+        digestFold(digests.getOrElse(schema, DigestSeed), value)
       if (send) {
         sendTops.get(schema).foreach { case (topSeq, topMsg) =>
           if (seq == topSeq) {
@@ -327,7 +344,50 @@ object Produce {
           s"entries this run's $seq events never reproduced: producer " +
           "checkpoint reset onto an existing stream — refusing to " +
           "silently drop events")
-    broker.commitProducedAll(sent, batchId, trimExposed.toSet)
+    // interior-divergence check: each SKIP schema's replayed content
+    // digest must equal the digest the producing run committed —
+    // endpoints and count already matched above, so a mismatch here is
+    // precisely a diverged interior (reset onto a same-shape stream)
+    skipDigests.foreach { case (schema, recorded) =>
+      val replayed = digests.getOrElse(schema, DigestSeed)
+      if (replayed != recorded)
+        throw new IllegalStateException(
+          s"schema $schema: batch $batchId content digest mismatch " +
+            s"(recorded ${java.lang.Long.toHexString(recorded)} at the " +
+            s"produce commit, replay computes " +
+            s"${java.lang.Long.toHexString(replayed)}): the replayed " +
+            "batch's INTERIOR diverges from the produced copy even " +
+            "though its endpoints and count match — producer checkpoint " +
+            "reset onto a diverged stream; refusing to silently drop " +
+            "events")
+    }
+    broker.commitProducedAll(sent, batchId, trimExposed.toSet,
+      sent.iterator.map(s => s -> digests(s)).toMap)
+  }
+
+  /** FNV-1a seed for [[contentDigest]]'s rolling fold. */
+  private[run] val DigestSeed = 0xcbf29ce484222325L
+
+  /** One O(1) digest step: fold the next entry payload into the
+    * schema's running digest. Order-sensitive (the running value is
+    * multiplied before the xor), so reordered or substituted interior
+    * entries change the result even when endpoints and count agree. */
+  private[run] def digestFold(d: Long, value: String): Long =
+    (d * 0x100000001b3L) ^ fnv64(value)
+
+  /** The content digest of a whole payload sequence — the value
+    * [[graft.streaming.RedisBroker.commitProducedAll]] records per
+    * schema (spec helper; the produce loop folds incrementally). */
+  private[run] def contentDigest(values: Iterable[String]): Long =
+    values.foldLeft(DigestSeed)(digestFold)
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  private[run] def fnv64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
   }
 
   /** Hermetic broker stand-in: JSON files partitioned by schema — same

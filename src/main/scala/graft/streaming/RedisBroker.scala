@@ -129,9 +129,9 @@ final class RedisBroker(host: String, port: Int, alias: String,
     *    ever replays its LAST batch) — fail loudly;
     *  - batchId == produced: the batch is already fully in the stream —
     *    verify the first and last surviving batch entries byte-identical
-    *    (plus the count bound) and SKIP (no re-send, so no stream
-    *    pollution on mismatch); interior entries are deliberately
-    *    unverified — see [[graft.run.Produce.toRedis]];
+    *    (plus the count bound, plus the replayed rows' content digest
+    *    against [[producedDigest]]) and SKIP (no re-send, so no stream
+    *    pollution on mismatch) — see [[graft.run.Produce.toRedis]];
     *  - batchId >  produced: send; any "equal or smaller ID" rejection
     *    can only be this run's OWN partial pre-crash attempt of this
     *    same deterministic batch (a completed earlier production would
@@ -148,9 +148,27 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * Deliberately NO default: the flag exists to distinguish the
     * cap-stamping path from the max-record path, and defaulting it
     * would silently opt callers into the hazardous branch. */
-  def commitProduced(schema: String, batchId: Long, applied: Boolean): Unit =
+  def commitProduced(schema: String, batchId: Long, applied: Boolean,
+                     digest: Long): Unit =
     commitProducedAll(Seq(schema), batchId,
-      if (applied) Set(schema) else Set.empty)
+      if (applied) Set(schema) else Set.empty, Map(schema -> digest))
+
+  private def digestKey = s"$prefix:$alias:produced_digest"
+
+  /** The per-schema batch-content digest recorded with the produce
+    * commit, as (batchId, digest) — None for streams produced before
+    * the record existed (r12). The digest is an order-sensitive O(1)
+    * rolling fold over the batch's entry payloads in XADD order
+    * ([[graft.run.Produce.contentDigest]]); the skip-replay
+    * verification compares it against the digest of the REPLAYED rows,
+    * which closes the one reset shape first+last+count cannot see:
+    * identical endpoints forged around a diverged interior. */
+  def producedDigest(schema: String): Option[(Long, Long)] =
+    Option(client.command("HGET", digestKey, schema)).map { v =>
+      val s = v.asInstanceOf[String]
+      val i = s.indexOf(':')
+      (s.take(i).toLong, java.lang.Long.parseUnsignedLong(s.drop(i + 1), 16))
+    }
 
   /** [[commitProduced]] for every schema of a batch in one pipelined
     * round-trip (HSET takes multiple field/value pairs).
@@ -177,11 +195,18 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * reject-only replay, cap lowering in between, then tampering).
     * Outside it, tolerance always requires length >= recordedCap,
     * which proves a trim under that cap was genuinely reachable.
-    * Cap record FIRST, produced commit LAST ("produced implies cap
-    * recorded" survives a mid-pipeline crash); the produced HSET stays
-    * the single atomic commit point for all schemas of the batch. */
+    * Cap and digest records FIRST, produced commit LAST ("produced
+    * implies cap+digest recorded" survives a mid-pipeline crash); the
+    * produced HSET stays the single atomic commit point for all schemas
+    * of the batch.
+    *
+    * `digests` carries each schema's batch-content digest
+    * ([[producedDigest]]); schemas absent from the map keep any prior
+    * record (never written blank — a skip replay must not launder its
+    * own unverified digest over the producer's). */
   def commitProducedAll(schemas: Iterable[String], batchId: Long,
-                        trimExposed: Set[String]): Unit =
+                        trimExposed: Set[String],
+                        digests: Map[String, Long]): Unit =
     if (schemas.nonEmpty) {
       val ss = schemas.toSeq
       val (exposed, replayOnly) = ss.partition(trimExposed)
@@ -193,9 +218,13 @@ final class RedisBroker(host: String, port: Int, alias: String,
               .getOrElse(queueMaxLen), queueMaxLen)
           }
       val caps = exposed.map(_ -> queueMaxLen) ++ replayCaps
+      val digested = ss.filter(digests.contains)
       client.pipeline(Seq(
-        "HSET" +: maxlenKey +: caps.flatMap { case (s, c) => Seq(s, c.toString) },
-        "HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
+        "HSET" +: maxlenKey +: caps.flatMap { case (s, c) => Seq(s, c.toString) }) ++
+        (if (digested.isEmpty) Nil else Seq(
+          "HSET" +: digestKey +: digested.flatMap(s =>
+            Seq(s, s"$batchId:${java.lang.Long.toHexString(digests(s))}")))) ++
+        Seq("HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
       ()
     }
 

@@ -53,7 +53,8 @@ class ProduceProtocolSpec extends AnyFunSuite {
   private def snapshot(server: FakeRedisServer): Map[String, Any] =
     schemas.map(s => s -> server.dumpStream(key(s))).toMap +
       ("produced" -> server.dumpHash("synch:a:produced_batch")) +
-      ("maxlen" -> server.dumpHash("synch:a:produced_maxlen"))
+      ("maxlen" -> server.dumpHash("synch:a:produced_maxlen")) +
+      ("digest" -> server.dumpHash("synch:a:produced_digest"))
 
   /** The no-crash reference state after the given batches. */
   private def reference(batches: Seq[(Long, Seq[(String, String)])],
@@ -365,19 +366,59 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("documented residual: identical endpoints around a diverged interior pass the skip check") {
-    // the skip verification is first+last+count by design (full interior
-    // verification would re-read the whole stream); this pins the
-    // documented residual so a future tightening shows up as a diff here
+  test("a diverged interior behind identical endpoints now fails the skip check (content digest)") {
+    // formerly the pinned first+last+count residual: until r12 this
+    // replay passed silently. The per-schema content digest recorded
+    // with the produce commit (RedisBroker.producedDigest) is verified
+    // against the replayed rows, so the interior divergence is loud —
+    // and the skip path still never writes.
     val b0 = batchRows(0, 40)
     withServer { server =>
       runBatch(server, b0, 0L)
       // diverge an interior db1 event only (index 4 -> global seq 5,
       // neither first nor last for db1)
       val diverged = b0.updated(4, (b0(4)._1, """{"s":"db1","n":777,"payload":"interior"}"""))
-      runBatch(server, diverged, 0L) // passes: endpoints + count match
+      val e = intercept[IllegalStateException] { runBatch(server, diverged, 0L) }
+      assert(e.getMessage.contains("content digest mismatch"), e.getMessage)
       assert(snapshot(server) == reference(Seq(0L -> b0)),
         "the skip path must never write")
+    }
+  }
+
+  test("a pre-digest stream (no producer digest record) still skip-replays on endpoints alone") {
+    // back-compat: streams produced before r12 have no digest record;
+    // the replay must not fail closed on the missing field
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L)
+      // overwrite the records with a STALE batch id: producedDigest
+      // only applies a record whose batch matches, so this is the
+      // pre-r12 "no usable record" shape (the fake has no HDEL)
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("HSET", "synch:a:produced_digest",
+        "db1", "999:0", "db2", "999:0")
+      finally raw.close()
+      runBatch(server, b0, 0L) // endpoint-only skip, as pre-r12
+      // the skip path writes nothing, so the stale digest record stays;
+      // compare everything else against the no-crash reference
+      assert(snapshot(server) - "digest" == reference(Seq(0L -> b0)) - "digest")
+    }
+  }
+
+  test("the digest record survives a crash between XADDs and commit (send-mode replay re-records it)") {
+    // crash exactly post-XADD pre-commit: produced stays -1, the replay
+    // runs in SEND mode (reject-swallowed), and its commit must record
+    // the digest so a LATER skip replay still interior-verifies
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(40L)                            // all XADDs in, no commit
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      runBatch(server, b0, 0L)                               // send-mode replay, commits
+      val diverged = b0.updated(4, (b0(4)._1, """{"s":"db1","n":777,"payload":"interior"}"""))
+      val e = intercept[IllegalStateException] { runBatch(server, diverged, 0L) }
+      assert(e.getMessage.contains("content digest mismatch"), e.getMessage)
+      assert(snapshot(server) == reference(Seq(0L -> b0)))
     }
   }
 
@@ -403,7 +444,8 @@ class ProduceProtocolSpec extends AnyFunSuite {
       def snapAll(server: FakeRedisServer): Map[String, Any] =
         schemaNames.map(s => s -> server.dumpStream(key(s))).toMap +
           ("produced" -> server.dumpHash("synch:a:produced_batch")) +
-          ("maxlen" -> server.dumpHash("synch:a:produced_maxlen"))
+          ("maxlen" -> server.dumpHash("synch:a:produced_maxlen")) +
+          ("digest" -> server.dumpHash("synch:a:produced_digest"))
       val ref = withServer { server =>
         batches.foreach { case (id, rows) => runBatch(server, rows, id, maxLen) }
         snapAll(server)

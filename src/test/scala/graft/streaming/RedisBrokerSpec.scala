@@ -212,10 +212,16 @@ class RedisBrokerSpec extends SparkSpec {
       broker.guardForeignTop("fresh-stream", 0L) // empty stream: fine
       // the produce commit hash: the replay/reset discriminator
       assert(broker.producedBatch("db") == -1L)
-      broker.commitProduced("db", 8L, applied = true)
+      broker.commitProduced("db", 8L, applied = true, digest = 0xabcL)
       assert(broker.producedBatch("db") == 8L)
-      broker.commitProducedAll(Seq("db", "db2"), 9L, Set("db", "db2")) // multi-pair HSET
+      assert(broker.producedDigest("db").contains((8L, 0xabcL)))
+      broker.commitProducedAll(Seq("db", "db2"), 9L, Set("db", "db2"),
+        Map("db" -> -1L)) // multi-pair HSET; digest only for db
       assert(broker.producedBatch("db") == 9L && broker.producedBatch("db2") == 9L)
+      // unsigned hex round-trip for a negative digest; db2 keeps its
+      // absent record (never written blank)
+      assert(broker.producedDigest("db").contains((9L, -1L)))
+      assert(broker.producedDigest("db2").isEmpty)
       // a foreign top entry WITHOUT a msg field still yields its id —
       // treating it as an empty stream would disable the guard entirely
       val raw = new graft.sources.RespClient("127.0.0.1", server.port)
