@@ -85,11 +85,26 @@ object Consume {
         StructType(schema.filterNot(_.name == bare(name)))
       case ChangeColumn(o, n, dt) =>
         // CHANGE restates the type — a same-name CHANGE is a pure retype
-        StructType(schema.map(f =>
-          if (f.name == bare(o))
-            f.copy(name = bare(n),
-              dataType = dt.map(graft.ddl.TypeMap.toSpark).getOrElse(f.dataType))
-          else f))
+        val (bo, bn) = (bare(o), bare(n))
+        if (bo != bn && schema.fieldNames.contains(bo) &&
+            schema.fieldNames.contains(bn))
+          // degraded-handoff replay: the handed schema already carries
+          // the rename's END state while a replayed earlier ADD
+          // re-introduced the old name — renaming would mint a DUPLICATE
+          // field (from_json rejects it and the batch dies; found by the
+          // r12 property test, chain ADD c3 / CHANGE c3 c4 over a handed
+          // schema already holding c4). Merge: drop the old-name field,
+          // keep the new name with the restated type.
+          StructType(schema.filterNot(_.name == bo).map(f =>
+            if (f.name == bn)
+              f.copy(dataType = dt.map(graft.ddl.TypeMap.toSpark).getOrElse(f.dataType))
+            else f))
+        else
+          StructType(schema.map(f =>
+            if (f.name == bo)
+              f.copy(name = bn,
+                dataType = dt.map(graft.ddl.TypeMap.toSpark).getOrElse(f.dataType))
+            else f))
       case ModifyColumn(name, dt, _, _, _) =>
         StructType(schema.map(f =>
           if (f.name == bare(name)) f.copy(dataType = graft.ddl.TypeMap.toSpark(dt)) else f))
@@ -118,11 +133,23 @@ object Consume {
             // exactly one; pick row-wise, preferring the new name,
             // mirroring [[renameTransform]]'s convention
             df.withColumn(bn, coalesce(col(bn), col(bo))).drop(bo)
-          else df.withColumnRenamed(bo, bn)
-        dt.map(d => renamed.withColumn(bn,
-          col(bn).cast(graft.ddl.TypeMap.toSpark(d)))).getOrElse(renamed)
+          else df.withColumnRenamed(bo, bn) // no-op when bo is absent
+        // the cast (CHANGE restates the type) applies only when the
+        // column survives into this slice at all: under a degraded
+        // handoff whose rename TARGET a later ALTER drops, the slice
+        // parses with NEITHER name (widenForRenames can't recover a
+        // chain that dies in a drop) and the rename must be a no-op —
+        // an unguarded cast crashed the whole batch here (found by the
+        // r12 degraded-handoff property test)
+        dt.filter(_ => renamed.columns.contains(bn))
+          .map(d => renamed.withColumn(bn,
+            col(bn).cast(graft.ddl.TypeMap.toSpark(d)))).getOrElse(renamed)
       case ModifyColumn(name, dt, _, _, _) =>
-        df.withColumn(bare(name), col(bare(name)).cast(graft.ddl.TypeMap.toSpark(dt)))
+        // same degraded-handoff guard: a MODIFY of a column a later
+        // ALTER drops may see a slice that never parsed it
+        if (df.columns.contains(bare(name)))
+          df.withColumn(bare(name), col(bare(name)).cast(graft.ddl.TypeMap.toSpark(dt)))
+        else df
     }
   }
 
@@ -526,8 +553,14 @@ object Consume {
                   // drain's intra-batch schema split ("parked slices
                   // carry their own DDL rows")
                   System.err.println(s"[consume] skip error on ${t.schema}.${t.table}: ${e.getMessage}")
+                  // parked from `cached`, NOT `events`: the slice keeps
+                  // its _src_file/_src_seq stamps so the drain's
+                  // collectDdl re-sorts same-second ALTERs in the
+                  // ORIGINAL staged order — re-stamping a parquet-read
+                  // slice would follow part-file layout instead
+                  // (DeadLetterSpec pins the replay order)
                   deadLetter.foreach(_.record(
-                    events.filter(col("schema") === t.schema &&
+                    cached.filter(col("schema") === t.schema &&
                       (col("table") === t.table || col("action") === "query")),
                     t.schema, t.table, batchId,
                     Option(e.getMessage).getOrElse(e.getClass.getName)))
