@@ -128,8 +128,16 @@ final class DeadLetter(spark: SparkSession, root: String) {
     var cur = t
     batchIds.foreach { bid =>
       parked.readVersion(bid).foreach { slice =>
-        val events = slice.drop("_batch_id", "_error")
-        val ddls = Consume.collectDdl(events, t.schema)
+        // slices parked since r12 carry their original _src_file/_src_seq
+        // stamps (Consume parks from the stamped frame): collectDdl's
+        // stampSourceOrder sees them and keeps the ORIGINAL staged order
+        // for same-second ALTERs — re-stamping here would follow parquet
+        // part-file layout instead. Pre-r12 slices lack the columns and
+        // fall back to the old re-stamp (drop() is lenient about absent
+        // names).
+        val stamped = slice.drop("_batch_id", "_error")
+        val ddls = Consume.collectDdl(stamped, t.schema)
+        val events = stamped.drop("_src_file", "_src_seq")
         val next = Consume.evolveTable(cur, ddls)
         Consume.applyBatch(spark, next, target,
           Consume.tableChangelog(events, cur, ddls), bid)

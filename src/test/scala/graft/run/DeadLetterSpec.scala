@@ -234,6 +234,42 @@ class DeadLetterSpec extends SparkSpec {
     assert(dl.read("db", "t").isEmpty)
   }
 
+  test("drain replays same-second DDL in ORIGINAL staged order via parked _src stamps") {
+    // ADVICE r11: the live loop's same-second DDL tiebreak
+    // (_src_file/_src_seq) used to die at the park — Consume parked the
+    // slice AFTER dropping the stamps, so the drain re-stamped from
+    // parquet part-file layout and could invert an ADD/CHANGE pair.
+    // Consume now parks the STAMPED frame and DeadLetter.drain prefers
+    // pre-existing stamps. This slice carries two same-second ALTERs
+    // whose order decides the final schema, with ROW order inverted
+    // relative to the staged order in the stamps — exactly what a
+    // parquet re-read can do.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlsrcorder").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+    val slice = Seq(
+      ("db", "t", "insert", """{"id":1,"amount":10.0}""", 100L, 2, "f1", 1L),
+      // row order: CHANGE before ADD; staged order (stamps): ADD (5) then CHANGE (6)
+      ("db", "t", "query", "ALTER TABLE db.t CHANGE note memo VARCHAR(40)", 120L, 0, "f1", 6L),
+      ("db", "t", "query", "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 120L, 0, "f1", 5L),
+      ("db", "t", "insert", """{"id":2,"amount":20.0,"memo":"new"}""", 200L, 2, "f1", 7L)
+    ).toDF("schema", "table", "action", "values", "event_unixtime",
+      "action_seq", "_src_file", "_src_seq")
+    dl.record(slice, "db", "t", 4L, "sink down")
+
+    dl.drain(t, stateRoot)
+
+    val evolved = t.copy(valueSchema = valueSchema.add(StructField("memo", StringType)))
+    val state = Consume.currentState(evolved,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+      .select("id", "amount", "memo").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set((1L, 10.0, None), (2L, 20.0, Some("new"))))
+    assert(dl.read("db", "t").isEmpty)
+  }
+
   test("parked slice keeps DDL rows whose table column is EMPTY (Debezium schema-change)") {
     // regression: the park used a table-scoped filter, but Debezium
     // schema-change documents carry table="" (the ALTER names the table
@@ -261,5 +297,10 @@ class DeadLetterSpec extends SparkSpec {
     val queryRows = parked.filter(_.getAs[String]("action") == "query")
     assert(queryRows.length == 1, s"DDL row missing from the parked slice: ${parked.toSeq}")
     assert(queryRows.head.getAs[String]("values").contains("ADD COLUMN note"))
+    // the park keeps the source-order stamps so a drain re-sorts
+    // same-second DDL in staged order (see the _src stamps drain test)
+    assert(dl.read("db", "bad").get.columns.toSet.intersect(
+      Set("_src_file", "_src_seq")) == Set("_src_file", "_src_seq"),
+      "parked slice lost its _src_file/_src_seq stamps")
   }
 }
