@@ -272,7 +272,19 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * trim, and a replay under a LOWERED cap would silently tolerate a
     * diverged stream's missing head — the recorded cap removes both
     * directions. Falls back to the configured cap for streams produced
-    * before the record existed. */
+    * before the record existed.
+    *
+    * Residual (ADVICE r11, pinned in RedisBrokerSpec): `length >=
+    * recordedCap` proves a trim was REACHABLE, not that one occurred —
+    * real Redis trims `MAXLEN ~` lazily at macro-node granularity, so a
+    * never-trimmed stream can sit at or above the cap, and a tampered
+    * (XDEL'd) batch head on such a stream is then tolerated as a trim.
+    * Redis exposes no signal that separates the two: `entries-added -
+    * length` counts removals but the tamper IS a removal, and
+    * `max-deleted-entry-id` moves on both XDEL and trimming. Closing it
+    * would need an out-of-band trim journal; the protocol's own
+    * threat model (no XDEL anywhere) plus the cap-lowering window doc
+    * above bound the exposure. */
   def trimPlausible(schema: String): Boolean = {
     val producedCap = Option(client.command("HGET", maxlenKey, schema))
       .map(_.asInstanceOf[String].toLong).getOrElse(queueMaxLen)
@@ -329,15 +341,19 @@ final class RedisBroker(host: String, port: Int, alias: String,
             case _ => id
           }
           val name = s"$schema-${pad(firstId)}-${pad(lastId)}.txt"
-          // NOTE (naming-version boundary): a poll that crashed under the
-          // old UNPADDED naming re-stages under this name, and the stale
+          // Naming-version boundary: a poll that crashed under the old
+          // UNPADDED naming re-stages under this name, and the stale
           // legacy file would double-ingest its overlap. Deleting it here
           // is WORSE — Spark's file-source offset log may already
           // reference the legacy path for an uncommitted batch, and
           // deleting a referenced file kills the restarted query. The
           // upgrade procedure (RUNBOOK §3) is to stop producer+consumer
           // cleanly and drain or clear the staging dir across a naming
-          // change; this code never deletes staged files.
+          // change; this code never deletes staged files — but since r12
+          // it REFUSES to stage over a skipped runbook step instead of
+          // silently duplicating events (ADVICE r11):
+          refuseLegacyOverlap(schema, stagingDir,
+            idTuple(firstId), idTuple(lastId))
           val tmp = Paths.get(stagingDir, s".$name.tmp")
           Files.write(tmp, lines.mkString("", "\n", "\n").getBytes(UTF_8))
           Files.move(tmp, Paths.get(stagingDir, name),
@@ -347,6 +363,47 @@ final class RedisBroker(host: String, port: Int, alias: String,
           lines.length
         }
     }
+  }
+
+  private def idTuple(id: String): (Long, Long) = id.split("-") match {
+    case Array(ms, sq) => (ms.toLong, sq.toLong)
+    case _ => (-1L, -1L)
+  }
+
+  /** Refuse to stage a file whose entry-id range overlaps a LEGACY
+    * (pre-padding) staged file for the same schema: that shape means the
+    * RUNBOOK §3 naming-upgrade procedure was skipped across a crashed
+    * poll, and staging would double-ingest the overlap. Never deletes
+    * the legacy file (the file-source offset log may reference it) —
+    * the loud refusal is the point. Padded siblings are exempt: a
+    * re-poll of the same range legitimately overwrites its own file. */
+  private def refuseLegacyOverlap(schema: String, stagingDir: String,
+                                  first: (Long, Long), last: (Long, Long)): Unit = {
+    val files = Option(new java.io.File(stagingDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val conflicts = files.iterator.map(_.getName)
+      .filter(n => n.startsWith(s"$schema-") && n.endsWith(".txt"))
+      .flatMap { n =>
+        val parts = n.stripPrefix(s"$schema-").stripSuffix(".txt").split("-")
+        // legacy naming = raw (unpadded) id components; the padded format
+        // always prints 20 digits per component
+        if (parts.length == 4 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit))
+            && parts.exists(_.length != 20)) {
+          val lf = (parts(0).toLong, parts(1).toLong)
+          val ll = (parts(2).toLong, parts(3).toLong)
+          val ord = implicitly[Ordering[(Long, Long)]]
+          if (ord.lt(ll, first) || ord.gt(lf, last)) None else Some(n)
+        } else None
+      }.toSeq
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"staging dir $stagingDir holds LEGACY-named file(s) " +
+          s"${conflicts.mkString(", ")} overlapping the id range being " +
+          s"staged for schema $schema: the pre-padding naming upgrade " +
+          "was not drained (RUNBOOK §3) and staging would double-ingest " +
+          "the overlap — stop the consumer, drain or clear the staging " +
+          "dir, then restart (this code never deletes staged files: the " +
+          "offset log may reference them)")
   }
 
   /** Drain the stream into staging until a poll comes back empty. */

@@ -292,4 +292,165 @@ class RedisBrokerSpec extends SparkSpec {
       broker.close()
     } finally server.close()
   }
+
+  test("race: drainToStaging concurrent with a pipelining producer stages every event exactly once, in order") {
+    // VERDICT r11 #6: the rehearsal ran drain concurrently with a query
+    // but no spec raced a draining consumer against an XADD-ing producer
+    // on the SAME stream. Producer: 4,000 events in pipelined chunks
+    // (sendBatch, auto ids) on its own connection; consumer: drain loop
+    // with small polls (so polls land mid-chunk and chunks land
+    // mid-drain); commits (HSET last_msg_id) interleave with XADDs in
+    // the server. Invariant: the staged files, in name order, hold
+    // exactly the produced payloads, in order, once each.
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-race").toString
+      val staging = s"$root/s"
+      val n = 4000
+      val payloads = (1 to n).map(i => s"""{"n":$i}""")
+      @volatile var producerDone = false
+      @volatile var failure: Option[Throwable] = None
+      val producer = new Thread(() => {
+        val b = new RedisBroker("127.0.0.1", server.port, "b")
+        try payloads.grouped(97).foreach { chunk =>
+          b.sendBatch(chunk.map(m => ("db", m)))
+        } catch { case t: Throwable => failure = Some(t) }
+        finally { producerDone = true; b.close() }
+      }, "race-producer")
+      val staged = new java.util.concurrent.atomic.AtomicLong
+      val consumer = new Thread(() => {
+        val b = new RedisBroker("127.0.0.1", server.port, "b")
+        try {
+          var quiet = false
+          while (!quiet && failure.isEmpty) {
+            val got = b.drainToStaging("db", staging, count = 64)
+            staged.addAndGet(got)
+            if (got == 0) { if (producerDone) quiet = true else Thread.sleep(1) }
+          }
+        } catch { case t: Throwable => failure = Some(t) }
+        finally b.close()
+      }, "race-consumer")
+      producer.start(); consumer.start()
+      producer.join(60000); consumer.join(60000)   // liveness guard
+      assert(!producer.isAlive && !consumer.isAlive, "race threads wedged")
+      failure.foreach(throw _)
+      assert(staged.get == n, s"staged ${staged.get} of $n")
+      // file-name order is chronological (zero-padded ids); concatenated
+      // lines must be the payload sequence exactly once each, in order
+      val lines = java.nio.file.Files.list(Paths.get(staging)).toArray
+        .map(_.toString).sorted
+        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+      assert(lines.toSeq == payloads, {
+        val firstDiff = lines.toSeq.zip(payloads).indexWhere { case (a, b) => a != b }
+        s"staged stream diverges (len ${lines.length} vs $n, first diff at $firstDiff)"
+      })
+    } finally server.close()
+  }
+
+  test("race: MAXLEN trim during drain never duplicates or reorders; gaps only move forward") {
+    // same race under a small cap and a deliberately slow consumer:
+    // entries trimmed before a poll reads them are GONE (the documented
+    // at-most-cap contract, RUNBOOK broker table) — but the staged
+    // output must still be duplicate-free, strictly ordered, and a
+    // subsequence of what was produced, with the stream fully drained
+    // at the end.
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-race-trim").toString
+      val staging = s"$root/s"
+      val n = 1500
+      val payloads = (1 to n).map(i => s"""{"n":$i}""")
+      @volatile var producerDone = false
+      @volatile var failure: Option[Throwable] = None
+      val producer = new Thread(() => {
+        val b = new RedisBroker("127.0.0.1", server.port, "b", queueMaxLen = 40)
+        try payloads.grouped(111).foreach { chunk =>
+          b.sendBatch(chunk.map(m => ("db", m)))
+        } catch { case t: Throwable => failure = Some(t) }
+        finally { producerDone = true; b.close() }
+      }, "trim-producer")
+      val consumer = new Thread(() => {
+        val b = new RedisBroker("127.0.0.1", server.port, "b", queueMaxLen = 40)
+        try {
+          var quiet = false
+          while (!quiet && failure.isEmpty) {
+            val got = b.pollToStaging("db", staging, count = 16)
+            if (got == 0) { if (producerDone) quiet = true else Thread.sleep(1) }
+            else Thread.sleep(1) // deliberately slower than the producer
+          }
+        } catch { case t: Throwable => failure = Some(t) }
+        finally b.close()
+      }, "trim-consumer")
+      producer.start(); consumer.start()
+      producer.join(60000); consumer.join(60000)
+      assert(!producer.isAlive && !consumer.isAlive, "race threads wedged")
+      failure.foreach(throw _)
+      val lines = java.nio.file.Files.list(Paths.get(staging)).toArray
+        .map(_.toString).sorted
+        .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+      val nums = lines.map(l => l.stripPrefix("""{"n":""").stripSuffix("}").toInt)
+      assert(nums.distinct.length == nums.length, "duplicate staged events")
+      assert(nums.sameElements(nums.sorted), "staged events out of order")
+      assert(nums.toSet.subsetOf((1 to n).toSet))
+      // the drain kept up with at least the surviving tail: the last
+      // produced event is always staged, and the stream is fully consumed
+      assert(nums.lastOption.contains(n))
+      val b = new RedisBroker("127.0.0.1", server.port, "b", queueMaxLen = 40)
+      try assert(b.pollToStaging("db", staging, count = 16) == 0)
+      finally b.close()
+    } finally server.close()
+  }
+
+  test("pinned residual: trimPlausible accepts an at-cap stream that never trimmed") {
+    // ADVICE r11: length >= recordedCap proves a trim was REACHABLE,
+    // not that one occurred — real Redis trims `MAXLEN ~` lazily, so a
+    // never-trimmed stream can sit at (or above) the cap, and a
+    // tampered (XDEL'd) batch head on such a stream would be tolerated
+    // as a trim. No Redis signal separates the two (trimPlausible
+    // scaladoc); this pins the boundary so a future tightening is a
+    // visible diff here. The fake trims exactly, so "at cap, zero
+    // trims" is the closest reachable shape.
+    val server = new FakeRedisServer
+    try {
+      val broker = new RedisBroker("127.0.0.1", server.port, "b",
+        queueMaxLen = 5)
+      for (i <- 1 to 5)
+        broker.send("db", ev("t", "insert", i.toLong, i.toDouble, 100L + i))
+      assert(broker.length("db") == 5)     // exactly at cap, nothing trimmed
+      assert(broker.trimPlausible("db"))   // ...yet a trim is presumed reachable
+      broker.close()
+    } finally server.close()
+  }
+
+  test("staging refuses a LEGACY-named file overlapping the polled id range (never deletes)") {
+    // ADVICE r11: a poll that crashed under the pre-padding naming
+    // re-stages under the padded name while the legacy file still holds
+    // the overlap — double ingest. pollToStaging now detects and throws;
+    // the legacy file must survive (the offset log may reference it).
+    val server = new FakeRedisServer
+    try {
+      val root = Files.createTempDirectory("redis-legacy").toString
+      val staging = s"$root/s"
+      Files.createDirectories(Paths.get(staging))
+      val broker = new RedisBroker("127.0.0.1", server.port, "b")
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        for (i <- 1 to 3)
+          raw.command("XADD", "synch:b:db", s"7-$i", "msg", s"""{"n":$i}""")
+      } finally raw.close()
+      // the crashed pre-upgrade poll staged [7-1 .. 7-3] unpadded
+      val legacy = Paths.get(staging, "db-7-1-7-3.txt")
+      Files.write(legacy, "stale\n".getBytes("UTF-8"))
+      val e = intercept[IllegalStateException] {
+        broker.pollToStaging("db", staging)
+      }
+      assert(e.getMessage.contains("LEGACY-named"), e.getMessage)
+      assert(Files.exists(legacy), "the legacy file must never be deleted")
+      // a non-overlapping legacy file does not block later ranges
+      Files.delete(legacy)
+      Files.write(Paths.get(staging, "db-1-1-1-9.txt"), "old\n".getBytes("UTF-8"))
+      assert(broker.pollToStaging("db", staging) == 3)
+      broker.close()
+    } finally server.close()
+  }
 }
