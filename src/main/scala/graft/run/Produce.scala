@@ -36,8 +36,7 @@ object Produce {
   def toKafka(spark: SparkSession, events: DataFrame, bootstrap: String,
               topic: String, checkpoint: String,
               triggerInterval: String = "1 second"): StreamingQuery =
-    events.select(col("schema").cast("string").as("key"),
-        EventSource.wireStruct(events).as("value"))
+    kafkaProjection(events)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
@@ -45,6 +44,17 @@ object Produce {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .start()
+
+  /** The Kafka leg's (key, value) projection, factored out so its wire
+    * fidelity is pinned without a broker (ProduceSpec): key = schema
+    * (per-schema partition ordering, X1) and value = the SAME
+    * [[EventSource.wireStruct]] JSON the file and Redis legs emit, so
+    * every transport is byte-interchangeable. The broker handoff itself
+    * ships option-threading-verified only in this container — see the
+    * waiver in RUNBOOK §6 (no Kafka connector jar, no egress). */
+  private[run] def kafkaProjection(events: DataFrame): DataFrame =
+    events.select(col("schema").cast("string").as("key"),
+      EventSource.wireStruct(events).as("value"))
 
   /** Start producing to a Redis-Streams broker (the reference's default
     * transport, synch/broker/redis.py:19-23): one XADD-capped stream per

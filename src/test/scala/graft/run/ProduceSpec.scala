@@ -59,6 +59,50 @@ class ProduceSpec extends SparkSpec {
     assert(listener.metrics.exists(_.numEvents == 2))
   }
 
+  test("Kafka leg: wire projection is byte-interchangeable; connector absence fails loudly (waiver pin)") {
+    // RUNBOOK §6 waiver, executable half. (1) The Kafka projection's
+    // value is the SAME wireStruct JSON the file/Redis legs emit — a
+    // consumer can switch transports without re-encoding: parse(value)
+    // round-trips to the canonical events. (2) In THIS container the
+    // broker handoff cannot run at all (no Kafka connector jar, no
+    // egress): starting the leg fails loudly at data-source lookup,
+    // which is exactly the claim the waiver makes.
+    val root = Files.createTempDirectory("kafkaleg").toString
+    val rawDir = s"$root/raw"; Files.createDirectories(Paths.get(rawDir))
+    val lines = Seq(
+      """{"schema":"db","table":"t","action":"insert","values":"{\"id\":1,\"v\":10.0}","event_unixtime":100,"action_seq":2}""",
+      """{"schema":"db","table":"t","action":"update","values":"{\"id\":1,\"v\":11.0}","event_unixtime":200,"action_seq":2}""")
+    Files.write(Paths.get(rawDir, "raw.json"), lines.mkString("\n").getBytes)
+
+    // batch frame with the canonical columns is enough for the projection
+    val events = EventSource.parse(
+      spark.read.text(rawDir).select(col("value").as("json")))
+    val projected = Produce.kafkaProjection(events)
+    assert(projected.schema.map(f => (f.name, f.dataType)) ==
+      Seq(("key", StringType), ("value", StringType)))
+    assert(projected.select("key").as[String].collect().toSet == Set("db"))
+    // transport interchangeability: the value column re-parses to the
+    // same canonical rows (same path a file/Redis consumer runs)
+    val roundTrip = EventSource.parse(
+      projected.select(col("value").as("json")))
+      .select("schema", "table", "action", "values", "event_unixtime", "action_seq")
+    val original = events
+      .select("schema", "table", "action", "values", "event_unixtime", "action_seq")
+    assert(roundTrip.collect().toSet == original.collect().toSet)
+
+    // the environmental half: format("kafka") is not loadable here
+    val streaming = EventSource.files(spark, rawDir)
+    val e = intercept[Exception] {
+      val q = Produce.toKafka(spark, streaming, "localhost:9092", "t",
+        s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else (Option(t.getMessage).getOrElse("") + t.getClass.getName) +: chain(t.getCause)
+    assert(chain(e).exists(m => m.toLowerCase.contains("kafka")),
+      s"expected a kafka data-source lookup failure, got: $e")
+  }
+
   test("T6/T7 normalization ops") {
     import graft.ops.CdcOps
     val df = Seq((Array[Byte](104, 105), BigDecimal("12.30")))
