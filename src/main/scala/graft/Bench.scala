@@ -152,6 +152,7 @@ object Bench {
     // I/O-sensitive sibling of the CPU canary (write+fsync+readback;
     // floors + the measured limits of this probe: SettleGuard scaladoc)
     val ioStart = SettleGuard.ioProbeSec()
+    val stealStart = SettleGuard.cpuTotalSteal()
 
     // Cumulative stop-the-world GC seconds — sampled around each query so
     // a long-run measurement can attribute inflation to heap pressure
@@ -162,7 +163,21 @@ object Bench {
     def gcSec(): Double = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
 
-    val results = only.fold(headline)(s => headline.filter(s)).map { name =>
+    // Whole-set repeat loops (SPARK_GRAFT_BENCH_REPEAT, default 1):
+    // round-12 measurement found per-query sf0.1 times on this box swing
+    // up to 6x across canary-clean full runs as CONTIGUOUS slow windows
+    // (a multi-second host-side stall hits whichever queries happen to be
+    // running; the per-query min-of-2 passes sit inside the window and
+    // can't see out of it). Repeating the WHOLE set and taking per-query
+    // minima across loops filters such windows, because a window lands on
+    // different queries each loop. Default stays 1 — the driver contract
+    // and its runtime budget are unchanged; set 2-3 for stable per-query
+    // comparisons (SCALE.md round-12 variance note).
+    val loops = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    val names = only.fold(headline)(s => headline.filter(s))
+    val loopResults = (1 to loops).map { li =>
+      if (loops > 1) System.err.println(s"[bench] ==== loop $li/$loops ====")
+      names.map { name =>
       // Drain the previous query's shuffle files and broadcast blocks
       // before timing this one. Without this, a full run accumulates
       // session state the GC-driven ContextCleaner reclaims too late
@@ -213,9 +228,18 @@ object Bench {
         sys.error(s"SparkContext died during '$name' — aborting bench")
       System.err.println(f"[bench] $name%-28s $dt%8.2f s  (gc $gcDt%5.2f s/2)")
       name -> (dt, gcDt)
+      }
+    }
+    val results = names.map { name =>
+      val per = loopResults.map(_.toMap.apply(name))
+      name -> ((per.map(_._1).min, per.map(_._2).min))
     }
     val canaryEnd = canary()
     val ioEnd = SettleGuard.ioProbeSec()
+    val stealFrac = (for {
+      (t0s, s0) <- stealStart; (t1s, s1) <- SettleGuard.cpuTotalSteal()
+      if t1s > t0s
+    } yield (s1 - s0).toDouble / (t1s - t0s)).getOrElse(-1.0)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
@@ -227,8 +251,8 @@ object Bench {
     // the map fell off the capture and the gc numbers were misread as times
     // settle/contamination evidence rides in BOTH lines so regress.py can
     // gate on whichever record survives the driver's fixed-size tail
-    val env = """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f"""
-      .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb)
+    val env = """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f,"steal_frac_run":%.4f,"loops":%d"""
+      .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb, stealFrac, loops)
     println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     // Second, COMPACT record (≤1.5 KB) printed after the full line: the
     // driver's bench capture keeps only a fixed-size tail of stdout, and

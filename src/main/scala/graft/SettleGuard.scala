@@ -153,6 +153,18 @@ object SettleGuard {
     (busy, active)
   }
 
+  /** (total CPU ticks, steal ticks) from /proc/stat — a whole-run delta
+    * exposes hypervisor-level interference (a noisy VM neighbor) that no
+    * start/end probe can see while the bench itself saturates the guest:
+    * steal accrues even under full guest load. None when unreadable. */
+  def cpuTotalSteal(): Option[(Long, Long)] =
+    readProc("/proc/stat").flatMap { text =>
+      text.linesIterator.find(_.startsWith("cpu ")).map { line =>
+        val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      }
+    }
+
   /** Timed 16 MiB write + fsync + readback + delete in target/, min of
     * 3. Idle floor on this box: 0.021-0.031 s (round-12 measurement,
     * SCALE.md). regress.py gates at 0.30 s. */

@@ -59,6 +59,7 @@ IO_CANARY_BAD = 0.30   # write+fsync+readback probe; idle floor 0.021-0.031 s
 SETTLE_MIN_S = 15.0    # the >=15 s between-JVMs rule (SettleGuard.MinSettleSec)
 BUSY_FRAC_BAD = 0.25   # box-wide busy fraction sampled before Spark init
 DIRTY_MB_BAD = 1024.0  # residual dirty/writeback backlog at bench start
+STEAL_FRAC_BAD = 0.05  # whole-run hypervisor steal fraction (VM neighbor)
 
 
 def metric_objects(text):
@@ -123,6 +124,8 @@ def load(path):
         "active_jvms_start": m.get("active_jvms_start"),
         "busy_frac_start": m.get("busy_frac_start"),
         "dirty_mb_start": m.get("dirty_mb_start"),
+        "steal_frac_run": m.get("steal_frac_run"),
+        "loops": m.get("loops"),
         "partial": not full,
     }
 
@@ -155,6 +158,9 @@ def main():
             (run["dirty_mb_start"] or 0) > DIRTY_MB_BAD and
             f"dirty_mb_start={run['dirty_mb_start']} MiB > {DIRTY_MB_BAD} "
             f"(residual writeback backlog)",
+            (run["steal_frac_run"] or 0) > STEAL_FRAC_BAD and
+            f"steal_frac_run={run['steal_frac_run']} > {STEAL_FRAC_BAD} "
+            f"(hypervisor stole CPU during the run)",
         ]
         tripped = [msg for msg in checks if msg]
         if tripped:
