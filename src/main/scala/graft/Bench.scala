@@ -174,6 +174,8 @@ object Bench {
     // and its runtime budget are unchanged; set 2-3 for stable per-query
     // comparisons (SCALE.md round-12 variance note).
     val loops = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    require(loops >= 1,
+      s"SPARK_GRAFT_BENCH_REPEAT must be >= 1 (got $loops); unset it or use 1 to disable repeats")
     val names = only.fold(headline)(s => headline.filter(s))
     val loopResults = (1 to loops).map { li =>
       if (loops > 1) System.err.println(s"[bench] ==== loop $li/$loops ====")
@@ -230,9 +232,12 @@ object Bench {
       name -> (dt, gcDt)
       }
     }
+    // per-query value = the (time, gc) PAIR from the loop with the
+    // minimal time, so the gc diagnostic annotates the loop whose time
+    // is published (independent mins could pair a fast time with
+    // another loop's gc and mislead heap-pressure adjudication)
     val results = names.map { name =>
-      val per = loopResults.map(_.toMap.apply(name))
-      name -> ((per.map(_._1).min, per.map(_._2).min))
+      name -> loopResults.map(_.toMap.apply(name)).minBy(_._1)
     }
     val canaryEnd = canary()
     val ioEnd = SettleGuard.ioProbeSec()

@@ -168,25 +168,30 @@ object SettleGuard {
   /** Timed 16 MiB write + fsync + readback + delete in target/, min of
     * 3. Idle floor on this box: 0.021-0.031 s (round-12 measurement,
     * SCALE.md). regress.py gates at 0.30 s. */
-  def ioProbeSec(): Double = {
-    val dir = markerFile.getParentFile
-    dir.mkdirs()
-    val buf = new Array[Byte](4 << 20)
-    java.util.Arrays.fill(buf, 0x5a.toByte)
-    (0 until 3).map { i =>
-      val f = new File(dir, s".graft-ioprobe$i.tmp")
-      val t0 = System.nanoTime()
-      val out = new java.io.FileOutputStream(f)
-      try {
-        var k = 0
-        while (k < 4) { out.write(buf); k += 1 }
-        out.getFD.sync()
-      } finally out.close()
-      val in = new java.io.FileInputStream(f)
-      try { while (in.read(buf) > 0) () } finally in.close()
-      val d = (System.nanoTime() - t0) / 1e9
-      f.delete()
-      d
-    }.min
-  }
+  def ioProbeSec(): Double =
+    try {
+      // like every other probe here: never kill the measurement run the
+      // probe exists to protect — unwritable/odd anchor dirs yield the
+      // -1 sentinel (regress.py gates ignore it)
+      val dir = Option(markerFile.getParentFile)
+        .getOrElse(new File(sys.props("user.dir")))
+      dir.mkdirs()
+      val buf = new Array[Byte](4 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      (0 until 3).map { i =>
+        val f = new File(dir, s".graft-ioprobe$i.tmp")
+        val t0 = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        try {
+          var k = 0
+          while (k < 4) { out.write(buf); k += 1 }
+          out.getFD.sync()
+        } finally out.close()
+        val in = new java.io.FileInputStream(f)
+        try { while (in.read(buf) > 0) () } finally in.close()
+        val d = (System.nanoTime() - t0) / 1e9
+        f.delete()
+        d
+      }.min
+    } catch { case _: Throwable => -1.0 }
 }

@@ -377,24 +377,41 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * the legacy file (the file-source offset log may reference it) —
     * the loud refusal is the point. Padded siblings are exempt: a
     * re-poll of the same range legitimately overwrites its own file. */
+  // staging dirs this broker instance has already scanned and found
+  // free of legacy-named files: a legacy file is an upgrade-time
+  // artifact this code never creates, so one clean scan per dir makes
+  // every later poll O(1) instead of O(#staged-files) against a dir
+  // that grows unboundedly (files are never deleted by design)
+  private val legacyCleanDirs = scala.collection.mutable.Set.empty[String]
+
   private def refuseLegacyOverlap(schema: String, stagingDir: String,
                                   first: (Long, Long), last: (Long, Long)): Unit = {
+    if (legacyCleanDirs.contains(stagingDir)) return
     val files = Option(new java.io.File(stagingDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-    val conflicts = files.iterator.map(_.getName)
-      .filter(n => n.startsWith(s"$schema-") && n.endsWith(".txt"))
+    // legacy naming = raw (unpadded) id components; the padded format
+    // always prints 20 digits per component. Note: legacy detection is
+    // NAME-wide (any schema) for the clean-dir cache, overlap is
+    // schema-scoped for the refusal.
+    val legacy = files.iterator.map(_.getName)
+      .filter(_.endsWith(".txt"))
       .flatMap { n =>
-        val parts = n.stripPrefix(s"$schema-").stripSuffix(".txt").split("-")
-        // legacy naming = raw (unpadded) id components; the padded format
-        // always prints 20 digits per component
-        if (parts.length == 4 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit))
-            && parts.exists(_.length != 20)) {
-          val lf = (parts(0).toLong, parts(1).toLong)
-          val ll = (parts(2).toLong, parts(3).toLong)
-          val ord = implicitly[Ordering[(Long, Long)]]
-          if (ord.lt(ll, first) || ord.gt(lf, last)) None else Some(n)
-        } else None
+        val base = n.stripSuffix(".txt")
+        val parts = base.split("-")
+        if (parts.length >= 5 &&
+            parts.takeRight(4).forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
+            parts.takeRight(4).exists(_.length != 20))
+          Some((parts.dropRight(4).mkString("-"), parts.takeRight(4)))
+        else None
       }.toSeq
+    if (legacy.isEmpty) { legacyCleanDirs += stagingDir; return }
+    val ord = implicitly[Ordering[(Long, Long)]]
+    val conflicts = legacy.collect {
+      case (sch, ids) if sch == schema &&
+        !(ord.lt((ids(2).toLong, ids(3).toLong), first) ||
+          ord.gt((ids(0).toLong, ids(1).toLong), last)) =>
+        s"$sch-${ids.mkString("-")}.txt"
+    }
     if (conflicts.nonEmpty)
       throw new IllegalStateException(
         s"staging dir $stagingDir holds LEGACY-named file(s) " +

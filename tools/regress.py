@@ -105,7 +105,11 @@ def load(path):
         # run of  "query":seconds  pairs from inside the queries map —
         # recover what survives, excluding the metric line's own scalars
         not_queries = {"metric", "value", "unit", "sf", "total_s", "nq",
-                       "canary_start_sec", "canary_end_sec"}
+                       "canary_start_sec", "canary_end_sec",
+                       "io_canary_start_sec", "io_canary_end_sec",
+                       "settle_gap_s", "active_jvms_start",
+                       "busy_frac_start", "dirty_mb_start",
+                       "steal_frac_run", "loops"}
         frag = tail[:tail.find("}}") + 1] if "}}" in tail else tail
         pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
         m = {}
@@ -168,6 +172,15 @@ def main():
                 print(f"CONTAMINATED: {name} run: {msg}")
             print("— re-run the bench; per-query verdicts withheld")
             sys.exit(2)
+
+    lo, ln = (old["loops"] or 1), (new["loops"] or 1)
+    if lo != ln:
+        bias = ("new-run per-query minima come from a DEEPER pool — 'improved' "
+                "verdicts may be sampling artifacts" if ln > lo else
+                "old-run minima come from a deeper pool — FLAGs may be "
+                "sampling artifacts, not regressions")
+        print(f"NOTE: loops mismatch (old={lo}, new={ln}): {bias}; "
+              f"compare equal-loops runs for per-query verdicts\n")
 
     shared = sorted(set(old["queries"]) & set(new["queries"]))
     scope = "top20-only" if (old["partial"] or new["partial"]) else "full"
