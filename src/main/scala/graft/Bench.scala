@@ -236,8 +236,9 @@ object Bench {
     // minimal time, so the gc diagnostic annotates the loop whose time
     // is published (independent mins could pair a fast time with
     // another loop's gc and mislead heap-pressure adjudication)
+    val byLoop = loopResults.map(_.toMap)
     val results = names.map { name =>
-      name -> loopResults.map(_.toMap.apply(name)).minBy(_._1)
+      name -> byLoop.map(_.apply(name)).minBy(_._1)
     }
     val canaryEnd = canary()
     val ioEnd = SettleGuard.ioProbeSec()

@@ -180,18 +180,24 @@ object SettleGuard {
       java.util.Arrays.fill(buf, 0x5a.toByte)
       (0 until 3).map { i =>
         val f = new File(dir, s".graft-ioprobe$i.tmp")
-        val t0 = System.nanoTime()
-        val out = new java.io.FileOutputStream(f)
         try {
-          var k = 0
-          while (k < 4) { out.write(buf); k += 1 }
-          out.getFD.sync()
-        } finally out.close()
-        val in = new java.io.FileInputStream(f)
-        try { while (in.read(buf) > 0) () } finally in.close()
-        val d = (System.nanoTime() - t0) / 1e9
-        f.delete()
-        d
+          val t0 = System.nanoTime()
+          val out = new java.io.FileOutputStream(f)
+          try {
+            var k = 0
+            while (k < 4) { out.write(buf); k += 1 }
+            out.getFD.sync()
+          } finally out.close()
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) > 0) () } finally in.close()
+          (System.nanoTime() - t0) / 1e9
+        } finally f.delete() // never leak the 16 MiB probe file
       }.min
-    } catch { case _: Throwable => -1.0 }
+    } catch { case t: Throwable =>
+      // loud sentinel: an erroring disk is itself contamination evidence
+      // the reader must see, even though the gate can't distinguish a
+      // broken disk from a benignly unwritable deploy dir
+      System.err.println(s"[settle] io probe FAILED (reporting -1): $t")
+      -1.0
+    }
 }

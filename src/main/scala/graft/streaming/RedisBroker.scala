@@ -377,34 +377,44 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * the legacy file (the file-source offset log may reference it) —
     * the loud refusal is the point. Padded siblings are exempt: a
     * re-poll of the same range legitimately overwrites its own file. */
-  // staging dirs this broker instance has already scanned and found
-  // free of legacy-named files: a legacy file is an upgrade-time
-  // artifact this code never creates, so one clean scan per dir makes
-  // every later poll O(1) instead of O(#staged-files) against a dir
-  // that grows unboundedly (files are never deleted by design)
-  private val legacyCleanDirs = scala.collection.mutable.Set.empty[String]
+  // Per-dir cache of the PARSED legacy-file list, refreshed at most
+  // every 60 s: the full listing of an unboundedly-growing staging dir
+  // (files are never deleted by design) is amortized to O(1) per poll
+  // regardless of which schemas share the dir, while a legacy file
+  // dropped mid-run by a still-running old-version bridge (a skipped
+  // RUNBOOK §3 step — the exact case the refusal targets) is still
+  // caught within a minute. A FAILED listing (listFiles == null) is
+  // never cached as clean — it retries on the next poll.
+  private val legacyScanCache =
+    scala.collection.mutable.Map.empty[String, (Long, Seq[(String, Seq[String])])]
+  private val LegacyRescanNanos = 60L * 1000 * 1000 * 1000
 
   private def refuseLegacyOverlap(schema: String, stagingDir: String,
                                   first: (Long, Long), last: (Long, Long)): Unit = {
-    if (legacyCleanDirs.contains(stagingDir)) return
-    val files = Option(new java.io.File(stagingDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    // legacy naming = raw (unpadded) id components; the padded format
-    // always prints 20 digits per component. Note: legacy detection is
-    // NAME-wide (any schema) for the clean-dir cache, overlap is
-    // schema-scoped for the refusal.
-    val legacy = files.iterator.map(_.getName)
-      .filter(_.endsWith(".txt"))
-      .flatMap { n =>
-        val base = n.stripSuffix(".txt")
-        val parts = base.split("-")
-        if (parts.length >= 5 &&
-            parts.takeRight(4).forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
-            parts.takeRight(4).exists(_.length != 20))
-          Some((parts.dropRight(4).mkString("-"), parts.takeRight(4)))
-        else None
-      }.toSeq
-    if (legacy.isEmpty) { legacyCleanDirs += stagingDir; return }
+    val now = System.nanoTime()
+    val legacy = legacyScanCache.get(stagingDir) match {
+      case Some((deadline, cached)) if now < deadline => cached
+      case _ =>
+        Option(new java.io.File(stagingDir).listFiles()) match {
+          case None => Nil // listing failed: do NOT cache, retry next poll
+          case Some(files) =>
+            // legacy naming = raw (unpadded) id components; the padded
+            // format always prints 20 digits per component
+            val found = files.iterator.map(_.getName)
+              .filter(_.endsWith(".txt"))
+              .flatMap { n =>
+                val parts = n.stripSuffix(".txt").split("-")
+                if (parts.length >= 5 &&
+                    parts.takeRight(4).forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
+                    parts.takeRight(4).exists(_.length != 20))
+                  Some((parts.dropRight(4).mkString("-"), parts.takeRight(4).toSeq))
+                else None
+              }.toSeq
+            legacyScanCache(stagingDir) = (now + LegacyRescanNanos, found)
+            found
+        }
+    }
+    if (legacy.isEmpty) return
     val ord = implicitly[Ordering[(Long, Long)]]
     val conflicts = legacy.collect {
       case (sch, ids) if sch == schema &&
