@@ -377,42 +377,37 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * the legacy file (the file-source offset log may reference it) —
     * the loud refusal is the point. Padded siblings are exempt: a
     * re-poll of the same range legitimately overwrites its own file. */
-  // Per-dir cache of the PARSED legacy-file list, refreshed at most
-  // every 60 s: the full listing of an unboundedly-growing staging dir
-  // (files are never deleted by design) is amortized to O(1) per poll
-  // regardless of which schemas share the dir, while a legacy file
-  // dropped mid-run by a still-running old-version bridge (a skipped
-  // RUNBOOK §3 step — the exact case the refusal targets) is still
-  // caught within a minute. A FAILED listing (listFiles == null) is
-  // never cached as clean — it retries on the next poll.
-  private val legacyScanCache =
-    scala.collection.mutable.Map.empty[String, (Long, Seq[(String, Seq[String])])]
-  private val LegacyRescanNanos = 60L * 1000 * 1000 * 1000
-
   private def refuseLegacyOverlap(schema: String, stagingDir: String,
                                   first: (Long, Long), last: (Long, Long)): Unit = {
-    val now = System.nanoTime()
-    val legacy = legacyScanCache.get(stagingDir) match {
-      case Some((deadline, cached)) if now < deadline => cached
-      case _ =>
-        Option(new java.io.File(stagingDir).listFiles()) match {
-          case None => Nil // listing failed: do NOT cache, retry next poll
-          case Some(files) =>
-            // legacy naming = raw (unpadded) id components; the padded
-            // format always prints 20 digits per component
-            val found = files.iterator.map(_.getName)
-              .filter(_.endsWith(".txt"))
-              .flatMap { n =>
-                val parts = n.stripSuffix(".txt").split("-")
-                if (parts.length >= 5 &&
-                    parts.takeRight(4).forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
-                    parts.takeRight(4).exists(_.length != 20))
-                  Some((parts.dropRight(4).mkString("-"), parts.takeRight(4).toSeq))
-                else None
-              }.toSeq
-            legacyScanCache(stagingDir) = (now + LegacyRescanNanos, found)
-            found
-        }
+    // Scanned on EVERY poll, deliberately uncached: the invariant is
+    // "no staged file may overlap a legacy file present AT STAGING
+    // TIME", and any cache window lets an overlap staged during it be
+    // COMMITTED past (polls read strictly after the committed id, so a
+    // later rescan can never re-detect it). Two r12 review rounds tried
+    // a cache and each bought a correctness hole; the listing cost is
+    // one readdir per poll, and the recommended long-horizon config
+    // (`EventSource.files(cleanSource=delete)`, RUNBOOK §2) keeps the
+    // dir bounded anyway. A FAILED listing is loud, not a silent pass —
+    // but it does not wedge the bridge on a transient FS error.
+    val legacy = Option(new java.io.File(stagingDir).listFiles()) match {
+      case None =>
+        System.err.println(s"[broker] WARNING: cannot list staging dir " +
+          s"$stagingDir for the legacy-overlap check — staging proceeds " +
+          "UNGUARDED this poll")
+        Nil
+      case Some(files) =>
+        // legacy naming = raw (unpadded) id components; the padded
+        // format always prints 20 digits per component
+        files.iterator.map(_.getName)
+          .filter(_.endsWith(".txt"))
+          .flatMap { n =>
+            val parts = n.stripSuffix(".txt").split("-")
+            if (parts.length >= 5 &&
+                parts.takeRight(4).forall(p => p.nonEmpty && p.forall(_.isDigit)) &&
+                parts.takeRight(4).exists(_.length != 20))
+              Some((parts.dropRight(4).mkString("-"), parts.takeRight(4).toSeq))
+            else None
+          }.toSeq
     }
     if (legacy.isEmpty) return
     val ord = implicitly[Ordering[(Long, Long)]]

@@ -446,17 +446,14 @@ class RedisBrokerSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("LEGACY-named"), e.getMessage)
       assert(Files.exists(legacy), "the legacy file must never be deleted")
-      // a non-overlapping legacy file does not block later ranges. The
-      // legacy scan is cached per broker instance for up to 60 s (stale
-      // POSITIVES err toward a loud refusal, never a silent pass), so
-      // the post-cleanup poll uses a fresh broker, as a restarted
-      // bridge would.
+      // the scan runs on EVERY poll (deliberately uncached — see the
+      // refuseLegacyOverlap comment), so the SAME broker instance
+      // recovers as soon as the operator clears the legacy file, and a
+      // non-overlapping legacy file does not block later ranges
       Files.delete(legacy)
       Files.write(Paths.get(staging, "db-1-1-1-9.txt"), "old\n".getBytes("UTF-8"))
+      assert(broker.pollToStaging("db", staging) == 3)
       broker.close()
-      val broker2 = new RedisBroker("127.0.0.1", server.port, "b")
-      assert(broker2.pollToStaging("db", staging) == 3)
-      broker2.close()
     } finally server.close()
   }
 }

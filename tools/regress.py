@@ -111,9 +111,11 @@ def load(path):
                        "busy_frac_start", "dirty_mb_start",
                        "steal_frac_run", "loops"}
         frag = tail[:tail.find("}}") + 1] if "}}" in tail else tail
-        # anchored on a preceding delimiter so a truncation landing
-        # MID-key cannot mint a phantom query from the key's tail
-        pairs = re.findall(r'[,{]"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
+        # anchored on a preceding delimiter (or fragment start) so a
+        # truncation landing MID-key cannot mint a phantom query from
+        # the key's tail, while a fragment that begins exactly at an
+        # intact pair's opening quote is still recovered
+        pairs = re.findall(r'(?:^|[,{])"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', frag)
         m = {}
         queries = {q: float(v) for q, v in pairs if q not in not_queries}
         if not queries:
