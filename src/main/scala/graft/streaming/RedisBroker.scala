@@ -387,14 +387,17 @@ final class RedisBroker(host: String, port: Int, alias: String,
     // a cache and each bought a correctness hole; the listing cost is
     // one readdir per poll, and the recommended long-horizon config
     // (`EventSource.files(cleanSource=delete)`, RUNBOOK §2) keeps the
-    // dir bounded anyway. A FAILED listing is loud, not a silent pass —
-    // but it does not wedge the bridge on a transient FS error.
+    // dir bounded anyway. A FAILED listing fails CLOSED: the refusal
+    // runs before the tmp write and the commit, so throwing retries
+    // the same range on the next poll (the production poller catches
+    // and retries) — failing open would be the one permanently
+    // undetectable double-ingest window left.
     val legacy = Option(new java.io.File(stagingDir).listFiles()) match {
       case None =>
-        System.err.println(s"[broker] WARNING: cannot list staging dir " +
-          s"$stagingDir for the legacy-overlap check — staging proceeds " +
-          "UNGUARDED this poll")
-        Nil
+        throw new IllegalStateException(
+          s"cannot list staging dir $stagingDir for the legacy-overlap " +
+            "check — refusing to stage unguarded (transient FS errors " +
+            "retry on the next poll; nothing was committed)")
       case Some(files) =>
         // legacy naming = raw (unpadded) id components; the padded
         // format always prints 20 digits per component
@@ -411,10 +414,19 @@ final class RedisBroker(host: String, port: Int, alias: String,
     }
     if (legacy.isEmpty) return
     val ord = implicitly[Ordering[(Long, Long)]]
+    // a legacy-shaped component too long for a Long can't be a real
+    // Redis id, but its range is undeterminable — refuse loudly naming
+    // the file (the safe direction) instead of crashing in toLong with
+    // a message that names nothing
+    def idOf(s: String): Option[Long] =
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
     val conflicts = legacy.collect {
       case (sch, ids) if sch == schema &&
-        !(ord.lt((ids(2).toLong, ids(3).toLong), first) ||
-          ord.gt((ids(0).toLong, ids(1).toLong), last)) =>
+        (ids.map(idOf) match {
+          case Seq(Some(a), Some(b), Some(c), Some(d)) =>
+            !(ord.lt((c, d), first) || ord.gt((a, b), last))
+          case _ => true // unparseable range: assume overlap, refuse
+        }) =>
         s"$sch-${ids.mkString("-")}.txt"
     }
     if (conflicts.nonEmpty)

@@ -452,8 +452,8 @@ class RedisBrokerSpec extends SparkSpec {
       // non-overlapping legacy file does not block later ranges
       Files.delete(legacy)
       Files.write(Paths.get(staging, "db-1-1-1-9.txt"), "old\n".getBytes("UTF-8"))
-      assert(broker.pollToStaging("db", staging) == 3)
-      broker.close()
+      try assert(broker.pollToStaging("db", staging) == 3)
+      finally broker.close()
     } finally server.close()
   }
 }
