@@ -377,7 +377,7 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * the legacy file (the file-source offset log may reference it) —
     * the loud refusal is the point. Padded siblings are exempt: a
     * re-poll of the same range legitimately overwrites its own file. */
-  private def refuseLegacyOverlap(schema: String, stagingDir: String,
+  private[streaming] def refuseLegacyOverlap(schema: String, stagingDir: String,
                                   first: (Long, Long), last: (Long, Long)): Unit = {
     // Scanned on EVERY poll, deliberately uncached: the invariant is
     // "no staged file may overlap a legacy file present AT STAGING
@@ -415,19 +415,25 @@ final class RedisBroker(host: String, port: Int, alias: String,
     if (legacy.isEmpty) return
     val ord = implicitly[Ordering[(Long, Long)]]
     // a legacy-shaped component too long for a Long can't be a real
-    // Redis id, but its range is undeterminable — refuse loudly naming
-    // the file (the safe direction) instead of crashing in toLong with
-    // a message that names nothing
-    def idOf(s: String): Option[Long] =
-      try Some(s.toLong) catch { case _: NumberFormatException => None }
-    val conflicts = legacy.collect {
-      case (sch, ids) if sch == schema &&
-        (ids.map(idOf) match {
-          case Seq(Some(a), Some(b), Some(c), Some(d)) =>
-            !(ord.lt((c, d), first) || ord.gt((a, b), last))
-          case _ => true // unparseable range: assume overlap, refuse
-        }) =>
-        s"$sch-${ids.mkString("-")}.txt"
+    // Redis id: such a file gets its OWN refusal naming the corrupt
+    // filename — diagnosing it as an overlap would send the operator
+    // to the naming-upgrade drain procedure for a file that needs
+    // deleting, not draining
+    val (parseable, corrupt) = legacy.partition(_._2.forall(_.toLongOption.isDefined))
+    if (corrupt.nonEmpty)
+      throw new IllegalStateException(
+        s"staging dir $stagingDir holds legacy-shaped file(s) with " +
+          s"UNPARSEABLE id components " +
+          corrupt.map { case (sch, ids) => s"$sch-${ids.mkString("-")}.txt" }
+            .mkString(", ") +
+          " — not a real staged range (ids overflow a Redis entry id); " +
+          "remove or rename the stray file(s), then restart the poll " +
+          "(nothing was committed)")
+    val conflicts = parseable.collect {
+      case (sch, ids) if sch == schema && {
+        val Seq(a, b, c, d) = ids.map(_.toLong)
+        !(ord.lt((c, d), first) || ord.gt((a, b), last))
+      } => s"$sch-${ids.mkString("-")}.txt"
     }
     if (conflicts.nonEmpty)
       throw new IllegalStateException(

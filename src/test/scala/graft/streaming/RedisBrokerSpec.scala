@@ -401,6 +401,38 @@ class RedisBrokerSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("legacy-overlap guard fails CLOSED on an unlistable staging dir and on unparseable legacy names") {
+    // fa1c37b review pins: (1) a listing failure must refuse (the
+    // refusal precedes the tmp write and the commit, so the poller's
+    // retry loop is safe) — never stage unguarded; (2) a legacy-shaped
+    // file whose id components overflow a Long gets its own corrupt-
+    // filename refusal, not a bogus overlap diagnosis.
+    val server = new FakeRedisServer
+    try {
+      val broker = new RedisBroker("127.0.0.1", server.port, "b")
+      try {
+        // a regular FILE as the staging path: listFiles() returns null
+        val asFile = Files.createTempFile("redis-notadir", ".txt").toString
+        val e1 = intercept[IllegalStateException] {
+          broker.refuseLegacyOverlap("db", asFile, (7L, 1L), (7L, 3L))
+        }
+        assert(e1.getMessage.contains("cannot list staging dir"), e1.getMessage)
+
+        val staging = Files.createTempDirectory("redis-corrupt").toString
+        // 23-digit component: legacy-shaped (not all 20-digit) but not a
+        // real Redis id; even though its parseable ids are disjoint from
+        // the polled range, the refusal must name the corrupt file
+        Files.write(Paths.get(staging, "db-99999999999999999999999-1-1-9.txt"),
+          "junk\n".getBytes("UTF-8"))
+        val e2 = intercept[IllegalStateException] {
+          broker.refuseLegacyOverlap("db", staging, (7L, 1L), (7L, 3L))
+        }
+        assert(e2.getMessage.contains("UNPARSEABLE"), e2.getMessage)
+        assert(e2.getMessage.contains("db-99999999999999999999999-1-1-9.txt"), e2.getMessage)
+      } finally broker.close()
+    } finally server.close()
+  }
+
   test("pinned residual: trimPlausible accepts an at-cap stream that never trimmed") {
     // ADVICE r11: length >= recordedCap proves a trim was REACHABLE,
     // not that one occurred — real Redis trims `MAXLEN ~` lazily, so a
