@@ -122,12 +122,12 @@ object Produce {
     //                         ids first; when the top sits INSIDE
     //                         this batch's id space it must be this
     //                         run's own pre-crash partial — verify
-    //                         byte-identity at that seq, so a
-    //                         foreign entry crafted into the batch
-    //                         space cannot silently swallow the
-    //                         replayed event whose id it occupies;
-    //                         prefix rejections are then provably
-    //                         our own pre-crash partials)
+    //                         byte-identity at EVERY surviving
+    //                         prefix entry (r12; top-only left an
+    //                         interior slot for a crafted foreign
+    //                         entry under a byte-exact foreign
+    //                         top), so prefix rejections are then
+    //                         provably our own pre-crash partials)
     //   batchId == produced → SKIP: the batch is fully in the
     //                         stream; verify byte-identity at the
     //                         stream's FIRST surviving batch entry
@@ -154,12 +154,16 @@ object Produce {
     val skipFirsts = scala.collection.mutable.Map.empty[String, (Long, String, Boolean)]
     val firstSeen = scala.collection.mutable.Set.empty[String]
     val pending = scala.collection.mutable.Set.empty[String]
-    // SEND schemas whose stream top sits inside this batch's id
-    // space: a genuine replay's top is this run's own pre-crash
-    // partial — (topSeq, topMsg) byte-verified when this run's
-    // event at that seq passes, pending until then
-    val sendTops = scala.collection.mutable.Map.empty[String, (Long, String)]
-    val pendingSend = scala.collection.mutable.Set.empty[String]
+    // SEND schemas whose stream top sits inside this batch's id space:
+    // a genuine replay's stream prefix is this run's own pre-crash
+    // partial — EVERY surviving prefix entry is byte-verified as this
+    // run's sequence passes it (r12; top-only verification left an
+    // interior slot where a crafted foreign entry under a byte-exact
+    // foreign top could ride the reject-swallow). The queue is the
+    // batch's surviving entries oldest-first; fetched only on crash
+    // replays, never on the steady-state path.
+    val sendPrefix =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayDeque[(Long, String)]]
     val sent = scala.collection.mutable.Set.empty[String]
     // schemas whose XADDs this run ACTUALLY APPLIED (not reject-swallowed
     // replays): only these could have trimmed, so only these get the cap
@@ -245,12 +249,10 @@ object Produce {
         } else {
           val streamTop = broker.lastEntry(schema)
           broker.guardForeignTop(schema, batchId, streamTop)
-          streamTop.foreach { case (top, msg) =>
-            if (top.takeWhile(_ != '-').toLong == batchId) {
-              sendTops(schema) =
-                (top.dropWhile(_ != '-').drop(1).toLong, msg)
-              pendingSend += schema
-            }
+          streamTop.foreach { case (top, _) =>
+            if (top.takeWhile(_ != '-').toLong == batchId)
+              sendPrefix(schema) = scala.collection.mutable.ArrayDeque.from(
+                broker.entriesOfBatch(schema, batchId))
           }
           true
         }
@@ -258,25 +260,29 @@ object Produce {
       digests(schema) =
         digestFold(digests.getOrElse(schema, DigestSeed), value)
       if (send) {
-        sendTops.get(schema).foreach { case (topSeq, topMsg) =>
-          if (seq == topSeq) {
-            if (value != topMsg)
+        sendPrefix.get(schema).foreach { pre =>
+          // entries our strictly-increasing sequence has PASSED without
+          // reproducing cannot be our pre-crash partial — fail BEFORE
+          // any id beyond them can flush (ids at/below the stream top
+          // are reject-swallowed, never re-added)
+          if (pre.headOption.exists(_._1 < seq))
+            throw new IllegalStateException(
+              s"stream for schema $schema holds a batch-$batchId " +
+                s"entry at seq ${pre.head._1} this run's events never " +
+                "reproduced: a foreign producer wrote into this " +
+                "batch's id space — refusing to silently drop events")
+          if (pre.headOption.exists(_._1 == seq)) {
+            val (_, preMsg) = pre.removeHead()
+            if (value != preMsg)
               throw new IllegalStateException(
                 s"stream for schema $schema holds a DIFFERENT event at " +
                   s"the replayed id $batchId-$seq: a foreign producer " +
                   "wrote into this batch's id space, or the checkpoint " +
                   "was reset onto a diverged stream — refusing to " +
                   "silently drop events")
-            pendingSend -= schema // byte-identical: our own partial
-          } else if (seq > topSeq && pendingSend.contains(schema))
-            // passing the top without reproducing it proves the top
-            // is not ours — fail BEFORE any id beyond it can flush
-            // (ids below the top are reject-swallowed, never added)
-            throw new IllegalStateException(
-              s"stream for schema $schema holds a batch-$batchId top " +
-                s"entry at seq $topSeq this run's events never " +
-                "reproduced: a foreign producer wrote into this " +
-                "batch's id space — refusing to silently drop events")
+          }
+          // seqs below the surviving head were trimmed from the partial
+          // (MAXLEN eats oldest) — their replays reject-swallow safely
         }
         buf += ((schema, s"$batchId-$seq", value))
         sent += schema
@@ -334,15 +340,19 @@ object Produce {
         }
       }
     }
-    // a SEND schema whose in-batch top seq never matched any of
-    // this run's events: the top cannot be our pre-crash partial —
-    // a foreign entry occupies our id space, and sending would let
-    // the id-rejection swallow real events as already-delivered.
-    // Checked BEFORE the final flush so nothing lands post-facto.
-    if (pendingSend.nonEmpty)
+    // a SEND schema with surviving prefix entries this run's sequence
+    // never reached (our batch has FEWER events than the stream's
+    // partial): they cannot be our pre-crash work — a foreign entry
+    // occupies our id space, and sending would let the id-rejection
+    // swallow real events as already-delivered. Checked BEFORE the
+    // final flush so nothing lands post-facto.
+    val unvisited = sendPrefix.collect {
+      case (schema, pre) if pre.nonEmpty => schema
+    }
+    if (unvisited.nonEmpty)
       throw new IllegalStateException(
-        s"streams ${pendingSend.mkString(",")} hold batch-$batchId " +
-          "top entries this run's events never reproduced: a foreign " +
+        s"streams ${unvisited.mkString(",")} hold batch-$batchId " +
+          "entries this run's events never reproduced: a foreign " +
           "producer wrote into this batch's id space — refusing to " +
           "silently drop events")
     flush()

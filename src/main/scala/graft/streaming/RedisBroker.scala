@@ -118,6 +118,25 @@ final class RedisBroker(host: String, port: Int, alias: String,
     entryAt(client.command("XRANGE", queueKey(schema),
       s"$batchId-0", batchId.toString, "COUNT", "1"))
 
+  /** ALL surviving entries of batch `batchId` as (seq, msg), oldest
+    * first — the send-mode crash-replay prefix the producer verifies
+    * byte-by-byte (r12; see [[graft.run.Produce.toRedis]]). Fetched
+    * only when a stream's top already sits inside the batch being
+    * produced (a crash replay), never on the steady-state path, and
+    * bounded by the batch size the A1 trigger contract already bounds. */
+  def entriesOfBatch(schema: String, batchId: Long): Seq[(Long, String)] =
+    client.command("XRANGE", queueKey(schema),
+      s"$batchId-0", batchId.toString) match {
+      case s: Seq[_] => s.map { e0 =>
+        val e = e0.asInstanceOf[Seq[Any]]
+        val id = e.head.asInstanceOf[String]
+        val msg = e(1).asInstanceOf[Seq[String]].grouped(2)
+          .collectFirst { case Seq("msg", v) => v }.getOrElse("")
+        (id.dropWhile(_ != '-').drop(1).toLong, msg)
+      }
+      case _ => Nil
+    }
+
   private def producedKey = s"$prefix:$alias:produced_batch"
 
   /** The highest batch id FULLY produced into a schema's stream (-1 when

@@ -180,6 +180,37 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("two crafted foreign entries: interior divergence under a byte-identical forged top fails loudly") {
+    // r12: the top-only send-mode verification PASSED this attack — the
+    // adversary forges a byte-exact copy of a later event as the stream
+    // top and hides a diverged entry beneath it; the replay's XADDs at
+    // and below the top were reject-swallowed, silently replacing our
+    // event with the forged interior. The full-prefix verification
+    // (RedisBroker.entriesOfBatch) byte-checks every surviving entry.
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(7)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val bk = broker(server)
+      val topSeq = try bk.lastEntry("db1").get._1.split("-")(1).toLong
+      finally bk.close()
+      // the next two db1 global seqs after the partial's top: forge a
+      // diverged interior at the first, a byte-exact copy at the second
+      val db1Seqs = b0.zipWithIndex.collect {
+        case ((sch, _), i) if sch == "db1" => (i + 1).toLong
+      }
+      val Seq(s1, s2) = db1Seqs.filter(_ > topSeq).take(2).toSeq
+      val foreign = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        foreign.command("XADD", key("db1"), s"0-$s1", "msg", "{evil-interior}")
+        foreign.command("XADD", key("db1"), s"0-$s2", "msg", b0(s2.toInt - 1)._2)
+      } finally foreign.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("DIFFERENT event"), e.getMessage)
+    }
+  }
+
   test("foreign XADD beyond the batch's last seq fails loudly (top never reproduced)") {
     val b0 = batchRows(0, 40)
     withServer { server =>
