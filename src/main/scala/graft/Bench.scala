@@ -163,17 +163,24 @@ object Bench {
     def gcSec(): Double = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum / 1e3
 
-    // Whole-set repeat loops (SPARK_GRAFT_BENCH_REPEAT, default 1):
-    // round-12 measurement found per-query sf0.1 times on this box swing
-    // up to 6x across canary-clean full runs as CONTIGUOUS slow windows
-    // (a multi-second host-side stall hits whichever queries happen to be
+    // Whole-set repeat loops (SPARK_GRAFT_BENCH_REPEAT): round-12
+    // measurement found per-query sf0.1 times on this box swing up to 6x
+    // across canary-clean full runs as CONTIGUOUS slow windows (a
+    // multi-second host-side stall hits whichever queries happen to be
     // running; the per-query min-of-2 passes sit inside the window and
     // can't see out of it). Repeating the WHOLE set and taking per-query
     // minima across loops filters such windows, because a window lands on
-    // different queries each loop. Default stays 1 — the driver contract
-    // and its runtime budget are unchanged; set 2-3 for stable per-query
-    // comparisons (SCALE.md round-12 variance note).
-    val loops = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
+    // different loops' queries each time. Since round 13 the default is 2
+    // at sf<=0.1 (VERDICT r12 #6: the driver runs single-pass, so its
+    // scoreboard per-query values stayed lottery-exposed every round;
+    // the extra loop costs ~48 s at sf0.1 — far under the sf10 budget)
+    // and 1 above (an sf10 loop is ~5 min; repeats there are an explicit
+    // operator choice). Set the env to override either way.
+    val sfNum = """sf([0-9]+(?:\.[0-9]+)?)""".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble)
+    val defaultLoops = if (sfNum.exists(_ <= 0.1)) 2 else 1
+    val loops = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt)
+      .getOrElse(defaultLoops)
     require(loops >= 1,
       s"SPARK_GRAFT_BENCH_REPEAT must be >= 1 (got $loops); unset it or use 1 to disable repeats")
     val names = only.fold(headline)(s => headline.filter(s))

@@ -40,9 +40,9 @@ object SettleGuard {
   /** Minimum seconds between graft JVMs for a trustworthy bench. */
   val MinSettleSec = 15.0
 
-  /** Marker location is anchored at the build's target/ dir (derived
-    * from where this class was loaded) so the driver's cwd does not
-    * matter; env override for exotic layouts. */
+  /** Marker location anchored at the build's target/ dir (derived from
+    * where this class was loaded) so the driver's cwd does not matter;
+    * env override for exotic layouts. */
   def markerFile: File = {
     sys.env.get("SPARK_GRAFT_SETTLE_FILE").map(new File(_)).getOrElse {
       val anchor = Option(getClass.getProtectionDomain.getCodeSource)
@@ -53,6 +53,19 @@ object SettleGuard {
       new File(anchor, ".graft-settle-marker")
     }
   }
+
+  /** Machine-global marker (VERDICT r12 #1): the r12 target-anchored
+    * marker was invisible to the driver's bench, which runs from a
+    * separate checkout of this repo — its read saw no marker (-1) and
+    * its exit-hook restamp landed in the OTHER checkout's target/.
+    * Contamination is machine-wide (the just-exited Spark JVM pollutes
+    * the box, not a build dir), so the marker must be too: a fixed path
+    * every copy of the repo on this machine shares. Deliberately a
+    * literal "/tmp", NOT java.io.tmpdir — a per-JVM tmpdir override
+    * would silently re-fragment the channel per checkout. */
+  def globalMarkerFile: File =
+    sys.env.get("SPARK_GRAFT_SETTLE_FILE_GLOBAL").map(new File(_))
+      .getOrElse(new File("/tmp/.graft-settle-marker"))
 
   /** Register a shutdown hook stamping JVM-exit time. Every graft main
     * calls this first thing so the NEXT main can measure its settle
@@ -65,18 +78,20 @@ object SettleGuard {
     }
   }
 
-  def stamp(): Unit =
-    try {
-      val f = markerFile
-      Option(f.getParentFile).foreach(_.mkdirs())
-      Files.writeString(f.toPath, System.currentTimeMillis().toString)
-    } catch { case _: Throwable => () }
+  /** Stamp BOTH markers, each in its own try: an unwritable /tmp must
+    * not lose the target-anchored stamp, and vice versa. */
+  def stamp(): Unit = {
+    def write(f: File): Unit =
+      try {
+        Option(f.getParentFile).foreach(_.mkdirs())
+        Files.writeString(f.toPath, System.currentTimeMillis().toString)
+      } catch { case _: Throwable => () }
+    write(markerFile)
+    write(globalMarkerFile)
+  }
 
-  /** Seconds since the last graft JVM exited; -1 when unknown (no
-    * marker yet, unreadable, or clock skew). */
-  def gapSec(): Double =
+  private def gapOf(f: File): Double =
     try {
-      val f = markerFile
       if (!f.exists()) -1.0
       else {
         val gap = (System.currentTimeMillis() -
@@ -84,6 +99,15 @@ object SettleGuard {
         if (gap < 0) -1.0 else gap
       }
     } catch { case _: Throwable => -1.0 }
+
+  /** Seconds since the last graft JVM exited, from the MOST RECENT of
+    * the two markers (most-recent exit = smallest gap — the
+    * conservative read for a "did we start too soon?" gate); -1 when
+    * neither is known (no marker yet, unreadable, or clock skew). */
+  def gapSec(): Double = {
+    val gaps = Seq(gapOf(markerFile), gapOf(globalMarkerFile)).filter(_ >= 0)
+    if (gaps.isEmpty) -1.0 else gaps.min
+  }
 
   private def readProc(path: String): Option[String] =
     try Some(Files.readString(java.nio.file.Paths.get(path)))

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The settle-marker channel (SettleGuard scaladoc; VERDICT r12 #1).
+  *
+  * The r12 incident this pins: the marker was target/-anchored only, so a
+  * bench launched from a DIFFERENT checkout of this repo read the -1
+  * "unknown" sentinel and regress.py treated unknown as clean — the
+  * flagship defense was inert on the exact run it was built to police.
+  * Since r13 `stamp()` writes a second, machine-global marker and
+  * `gapSec()` reads the most recent of the two, so any copy of the repo
+  * on this machine sees any other copy's just-exited JVM.
+  */
+class SettleGuardSpec extends AnyFunSuite {
+
+  test("stamp writes BOTH the target-anchored and the machine-global marker") {
+    SettleGuard.stamp()
+    assert(SettleGuard.markerFile.exists(),
+      s"target-anchored marker missing: ${SettleGuard.markerFile}")
+    assert(SettleGuard.globalMarkerFile.exists(),
+      s"machine-global marker missing: ${SettleGuard.globalMarkerFile}")
+  }
+
+  test("gapSec reads a fresh stamp as a near-zero gap") {
+    SettleGuard.stamp()
+    val gap = SettleGuard.gapSec()
+    assert(gap >= 0 && gap < 60, s"expected a fresh gap, got $gap")
+  }
+
+  test("gapSec survives on the global marker alone (the cross-checkout read)") {
+    SettleGuard.stamp()
+    // simulate the r12 driver-bench environment: the reading JVM's own
+    // target/ has no marker, only the machine-global one exists
+    assert(SettleGuard.markerFile.delete(), "precondition: local marker deletable")
+    val gap = SettleGuard.gapSec()
+    assert(gap >= 0 && gap < 60,
+      s"global marker alone must yield a real gap, got $gap (the r12 inert-channel bug)")
+    SettleGuard.stamp() // restore for whoever runs next
+  }
+
+  test("gapSec takes the most recent exit (min gap) when the markers disagree") {
+    // global marker says "a JVM exited 1h ago", local says "just now":
+    // the conservative answer for a too-soon gate is the smaller gap
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    java.nio.file.Files.writeString(SettleGuard.globalMarkerFile.toPath, old.toString)
+    java.nio.file.Files.writeString(SettleGuard.markerFile.toPath,
+      System.currentTimeMillis().toString)
+    val gap = SettleGuard.gapSec()
+    assert(gap < 60, s"expected the recent local stamp to win, got $gap")
+    // and symmetrically: recent global, stale local
+    java.nio.file.Files.writeString(SettleGuard.globalMarkerFile.toPath,
+      System.currentTimeMillis().toString)
+    java.nio.file.Files.writeString(SettleGuard.markerFile.toPath, old.toString)
+    val gap2 = SettleGuard.gapSec()
+    assert(gap2 < 60, s"expected the recent global stamp to win, got $gap2")
+    SettleGuard.stamp()
+  }
+
+  test("gapSec is -1 only when NEITHER marker is known") {
+    SettleGuard.markerFile.delete()
+    SettleGuard.globalMarkerFile.delete()
+    assert(SettleGuard.gapSec() == -1.0)
+    SettleGuard.stamp()
+  }
+}
