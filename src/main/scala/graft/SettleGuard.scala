@@ -158,17 +158,24 @@ object SettleGuard {
 
   /** Sample /proc for `sampleMs`: returns (box busy fraction, other
     * java processes that consumed >10% of one core during the window,
-    * as "pid cmdline-head"). An idle sbt shell or editor JVM does not
-    * trip this; a live Spark JVM — even one mid-teardown — does. */
+    * as "pid cores=<busy cores> cmdline-head"). An idle sbt shell or
+    * editor JVM does not trip this; a live Spark JVM — even one
+    * mid-teardown — does. Deliberately strict (ADVICE r12): ANY other
+    * java process over the threshold gates the run, including a
+    * ticking CI agent — the RUNBOOK protocol is "no other JVM alive
+    * during a bench", and the reported per-offender busy fraction is
+    * what an operator adjudicates a borderline gate with. */
   def activitySample(sampleMs: Int = 500): (Double, Seq[String]) = {
     val t0 = jvmTicks(); val c0 = cpuTicks()
     Thread.sleep(sampleMs.toLong)
     val t1 = jvmTicks(); val c1 = cpuTicks()
     val hz = 100.0 // USER_HZ; Linux fixes this at 100 on all common arches
-    val minTicks = hz * sampleMs / 1000.0 * 0.10
+    val winTicks = hz * sampleMs / 1000.0
+    val minTicks = winTicks * 0.10
     val active = t1.toSeq.collect {
-      case (pid, (ticks1, cmd)) if ticks1 - t0.get(pid).map(_._1).getOrElse(ticks1) > minTicks =>
-        s"$pid $cmd"
+      case (pid, (ticks1, cmd)) if t0.contains(pid) &&
+          ticks1 - t0(pid)._1 > minTicks =>
+        f"$pid cores=${(ticks1 - t0(pid)._1) / winTicks}%.2f $cmd"
       // a java process that appeared mid-window counts as active too
       case (pid, (_, cmd)) if !t0.contains(pid) => s"$pid $cmd (new)"
     }.sorted

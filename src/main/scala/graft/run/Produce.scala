@@ -175,10 +175,17 @@ object Produce {
     // folded O(1) per event. SEND schemas record it with the commit;
     // SKIP schemas compare it against the record the ORIGINAL producer
     // committed — closing the one reset shape first+last+count cannot
-    // see (identical endpoints forged around a diverged interior,
-    // formerly the pinned residual in ProduceProtocolSpec). The digest
-    // is over the producer's deterministic row sequence, not the
-    // stream, so MAXLEN trimming never weakens it.
+    // see (identical endpoints around a diverged interior, formerly
+    // the pinned residual in ProduceProtocolSpec). Threat model
+    // (ADVICE r12): FNV-1a is not cryptographic, so this detects
+    // NON-ADVERSARIAL divergence — a checkpoint reset onto a
+    // same-shape stream — not a deliberate forgery; an adversary who
+    // can write the matching endpoints can also collide or overwrite
+    // the digest record itself. The adversarial interior-insert shape
+    // is closed separately where it is actually reachable: the SEND
+    // path byte-verifies every surviving prefix entry. The digest is
+    // over the producer's deterministic row sequence, not the stream,
+    // so MAXLEN trimming never weakens it.
     val digests = scala.collection.mutable.Map.empty[String, Long]
     // SKIP schemas: the committed (batch-matching) digest to verify
     // against after the loop; absent for pre-r12 streams (fall back to

@@ -181,7 +181,10 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * ([[graft.run.Produce.contentDigest]]); the skip-replay
     * verification compares it against the digest of the REPLAYED rows,
     * which closes the one reset shape first+last+count cannot see:
-    * identical endpoints forged around a diverged interior. */
+    * identical endpoints around a diverged interior. Non-cryptographic
+    * (FNV-1a): the threat model is accidental divergence detection, not
+    * forgery resistance — see the digest comment in
+    * [[graft.run.Produce]] (ADVICE r12). */
   def producedDigest(schema: String): Option[(Long, Long)] =
     Option(client.command("HGET", digestKey, schema)).map { v =>
       val s = v.asInstanceOf[String]
@@ -437,8 +440,15 @@ final class RedisBroker(host: String, port: Int, alias: String,
     // Redis id: such a file gets its OWN refusal naming the corrupt
     // filename — diagnosing it as an overlap would send the operator
     // to the naming-upgrade drain procedure for a file that needs
-    // deleting, not draining
-    val (parseable, corrupt) = legacy.partition(_._2.forall(_.toLongOption.isDefined))
+    // deleting, not draining. Scoped to THIS schema's prefix (like the
+    // overlap branch): a corrupt-named stray for schema X is inert for
+    // every other schema's staging (it names no real range, so it can
+    // never be the source of a cross-schema double-ingest), and an
+    // unscoped refusal let one junk file halt the whole transport —
+    // every schema's staging — until an operator deleted it. The stray
+    // still fails loudly the moment ITS schema is polled.
+    val (parseable, corrupt0) = legacy.partition(_._2.forall(_.toLongOption.isDefined))
+    val corrupt = corrupt0.filter(_._1 == schema)
     if (corrupt.nonEmpty)
       throw new IllegalStateException(
         s"staging dir $stagingDir holds legacy-shaped file(s) with " +

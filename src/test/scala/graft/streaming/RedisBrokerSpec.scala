@@ -429,6 +429,13 @@ class RedisBrokerSpec extends SparkSpec {
         }
         assert(e2.getMessage.contains("UNPARSEABLE"), e2.getMessage)
         assert(e2.getMessage.contains("db-99999999999999999999999-1-1-9.txt"), e2.getMessage)
+
+        // ADVICE r12: the corrupt-name refusal is scoped to the schema
+        // being staged — a junk file for ANOTHER schema is inert here
+        // (it names no real range, so it cannot double-ingest THIS
+        // schema) and must not halt the whole transport; it still
+        // refuses loudly the moment its own schema is polled (above).
+        broker.refuseLegacyOverlap("other", staging, (7L, 1L), (7L, 3L))
       } finally broker.close()
     } finally server.close()
   }
