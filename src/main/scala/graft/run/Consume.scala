@@ -559,11 +559,17 @@ object Consume {
                   // ORIGINAL staged order — re-stamping a parquet-read
                   // slice would follow part-file layout instead
                   // (DeadLetterSpec pins the replay order)
+                  // parked WITH the pre-batch value schema (tCur): the
+                  // drain replays each batch under its own recorded
+                  // schema — chaining through parked slices alone loses
+                  // any ALTER in a batch that applied live BETWEEN two
+                  // parks (r13 property-test finding, DeadLetter.record)
                   deadLetter.foreach(_.record(
                     cached.filter(col("schema") === t.schema &&
                       (col("table") === t.table || col("action") === "query")),
                     t.schema, t.table, batchId,
-                    Option(e.getMessage).getOrElse(e.getClass.getName)))
+                    Option(e.getMessage).getOrElse(e.getClass.getName),
+                    preSchema = Some(tCur.valueSchema)))
                   None
                 case e: Exception => Some(e)
               }

@@ -44,12 +44,24 @@ final class DeadLetter(spark: SparkSession, root: String) {
 
   /** Record one table's slice of a failed micro-batch (canonical event
     * columns), stamped with the batch id and the error. Idempotent per
-    * (table, batchId). */
+    * (table, batchId).
+    *
+    * `preSchema` is the table's value schema AS OF THE START of this
+    * batch (the `tCur` the live apply parsed under): the r13 park/drain
+    * property test found that chaining schemas through parked slices
+    * alone is wrong whenever parked batches STRADDLE a batch that
+    * applied live — that batch's ALTER was never parked, so the drain's
+    * chain missed it and every later parked batch re-parsed with the new
+    * column silently nulled. Recording each park's own pre-batch schema
+    * makes the drain independent of what happened between parks. */
   def record(events: DataFrame, schema: String, table: String,
-             batchId: Long, error: String): Unit =
+             batchId: Long, error: String,
+             preSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     storeFor(schema, table).append(
       events.withColumn("_batch_id", lit(batchId))
-        .withColumn("_error", lit(error)),
+        .withColumn("_error", lit(error))
+        .withColumn("_pre_schema",
+          lit(preSchema.map(_.json).orNull).cast("string")),
       batchId)
 
   /** Record DDL statements that failed to parse or apply. `action_seq`
@@ -100,12 +112,17 @@ final class DeadLetter(spark: SparkSession, root: String) {
     * aborts on the first failing batch, leaving it and everything after
     * it in place (nothing was cleared yet).
     *
-    * Pass `t` with the schema as of the FIRST parked batch: the parked
-    * slices carry their own DDL rows (record parks the table's slice
-    * unfiltered), so the drain re-runs the same intra-batch split and
-    * cross-batch schema carry the live consume loop applies — a batch
-    * whose rows straddle an ALTER re-parses each slice under the schema
-    * it was written with instead of nulling pre-ALTER columns.
+    * Slices parked by the r13+ consume loop carry their own PRE-BATCH
+    * schema (`_pre_schema`, see [[record]]), so each batch replays under
+    * exactly the schema the live apply would have parsed it with — even
+    * when parked batches straddle a successfully-applied batch whose
+    * ALTER was therefore never parked (the r13 property-test finding:
+    * the old parked-slices-only schema chain missed that ALTER and
+    * nulled the later parked batches' new columns). For stamp-less
+    * legacy parks, pass `t` with the schema as of the FIRST parked
+    * batch and the drain falls back to chaining through the parked
+    * slices' own DDL rows (which is correct whenever no live-applied
+    * DDL sits between parks).
     *
     * Driver memory bound: the only driver-side materialization is the
     * version-id list, a pure directory listing — O(#parked micro-batches)
@@ -128,23 +145,43 @@ final class DeadLetter(spark: SparkSession, root: String) {
     var cur = t
     batchIds.foreach { bid =>
       parked.readVersion(bid).foreach { slice =>
-        // slices parked since r12 carry their original _src_file/_src_seq
-        // stamps (Consume parks from the stamped frame): collectDdl's
-        // stampSourceOrder sees them and keeps the ORIGINAL staged order
-        // for same-second ALTERs — re-stamping here would follow parquet
-        // part-file layout instead. Pre-r12 slices lack the columns and
-        // fall back to the old re-stamp (drop() is lenient about absent
-        // names).
-        val stamped = slice.drop("_batch_id", "_error")
-        val ddls = Consume.collectDdl(stamped, t.schema)
-        val events = stamped.drop("_src_file", "_src_seq")
-        val next = Consume.evolveTable(cur, ddls)
-        Consume.applyBatch(spark, next, target,
-          Consume.tableChangelog(events, cur, ddls), bid)
-        cur = next
+        cur = replaySlice(slice, t, cur, target, bid)
       }
     }
     parked.dropThrough(batchIds.max)
+  }
+
+  /** One parked batch's replay (the drain loop body; package-visible so
+    * the crash-shape property test re-runs a prefix through the SAME
+    * code). Returns the post-batch TableSync for the legacy-chain
+    * fallback. */
+  private[run] def replaySlice(slice: DataFrame, t: TableSync,
+                               chained: TableSync, target: ParquetStateStore,
+                               bid: Long): TableSync = {
+    // slices parked since r12 carry their original _src_file/_src_seq
+    // stamps (Consume parks from the stamped frame): collectDdl's
+    // stampSourceOrder sees them and keeps the ORIGINAL staged order
+    // for same-second ALTERs — re-stamping here would follow parquet
+    // part-file layout instead. Pre-r12 slices lack the columns and
+    // fall back to the old re-stamp (drop() is lenient about absent
+    // names).
+    val stamped = slice.drop("_batch_id", "_error", "_pre_schema")
+    // r13: prefer the park's own recorded pre-batch schema (see
+    // [[record]]); the chained value is the legacy-park fallback
+    val cur = (if (slice.columns.contains("_pre_schema"))
+      slice.select("_pre_schema").limit(1).collect().headOption
+        .flatMap(r => Option(r.getString(0)))
+      else None) match {
+      case Some(json) => t.copy(valueSchema = org.apache.spark.sql.types
+        .DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => chained
+    }
+    val ddls = Consume.collectDdl(stamped, t.schema)
+    val events = stamped.drop("_src_file", "_src_seq")
+    val next = Consume.evolveTable(cur, ddls)
+    Consume.applyBatch(spark, next, target,
+      Consume.tableChangelog(events, cur, ddls), bid)
+    next
   }
 
   /** Re-run every parked DDL statement of a schema via `runDdl`, in

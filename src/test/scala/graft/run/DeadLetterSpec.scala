@@ -303,4 +303,211 @@ class DeadLetterSpec extends SparkSpec {
       Set("_src_file", "_src_seq")) == Set("_src_file", "_src_seq"),
       "parked slice lost its _src_file/_src_seq stamps")
   }
+
+  test("parks straddling a live-applied ALTER drain under their own recorded schema") {
+    // Deterministic pin of the r13 property-test finding (trial 4, seed
+    // 0xD13+4): batch 0 parks; batch 1 applies LIVE and ADDs a column —
+    // so its ALTER is never parked; batch 2 (using the new column) parks.
+    // The old drain chained schemas through parked slices only, missed
+    // the live ALTER, and re-parsed batch 2 with `note` silently nulled.
+    // The fix records each park's pre-batch schema (_pre_schema) and the
+    // drain replays every batch under its own recorded schema.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlstraddle").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    // batch 0: plain DML — parks (pre-batch schema = t0)
+    dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down",
+      preSchema = Some(t0.valueSchema))
+    // batch 1: ADD COLUMN note — applies LIVE (never parked)
+    val b1 = df(Seq(
+      ("db", "t", "query", "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 110L, 0, "f", 1L)))
+    val ddls1 = Consume.collectDdl(b1, "db")
+    val t1 = Consume.evolveTable(t0, ddls1)
+    Consume.applyBatch(spark, t1, new ParquetStateStore(spark, s"$stateRoot/db/t"),
+      Consume.tableChangelog(b1.drop("_src_file", "_src_seq"), t0, ddls1), 1L)
+    // batch 2: DML USING the live-added column — parks (pre-batch schema = t1)
+    dl.record(df(Seq(("db", "t", "insert", """{"id":2,"amount":20.0,"note":"kept"}""",
+      120L, 2, "f", 1L))), "db", "t", 2L, "sink down",
+      preSchema = Some(t1.valueSchema))
+
+    dl.drain(t0, stateRoot) // t0: the legacy-fallback arg — the stamps must win
+
+    val state = Consume.currentState(t1,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+      .select("id", "amount", "note").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(state == Set((1L, 10.0, None), (2L, 20.0, Some("kept"))),
+      "the live-applied ALTER between two parks must not null the drained column")
+    assert(dl.read("db", "t").isEmpty)
+  }
+
+  test("property: random park/drain/crash/re-park interleavings drain to the never-parked state") {
+    // VERDICT r12 #5: the hand-enumerated drain pins above each cover ONE
+    // interleaving; the degraded-handoff property test (d422eb9) proved
+    // random chains find crash-replay bugs enumeration misses. This
+    // generates random mixed DML+DDL batches and replays them through a
+    // random interleaving of live applies, parks, mid-queue drains,
+    // crashed drains (applied-but-not-cleared — the documented crash
+    // window between re-apply and clear), and duplicate re-parks
+    // (foreachBatch replay of a still-failing batch), then asserts the
+    // final table state is IDENTICAL to applying every batch in order
+    // with no dead-letter at all, and the queue is empty.
+    //
+    // Invariants exercised, from the scaladocs: original batch ids make
+    // out-of-order re-application converge (the store folds versions in
+    // id order); parked slices re-split under their OWN DDL rows with
+    // the schema as of the FIRST parked batch; record() is idempotent
+    // per (table, batch); a crashed drain's re-run is absorbed by
+    // committed-batch idempotence.
+    import spark.implicits._
+    val seed = 0xD13L // fixed: a failure must reproduce
+    for (trial <- 0 until 5) {
+      val rnd = new scala.util.Random(seed + trial)
+      val nBatches = 3 + rnd.nextInt(3)
+      val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+      // --- generate random batches: DML + occasional (same-second) DDL ---
+      var colSeq = 0
+      var liveCols = Vector.empty[String] // columns added so far (post-rename names)
+      var ts = 100L
+      case class Slice(rows: Seq[(String, String, String, String, Long, Int, String, Long)])
+      val batches: Seq[Slice] = (0 until nBatches).map { _ =>
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, String, Long, Int, String, Long)]
+        var srcSeq = 1L
+        def dml(): Unit = {
+          val id = 1 + rnd.nextInt(5)
+          val action = rnd.nextInt(5) match {
+            case 0 => "delete"
+            case 1 => "update"
+            case _ => "insert"
+          }
+          val amount = (rnd.nextInt(1000) + 1) / 10.0
+          val extra =
+            if (liveCols.nonEmpty && rnd.nextBoolean())
+              s""","${liveCols(rnd.nextInt(liveCols.size))}":"v${rnd.nextInt(9)}""""
+            else ""
+          ts += rnd.nextInt(3).toLong // coarse timestamps: collisions allowed
+          rows += (("db", "t", action, s"""{"id":$id,"amount":$amount$extra}""",
+            ts, if (action == "delete") 1 else 2, "f", srcSeq))
+          srcSeq += 1
+        }
+        def ddl(): Unit = {
+          colSeq += 1
+          ts += 1
+          if (rnd.nextBoolean()) {
+            rows += (("db", "t", "query",
+              s"ALTER TABLE db.t ADD COLUMN c$colSeq VARCHAR(20)", ts, 0, "f", srcSeq))
+            srcSeq += 1
+            liveCols :+= s"c$colSeq"
+          } else {
+            // same-second ADD + CHANGE pair whose order decides the final
+            // schema — the shape the _src stamps exist for
+            rows += (("db", "t", "query",
+              s"ALTER TABLE db.t ADD COLUMN c$colSeq VARCHAR(20)", ts, 0, "f", srcSeq))
+            rows += (("db", "t", "query",
+              s"ALTER TABLE db.t CHANGE c$colSeq m$colSeq VARCHAR(40)", ts, 0, "f", srcSeq + 1))
+            srcSeq += 2
+            liveCols :+= s"m$colSeq"
+          }
+        }
+        dml()
+        (0 until rnd.nextInt(3)).foreach(_ => dml())
+        if (rnd.nextInt(10) < 4) ddl()
+        (0 until rnd.nextInt(2)).foreach(_ => dml())
+        Slice(rows.toSeq)
+      }
+      def frame(s: Slice) = s.rows.toDF("schema", "table", "action", "values",
+        "event_unixtime", "action_seq", "_src_file", "_src_seq")
+
+      // --- baseline: every batch applied live, in order, never parked ---
+      val root = Files.createTempDirectory(s"dlprop$trial").toString
+      def applyLive(stateRoot: String, tCur: TableSync, bid: Long,
+                    s: Slice): TableSync = {
+        val cached = frame(s)
+        val ddls = Consume.collectDdl(cached, "db")
+        val tNext = Consume.evolveTable(tCur, ddls)
+        Consume.applyBatch(spark, tNext,
+          new ParquetStateStore(spark, s"$stateRoot/db/t"),
+          Consume.tableChangelog(cached.drop("_src_file", "_src_seq"), tCur, ddls),
+          bid)
+        tNext
+      }
+      var tBase = t0
+      batches.zipWithIndex.foreach { case (s, i) =>
+        tBase = applyLive(s"$root/base", tBase, i.toLong, s)
+      }
+
+      // --- interleaved: random park/apply, drains at random points ---
+      val dl = new DeadLetter(spark, s"$root/dead")
+      var tLive = t0 // evolves with EVERY batch's DDL (the consume-loop rule)
+      var tAtFirstPark: Option[TableSync] = None
+      def drainNow(crashFirst: Boolean): Unit = tAtFirstPark.foreach { tp =>
+        if (crashFirst) {
+          // crash window: re-apply a PREFIX of the queue without clearing
+          // (DeadLetter.drain's documented crash shape, via the SAME
+          // replay body) — the real drain below must absorb the
+          // duplicate application
+          val parked = new ParquetStateStore(spark, s"$root/dead/db/t")
+          val ids = parked.versionIds()
+          var cur = tp
+          ids.take(1 + rnd.nextInt(ids.size)).foreach { bid =>
+            parked.readVersion(bid).foreach { slice =>
+              cur = dl.replaySlice(slice, tp, cur,
+                new ParquetStateStore(spark, s"$root/int/db/t"), bid)
+            }
+          }
+        }
+        dl.drain(tp, s"$root/int")
+        assert(dl.read("db", "t").isEmpty, s"trial $trial: drain left rows parked")
+        tAtFirstPark = None
+      }
+      batches.zipWithIndex.foreach { case (s, i) =>
+        val cached = frame(s)
+        val ddls = Consume.collectDdl(cached, "db")
+        val tNext = Consume.evolveTable(tLive, ddls)
+        if (rnd.nextBoolean()) {
+          // park as the skip-error path does: the STAMPED frame, whole
+          // slice, WITH the pre-batch schema (the r13 fix — without it,
+          // trial 4 of this very test nulls a column added by a batch
+          // that applied live between two parks)
+          dl.record(cached, "db", "t", i.toLong, "injected failure",
+            preSchema = Some(tLive.valueSchema))
+          if (rnd.nextInt(3) == 0) // foreachBatch replay of a failing batch
+            dl.record(cached, "db", "t", i.toLong, "injected failure (replay)",
+              preSchema = Some(tLive.valueSchema))
+          if (tAtFirstPark.isEmpty) tAtFirstPark = Some(tLive)
+        } else {
+          Consume.applyBatch(spark, tNext,
+            new ParquetStateStore(spark, s"$root/int/db/t"),
+            Consume.tableChangelog(
+              cached.drop("_src_file", "_src_seq"), tLive, ddls), i.toLong)
+        }
+        tLive = tNext // schema follows the DDL stream, not apply success
+        if (rnd.nextInt(3) == 0) drainNow(crashFirst = rnd.nextInt(3) == 0)
+      }
+      drainNow(crashFirst = rnd.nextInt(2) == 0) // final drain empties the queue
+
+      // --- equivalence under the fully-evolved schema ---
+      assert(tBase.valueSchema == tLive.valueSchema,
+        s"trial $trial: baseline and interleaved schemas diverged")
+      def stateSet(stateRoot: String) = {
+        val df = Consume.currentState(tLive,
+          new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+        val cols = df.columns.filterNot(_.startsWith("_")).sorted
+        df.select(cols.head, cols.tail: _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      }
+      assert(stateSet(s"$root/base") == stateSet(s"$root/int"),
+        s"trial $trial (seed ${seed + trial}): drained state != never-parked baseline")
+    }
+  }
 }
