@@ -322,7 +322,7 @@ object Main {
         // --last-batch=N: the reference's `consume --last-msg-id` — rewind
         // before starting so batches > N replay from the broker.
         flags.get("last-batch").foreach { n =>
-          Resume.rewind(spark, ckpt, stateRoot, tables, n.toLong)
+          Resume.rewind(spark, ckpt, stateRoot, n.toLong)
         }
         // auto_full_etl=false opts a table out of the automatic snapshot
         // (reference synch.yaml semantics) — run `etl` manually for those
@@ -363,7 +363,17 @@ object Main {
           .orElse(flags.get("last-batch").map(_.toLong))
           .getOrElse(sys.error(
             "rewind requires an explicit batch id (positional or --last-batch=N)"))
-        val removed = Resume.rewind(spark, ckpt, stateRoot, syncTables.map(_._2), lastBatch)
+        // NO selector flags here on purpose (r13): the checkpoint spans
+        // every table the consume query writes under this stateRoot, and
+        // a --table/--schema-filtered truncation silently lost data in
+        // the unselected tables (their stores kept versions the pruned
+        // checkpoint then replayed into idempotent no-ops). Resume
+        // discovers the truncation scope from the stateRoot itself.
+        Seq("table", "schema", "alias").filter(flags.contains).foreach(f =>
+          sys.error(s"rewind does not take --$f: a rewind is whole-" +
+            "checkpoint scoped and truncates every table store under " +
+            "the state root (see Resume.rewind)"))
+        val removed = Resume.rewind(spark, ckpt, stateRoot, lastBatch)
         println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
           s"state truncated to batch $lastBatch")
 

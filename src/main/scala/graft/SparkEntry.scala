@@ -2680,7 +2680,7 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
-        |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
 
     "session_funnel" ->
@@ -2715,7 +2715,7 @@ object SparkEntry {
     // the one starting at its slide-grid floor and the one before it
     "event_rate_sliding" ->
       """WITH e AS (
-        |  SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v,
+        |  SELECT event_type, CAST(value AS DECIMAL(28,2)) AS v,
         |         epoch_us(ts) - epoch_us(ts) % 300000000 AS base
         |  FROM events),
         |w AS (SELECT event_type, v,
@@ -3263,7 +3263,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT ft AS first_touch, coalesce(lt, 'direct') AS last_touch,
         |       CAST(count(*) AS BIGINT) AS n_conversions,
-        |       CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS revenue
+        |       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS revenue
         |FROM w WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
     "graph_pagerank" ->

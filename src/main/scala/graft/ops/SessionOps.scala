@@ -35,7 +35,7 @@ object SessionOps {
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           .as("duration_us"),
         // exact decimal sum → double: engine-portable determinism
-        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"))
 
   /** Ordered-funnel analysis: per user, how far through the `steps`
     * sequence their event stream advances — strict order, greedy
@@ -99,7 +99,7 @@ object SessionOps {
       .groupBy(window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds"),
         col(typeCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("total_value"))
       .select(
         unix_micros(col("window.start").cast("timestamp_ltz")).as("win_start_us"),
         col(typeCol), col("n_events"), col("total_value"))
@@ -249,6 +249,6 @@ object SessionOps {
       .groupBy(col("_first").as("first_touch"),
         coalesce(col("_last"), lit("direct")).as("last_touch"))
       .agg(count(lit(1)).as("n_conversions"),
-        sum(col("value").cast("decimal(10,2)")).cast("double").as("revenue"))
+        sum(col("value").cast("decimal(28,2)")).cast("double").as("revenue"))
   }
 }

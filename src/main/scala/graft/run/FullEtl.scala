@@ -84,6 +84,31 @@ object FullEtl {
     } else pk // unknown dialect: keep the pre-partitioning bare behavior
   }
 
+  /** A MIN/MAX bound as the integral literal Spark's numeric partition
+    * parser accepts (it runs `String.toLong` on the option), or None when
+    * no such literal exists. Raw `toString` broke every non-integral
+    * numeric bound (r13 review): a DECIMAL/DOUBLE pk stringifies as
+    * "123.45" or "1.2E+22" and the partitioned read then fails at
+    * planning. Floor/ceil keeps the bounds COVERING (Spark's first/last
+    * range predicates are open-ended, so bounds only steer stride
+    * balance, never completeness); a bound outside Long range returns
+    * None and the caller falls back to a single-partition scan — slower,
+    * never wrong. Dates/timestamps/integrals keep their toString. */
+  private[run] def boundLiteral(v: Any, roundUp: Boolean): Option[String] = {
+    def integral(bd: java.math.BigDecimal): Option[String] =
+      try Some(bd.setScale(0,
+        if (roundUp) java.math.RoundingMode.CEILING
+        else java.math.RoundingMode.FLOOR).longValueExact.toString)
+      catch { case _: ArithmeticException => None }
+    v match {
+      case bd: java.math.BigDecimal => integral(bd)
+      case bi: java.math.BigInteger => integral(new java.math.BigDecimal(bi))
+      case f: java.lang.Float => integral(new java.math.BigDecimal(f.toString))
+      case d: java.lang.Double => integral(new java.math.BigDecimal(d.toString))
+      case other => Some(other.toString)
+    }
+  }
+
   def read(spark: SparkSession, src: Source): DataFrame = src match {
     case ParquetSource(p) => spark.read.parquet(p)
     case j: JdbcSource =>
@@ -102,24 +127,44 @@ object FullEtl {
             .load().collect().head
           // empty table → NULL bounds → plain single-partition scan
           if (bounds.isNullAt(0) || bounds.isNullAt(1)) base.load()
-          else base.option("partitionColumn", pk)
-            .option("lowerBound", bounds.get(0).toString)
-            .option("upperBound", bounds.get(1).toString)
-            .option("numPartitions", j.numPartitions)
-            .load()
+          else (boundLiteral(bounds.get(0), roundUp = false),
+                boundLiteral(bounds.get(1), roundUp = true)) match {
+            case (Some(lo), Some(hi)) =>
+              base.option("partitionColumn", pk)
+                .option("lowerBound", lo)
+                .option("upperBound", hi)
+                .option("numPartitions", j.numPartitions)
+                .load()
+            case _ =>
+              System.err.println(s"[etl] WARNING: partition bounds for " +
+                s"$pk exceed Long range — falling back to a single-" +
+                "partition scan (pick an integral pk for the 100 TB path)")
+              base.load()
+          }
         case None => base.load()
       }
   }
 
   /** Snapshot one table: read, optionally stamp the collapsing sign column
     * (T1), write. Returns (sourceCount, targetCount) — the A5 `check`.
-    */
+    *
+    * The source count is OBSERVED during the single write pass
+    * (`Dataset.observe`), not re-counted afterwards: the old post-write
+    * `df0.count()` re-executed every JDBC range scan a second time
+    * (doubling source load on the 100 TB snapshot) and raced live writes
+    * — rows inserted between copy and count made the A5 check report a
+    * spurious mismatch for a perfectly good snapshot. The observation is
+    * the count of rows the write itself consumed, by construction
+    * race-free; the target count reads back parquet footers (cheap). */
   def copyTable(spark: SparkSession, src: Source, targetPath: String,
                 withSign: Boolean = false): (Long, Long) = {
     val df0 = read(spark, src)
     val df = if (withSign) CdcOps.withSnapshotSign(df0) else df0
-    df.write.mode(SaveMode.Overwrite).parquet(targetPath)
-    val srcCount = df0.count()
+    val obs = new org.apache.spark.sql.Observation("etl_src_count")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite).parquet(targetPath)
+    val srcCount = obs.get("n").asInstanceOf[Long]
     val tgtCount = spark.read.parquet(targetPath).count()
     (srcCount, tgtCount)
   }

@@ -34,17 +34,68 @@ object Resume {
     }
   }
 
-  /** Full rewind: checkpoint seek + state truncation for every table, so
-    * a restarted [[Consume.start]] replays batches > `lastBatchId` from
-    * the broker and re-applies them to the stores.
+  /** Every table store physically present under `stateRoot`
+    * (`<schema>/<table>` directories; `_`-prefixed system dirs —
+    * `_checkpoint`, `_dead_letter`, `_redis_staging` — excluded). The
+    * checkpoint being rewound is whole-stateRoot scoped, so the
+    * truncation scope must be discovered from the SAME root, not from a
+    * caller-supplied table list: the r13 review found `Main rewind
+    * --table=X` pruned the shared checkpoint for every table but
+    * truncated only X's store, after which batch-id idempotence silently
+    * swallowed the replayed batches for every other table. */
+  private[run] def discoverStores(spark: SparkSession,
+                                  stateRoot: String): Seq[String] = {
+    val root = new Path(stateRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else for {
+      schema <- fs.listStatus(root).toSeq
+      if schema.isDirectory && !schema.getPath.getName.startsWith("_")
+      table <- fs.listStatus(schema.getPath).toSeq
+      if table.isDirectory && !table.getPath.getName.startsWith("_")
+    } yield s"${schema.getPath.getName}/${table.getPath.getName}"
+  }
+
+  /** Full rewind: state truncation for EVERY store under `stateRoot` +
+    * checkpoint seek, so a restarted [[Consume.start]] replays batches >
+    * `lastBatchId` from the broker and re-applies them everywhere.
+    *
+    * Ordering contract (r13 review): all stores' compaction guards are
+    * validated BEFORE anything mutates — a guard refusal (a compaction
+    * newer than the target batch) used to fire mid-loop after the
+    * checkpoint was already pruned, leaving a half-rewound system whose
+    * restart silently skipped replays. The only remaining inconsistency
+    * window is a crash mid-rewind; a rewind interrupted for ANY reason
+    * must simply be re-run (it is idempotent) before consume restarts.
+    *
+    * Replayability caveat: the rewind replays from whatever the
+    * checkpointed SOURCE retains. With the recommended long-horizon
+    * `EventSource.files(cleanSource = delete)` config, committed staging
+    * files are already deleted and the replay will fail on the missing
+    * paths (loudly — FileNotFoundException) — re-stage the range from
+    * the broker (`RedisBroker.drainToStaging`) before restarting, or
+    * re-bootstrap via `etl --renew`. See RUNBOOK §3.
     */
   def rewind(spark: SparkSession, checkpoint: String, stateRoot: String,
-             tables: Seq[TableSync], lastBatchId: Long): Seq[String] = {
-    val removed = seekTo(spark, checkpoint, lastBatchId)
-    tables.foreach { t =>
-      new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")
-        .truncateAfter(lastBatchId)
-    }
-    removed
+             lastBatchId: Long): Seq[String] = {
+    val stores = discoverStores(spark, stateRoot)
+      .map(rel => rel -> new ParquetStateStore(spark, s"$stateRoot/$rel"))
+    val blocked = stores.flatMap { case (rel, s) =>
+      s.truncateAfterBlocker(lastBatchId).map(reason => s"$rel: $reason") }
+    if (blocked.nonEmpty)
+      throw new IllegalStateException(
+        s"rewind to batch $lastBatchId refused BEFORE any mutation — " +
+          s"${blocked.mkString("; ")}; re-bootstrap those stores first " +
+          "(nothing was changed)")
+    stores.foreach { case (_, s) => s.truncateAfter(lastBatchId) }
+    seekTo(spark, checkpoint, lastBatchId)
   }
+
+  /** Legacy arity — `tables` is IGNORED for scoping (see [[rewind]]: the
+    * truncation scope is discovered from `stateRoot`, never from a
+    * possibly-filtered table list). Kept so existing callers compile. */
+  @deprecated("table list no longer scopes the rewind; use the 4-arg form", "r13")
+  def rewind(spark: SparkSession, checkpoint: String, stateRoot: String,
+             tables: Seq[TableSync], lastBatchId: Long): Seq[String] =
+    rewind(spark, checkpoint, stateRoot, lastBatchId)
 }

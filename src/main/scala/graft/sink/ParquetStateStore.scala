@@ -210,15 +210,24 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     */
   def truncateAfter(batchId: Long): Unit = {
     recoverCompaction() // writer entry: settle any pending swap physically
-    val doomed = versions.filter(_._1 > batchId)
-    doomed.find { case (_, p) => fs.exists(new Path(p, CompactedMarker)) }
-      .foreach { case (v, _) =>
-        throw new IllegalStateException(
-          s"cannot rewind to batch $batchId: version $v is a compaction " +
-            "containing earlier batches; re-bootstrap the store instead")
-      }
-    doomed.foreach { case (_, p) => fs.delete(p, true) }
+    truncateAfterBlocker(batchId).foreach(reason =>
+      throw new IllegalStateException(
+        s"cannot rewind to batch $batchId: $reason; " +
+          "re-bootstrap the store instead"))
+    versions.filter(_._1 > batchId).foreach { case (_, p) => fs.delete(p, true) }
   }
+
+  /** The validation half of [[truncateAfter]], mutation-free: Some(reason)
+    * when the truncation would refuse. Lets a multi-store rewind
+    * ([[graft.run.Resume.rewind]]) check EVERY store before mutating any
+    * state or checkpoint — the r13 review found that failing on store k
+    * after store 1..k-1 truncated (and after the checkpoint seek) left a
+    * half-rewound system whose restart silently swallowed replays. */
+  def truncateAfterBlocker(batchId: Long): Option[String] =
+    versions.filter(_._1 > batchId)
+      .find { case (_, p) => fs.exists(new Path(p, CompactedMarker)) }
+      .map { case (v, _) =>
+        s"version $v is a compaction containing earlier batches" }
 
   /** Drop versions with id <= `batchId` — the dead-letter drain's bounded
     * clear: removes exactly the batches a drain snapshot replayed, leaving

@@ -61,6 +61,15 @@ object EventSource {
     * the Redis bridge's consumed-staging cleanup would want anyway.
     * (Spark's "archive" mode additionally requires `sourceArchiveDir`,
     * which this API deliberately does not plumb — only "delete" works.)
+    *
+    * REWIND TRADE-OFF (r13 review): delete mode removes committed source
+    * files, so a later [[graft.run.Resume.rewind]] can only replay what
+    * still exists — the replayed batch fails LOUDLY on the deleted paths
+    * (FileNotFoundException; do not set
+    * `spark.sql.files.ignoreMissingFiles`, which would turn that into a
+    * silent skip). Recovery: re-stage the range from the broker
+    * (`RedisBroker.drainToStaging`) before restarting, or re-bootstrap
+    * via `etl --renew`. RUNBOOK §3 carries the procedure.
     */
   def files(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10,
             cleanSource: Option[String] = None): DataFrame = {

@@ -23,7 +23,7 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .groupBy(col(userCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("total_value"))
       .select(col(userCol),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
@@ -35,9 +35,11 @@ object StreamOps {
     * within one flush buffer, synch/writer/merge_tree.py:63-85).
     */
   def dedupEvents(events: DataFrame, idCols: Seq[String] = Seq("event_id"),
-                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    require(idCols.nonEmpty, "dedupEvents needs at least one id column")
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+  }
 
   /** Sliding (overlapping) window rates per type — the streaming twin of
     * [[graft.ops.SessionOps.slidingRates]], with identical window
@@ -54,7 +56,7 @@ object StreamOps {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), size, slide),
         col(typeCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(10,2)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("total_value"))
 
@@ -70,6 +72,24 @@ object StreamOps {
     * State is bounded by the distinct-user count, not event volume, and
     * a production deployment adds `GroupStateTimeout` eviction for
     * dormant users (kept NoTimeout here so the spec is deterministic).
+    *
+    * Ids are handled GENERICALLY (r13 review): the key travels as its
+    * string form and is cast back to the input column's type on output,
+    * so non-numeric user/event ids work exactly as they do in the batch
+    * twin (the old `cast("long")` crashed every batch on string ids with
+    * a non-nullable-field error). Within-batch ties at equal event time
+    * break by the event id's NATURAL order — numeric ids numerically
+    * (via the long leg), everything else by string order — matching the
+    * batch twin's array_sort on the untyped id.
+    *
+    * Reconciliation bound vs the batch twin: events are folded in
+    * event-time order WITHIN a micro-batch, but a step-k event arriving
+    * in a LATER batch than a step-k+1 event cannot retroactively reorder
+    * — streaming state is monotone in arrival order across batches (the
+    * reference's own CDC ordering model). A backfill over the final data
+    * reconciles whenever cross-batch arrival respects event time (the
+    * broker leg's per-partition ordering); for sources that reorder
+    * across micro-batches, treat the batch twin as the authority.
     */
   def funnelStages(events: DataFrame, steps: Seq[String],
                    userCol: String = "user_id", tsCol: String = "ts",
@@ -80,18 +100,25 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
+    val userType = events.schema(userCol).dataType
+    // (key-as-string, event µs, id numeric leg, id string leg, type):
+    // the numeric leg is the tie-break for numeric ids (null → 0 for
+    // non-numeric, where the string leg then decides alone)
+    // try_cast, not cast: an ANSI session throws on a non-numeric id
+    // string, and the numeric leg is only a tie-break
     val typed = events.select(
-      col(userCol).cast("long"), unix_micros(col(tsCol)),
-      col(idCol).cast("long"), col(typeCol))
-      .as[(Long, Long, Long, String)]
+      col(userCol).cast("string"), unix_micros(col(tsCol)),
+      coalesce(expr(s"try_cast(`$idCol` AS BIGINT)"), lit(0L)),
+      col(idCol).cast("string"), col(typeCol))
+      .as[(String, Long, Long, String, String)]
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
-    def advance(user: Long, rows: Iterator[(Long, Long, Long, String)],
-                state: GroupState[Int]): Iterator[(Long, Int)] = {
+    def advance(user: String, rows: Iterator[(String, Long, Long, String, String)],
+                state: GroupState[Int]): Iterator[(String, Int)] = {
       val start = state.getOption.getOrElse(0)
       var stage = start
       // deterministic within-batch order: (event time, event id)
-      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
-        if (stepIdx.get(r._4).contains(stage + 1)) stage += 1
+      rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach { r =>
+        if (stepIdx.get(r._5).contains(stage + 1)) stage += 1
       }
       if (stage != start) { state.update(stage); Iterator((user, stage)) }
       else Iterator.empty
@@ -99,6 +126,7 @@ object StreamOps {
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
       .toDF(userCol, "stage")
+      .withColumn(userCol, col(userCol).cast(userType))
   }
 
   /** Watermarked stream-stream interval join — "a `right` event follows

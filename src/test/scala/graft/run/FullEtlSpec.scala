@@ -42,4 +42,25 @@ class FullEtlSpec extends SparkSpec {
       partitionColumn = Some("id"), numPartitions = 16)
     assert(j.numPartitions == 16 && j.partitionColumn.contains("id"))
   }
+
+  test("partition bounds stringify as the integral literals Spark's parser accepts (r13)") {
+    // r13 review finding: raw toString fed "123.45" / "1.2E+22" into
+    // Spark's String.toLong bound parser. Floor/ceil keep the bounds
+    // covering; out-of-Long-range returns None (single-partition
+    // fallback — slower, never wrong).
+    import FullEtl.boundLiteral
+    assert(boundLiteral(new java.math.BigDecimal("123.45"), roundUp = false)
+      .contains("123"))
+    assert(boundLiteral(new java.math.BigDecimal("123.45"), roundUp = true)
+      .contains("124"))
+    assert(boundLiteral(new java.math.BigDecimal("-123.45"), roundUp = false)
+      .contains("-124"))
+    assert(boundLiteral(new java.math.BigDecimal("1.2E+22"), roundUp = true).isEmpty)
+    assert(boundLiteral(java.lang.Double.valueOf(1.5e7), roundUp = false)
+      .contains("15000000"))
+    assert(boundLiteral(java.lang.Double.valueOf(1e300), roundUp = true).isEmpty)
+    assert(boundLiteral(java.lang.Long.valueOf(42L), roundUp = false).contains("42"))
+    assert(boundLiteral(java.sql.Date.valueOf("2020-01-02"), roundUp = true)
+      .contains("2020-01-02")) // date/timestamp bounds pass through
+  }
 }

@@ -78,11 +78,81 @@ class ResumeSpec extends SparkSpec {
     assert(stateIds == Set(1L, 2L))
 
     // rewind to batch 0: checkpoint entries and state versions > 0 drop
-    Resume.rewind(spark, ckpt, stateRoot, tables, lastBatchId = 0)
+    Resume.rewind(spark, ckpt, stateRoot, lastBatchId = 0)
     assert(stateIds == Set(1L))
 
     // restart: batch 1 replays from the broker and re-applies
     run()
     assert(stateIds == Set(1L, 2L))
+  }
+
+  test("rewind truncates EVERY store under the state root (r13: no partial-table data loss)") {
+    // r13 review finding: `Main rewind --table=X` pruned the SHARED
+    // checkpoint but truncated only X's store — the other tables'
+    // untruncated stores then no-op'd the replayed batch ids (batch-id
+    // idempotence) and silently lost any rows the replay repacked.
+    // Resume now discovers the truncation scope from the state root.
+    import spark.implicits._
+    val root = Files.createTempDirectory("rewindall").toString
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(ckpt, "offsets"))
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Seq("offsets/0", "offsets/1", "commits/0", "commits/1")
+      .foreach(f => Files.write(Paths.get(ckpt, f), "x".getBytes))
+    def batch(id: Long) = Seq((id, 1.0, "insert", 100L))
+      .toDF("id", "amount", "action", "event_unixtime")
+      .withColumn("action_seq", org.apache.spark.sql.functions.lit(2))
+    val ta = TableSync("db", "a", valueSchema, Seq("id"), Engine.MergeTree)
+    val tb = TableSync("db", "b", valueSchema, Seq("id"), Engine.MergeTree)
+    val sa = new ParquetStateStore(spark, s"$stateRoot/db/a")
+    val sb = new ParquetStateStore(spark, s"$stateRoot/db/b")
+    Seq(ta -> sa, tb -> sb).foreach { case (t, s) =>
+      Consume.applyBatch(spark, t, s, batch(1), 0L)
+      Consume.applyBatch(spark, t, s, batch(2), 1L)
+    }
+    // a system dir under the root must not be mistaken for a store
+    Files.createDirectories(Paths.get(stateRoot, "_dead_letter", "db", "a"))
+
+    assert(Resume.discoverStores(spark, stateRoot).sorted == Seq("db/a", "db/b"))
+    Resume.rewind(spark, ckpt, stateRoot, lastBatchId = 0)
+    assert(sa.latestVersion.contains(0L), "store a not truncated")
+    assert(sb.latestVersion.contains(0L),
+      "store b kept versions past the rewound checkpoint — the silent-loss shape")
+    assert(!Files.exists(Paths.get(ckpt, "offsets/1")))
+  }
+
+  test("rewind guard refusal happens BEFORE any mutation (r13: no half-rewound system)") {
+    // r13 review finding: the compaction-guard throw used to fire
+    // mid-loop AFTER seekTo pruned the checkpoint — restarting then
+    // silently skipped replays. All stores validate first; a refusal
+    // leaves checkpoint AND every store untouched.
+    import spark.implicits._
+    val root = Files.createTempDirectory("rewindpre").toString
+    val stateRoot = s"$root/state"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(ckpt, "offsets"))
+    Files.createDirectories(Paths.get(ckpt, "commits"))
+    Seq("offsets/0", "offsets/1", "commits/0", "commits/1")
+      .foreach(f => Files.write(Paths.get(ckpt, f), "x".getBytes))
+    def batch(id: Long, ts: Long) = Seq((id, 1.0, "insert", ts))
+      .toDF("id", "amount", "action", "event_unixtime")
+      .withColumn("action_seq", org.apache.spark.sql.functions.lit(2))
+    val ta = TableSync("db", "a", valueSchema, Seq("id"), Engine.MergeTree)
+    val tb = TableSync("db", "b", valueSchema, Seq("id"), Engine.MergeTree)
+    val sa = new ParquetStateStore(spark, s"$stateRoot/db/a")
+    val sb = new ParquetStateStore(spark, s"$stateRoot/db/b")
+    Consume.applyBatch(spark, ta, sa, batch(1, 100), 0L)
+    Consume.applyBatch(spark, ta, sa, batch(2, 200), 1L)
+    Consume.applyBatch(spark, tb, sb, batch(1, 100), 0L)
+    Consume.applyBatch(spark, tb, sb, batch(2, 200), 1L)
+    Consume.compact(tb, sb) // b's data now lives in a compaction at v=1
+
+    val e = intercept[IllegalStateException] {
+      Resume.rewind(spark, ckpt, stateRoot, lastBatchId = 0)
+    }
+    assert(e.getMessage.contains("BEFORE any mutation"), e.getMessage)
+    assert(e.getMessage.contains("db/b"), e.getMessage)
+    // NOTHING moved: checkpoint intact, store a's versions intact
+    assert(Files.exists(Paths.get(ckpt, "offsets/1")), "checkpoint was pruned on a refusal")
+    assert(sa.latestVersion.contains(1L), "store a was truncated on a refusal")
   }
 }

@@ -48,4 +48,20 @@ class BucketedStoreSpec extends SparkSpec {
     val b = state.groupBy("pk").agg(max("version")).as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("write lands exactly one file per bucket regardless of input partitioning (r13)") {
+    // r13 review finding: bucketBy without a matching repartition writes
+    // one file per (upstream task × bucket) — tasks × buckets small
+    // files at scale, and multi-file buckets void the per-bucket sortBy
+    // order the zero-exchange reads above rely on.
+    val state = (1L to 1000L).map(i => (i % 100, i)).toDF("pk", "version")
+      .repartition(16) // deliberately mis-partitioned input
+    BucketedStore.write(state, "graft_bucket_onefile", Seq("pk"), buckets = 4)
+    val loc = spark.sql("DESCRIBE TABLE EXTENDED graft_bucket_onefile")
+      .filter(col("col_name") === "Location").head.getString(1)
+    val files = new java.io.File(new java.net.URI(loc)).listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    assert(files.length == 4,
+      s"expected one file per bucket, got ${files.length}: ${files.map(_.getName).toSeq}")
+  }
 }

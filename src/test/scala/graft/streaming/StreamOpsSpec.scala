@@ -107,6 +107,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel handles NON-NUMERIC user/event ids like the batch twin (r13)") {
+    // r13 review finding: the old cast("long") turned string ids into
+    // nulls and the non-nullable tuple encoder failed every batch, while
+    // the batch twin handled the same data fine. Ids now travel
+    // generically (string key, natural-order tie-break) and the output
+    // user column keeps the input's type.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, String)]
+    val stages = StreamOps.funnelStages(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      steps = Seq("view", "click"))
+    assert(stages.schema("user_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val q = stages.writeStream.format("memory")
+      .queryName("funnel_stringid_test").outputMode("update").start()
+    try {
+      input.addData(("e1", "alice", ts(0), "view"), ("e2", "alice", ts(1), "click"),
+        ("e3", "bob", ts(0), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stringid_test")
+        .as[(String, Int)].collect().toSet
+      assert(rows == Set(("alice", 2)))
+      val batch = graft.ops.SessionOps.funnelStages(
+        Seq(("e1", "alice", ts(0), "view"), ("e2", "alice", ts(1), "click"),
+          ("e3", "bob", ts(0), "click"))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        steps = Seq("view", "click"))
+        .as[(String, Int)].collect().toMap
+      assert(batch == Map("alice" -> 2, "bob" -> 0))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs followers within the bound, drops outside") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
