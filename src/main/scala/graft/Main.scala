@@ -322,6 +322,16 @@ object Main {
         // --last-batch=N: the reference's `consume --last-msg-id` — rewind
         // before starting so batches > N replay from the broker.
         flags.get("last-batch").foreach { n =>
+          // same selector refusal as the standalone rewind command
+          // (meta-review of dbf125e): a whole-root truncation followed
+          // by a SELECTED-tables-only consume would delete the
+          // unselected tables' versions and never replay them — worse
+          // than the pre-r13 bug this fixed
+          Seq("table", "schema", "alias").filter(flags.contains).foreach(f =>
+            sys.error(s"consume --last-batch cannot combine with --$f: " +
+              "the rewind truncates every table store under the state " +
+              "root, and a selector-filtered consume would never replay " +
+              "the unselected tables (see Resume.rewind)"))
           Resume.rewind(spark, ckpt, stateRoot, n.toLong)
         }
         // auto_full_etl=false opts a table out of the automatic snapshot

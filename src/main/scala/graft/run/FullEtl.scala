@@ -103,6 +103,13 @@ object FullEtl {
     v match {
       case bd: java.math.BigDecimal => integral(bd)
       case bi: java.math.BigInteger => integral(new java.math.BigDecimal(bi))
+      // NaN/Infinity bounds (a float8 'Infinity' in the source, which
+      // MAX happily returns) have no BigDecimal form — same loud
+      // single-partition fallback as out-of-Long-range (dbf125e
+      // meta-review: BigDecimal("Infinity") threw NumberFormatException
+      // and crashed the snapshot instead)
+      case f: java.lang.Float if f.isNaN || f.isInfinite => None
+      case d: java.lang.Double if d.isNaN || d.isInfinite => None
       case f: java.lang.Float => integral(new java.math.BigDecimal(f.toString))
       case d: java.lang.Double => integral(new java.math.BigDecimal(d.toString))
       case other => Some(other.toString)

@@ -90,12 +90,4 @@ object Resume {
     stores.foreach { case (_, s) => s.truncateAfter(lastBatchId) }
     seekTo(spark, checkpoint, lastBatchId)
   }
-
-  /** Legacy arity — `tables` is IGNORED for scoping (see [[rewind]]: the
-    * truncation scope is discovered from `stateRoot`, never from a
-    * possibly-filtered table list). Kept so existing callers compile. */
-  @deprecated("table list no longer scopes the rewind; use the 4-arg form", "r13")
-  def rewind(spark: SparkSession, checkpoint: String, stateRoot: String,
-             tables: Seq[TableSync], lastBatchId: Long): Seq[String] =
-    rewind(spark, checkpoint, stateRoot, lastBatchId)
 }

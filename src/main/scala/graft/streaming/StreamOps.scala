@@ -102,14 +102,20 @@ object StreamOps {
     import spark.implicits._
     val userType = events.schema(userCol).dataType
     // (key-as-string, event µs, id numeric leg, id string leg, type):
-    // the numeric leg is the tie-break for numeric ids (null → 0 for
-    // non-numeric, where the string leg then decides alone)
-    // try_cast, not cast: an ANSI session throws on a non-numeric id
-    // string, and the numeric leg is only a tie-break
+    // the numeric leg carries the id ONLY when the column's TYPE is
+    // numeric — matching the batch twin's array_sort on the untyped id
+    // exactly. A value-level try_cast here would numerically order
+    // numeric-LOOKING string ids ("9" before "10") where the batch twin
+    // sorts them as strings ("10" before "9") — a reconciliation break
+    // the dbf125e meta-review caught; string-typed ids keep a constant
+    // numeric leg so the string leg alone decides.
+    val idNumeric = events.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idNumLeg =
+      if (idNumeric) coalesce(col(idCol).cast("long"), lit(0L)) else lit(0L)
     val typed = events.select(
       col(userCol).cast("string"), unix_micros(col(tsCol)),
-      coalesce(expr(s"try_cast(`$idCol` AS BIGINT)"), lit(0L)),
-      col(idCol).cast("string"), col(typeCol))
+      idNumLeg, col(idCol).cast("string"), col(typeCol))
       .as[(String, Long, Long, String, String)]
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     def advance(user: String, rows: Iterator[(String, Long, Long, String, String)],

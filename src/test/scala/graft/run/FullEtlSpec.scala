@@ -59,6 +59,13 @@ class FullEtlSpec extends SparkSpec {
     assert(boundLiteral(java.lang.Double.valueOf(1.5e7), roundUp = false)
       .contains("15000000"))
     assert(boundLiteral(java.lang.Double.valueOf(1e300), roundUp = true).isEmpty)
+    // NaN/Infinity bounds (float8 'Infinity' survives MAX) take the same
+    // single-partition fallback instead of NumberFormatException
+    assert(boundLiteral(java.lang.Double.valueOf(Double.NaN), roundUp = true).isEmpty)
+    assert(boundLiteral(java.lang.Double.valueOf(Double.PositiveInfinity),
+      roundUp = false).isEmpty)
+    assert(boundLiteral(java.lang.Float.valueOf(Float.NegativeInfinity),
+      roundUp = false).isEmpty)
     assert(boundLiteral(java.lang.Long.valueOf(42L), roundUp = false).contains("42"))
     assert(boundLiteral(java.sql.Date.valueOf("2020-01-02"), roundUp = true)
       .contains("2020-01-02")) // date/timestamp bounds pass through

@@ -139,6 +139,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("string ids that LOOK numeric tie-break as strings, matching the batch twin (r13)") {
+    // meta-review of dbf125e: a value-level try_cast ordered "9" before
+    // "10" numerically where the batch twin's array_sort on the string
+    // column puts "10" first — same-timestamp view/click then resolved
+    // to DIFFERENT stages in the two twins. The numeric tie-break leg is
+    // engaged by the id column's TYPE, never by its values.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, String, Timestamp, String)]
+    val stages = StreamOps.funnelStages(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      steps = Seq("view", "click"))
+    val q = stages.writeStream.format("memory")
+      .queryName("funnel_numstring_test").outputMode("update").start()
+    try {
+      // same ts: string order is "10" < "9" -> click first -> stage 1 only
+      input.addData(("9", "u", ts(0), "view"), ("10", "u", ts(0), "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_numstring_test")
+        .as[(String, Int)].collect().toMap
+      val batch = graft.ops.SessionOps.funnelStages(
+        Seq(("9", "u", ts(0), "view"), ("10", "u", ts(0), "click"))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        steps = Seq("view", "click"))
+        .as[(String, Int)].collect().toMap
+      assert(batch("u") == 1, s"batch twin precondition: $batch")
+      assert(streamed == Map("u" -> 1),
+        s"streaming must match the batch twin's string tie-break: $streamed")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs followers within the bound, drops outside") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
