@@ -249,6 +249,19 @@ object Main {
     val spark = preexisting.getOrElse(
       Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))
 
+    /** A rewind is whole-checkpoint scoped: it truncates every table
+      * store under the state root (Resume.rewind discovers them there),
+      * so combining it with the CLI selectors would delete unselected
+      * tables' versions that a selector-filtered consume never replays.
+      * One guard, both rewind entry points (r13 meta-review: two
+      * hand-copied guards drift). */
+    def refuseSelectors(context: String): Unit =
+      Seq("table", "schema", "alias").filter(flags.contains).foreach(f =>
+        sys.error(s"$context cannot combine with --$f: the rewind " +
+          "truncates every table store under the state root, and a " +
+          "selector-filtered consume would never replay the unselected " +
+          "tables (see Resume.rewind)"))
+
     /** The reference's CLI selectors: --alias, --schema, -t/--table. */
     def selected: Seq[(graft.config.SourceConfig, graft.config.DatabaseConfig, graft.config.TableConfig)] =
       for {
@@ -322,16 +335,7 @@ object Main {
         // --last-batch=N: the reference's `consume --last-msg-id` — rewind
         // before starting so batches > N replay from the broker.
         flags.get("last-batch").foreach { n =>
-          // same selector refusal as the standalone rewind command
-          // (meta-review of dbf125e): a whole-root truncation followed
-          // by a SELECTED-tables-only consume would delete the
-          // unselected tables' versions and never replay them — worse
-          // than the pre-r13 bug this fixed
-          Seq("table", "schema", "alias").filter(flags.contains).foreach(f =>
-            sys.error(s"consume --last-batch cannot combine with --$f: " +
-              "the rewind truncates every table store under the state " +
-              "root, and a selector-filtered consume would never replay " +
-              "the unselected tables (see Resume.rewind)"))
+          refuseSelectors("consume --last-batch")
           Resume.rewind(spark, ckpt, stateRoot, n.toLong)
         }
         // auto_full_etl=false opts a table out of the automatic snapshot
@@ -373,16 +377,7 @@ object Main {
           .orElse(flags.get("last-batch").map(_.toLong))
           .getOrElse(sys.error(
             "rewind requires an explicit batch id (positional or --last-batch=N)"))
-        // NO selector flags here on purpose (r13): the checkpoint spans
-        // every table the consume query writes under this stateRoot, and
-        // a --table/--schema-filtered truncation silently lost data in
-        // the unselected tables (their stores kept versions the pruned
-        // checkpoint then replayed into idempotent no-ops). Resume
-        // discovers the truncation scope from the stateRoot itself.
-        Seq("table", "schema", "alias").filter(flags.contains).foreach(f =>
-          sys.error(s"rewind does not take --$f: a rewind is whole-" +
-            "checkpoint scoped and truncates every table store under " +
-            "the state root (see Resume.rewind)"))
+        refuseSelectors("rewind")
         val removed = Resume.rewind(spark, ckpt, stateRoot, lastBatch)
         println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
           s"state truncated to batch $lastBatch")

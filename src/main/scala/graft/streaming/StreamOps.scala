@@ -104,21 +104,28 @@ object StreamOps {
     // (key-as-string, event µs, id numeric leg, id string leg, type):
     // the numeric leg carries the id ONLY when the column's TYPE is
     // numeric — matching the batch twin's array_sort on the untyped id
-    // exactly. A value-level try_cast here would numerically order
-    // numeric-LOOKING string ids ("9" before "10") where the batch twin
-    // sorts them as strings ("10" before "9") — a reconciliation break
-    // the dbf125e meta-review caught; string-typed ids keep a constant
-    // numeric leg so the string leg alone decides.
+    // exactly. A value-level try_cast would numerically order numeric-
+    // LOOKING string ids ("9" before "10") where the batch twin sorts
+    // them as strings — the dbf125e meta-review catch; string-typed ids
+    // keep a constant numeric leg so the string leg alone decides. The
+    // leg is decimal(38,18), not long (6c9d783 meta-review): a long leg
+    // truncated fractional ids (-1.5 and -1.4 tied) and nulled
+    // DECIMAL(20,0) ids past Long range — both re-broke twin parity —
+    // and try_cast (not cast) keeps an ANSI session from throwing on
+    // the rare unrepresentable value (NaN, >1e20), which falls to the
+    // string leg instead.
     val idNumeric = events.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val zeroDec = new java.math.BigDecimal(0)
     val idNumLeg =
-      if (idNumeric) coalesce(col(idCol).cast("long"), lit(0L)) else lit(0L)
+      if (idNumeric) coalesce(col(idCol).try_cast("decimal(38,18)"), lit(zeroDec))
+      else lit(zeroDec)
     val typed = events.select(
       col(userCol).cast("string"), unix_micros(col(tsCol)),
       idNumLeg, col(idCol).cast("string"), col(typeCol))
-      .as[(String, Long, Long, String, String)]
+      .as[(String, Long, BigDecimal, String, String)]
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
-    def advance(user: String, rows: Iterator[(String, Long, Long, String, String)],
+    def advance(user: String, rows: Iterator[(String, Long, BigDecimal, String, String)],
                 state: GroupState[Int]): Iterator[(String, Int)] = {
       val start = state.getOption.getOrElse(0)
       var stage = start
