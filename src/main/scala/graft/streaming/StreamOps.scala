@@ -117,21 +117,37 @@ object StreamOps {
     val idNumeric = events.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val zeroDec = new java.math.BigDecimal(0)
-    val idNumLeg =
-      if (idNumeric) coalesce(col(idCol).try_cast("decimal(38,18)"), lit(zeroDec))
-      else lit(zeroDec)
+    val numLeg0 = col(idCol).try_cast("decimal(38,18)")
+    // decimal-UNREPRESENTABLE numeric ids (double NaN/±Infinity/|x|≥1e20,
+    // decimal(38,0) ≥ 1e20) can't interleave by value — rank them where
+    // the batch twin's native sort puts them: negatives before every
+    // representable value, positives and NaN after (Spark sorts NaN
+    // greatest; `NaN < 0` is false so it lands at +1). Ties AMONG
+    // unrepresentables of the same sign fall to the string leg — the one
+    // documented divergence from the batch twin's native order, bounded
+    // to same-user same-µs pairs of such ids.
+    val idRank =
+      if (idNumeric)
+        when(numLeg0.isNull && col(idCol).isNotNull,
+          when(col(idCol) < 0, lit(-1)).otherwise(lit(1))).otherwise(lit(0))
+      else lit(0)
+    val idNumLeg = if (idNumeric) coalesce(numLeg0, lit(zeroDec)) else lit(zeroDec)
     val typed = events.select(
-      col(userCol).cast("string"), unix_micros(col(tsCol)),
-      idNumLeg, col(idCol).cast("string"), col(typeCol))
-      .as[(String, Long, BigDecimal, String, String)]
+      col(userCol).cast("string"), unix_micros(col(tsCol)), idRank,
+      idNumLeg,
+      // null-safe string leg: Ordering[String] NPEs on a null id, which
+      // killed the whole query for same-µs null-id pairs (the batch
+      // twin's array_sort handles them); "" sorts first like null does
+      coalesce(col(idCol).cast("string"), lit("")), col(typeCol))
+      .as[(String, Long, Int, BigDecimal, String, String)]
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
-    def advance(user: String, rows: Iterator[(String, Long, BigDecimal, String, String)],
+    def advance(user: String, rows: Iterator[(String, Long, Int, BigDecimal, String, String)],
                 state: GroupState[Int]): Iterator[(String, Int)] = {
       val start = state.getOption.getOrElse(0)
       var stage = start
       // deterministic within-batch order: (event time, event id)
-      rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach { r =>
-        if (stepIdx.get(r._5).contains(stage + 1)) stage += 1
+      rows.toSeq.sortBy(r => (r._2, r._3, r._4, r._5)).foreach { r =>
+        if (stepIdx.get(r._6).contains(stage + 1)) stage += 1
       }
       if (stage != start) { state.update(stage); Iterator((user, stage)) }
       else Iterator.empty

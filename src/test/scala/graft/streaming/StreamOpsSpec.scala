@@ -169,6 +169,42 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel survives null ids and ranks decimal-unrepresentable ids like the batch twin (r13)") {
+    // 580c070 meta-review: (a) two same-µs events with NULL ids NPE'd the
+    // string-leg Ordering and killed the query; (b) a double id past the
+    // decimal(38,18) range coalesced to 0 and sorted BEFORE small ids
+    // where the batch twin's native sort puts it after.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.lang.Double, String, Timestamp, String)]
+    val stages = StreamOps.funnelStages(
+      input.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+      steps = Seq("view", "click"))
+    val q = stages.writeStream.format("memory")
+      .queryName("funnel_edgeids_test").outputMode("update").start()
+    try {
+      // u1: same µs, huge id on the CLICK — native order puts 1e21 after
+      // 2.0, so view folds first and the funnel completes (stage 2)
+      input.addData((2.0: java.lang.Double, "u1", ts(0), "view"),
+        (1e21: java.lang.Double, "u1", ts(0), "click"),
+        // u2: same µs, both ids null — must not crash; order via type
+        (null: java.lang.Double, "u2", ts(0), "view"),
+        (null: java.lang.Double, "u2", ts(0), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_edgeids_test")
+        .select("user_id", "stage").as[(String, Int)].collect().toMap
+      assert(rows.get("u1").contains(2),
+        s"huge id must sort after small ids like the batch twin: $rows")
+      assert(rows.get("u2").contains(1), s"null ids must not crash: $rows")
+      val batch = graft.ops.SessionOps.funnelStages(
+        Seq((2.0: java.lang.Double, "u1", ts(0), "view"),
+          (1e21: java.lang.Double, "u1", ts(0), "click"))
+          .toDF("event_id", "user_id", "ts", "event_type"),
+        steps = Seq("view", "click"))
+        .as[(String, Int)].collect().toMap
+      assert(batch("u1") == rows("u1"), s"twin divergence: $batch vs $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs followers within the bound, drops outside") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
