@@ -128,8 +128,12 @@ object StreamOps {
     // to same-user same-µs pairs of such ids.
     val idRank =
       if (idNumeric)
-        when(numLeg0.isNull && col(idCol).isNotNull,
-          when(col(idCol) < 0, lit(-1)).otherwise(lit(1))).otherwise(lit(0))
+        // null ids rank LOWEST (-2): the batch twin's struct sort puts a
+        // null eid first at a given µs, and without the rank a null id's
+        // coalesced numeric leg (0) sorted after every negative id
+        when(col(idCol).isNull, lit(-2)).otherwise(
+          when(numLeg0.isNull,
+            when(col(idCol) < 0, lit(-1)).otherwise(lit(1))).otherwise(lit(0)))
       else lit(0)
     val idNumLeg = if (idNumeric) coalesce(numLeg0, lit(zeroDec)) else lit(zeroDec)
     val typed = events.select(

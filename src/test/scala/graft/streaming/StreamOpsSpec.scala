@@ -188,13 +188,19 @@ class StreamOpsSpec extends SparkSpec {
         (1e21: java.lang.Double, "u1", ts(0), "click"),
         // u2: same µs, both ids null — must not crash; order via type
         (null: java.lang.Double, "u2", ts(0), "view"),
-        (null: java.lang.Double, "u2", ts(0), "view"))
+        (null: java.lang.Double, "u2", ts(0), "view"),
+        // u3: null id sorts FIRST at a µs (batch-twin struct order), so
+        // the null-id view folds before the negative-id click → stage 2
+        (null: java.lang.Double, "u3", ts(0), "view"),
+        (-1.0: java.lang.Double, "u3", ts(0), "click"))
       q.processAllAvailable()
       val rows = spark.table("funnel_edgeids_test")
         .select("user_id", "stage").as[(String, Int)].collect().toMap
       assert(rows.get("u1").contains(2),
         s"huge id must sort after small ids like the batch twin: $rows")
       assert(rows.get("u2").contains(1), s"null ids must not crash: $rows")
+      assert(rows.get("u3").contains(2),
+        s"null id must sort before negative ids like the batch twin: $rows")
       val batch = graft.ops.SessionOps.funnelStages(
         Seq((2.0: java.lang.Double, "u1", ts(0), "view"),
           (1e21: java.lang.Double, "u1", ts(0), "click"))
