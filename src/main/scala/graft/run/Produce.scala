@@ -136,9 +136,14 @@ object Produce {
     //                         id fails loudly with zero pollution.
     //                         Interior entries are verified in O(1)
     //                         space against the content digest the
-    //                         producing run committed (r12; pre-r12
-    //                         streams have no record and fall back
-    //                         to first+last+count alone).
+    //                         producing run committed (r12), and the
+    //                         stream's (first, last, length) must
+    //                         EQUAL the state pinned at the commit
+    //                         (r13: the stream is provably frozen in
+    //                         between — no XADD, hence no trim — so
+    //                         equality replaces trim-plausibility
+    //                         heuristics; those remain only for
+    //                         pre-r13 streams without the records).
     //   batchId <  produced → reset checkpoint: fail loudly
     val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
     // SKIP schemas: the stream top's (seq, msg); byte-verified when
@@ -164,6 +169,23 @@ object Produce {
     // replays, never on the steady-state path.
     val sendPrefix =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayDeque[(Long, String)]]
+    // the ORIGINAL (first, last) surviving seqs of each send prefix —
+    // the deque is consumed as it verifies, but the gap classification
+    // below needs the fetch-time bounds: a missing seq BELOW the first
+    // surviving entry is the trim shape (MAXLEN eats oldest), a missing
+    // seq strictly INSIDE the bounds is one no trim can produce (r13:
+    // an interior XDEL used to reject-swallow silently)
+    val prefixBounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // leading-gap plausibility (length >= configured cap), one probe per schema
+    val leadTrimOk = scala.collection.mutable.Map.empty[String, Boolean]
+    // first in-range prefix hole per schema — the interior-hole proof
+    // completes when a LATER prefix entry byte-verifies (see the walk)
+    val gapBefore = scala.collection.mutable.Map.empty[String, Long]
+    // SKIP schemas whose commit-time stream-state pin verified exactly
+    // (RedisBroker.producedState: the stream is provably frozen between
+    // the produce commit and this replay, so equality is the whole
+    // verification — no trim-plausibility heuristics needed)
+    val statePinned = scala.collection.mutable.Set.empty[String]
     val sent = scala.collection.mutable.Set.empty[String]
     // schemas whose XADDs this run ACTUALLY APPLIED (not reject-swallowed
     // replays): only these could have trimmed, so only these get the cap
@@ -227,12 +249,43 @@ object Produce {
               skipTops(schema) =
                 (top.dropWhile(_ != '-').drop(1).toLong, msg)
               pending += schema
+              // r13 freeze pin: between the produce commit and this skip
+              // replay the protocol issues no XADD for the schema, and
+              // Redis trims only inside XADD — so the state recorded at
+              // commit must still hold EXACTLY. Any drift (moved head,
+              // moved top, changed length) is foreign interference; the
+              // trim-plausibility heuristics below become a pre-r13
+              // fallback only.
+              broker.producedState(schema).foreach { case (bid, f, l, n) =>
+                if (bid == batchId) {
+                  val cur = broker.streamState(schema)
+                  if (cur != ((f, l, n)))
+                    throw new IllegalStateException(
+                      s"schema $schema: stream state changed since the " +
+                        s"batch-$batchId produce commit (recorded " +
+                        s"first=$f last=$l len=$n, found first=${cur._1} " +
+                        s"last=${cur._2} len=${cur._3}) — the stream is " +
+                        "frozen between a produce commit and its replay " +
+                        "(nothing XADDs, so nothing can trim); entries " +
+                        "were deleted or injected by a foreign actor — " +
+                        "refusing to silently drop events")
+                  statePinned += schema
+                }
+              }
               broker.firstEntryOfBatch(schema, batchId).foreach {
                 case (fid, fmsg) =>
                   val headIntact = broker.firstEntry(schema).exists(
                     _._1.takeWhile(_ != '-').toLong < batchId)
-                  val trimCouldExplain =
-                    !headIntact && broker.trimPlausible(schema)
+                  // with a verified state pin, a missing head was
+                  // already missing AT COMMIT — i.e. the batch's own
+                  // MAXLEN sends ate it, the one legitimate cause — so
+                  // the pin replaces the cap heuristic exactly. The
+                  // !headIntact factor stays in BOTH arms: surviving
+                  // pre-batch entries under a batch-head gap is a shape
+                  // no trim can produce (oldest eaten first), pinned
+                  // or not — that's pre-commit tampering, refused.
+                  val trimCouldExplain = !headIntact &&
+                    (statePinned(schema) || broker.trimPlausible(schema))
                   skipFirsts(schema) =
                     (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
                       trimCouldExplain)
@@ -257,9 +310,13 @@ object Produce {
           val streamTop = broker.lastEntry(schema)
           broker.guardForeignTop(schema, batchId, streamTop)
           streamTop.foreach { case (top, _) =>
-            if (top.takeWhile(_ != '-').toLong == batchId)
-              sendPrefix(schema) = scala.collection.mutable.ArrayDeque.from(
-                broker.entriesOfBatch(schema, batchId))
+            if (top.takeWhile(_ != '-').toLong == batchId) {
+              val entries = broker.entriesOfBatch(schema, batchId)
+              sendPrefix(schema) =
+                scala.collection.mutable.ArrayDeque.from(entries)
+              if (entries.nonEmpty)
+                prefixBounds(schema) = (entries.head._1, entries.last._1)
+            }
           }
           true
         }
@@ -280,6 +337,23 @@ object Produce {
                 "batch's id space — refusing to silently drop events")
           if (pre.headOption.exists(_._1 == seq)) {
             val (_, preMsg) = pre.removeHead()
+            // a VERIFIED surviving entry after an in-range hole proves
+            // the hole is interior (r13): the crashed attempt XADDed a
+            // strictly increasing contiguous prefix and MAXLEN eats
+            // oldest-first, so no legitimate history has a hole between
+            // two of its own entries — one was deleted after the crash,
+            // and its replay would reject-swallow silently. (A hole
+            // whose following entries never verify is the foreign-top
+            // shape, refused by the never-reproduced checks instead.)
+            gapBefore.get(schema).foreach(g =>
+              throw new IllegalStateException(
+                s"stream for schema $schema is missing the batch-$batchId " +
+                  s"entry at seq $g INSIDE its surviving prefix (a later " +
+                  s"prefix entry at seq $seq byte-verified): trimming " +
+                  "removes oldest entries first and cannot leave an " +
+                  "interior hole — an entry was deleted from this " +
+                  "batch's pre-crash partial; refusing to reject-swallow " +
+                  "the replay (the event would be silently lost)"))
             if (value != preMsg)
               throw new IllegalStateException(
                 s"stream for schema $schema holds a DIFFERENT event at " +
@@ -287,9 +361,28 @@ object Produce {
                   "wrote into this batch's id space, or the checkpoint " +
                   "was reset onto a diverged stream — refusing to " +
                   "silently drop events")
+          } else prefixBounds.get(schema).foreach { case (firstS, lastS) =>
+            // this seq is absent from the surviving prefix: an in-range
+            // miss is RECORDED (the interior-hole proof completes only
+            // when a later entry verifies, above); a miss BELOW the
+            // first surviving entry is the trim shape, plausible only
+            // when the stream sits at/above this lineage's cap
+            // (`MAXLEN ~` never trims below the cap — a leading gap on
+            // an under-cap stream means deletion, r13).
+            if (seq > firstS && seq < lastS)
+              gapBefore.getOrElseUpdate(schema, seq)
+            if (seq < firstS &&
+                !leadTrimOk.getOrElseUpdate(schema, broker.trimPlausibleNow(schema)))
+              throw new IllegalStateException(
+                s"stream for schema $schema is missing batch-$batchId " +
+                  s"entries below its first surviving seq $firstS, but " +
+                  "the stream sits UNDER its configured MAXLEN cap — " +
+                  "`MAXLEN ~` never trims below the cap, so nothing was " +
+                  "ever trimmed and the leading entries were deleted; " +
+                  "refusing to reject-swallow the replay (if the cap was " +
+                  "deliberately raised since the crash, verify the " +
+                  "stream content by hand — this is then a false refusal)")
           }
-          // seqs below the surviving head were trimmed from the partial
-          // (MAXLEN eats oldest) — their replays reject-swallow safely
         }
         buf += ((schema, s"$batchId-$seq", value))
         sent += schema
@@ -388,8 +481,16 @@ object Produce {
             "reset onto a diverged stream; refusing to silently drop " +
             "events")
     }
+    // r13 state pin: snapshot each sent schema's (first, last, length)
+    // AFTER the final flush and record it with the commit — the stream
+    // is frozen from here until any skip replay of this batch (no XADD,
+    // hence no trim), so the replay verifies exact equality instead of
+    // trim plausibility. A foreign XADD racing this snapshot would be
+    // frozen INTO the record, but its entry sits beyond our top, so the
+    // skip replay's top/pending content legs still refuse it.
+    val states = sent.iterator.map(s => s -> broker.streamState(s)).toMap
     broker.commitProducedAll(sent, batchId, trimExposed.toSet,
-      sent.iterator.map(s => s -> digests(s)).toMap)
+      sent.iterator.map(s => s -> digests(s)).toMap, states)
   }
 
   /** FNV-1a seed for [[contentDigest]]'s rolling fold. */

@@ -173,6 +173,34 @@ final class RedisBroker(host: String, port: Int, alias: String,
       if (applied) Set(schema) else Set.empty, Map(schema -> digest))
 
   private def digestKey = s"$prefix:$alias:produced_digest"
+  private def stateKey = s"$prefix:$alias:produced_state"
+
+  /** The schema's stream state as one (firstId, lastId, length) triple —
+    * what [[commitProducedAll]] pins and the skip replay re-reads. */
+  def streamState(schema: String): (String, String, Long) =
+    (firstEntry(schema).map(_._1).getOrElse(""),
+      lastEntry(schema).map(_._1).getOrElse(""),
+      length(schema))
+
+  /** The stream-state snapshot recorded with the produce commit:
+    * (batchId, firstId, lastId, length). The freeze argument (r13,
+    * closing the skip half of the trimPlausible lazy-`~` window): Redis
+    * removes stream entries ONLY inside an XADD carrying `MAXLEN ~`
+    * (this protocol never XDELs/XTRIMs), and between
+    * `commitProducedAll(batchId)` and any skip replay of that same
+    * batch this lineage issues NO XADD for the schema — skip mode
+    * means produced == batchId, which only holds before the NEXT
+    * batch's sends. So a faithful stream is bit-FROZEN across that
+    * window and the replay can demand exact state equality instead of
+    * trim-plausibility heuristics: any drift is foreign interference,
+    * refused loudly. Absent for pre-r13 streams (skip verification
+    * falls back to the heuristics). */
+  def producedState(schema: String): Option[(Long, String, String, Long)] =
+    Option(client.command("HGET", stateKey, schema)).map { v =>
+      val s = v.asInstanceOf[String]
+      val Array(bid, first, last, len) = s.split(":", 4)
+      (bid.toLong, first, last, len.toLong)
+    }
 
   /** The per-schema batch-content digest recorded with the produce
     * commit, as (batchId, digest) — None for streams produced before
@@ -208,15 +236,16 @@ final class RedisBroker(host: String, port: Int, alias: String,
     *    would do the same after a cap raise; max errs only toward a
     *    loud false refusal. An absent record fills with the current
     *    cap.
-    * Residual (both record-present and record-absent variants): a cap
-    * LOWERED between a crashed fully-XADDed attempt and its reject-only
-    * replay commit bounds the record at the lowered cap (max cannot
-    * recover the crashed attempt's unrecorded higher cap), so
-    * subsequent tampering within that band could be tolerated — a
-    * 4-condition window (crash exactly post-XADD pre-commit,
-    * reject-only replay, cap lowering in between, then tampering).
-    * Outside it, tolerance always requires length >= recordedCap,
-    * which proves a trim under that cap was genuinely reachable.
+    * Residual, NARROWED in r13: the old 4-condition cap-lowering window
+    * (crash post-XADD pre-commit, reject-only replay, cap lowered in
+    * between, then tampering) is closed on its POST-COMMIT half — the
+    * replay's own commit now records a stream-state pin
+    * ([[producedState]]) that any later tampering breaks exactly,
+    * regardless of what the cap record says. What survives is tampering
+    * BETWEEN the crash and the replay, confined by the r13 gap checks
+    * to leading-entries-only deletions on a stream still at/above the
+    * replayer's configured cap — a forgery byte-indistinguishable from
+    * the physical trim process; RUNBOOK §6 carries the formal waiver.
     * Cap and digest records FIRST, produced commit LAST ("produced
     * implies cap+digest recorded" survives a mid-pipeline crash); the
     * produced HSET stays the single atomic commit point for all schemas
@@ -228,7 +257,8 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * own unverified digest over the producer's). */
   def commitProducedAll(schemas: Iterable[String], batchId: Long,
                         trimExposed: Set[String],
-                        digests: Map[String, Long]): Unit =
+                        digests: Map[String, Long],
+                        states: Map[String, (String, String, Long)] = Map.empty): Unit =
     if (schemas.nonEmpty) {
       val ss = schemas.toSeq
       val (exposed, replayOnly) = ss.partition(trimExposed)
@@ -241,11 +271,21 @@ final class RedisBroker(host: String, port: Int, alias: String,
           }
       val caps = exposed.map(_ -> queueMaxLen) ++ replayCaps
       val digested = ss.filter(digests.contains)
+      // state pins ride the same pipeline, before the produced HSET
+      // commit point — "produced implies state recorded" survives a
+      // mid-pipeline crash exactly like the cap and digest records.
+      // Never written blank: a skip replay must not launder its own
+      // observed state over the producer's frozen record.
+      val stated = ss.filter(states.contains)
       client.pipeline(Seq(
         "HSET" +: maxlenKey +: caps.flatMap { case (s, c) => Seq(s, c.toString) }) ++
         (if (digested.isEmpty) Nil else Seq(
           "HSET" +: digestKey +: digested.flatMap(s =>
             Seq(s, s"$batchId:${java.lang.Long.toHexString(digests(s))}")))) ++
+        (if (stated.isEmpty) Nil else Seq(
+          "HSET" +: stateKey +: stated.flatMap { s =>
+            val (f, l, n) = states(s); Seq(s, s"$batchId:$f:$l:$n")
+          })) ++
         Seq("HSET" +: producedKey +: ss.flatMap(s => Seq(s, batchId.toString))))
       ()
     }
@@ -296,22 +336,38 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * directions. Falls back to the configured cap for streams produced
     * before the record existed.
     *
-    * Residual (ADVICE r11, pinned in RedisBrokerSpec): `length >=
-    * recordedCap` proves a trim was REACHABLE, not that one occurred —
-    * real Redis trims `MAXLEN ~` lazily at macro-node granularity, so a
-    * never-trimmed stream can sit at or above the cap, and a tampered
-    * (XDEL'd) batch head on such a stream is then tolerated as a trim.
-    * Redis exposes no signal that separates the two: `entries-added -
-    * length` counts removals but the tamper IS a removal, and
-    * `max-deleted-entry-id` moves on both XDEL and trimming. Closing it
-    * would need an out-of-band trim journal; the protocol's own
-    * threat model (no XDEL anywhere) plus the cap-lowering window doc
-    * above bound the exposure. */
+    * Necessity caveat (ADVICE r11, pinned in RedisBrokerSpec):
+    * `length >= recordedCap` proves a trim was REACHABLE, not that one
+    * occurred — real Redis trims `MAXLEN ~` lazily at macro-node
+    * granularity, so a never-trimmed stream can sit at or above the cap
+    * and a tampered (XDEL'd) batch head on such a stream reads as a
+    * trim. Redis exposes no signal that separates the two
+    * (`entries-added - length` counts removals but the tamper IS a
+    * removal; `max-deleted-entry-id` moves on both). Since r13 the SKIP
+    * path no longer depends on this heuristic at all when the commit
+    * carries a [[producedState]] pin (exact frozen-state equality —
+    * ProduceProtocolSpec pins the closure); the heuristic remains the
+    * fallback for pre-r13 streams, and [[trimPlausibleNow]]'s variant
+    * gates send-mode leading gaps. The surviving windows are enumerated
+    * as a formal waiver in RUNBOOK §6. */
   def trimPlausible(schema: String): Boolean = {
     val producedCap = Option(client.command("HGET", maxlenKey, schema))
       .map(_.asInstanceOf[String].toLong).getOrElse(queueMaxLen)
     length(schema) >= producedCap
   }
+
+  /** [[trimPlausible]] against THIS lineage's configured cap — the right
+    * question for a send-mode crash replay's leading gap (r13): the
+    * trims being explained ran during the crashed attempt, i.e. under
+    * the replayer's own config, while the maxlen RECORD still describes
+    * the previous committed batch's cap (a deliberate cap change
+    * between batches would otherwise falsely refuse — or falsely
+    * tolerate — a legitimate replay). A cap changed between the crash
+    * and the replay itself still shifts this comparison; that residual
+    * is loud-false-refusal-or-waiver territory, enumerated in
+    * RUNBOOK §6. */
+  def trimPlausibleNow(schema: String): Boolean =
+    length(schema) >= queueMaxLen
 
   /** The committed resume position ("0" = from the beginning) — the
     * reference's `_get_last_msg_id` HGET. */

@@ -331,6 +331,106 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("r13 frozen-state pin: post-commit head deletion fails the skip replay exactly") {
+    // end-to-end: the r13 produce records (first, last, length) with the
+    // commit; between commit and skip replay nothing XADDs, so nothing
+    // can trim — ANY drift is foreign. Delete the surviving head after
+    // a genuinely-trimmed commit: the state pin must fire (and fire
+    // FIRST, before the cap heuristics it replaces).
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      runBatch(server, b0, 0L, maxLen = 10L)
+      val state = server.dumpHash("synch:a:produced_state")
+      assert(state.contains("db1") && state("db1").startsWith("0:"),
+        s"commit must record the state pin: $state")
+      val head = server.dumpStream(key("db1")).head._1
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XDEL", key("db1"), head) finally raw.close()
+      val e = intercept[IllegalStateException] {
+        runBatch(server, b0, 0L, maxLen = 10L)
+      }
+      assert(e.getMessage.contains("stream state changed"), e.getMessage)
+    }
+  }
+
+  test("the r11/r12 lazy-~ residual is CLOSED for state-pinned streams, open only for legacy ones") {
+    // The formerly-pinned residual: a never-trimmed stream sitting at or
+    // above its recorded cap (real `MAXLEN ~` trims lazily) whose batch
+    // head was deleted is indistinguishable from a genuine trim by the
+    // cap heuristic — length >= cap proves a trim was REACHABLE, not
+    // that one occurred. Craft that exact shape twice:
+    //   A. pre-r13 stream (no produced_state record): the replay
+    //      TOLERATES the missing head — the residual, now confined to
+    //      legacy streams and formally waived in RUNBOOK §6;
+    //   B. same stream WITH the producer's state record naming the
+    //      pre-tamper truth: the replay refuses via the frozen-state pin.
+    val b0 = batchRows(0, 40)
+    def db1Msgs(from: Int) =
+      (from to 40).filter(_ % 3 != 0).map(i => i -> ev("db1", i))
+    def craft(server: FakeRedisServer, db1From: Int,
+              stateRecord: Option[String]): Unit = {
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        db1Msgs(db1From).foreach { case (i, m) =>
+          raw.command("XADD", key("db1"), s"0-$i", "msg", m) }
+        (1 to 40).filter(_ % 3 == 0).foreach(i =>
+          raw.command("XADD", key("db2"), s"0-$i", "msg", ev("db2", i)))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+        // cap 10 with 23-24 surviving entries: the lazy-trim shape —
+        // length >= cap, so the heuristic presumes a trim was possible
+        raw.command("HSET", "synch:a:produced_maxlen", "db1", "10", "db2", "1000000")
+        stateRecord.foreach(s =>
+          raw.command("HSET", "synch:a:produced_state", "db1", s,
+            "db2", s"0:0-3:0-39:${(1 to 40).count(_ % 3 == 0)}"))
+      } finally raw.close()
+    }
+    withServer { server => // A: legacy stream, head 0-5 "deleted" pre-craft
+      craft(server, db1From = 7, stateRecord = None)
+      runBatch(server, b0, 0L) // tolerated — the confined legacy window
+      assert(server.dumpStream(key("db1")).head._1 == "0-7")
+    }
+    withServer { server => // B: state-pinned stream, same tamper
+      craft(server, db1From = 7,
+        stateRecord = Some(s"0:0-5:0-40:${db1Msgs(5).size}"))
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("stream state changed"), e.getMessage)
+    }
+  }
+
+  test("r13 send-mode replay refuses an INTERIOR hole in the pre-crash partial") {
+    // crash mid-batch, then delete an interior entry of the partial: no
+    // trim can leave a hole between two surviving entries (oldest eaten
+    // first), and the replay used to reject-swallow the deleted seq
+    // silently — the event was simply lost
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(10) // partial: global seqs 1..10
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XDEL", key("db1"), "0-5") finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("INSIDE its surviving prefix"), e.getMessage)
+    }
+  }
+
+  test("r13 send-mode replay refuses a LEADING gap on an under-cap partial") {
+    // crash mid-batch with a huge cap (nothing ever trimmed), then
+    // delete the partial's first entries: `MAXLEN ~` never trims below
+    // the cap, so an under-cap leading gap is deletion, not trim — the
+    // replay used to reject-swallow those seqs silently
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(10)
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XDEL", key("db1"), "0-1", "0-2") finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("below its first surviving seq"), e.getMessage)
+    }
+  }
+
   test("MAXLEN trim mid-crash: partial XADDs trimmed, resume still converges") {
     val b0 = batchRows(0, 40)
     val ref = reference(Seq(0L -> b0), maxLen = 10L)

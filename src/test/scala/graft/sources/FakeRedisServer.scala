@@ -99,6 +99,15 @@ final class FakeRedisServer extends AutoCloseable {
           val id = s"${next._1}-${next._2}"
           s"$$${id.length}\r\n$id\r\n"
         }
+      case "XDEL" =>
+        // tamper simulation for the r13 gap/state-pin protocol tests —
+        // the PROTOCOL never XDELs; like real Redis, deletion does not
+        // move the stream's last-assigned id
+        val buf = streams.getOrElse(args(1), mutable.ArrayBuffer.empty)
+        val ids = args.drop(2).map(parseId).toSet
+        val before = buf.length
+        buf.filterInPlace(e => !ids.contains((e._1, e._2)))
+        s":${before - buf.length}\r\n"
       case "XREVRANGE" =>
         // XREVRANGE key + - COUNT 1 — newest entry (the produce guard)
         val buf = streams.getOrElse(args(1), mutable.ArrayBuffer.empty)
