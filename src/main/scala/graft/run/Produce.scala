@@ -140,10 +140,11 @@ object Produce {
     //                         stream's (first, last, length) must
     //                         EQUAL the state pinned at the commit
     //                         (r13: the stream is provably frozen in
-    //                         between — no XADD, hence no trim — so
-    //                         equality replaces trim-plausibility
-    //                         heuristics; those remain only for
-    //                         pre-r13 streams without the records).
+    //                         between — no XADD, hence no trim). The
+    //                         pin and the trim-plausibility heuristic
+    //                         are INDEPENDENT necessary conditions:
+    //                         the pin covers the post-commit window,
+    //                         the heuristic the pre-commit one.
     //   batchId <  produced → reset checkpoint: fail loudly
     val sendMode = scala.collection.mutable.Map.empty[String, Boolean]
     // SKIP schemas: the stream top's (seq, msg); byte-verified when
@@ -181,11 +182,6 @@ object Produce {
     // first in-range prefix hole per schema — the interior-hole proof
     // completes when a LATER prefix entry byte-verifies (see the walk)
     val gapBefore = scala.collection.mutable.Map.empty[String, Long]
-    // SKIP schemas whose commit-time stream-state pin verified exactly
-    // (RedisBroker.producedState: the stream is provably frozen between
-    // the produce commit and this replay, so equality is the whole
-    // verification — no trim-plausibility heuristics needed)
-    val statePinned = scala.collection.mutable.Set.empty[String]
     val sent = scala.collection.mutable.Set.empty[String]
     // schemas whose XADDs this run ACTUALLY APPLIED (not reject-swallowed
     // replays): only these could have trimmed, so only these get the cap
@@ -214,7 +210,26 @@ object Produce {
     // the endpoint checks alone)
     val skipDigests = scala.collection.mutable.Map.empty[String, Long]
     def flush(): Unit = {
-      trimExposed ++= broker.sendBatchAt(buf.toSeq)
+      val (applied, rejectedIds) = broker.sendBatchAtTracked(buf.toSeq)
+      // r13 (meta-review of e0d092e): a reject-swallow is legitimate
+      // ONLY at or below the schema's surviving prefix top — XDEL never
+      // lowers the stream's last-generated id, so a rejection ABOVE the
+      // fetched top proves the colliding entry was deleted after the
+      // crash (a TRAILING deletion the gap classification below cannot
+      // see); swallowing it would silently lose the event
+      rejectedIds.foreach { case (schema, id) =>
+        val rseq = id.dropWhile(_ != '-').drop(1).toLong
+        if (!prefixBounds.get(schema).exists { case (_, lastS) => rseq <= lastS })
+          throw new IllegalStateException(
+            s"stream for schema $schema rejected the XADD of $id as " +
+              "already-assigned, but the id sits ABOVE the surviving " +
+              s"prefix top${prefixBounds.get(schema).fold(" (no surviving prefix at all)")(
+                b => s" ${batchId}-${b._2}")}: the entry it collided " +
+              "with was deleted after the crash (deletion never lowers " +
+              "the last-generated id) — refusing to reject-swallow the " +
+              "replay (the event would be silently lost)")
+      }
+      trimExposed ++= applied
       buf.clear()
     }
     var seq = 0L
@@ -269,23 +284,22 @@ object Produce {
                         "(nothing XADDs, so nothing can trim); entries " +
                         "were deleted or injected by a foreign actor — " +
                         "refusing to silently drop events")
-                  statePinned += schema
                 }
               }
               broker.firstEntryOfBatch(schema, batchId).foreach {
                 case (fid, fmsg) =>
                   val headIntact = broker.firstEntry(schema).exists(
                     _._1.takeWhile(_ != '-').toLong < batchId)
-                  // with a verified state pin, a missing head was
-                  // already missing AT COMMIT — i.e. the batch's own
-                  // MAXLEN sends ate it, the one legitimate cause — so
-                  // the pin replaces the cap heuristic exactly. The
-                  // !headIntact factor stays in BOTH arms: surviving
-                  // pre-batch entries under a batch-head gap is a shape
-                  // no trim can produce (oldest eaten first), pinned
-                  // or not — that's pre-commit tampering, refused.
-                  val trimCouldExplain = !headIntact &&
-                    (statePinned(schema) || broker.trimPlausible(schema))
+                  // the state pin above and this heuristic are
+                  // INDEPENDENT necessary conditions, never substitutes
+                  // (meta-review of e0d092e caught the || form): the pin
+                  // proves nothing moved SINCE the commit, while
+                  // trimPlausible (length >= recorded cap) is what makes
+                  // a head already missing AT commit attributable to the
+                  // batch's own MAXLEN sends — a pre-commit deletion on
+                  // an under-cap stream pins cleanly yet was never a trim
+                  val trimCouldExplain =
+                    !headIntact && broker.trimPlausible(schema)
                   skipFirsts(schema) =
                     (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
                       trimCouldExplain)
@@ -371,17 +385,26 @@ object Produce {
             // an under-cap stream means deletion, r13).
             if (seq > firstS && seq < lastS)
               gapBefore.getOrElseUpdate(schema, seq)
-            if (seq < firstS &&
-                !leadTrimOk.getOrElseUpdate(schema, broker.trimPlausibleNow(schema)))
+            if (seq < firstS && !leadTrimOk.getOrElseUpdate(schema, {
+                  // same !headIntact refinement as the skip path
+                  // (meta-review of e0d092e): surviving entries OLDER
+                  // than the deleted ones prove no trim reached the
+                  // batch head — oldest are eaten first
+                  val headIntact = broker.firstEntry(schema).exists(
+                    _._1.takeWhile(_ != '-').toLong < batchId)
+                  !headIntact && broker.trimPlausibleNow(schema)
+                }))
               throw new IllegalStateException(
                 s"stream for schema $schema is missing batch-$batchId " +
-                  s"entries below its first surviving seq $firstS, but " +
-                  "the stream sits UNDER its configured MAXLEN cap — " +
-                  "`MAXLEN ~` never trims below the cap, so nothing was " +
-                  "ever trimmed and the leading entries were deleted; " +
-                  "refusing to reject-swallow the replay (if the cap was " +
-                  "deliberately raised since the crash, verify the " +
-                  "stream content by hand — this is then a false refusal)")
+                  s"entries below its first surviving seq $firstS, and " +
+                  "MAXLEN trimming cannot explain the gap (pre-batch " +
+                  "entries survive — oldest are eaten first — or the " +
+                  "stream sits under its configured cap, which `MAXLEN " +
+                  "~` never trims below): the leading entries were " +
+                  "deleted; refusing to reject-swallow the replay (if " +
+                  "the cap was deliberately raised since the crash, " +
+                  "verify the stream content by hand — this is then a " +
+                  "false refusal)")
           }
         }
         buf += ((schema, s"$batchId-$seq", value))
@@ -488,7 +511,7 @@ object Produce {
     // trim plausibility. A foreign XADD racing this snapshot would be
     // frozen INTO the record, but its entry sits beyond our top, so the
     // skip replay's top/pending content legs still refuse it.
-    val states = sent.iterator.map(s => s -> broker.streamState(s)).toMap
+    val states = broker.streamStates(sent.toSeq)
     broker.commitProducedAll(sent, batchId, trimExposed.toSet,
       sent.iterator.map(s => s -> digests(s)).toMap, states)
   }

@@ -74,18 +74,33 @@ final class RedisBroker(host: String, port: Int, alias: String,
     * to record the trim-relevant cap exactly for the runs whose XADDs
     * could have trimmed. */
   def sendBatchAt(events: Seq[(String, String, String)]): Set[String] =
-    if (events.isEmpty) Set.empty
+    sendBatchAtTracked(events)._1
+
+  /** [[sendBatchAt]] that also RETURNS the reject-swallowed (schema, id)
+    * pairs instead of discarding them (r13): a rejection is legitimate
+    * ONLY for a crash-replay id at or below the schema's surviving
+    * prefix top — an id rejected ABOVE that top proves the entry it
+    * collided with was deleted (XDEL never lowers the stream's
+    * last-generated id), and swallowing it silently loses the event.
+    * The produce loop validates every returned pair against its prefix
+    * bounds. */
+  def sendBatchAtTracked(events: Seq[(String, String, String)])
+      : (Set[String], Seq[(String, String)]) =
+    if (events.isEmpty) (Set.empty, Nil)
     else {
       val applied = scala.collection.mutable.Set.empty[String]
+      val rejected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       client.pipelineEither(events.map { case (schema, id, msg) =>
         Seq("XADD", queueKey(schema), "MAXLEN", "~",
           queueMaxLen.toString, id, "msg", msg)
       }).zip(events).foreach {
-        case (Left(e), _) if e.getMessage.contains("equal or smaller") => () // replay
+        case (Left(e), (schema, id, _))
+            if e.getMessage.contains("equal or smaller") =>
+          rejected += ((schema, id)) // replay — caller validates
         case (Left(e), _) => throw e
         case (Right(_), (schema, _, _)) => applied += schema
       }
-      applied.toSet
+      (applied.toSet, rejected.toSeq)
     }
 
   /** The newest entry of a schema's stream as (id, msg) — None when
@@ -181,6 +196,25 @@ final class RedisBroker(host: String, port: Int, alias: String,
     (firstEntry(schema).map(_._1).getOrElse(""),
       lastEntry(schema).map(_._1).getOrElse(""),
       length(schema))
+
+  /** [[streamState]] for many schemas in ONE pipeline round-trip — the
+    * commit-time snapshot runs on the steady-state hot path, and 3N
+    * serial round-trips per micro-batch would dominate commit latency on
+    * a remote broker (the same reason commitProducedAll pipelines its
+    * replay-cap HGETs). */
+  def streamStates(schemas: Seq[String]): Map[String, (String, String, Long)] =
+    if (schemas.isEmpty) Map.empty
+    else {
+      val replies = client.pipeline(schemas.flatMap(s => Seq(
+        Seq("XRANGE", queueKey(s), "-", "+", "COUNT", "1"),
+        Seq("XREVRANGE", queueKey(s), "+", "-", "COUNT", "1"),
+        Seq("XLEN", queueKey(s)))))
+      schemas.zipWithIndex.map { case (s, i) =>
+        s -> ((entryAt(replies(i * 3)).map(_._1).getOrElse(""),
+          entryAt(replies(i * 3 + 1)).map(_._1).getOrElse(""),
+          replies(i * 3 + 2).asInstanceOf[Long]))
+      }.toMap
+    }
 
   /** The stream-state snapshot recorded with the produce commit:
     * (batchId, firstId, lastId, length). The freeze argument (r13,

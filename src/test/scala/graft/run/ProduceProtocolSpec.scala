@@ -54,7 +54,8 @@ class ProduceProtocolSpec extends AnyFunSuite {
     schemas.map(s => s -> server.dumpStream(key(s))).toMap +
       ("produced" -> server.dumpHash("synch:a:produced_batch")) +
       ("maxlen" -> server.dumpHash("synch:a:produced_maxlen")) +
-      ("digest" -> server.dumpHash("synch:a:produced_digest"))
+      ("digest" -> server.dumpHash("synch:a:produced_digest")) +
+      ("state" -> server.dumpHash("synch:a:produced_state"))
 
   /** The no-crash reference state after the given batches. */
   private def reference(batches: Seq[(Long, Seq[(String, String)])],
@@ -68,16 +69,19 @@ class ProduceProtocolSpec extends AnyFunSuite {
   // Crash matrix: command-boundary crashes at every interesting write
   // count, then resume; final state must equal the no-crash reference.
   // Batch 0 is 40 XADD writes + the commit pipeline's cap-record HSET
-  // (41) + produced-batch HSET (42). Crash points: before any XADD (0),
-  // first XADD (1), mid pipeline (7, 23), last XADD (39), all XADDs but
-  // no commit write (40), cap record applied but produced commit dead
-  // (41 — the resume's reject-only replay must absent-fill nothing and
-  // still converge).
+  // (41), digest HSET (42), state-pin HSET (43 — r13), and produced-
+  // batch HSET (44). Crash points: before any XADD (0), first XADD (1),
+  // mid pipeline (7, 23), last XADD (39), all XADDs but no commit write
+  // (40), and every partial-commit boundary (41-43): each leaves some
+  // records naming batch 0 while produced still says "nothing" — the
+  // resume's reject-only replay must ignore the forward-dated records
+  // (they are keyed by batch id) and still converge byte-identically,
+  // overwriting them at its own commit.
   // ---------------------------------------------------------------------
   test("crash at every command boundary of batch 0, then resume, is byte-identical") {
     val b0 = batchRows(0, 40); val b1 = batchRows(1, 40)
     val ref = reference(Seq(0L -> b0, 1L -> b1))
-    for (crashAt <- Seq(0L, 1L, 7L, 23L, 39L, 40L, 41L)) {
+    for (crashAt <- Seq(0L, 1L, 7L, 23L, 39L, 40L, 41L, 42L, 43L)) {
       withServer { server =>
         server.failAfterWrites(crashAt)
         val crashed = intercept[Exception] { runBatch(server, b0, 0L) }
@@ -427,6 +431,75 @@ class ProduceProtocolSpec extends AnyFunSuite {
       val raw = new graft.sources.RespClient("127.0.0.1", server.port)
       try raw.command("XDEL", key("db1"), "0-1", "0-2") finally raw.close()
       val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("below its first surviving seq"), e.getMessage)
+    }
+  }
+
+  test("r13 send-mode replay refuses a TRAILING deletion (rejection above the surviving top)") {
+    // crash mid-batch, delete the partial's LAST entry: the visible top
+    // drops but the stream's last-generated id does not, so the replay's
+    // re-XADD of that seq is rejected as already-assigned ABOVE the
+    // fetched prefix top — proof of deletion (meta-review of e0d092e:
+    // this used to reject-swallow silently and even pin the tampered
+    // state at the replay's commit)
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(10) // partial: global seqs 1..10
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XDEL", key("db1"), "0-10") finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("ABOVE the surviving prefix top"), e.getMessage)
+    }
+  }
+
+  test("r13 skip replay still refuses a PRE-commit head deletion on an under-cap stream") {
+    // meta-review of e0d092e: the state pin proves nothing moved SINCE
+    // the commit, but a head deleted BETWEEN the final flush and the
+    // commit pins cleanly — the pin and the cap heuristic must be
+    // independent necessary conditions, not substitutes. Craft the
+    // post-tamper commit: under-cap stream (nothing ever trimmed)
+    // missing its head, with a state record matching the TAMPERED state.
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        val db1 = (1 to 40).filter(_ % 3 != 0)
+        db1.drop(2).foreach(i => // head entries 0-1, 0-2 "deleted" pre-commit
+          raw.command("XADD", key("db1"), s"0-$i", "msg", ev("db1", i)))
+        (1 to 40).filter(_ % 3 == 0).foreach(i =>
+          raw.command("XADD", key("db2"), s"0-$i", "msg", ev("db2", i)))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+        raw.command("HSET", "synch:a:produced_maxlen", "db1", "1000000", "db2", "1000000")
+        raw.command("HSET", "synch:a:produced_state",
+          "db1", s"0:0-${db1.drop(2).head}:0-40:${db1.size - 2}",
+          "db2", s"0:0-3:0-39:${(1 to 40).count(_ % 3 == 0)}")
+      } finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("cannot explain the gap"), e.getMessage)
+    }
+  }
+
+  test("r13 send-mode leading gap with surviving PRE-batch entries refuses (headIntact)") {
+    // batch-6 entries survive below a crashed batch-7 partial whose
+    // leading entries were deleted: oldest are eaten first, so no trim
+    // can reach the batch head while older entries live — even with the
+    // stream at/above the cap (meta-review of e0d092e: the send path
+    // skipped the skip path's headIntact refinement)
+    val b7 = batchRows(7, 40)
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        (1 to 30).foreach(i => // pre-batch history (batch 6), survives
+          raw.command("XADD", key("db1"), s"6-$i", "msg", ev("db1", 60000 + i)))
+        // crashed batch-7 partial MISSING its leading entries 7-1, 7-2
+        // (db1 seqs 1,2 — deleted); survivors start at 7-4
+        Seq(4, 5, 7).foreach(i =>
+          raw.command("XADD", key("db1"), s"7-$i", "msg", ev("db1", 70000 + i)))
+      } finally raw.close()
+      // cap 10 < stream length 33: trimPlausibleNow alone would tolerate
+      val e = intercept[IllegalStateException] { runBatch(server, b7, 7L, maxLen = 10L) }
       assert(e.getMessage.contains("below its first surviving seq"), e.getMessage)
     }
   }
