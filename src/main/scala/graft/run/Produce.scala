@@ -177,7 +177,8 @@ object Produce {
     // seq strictly INSIDE the bounds is one no trim can produce (r13:
     // an interior XDEL used to reject-swallow silently)
     val prefixBounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    // leading-gap plausibility (length >= configured cap), one probe per schema
+    // leading-gap tolerance, one probe per schema: no pre-batch
+    // survivors (headIntact) AND length >= the configured cap
     val leadTrimOk = scala.collection.mutable.Map.empty[String, Boolean]
     // first in-range prefix hole per schema — the interior-hole proof
     // completes when a LATER prefix entry byte-verifies (see the walk)
@@ -232,6 +233,15 @@ object Produce {
       trimExposed ++= applied
       buf.clear()
     }
+    // do any entries OLDER than this batch survive? `MAXLEN ~` eats
+    // oldest-first, so a surviving pre-batch entry PROVES no trim ever
+    // reached the batch head — the shared refinement both gap-tolerance
+    // legs apply (one helper on purpose: the e0d092e meta-review found
+    // the send path silently lacking it precisely because it was
+    // hand-copied logic)
+    def headIntact(schema: String): Boolean =
+      broker.firstEntry(schema).exists(
+        _._1.takeWhile(_ != '-').toLong < batchId)
     var seq = 0L
     while (rows.hasNext) {
       val (schema, value) = rows.next()
@@ -288,8 +298,6 @@ object Produce {
               }
               broker.firstEntryOfBatch(schema, batchId).foreach {
                 case (fid, fmsg) =>
-                  val headIntact = broker.firstEntry(schema).exists(
-                    _._1.takeWhile(_ != '-').toLong < batchId)
                   // the state pin above and this heuristic are
                   // INDEPENDENT necessary conditions, never substitutes
                   // (meta-review of e0d092e caught the || form): the pin
@@ -299,7 +307,7 @@ object Produce {
                   // batch's own MAXLEN sends — a pre-commit deletion on
                   // an under-cap stream pins cleanly yet was never a trim
                   val trimCouldExplain =
-                    !headIntact && broker.trimPlausible(schema)
+                    !headIntact(schema) && broker.trimPlausible(schema)
                   skipFirsts(schema) =
                     (fid.dropWhile(_ != '-').drop(1).toLong, fmsg,
                       trimCouldExplain)
@@ -385,15 +393,8 @@ object Produce {
             // an under-cap stream means deletion, r13).
             if (seq > firstS && seq < lastS)
               gapBefore.getOrElseUpdate(schema, seq)
-            if (seq < firstS && !leadTrimOk.getOrElseUpdate(schema, {
-                  // same !headIntact refinement as the skip path
-                  // (meta-review of e0d092e): surviving entries OLDER
-                  // than the deleted ones prove no trim reached the
-                  // batch head — oldest are eaten first
-                  val headIntact = broker.firstEntry(schema).exists(
-                    _._1.takeWhile(_ != '-').toLong < batchId)
-                  !headIntact && broker.trimPlausibleNow(schema)
-                }))
+            if (seq < firstS && !leadTrimOk.getOrElseUpdate(schema,
+                  !headIntact(schema) && broker.trimPlausibleNow(schema)))
               throw new IllegalStateException(
                 s"stream for schema $schema is missing batch-$batchId " +
                   s"entries below its first surviving seq $firstS, and " +
