@@ -671,6 +671,64 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random crash x random tamper either converges byte-identically or refuses loudly") {
+    // The r13 closure theorem, fuzzed: at a cap that never trims, NO
+    // single tamper (XDEL of any entry, foreign XADD at any legal id)
+    // against any crash point may be silently absorbed — a replay must
+    // either converge to the byte-identical no-tamper reference (the
+    // tamper was byte-harmless, e.g. a forged entry identical to ours)
+    // or throw the protocol's loud IllegalStateException. Silent loss =
+    // a clean run whose final streams differ from the reference — the
+    // exact shape the r13 gap classification and frozen-state pin exist
+    // to kill (trailing deletions and interior holes both used to pass).
+    // The WAIVED shape (leading-only deletion on an at/above-cap stream)
+    // needs a trimming cap to exist and is excluded by construction here
+    // (cap >> batch); RUNBOOK §6 enumerates it.
+    val rnd = new scala.util.Random(0x7A3B13)
+    var refused = 0; var converged = 0
+    (1 to 60).foreach { trial =>
+      val b0 = batchRows(0, 40)
+      val ref = reference(Seq(0L -> b0))
+      withServer { server =>
+        val crashAt = rnd.nextInt(46).toLong // 40 XADDs + 4 commit HSETs + never
+        val crashed = crashAt < 44
+        if (crashed) {
+          server.failAfterWrites(crashAt)
+          intercept[Exception] { runBatch(server, b0, 0L) }
+          server.failAfterWrites(-1)
+        } else runBatch(server, b0, 0L) // committed, then tampered, then replayed
+        // one random tamper against whatever survived
+        val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+        try {
+          val schema = schemas(rnd.nextInt(schemas.length))
+          val entries = server.dumpStream(key(schema))
+          rnd.nextInt(3) match {
+            case 0 if entries.nonEmpty => // delete a random entry
+              raw.command("XDEL", key(schema), entries(rnd.nextInt(entries.length))._1)
+            case 1 => // foreign XADD above the top, inside or beyond the batch
+              val topSeq = entries.lastOption
+                .map(_._1.dropWhile(_ != '-').drop(1).toLong).getOrElse(0L)
+              val ms = rnd.nextInt(2) // 0 = inside batch-0 id space, 1 = beyond
+              raw.command("XADD", key(schema), s"$ms-${topSeq + 1 + rnd.nextInt(5)}",
+                "msg", s"{forged-$trial}")
+            case _ => () // no tamper: the pure crash-matrix case
+          }
+        } finally raw.close()
+        try {
+          runBatch(server, b0, 0L)
+          assert(snapshot(server) == ref,
+            s"trial $trial (crashAt=$crashAt): replay SUCCEEDED on a stream " +
+              "that does not match the reference — silent loss/corruption")
+          converged += 1
+        } catch {
+          case _: IllegalStateException => refused += 1 // loud refusal: correct
+        }
+      }
+    }
+    // both outcomes must actually occur or the fuzz isn't exercising both sides
+    assert(refused > 5 && converged > 5, s"refused=$refused converged=$converged")
+  }
+
   // ---------------------------------------------------------------------
   // Multi-schema atomicity
   // ---------------------------------------------------------------------
