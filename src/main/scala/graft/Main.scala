@@ -275,8 +275,17 @@ object Main {
         val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
         src -> TableSync(d.database, t.table, schema,
           syncPk(src, d.database, t, schema), t.engine,
-          // only a REAL source column can order the resolves
-          versionColumn = Some(t.versionColumn).filter(schema.fieldNames.contains))
+          // only a REAL source column can order the resolves; a
+          // CONFIGURED name absent from the schema is a misconfig that
+          // must fail loudly, not silently fall back to arrival order
+          // (r13 review — the silent filter hid exactly the typo the
+          // ensureTable guard refuses)
+          versionColumn = Some(t.versionColumn).filter(_.nonEmpty).map { v =>
+            require(schema.fieldNames.contains(v),
+              s"${d.database}.${t.table}: configured version_column '$v' " +
+                "is not a column of the source table")
+            v
+          })
       }
 
     def deleteDir(path: String): Unit = {

@@ -92,14 +92,19 @@ object MiniYaml {
     if (lines.head.text.startsWith("-")) parseList(lines) else parseMap(lines)
 
   /** A line opens a mapping iff it has a `key:` head (colon followed by
-    * space or end-of-line). Bare scalars like `127.0.0.1:5000` do not. */
+    * space or end-of-line). Bare scalars like `127.0.0.1:5000` do not.
+    * Quote tracking uses the same value-boundary rule as stripComment
+    * (r13 review): an apostrophe INSIDE an unquoted scalar (`o'brien: x`)
+    * must not open a string and swallow the real colon. */
   private def mapKeySplit(text: String): Option[(String, String)] = {
+    def boundary(i: Int): Boolean =
+      i == 0 || " :,-".contains(text.charAt(i - 1))
     var inS = false; var inD = false
     var i = 0
     while (i < text.length) {
       text.charAt(i) match {
-        case '\'' if !inD => inS = !inS
-        case '"' if !inS => inD = !inD
+        case '\'' if !inD => if (inS) inS = false else if (boundary(i)) inS = true
+        case '"' if !inS => if (inD) inD = false else if (boundary(i)) inD = true
         case ':' if !inS && !inD &&
             (i == text.length - 1 || text.charAt(i + 1) == ' ') =>
           return Some((text.substring(0, i).trim, text.substring(i + 1).trim))

@@ -35,10 +35,18 @@ final case class RedisConfig(
 
 final case class TableConfig(
     table: String,
-    engine: Engine.Value = Engine.MergeTree,
+    // ReplacingMergeTree, matching BOTH loaders' missing-engine default
+    // (engineOf; r13 review: the old MergeTree default gave programmatic
+    // construction different sink semantics than the same config loaded
+    // from yaml/properties)
+    engine: Engine.Value = Engine.ReplacingMergeTree,
     autoFullEtl: Boolean = true,     // C4 bootstrap     (synch.yaml:47)
     signColumn: String = "sign",
-    versionColumn: String = "version",
+    // "" = unset, the reference's own default (synch.yaml ships
+    // `version_column:` EMPTY — "optional" for ReplacingMergeTree). The
+    // old "version" default silently resolved on any unrelated source
+    // column that happened to be named `version` (r13 review).
+    versionColumn: String = "",
     partitionBy: Option[String] = None,
     engineSettings: Option[String] = None,
     skipDecimal: Boolean = false,
@@ -122,7 +130,7 @@ object SyncConfig {
             engine = engineOf(Some(t.str("clickhouse_engine", ""))),
             autoFullEtl = t.bool("auto_full_etl", default = true),
             signColumn = t.str("sign_column", "sign"),
-            versionColumn = t.str("version_column", "version"),
+            versionColumn = t.str("version_column", ""),
             partitionBy = t.get("partition_by").flatMap(_.scalar),
             engineSettings = t.get("settings").flatMap(_.scalar),
             skipDecimal = t.bool("skip_decimal", default = false),
@@ -188,7 +196,7 @@ object SyncConfig {
                   engine = engineOf(props.get(s"$base.engine")),
                   autoFullEtl = p(s"$base.auto_full_etl", "true").toBoolean,
                   signColumn = p(s"$base.sign_column", "sign"),
-                  versionColumn = p(s"$base.version_column", "version"),
+                  versionColumn = p(s"$base.version_column", ""),
                   partitionBy = props.get(s"$base.partition_by"),
                   engineSettings = props.get(s"$base.engine_settings"),
                   skipDecimal = p(s"$base.skip_decimal", "false").toBoolean,

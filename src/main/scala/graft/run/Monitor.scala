@@ -31,11 +31,21 @@ object Monitor {
     * driver heap without bound.
     */
   class CollectingListener(maxRetained: Int = 10000) extends StreamingQueryListener {
-    val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
+    private val metrics: mutable.Buffer[BatchMetric] = mutable.Buffer.empty
+    // query id → configured name, captured at start: terminated events
+    // carry only the UUID, and a C6 error row keyed by UUID cannot be
+    // correlated with the named stream it belongs to (r13 review)
+    private val names = mutable.Map.empty[java.util.UUID, String]
+
+    /** A consistent snapshot of the collected metrics — the buffer
+      * itself is private (r13 review: an exposed mutable buffer made
+      * every external read race the listener-bus thread's append/evict
+      * under its own lock). */
+    def snapshot(): Seq[BatchMetric] = metrics.synchronized(metrics.toSeq)
 
     /** Returns the metric it appended so subclasses can act on exactly
-      * that row — re-reading `metrics.last` outside the lock races with
-      * concurrent callbacks from other queries.
+      * that row — re-reading the last element outside the lock races
+      * with concurrent callbacks from other queries.
       */
     protected def record(m: BatchMetric): BatchMetric = {
       metrics.synchronized {
@@ -45,14 +55,16 @@ object Monitor {
       m
     }
 
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      names.synchronized { names(e.id) = Option(e.name).getOrElse(e.id.toString) }
     /** C6 — error alerting: a terminal failure becomes a metric row with
       * the exception recorded (the reference mails it; here it lands in
       * the same monitoring stream/table for the operator's alerting to
-      * pick up). */
+      * pick up), keyed by the query's NAME like every progress row. */
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
       e.exception.foreach { err =>
-        record(BatchMetric(e.id.toString, batchId = -1L,
+        val name = names.synchronized(names.getOrElse(e.id, e.id.toString))
+        record(BatchMetric(name, batchId = -1L,
           numEvents = 0L, System.currentTimeMillis(), error = Some(err)))
       }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {

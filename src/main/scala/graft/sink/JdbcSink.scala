@@ -38,13 +38,19 @@ object JdbcSink {
     * rendering of user data anywhere.
     */
   def executePrepared(t: JdbcTarget, sql: String, binds: Seq[Any]): Unit =
-    withConnection(t) { c =>
-      val ps = c.prepareStatement(sql)
-      try {
-        binds.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
-        ps.execute(); ()
-      } finally ps.close()
-    }
+    withConnection(t)(executeOn(_, sql, binds))
+
+  /** The bind-and-execute body on a caller-owned connection — one
+    * implementation for the per-statement and streamed-chunk paths
+    * (r13 review: the duplicated inline copy is the exact divergence
+    * pattern that bit the produce protocol this same round). */
+  private def executeOn(c: Connection, sql: String, binds: Seq[Any]): Unit = {
+    val ps = c.prepareStatement(sql)
+    try {
+      binds.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
+      ps.execute(); ()
+    } finally ps.close()
+  }
 
   /** K1: bulk append of a typed batch. */
   def appendBatch(df: DataFrame, t: JdbcTarget, table: String): Unit =
@@ -55,20 +61,6 @@ object JdbcSink {
         new java.util.Properties() {
           put("user", t.user); put("password", t.password)
         })
-
-  /** K2: compile and run the batch's deletes as one prepared statement
-    * with bound parameters (single and composite PK alike). `keys` are
-    * collected to the driver — bounded by the micro-batch size, as in the
-    * reference's buffered delete list. Returns the placeholder SQL.
-    */
-  def deleteKeys(t: JdbcTarget, table: String, pk: Seq[String],
-                 keys: Seq[Seq[Any]]): Option[String] =
-    if (keys.isEmpty) None
-    else {
-      val (sql, binds) = ClickHouseDdl.deleteByPkPrepared(t.db, table, pk, keys)
-      executePrepared(t, sql, binds)
-      Some(sql)
-    }
 
   /** Chunked-delete core: drain a key iterator into `chunk`-sized
     * prepared DELETE statements, never holding more than one chunk on
@@ -105,13 +97,7 @@ object JdbcSink {
     import scala.jdk.CollectionConverters._
     withConnection(t) { c =>
       foreachKeyChunk(t.db, table, pk,
-        keys.toLocalIterator().asScala.map(_.toSeq), chunk) { (sql, binds) =>
-        val ps = c.prepareStatement(sql)
-        try {
-          binds.zipWithIndex.foreach { case (v, i) => ps.setObject(i + 1, v) }
-          ps.execute(); ()
-        } finally ps.close()
-      }
+        keys.toLocalIterator().asScala.map(_.toSeq), chunk)(executeOn(c, _, _))
     }
   }
 
@@ -125,17 +111,34 @@ object JdbcSink {
     * must still delete the pre-existing row or the insert duplicates it —
     * the same anti-join-on-touched-keys contract as
     * [[SinkStrategy.mergeTreeApply]].
+    *
+    * `keys` is the table's resolve order ([[graft.run.Consume.keysFor]]
+    * — the configured version column when set, else arrival order): the
+    * r13 review found this leg hardcoding arrival order, so the JDBC
+    * sink could crown a DIFFERENT per-key winner than the parquet state
+    * leg on the same batch whenever a version column was configured.
+    *
+    * `latest` is locally checkpointed before the two actions: the delete
+    * pass (toLocalIterator) and the insert pass (jdbc write) are separate
+    * jobs, and an uncached plan would re-execute the dedup window twice —
+    * and, on exact resolve-order ties, could even crown DIFFERENT winners
+    * in the two passes (r13 review).
     */
   def applyMergeTreeBatch(changelog: DataFrame, t: JdbcTarget, table: String,
-                          pk: Seq[String]): Unit = {
-    val latest = SinkStrategy.latestPerKey(changelog,
-      SinkKeys(pk, versionCol = "event_unixtime", tieBreakers = Seq("action_seq")))
-    val touched = latest.select(pk.map(col): _*).distinct()
-    deleteKeysStreamed(t, table, pk, touched, chunk = t.batchSize)
-    val inserts = latest.filter(col("action") =!= "delete")
-      .orderBy(col("event_unixtime"), col("action_seq"))
-      .drop("action", "event_unixtime", "action_seq")
-    appendBatch(inserts, t, table)
+                          keys: SinkKeys): Unit = {
+    val latest = SinkStrategy.latestPerKey(changelog, keys).localCheckpoint()
+    try {
+      val pk = keys.pkCols
+      val touched = latest.select(pk.map(col): _*).distinct()
+      deleteKeysStreamed(t, table, pk, touched, chunk = t.batchSize)
+      val inserts = latest.filter(col("action") =!= "delete")
+        .orderBy(col("event_unixtime"), col("action_seq"))
+        .drop("action", "event_unixtime", "action_seq")
+      appendBatch(inserts, t, table)
+    } finally latest.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** K5/K6: ensure target database and table exist.

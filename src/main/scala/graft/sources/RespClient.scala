@@ -14,8 +14,19 @@ import java.nio.charset.StandardCharsets.UTF_8
   * (`-ERR ...`) throw. Not thread-safe — one client per polling thread,
   * like the reference's one redis connection per reader process.
   */
-final class RespClient(host: String, port: Int) extends AutoCloseable {
-  private val sock = new Socket(host, port)
+final class RespClient(host: String, port: Int,
+                       connectTimeoutMs: Int = 10000,
+                       readTimeoutMs: Int = 60000) extends AutoCloseable {
+  // both timeouts exist so a half-open connection (broker host dies
+  // without FIN — power loss, partition) FAILS the polling thread
+  // instead of wedging it forever in a blocking read (r13 review): every
+  // command this client issues is non-blocking broker-side (XREAD with
+  // COUNT, never BLOCK), so a read that sits 60 s without a single byte
+  // is a dead peer, not a slow reply — large pipelined replies stream
+  // continuously and reset the timer with every chunk
+  private val sock = new Socket()
+  sock.connect(new java.net.InetSocketAddress(host, port), connectTimeoutMs)
+  sock.setSoTimeout(readTimeoutMs)
   sock.setTcpNoDelay(true)
   private val out = new BufferedOutputStream(sock.getOutputStream)
   private val in = new BufferedInputStream(sock.getInputStream)

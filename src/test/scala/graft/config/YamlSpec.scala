@@ -191,6 +191,34 @@ class YamlSpec extends AnyFunSuite {
     assert(n.str("alias") == "bob's db")
   }
 
+  test("apostrophe inside an unquoted KEY does not swallow the colon (r13)") {
+    // mapKeySplit lacked stripComment's boundary rule, so `o'brien:`
+    // opened a phantom quote at the apostrophe and the line failed to
+    // parse as a mapping
+    val n = MiniYaml.parse("o'brien: value\nplain: x\n")
+    assert(n.str("o'brien") == "value" && n.str("plain") == "x")
+  }
+
+  test("missing version_column stays UNSET (the reference's own empty default)") {
+    // r13 review: the old "version" default silently resolved on any
+    // unrelated source column named `version`; the reference synch.yaml
+    // ships `version_column:` EMPTY ("optional" for ReplacingMergeTree)
+    val cfg = SyncConfig.fromYaml(
+      """mysql:
+        |  host: h
+        |source_dbs:
+        |  - db_type: mysql
+        |    alias: a
+        |    databases:
+        |      - database: db
+        |        tables:
+        |          - table: t
+        |            clickhouse_engine: ReplacingMergeTree
+        |""".stripMargin)
+    assert(cfg.sources.head.databases.head.tables.head.versionColumn == "",
+      "missing version_column must stay unset, never default to 'version'")
+  }
+
   test("YAML-1.1 booleans and long values parse like the reference loader") {
     val cfg = SyncConfig.fromYaml(
       """core:

@@ -44,6 +44,7 @@ class MonitorSpec extends SparkSpec {
       implicit val sc = spark.sqlContext
       val input = MemoryStream[Long]
       val q = input.toDF().writeStream
+        .queryName("c6_error_stream")
         .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
           throw new RuntimeException("boom")
         }.start()
@@ -51,12 +52,16 @@ class MonitorSpec extends SparkSpec {
       intercept[Exception] { q.awaitTermination(30000) }
 
       val deadline = System.currentTimeMillis() + 20000
-      def errors = listener.metrics.synchronized(
-        listener.metrics.filter(_.error.isDefined).toList)
+      def errors = listener.snapshot().filter(_.error.isDefined).toList
       while (errors.isEmpty && System.currentTimeMillis() < deadline)
         Thread.sleep(200)
       assert(errors.nonEmpty, "no error metric recorded")
       assert(errors.head.error.get.contains("boom"))
+      // r13 review: the terminated event carries only the query UUID —
+      // the C6 row must still be keyed by the NAME the progress rows use
+      // (captured at onQueryStarted) or alerting can't correlate them
+      assert(errors.head.queryName == "c6_error_stream",
+        s"error row keyed by ${errors.head.queryName}, not the query name")
     } finally spark.streams.removeListener(listener)
   }
 
@@ -89,8 +94,7 @@ class MonitorSpec extends SparkSpec {
       assert(fired.batchId == -1L)
       // dispatch is record-then-alert: the row is in the metrics buffer
       // even though the callback threw
-      val recorded = listener.metrics.synchronized(
-        listener.metrics.filter(_.error.isDefined).toList)
+      val recorded = listener.snapshot().filter(_.error.isDefined).toList
       assert(recorded.nonEmpty, "error metric lost when callback threw")
       assert(alerts.size == 1, s"expected exactly one alert, got ${alerts.size}")
       // progress rows never alert: only error rows dispatched

@@ -56,7 +56,7 @@ class ProduceSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
 
     // A6: listener captured per-batch counts from the observe() metric
-    assert(listener.metrics.exists(_.numEvents == 2))
+    assert(listener.snapshot().exists(_.numEvents == 2))
   }
 
   test("Kafka leg: wire projection is byte-interchangeable; connector absence fails loudly (waiver pin)") {
