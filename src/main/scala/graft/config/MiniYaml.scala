@@ -65,27 +65,34 @@ object MiniYaml {
     if (lines.isEmpty) YScalar(None) else parseBlock(lines)
   }
 
-  /** Drop a ` # comment` tail (quote-aware) and full-line comments.
-    * A quote OPENS a string only at a value boundary (start of line, or
-    * after space/colon/comma/dash) — an apostrophe inside an unquoted
-    * scalar (`bob's db`) is data, not a delimiter, and treating it as one
-    * made the value absorb its own trailing comment. */
-  private def stripComment(raw: String): String = {
+  /** The ONE boundary-aware quote scanner (r13 meta-review: two
+    * hand-copied scanners drifted once already — mapKeySplit missed the
+    * boundary rule stripComment had). A quote OPENS a string only at a
+    * value boundary (start of line, or after space/colon/comma/dash) —
+    * an apostrophe inside an unquoted scalar (`bob's`) is data, not a
+    * delimiter. Returns the first UNQUOTED index where `hit` is true. */
+  private def firstUnquoted(text: String)(hit: Int => Boolean): Int = {
     var inS = false; var inD = false
     def boundary(i: Int): Boolean =
-      i == 0 || " :,-".contains(raw.charAt(i - 1))
+      i == 0 || " :,-".contains(text.charAt(i - 1))
     var i = 0
-    while (i < raw.length) {
-      raw.charAt(i) match {
+    while (i < text.length) {
+      text.charAt(i) match {
         case '\'' if !inD => if (inS) inS = false else if (boundary(i)) inS = true
         case '"' if !inS => if (inD) inD = false else if (boundary(i)) inD = true
-        case '#' if !inS && !inD && (i == 0 || raw.charAt(i - 1).isWhitespace) =>
-          return raw.substring(0, i)
+        case _ if !inS && !inD && hit(i) => return i
         case _ =>
       }
       i += 1
     }
-    raw
+    -1
+  }
+
+  /** Drop a ` # comment` tail (quote-aware) and full-line comments. */
+  private def stripComment(raw: String): String = {
+    val i = firstUnquoted(raw)(j =>
+      raw.charAt(j) == '#' && (j == 0 || raw.charAt(j - 1).isWhitespace))
+    if (i < 0) raw else raw.substring(0, i)
   }
 
   private def parseBlock(lines: Vector[Line]): Node =
@@ -93,26 +100,13 @@ object MiniYaml {
 
   /** A line opens a mapping iff it has a `key:` head (colon followed by
     * space or end-of-line). Bare scalars like `127.0.0.1:5000` do not.
-    * Quote tracking uses the same value-boundary rule as stripComment
-    * (r13 review): an apostrophe INSIDE an unquoted scalar (`o'brien: x`)
-    * must not open a string and swallow the real colon. */
+    * Shares [[firstUnquoted]]'s scanner, so key splitting and comment
+    * stripping can never disagree on where a string ends. */
   private def mapKeySplit(text: String): Option[(String, String)] = {
-    def boundary(i: Int): Boolean =
-      i == 0 || " :,-".contains(text.charAt(i - 1))
-    var inS = false; var inD = false
-    var i = 0
-    while (i < text.length) {
-      text.charAt(i) match {
-        case '\'' if !inD => if (inS) inS = false else if (boundary(i)) inS = true
-        case '"' if !inS => if (inD) inD = false else if (boundary(i)) inD = true
-        case ':' if !inS && !inD &&
-            (i == text.length - 1 || text.charAt(i + 1) == ' ') =>
-          return Some((text.substring(0, i).trim, text.substring(i + 1).trim))
-        case _ =>
-      }
-      i += 1
-    }
-    None
+    val i = firstUnquoted(text)(j => text.charAt(j) == ':' &&
+      (j == text.length - 1 || text.charAt(j + 1) == ' '))
+    if (i < 0) None
+    else Some((text.substring(0, i).trim, text.substring(i + 1).trim))
   }
 
   private def cleanScalar(s: String): YScalar = {

@@ -61,12 +61,17 @@ object Monitor {
       * the exception recorded (the reference mails it; here it lands in
       * the same monitoring stream/table for the operator's alerting to
       * pick up), keyed by the query's NAME like every progress row. */
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      // resolve-and-EVICT: a weeks-long driver restarting queries would
+      // otherwise grow the map one UUID per start, forever (a restart
+      // re-fires onQueryStarted, so eviction loses nothing)
+      val name = names.synchronized(
+        names.remove(e.id).getOrElse(e.id.toString))
       e.exception.foreach { err =>
-        val name = names.synchronized(names.getOrElse(e.id, e.id.toString))
         record(BatchMetric(name, batchId = -1L,
           numEvents = 0L, System.currentTimeMillis(), error = Some(err)))
       }
+    }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
       val observed = Option(p.observedMetrics.get("graft_monitor"))

@@ -170,7 +170,13 @@ object JdbcSink {
       case Engine.ReplacingMergeTree =>
         // no configured version → ClickHouse's no-arg last-insert-wins form
         versionColumn.getOrElse("")
-      case Engine.VersionedCollapsingMergeTree => versionColumn.getOrElse("version")
+      case Engine.VersionedCollapsingMergeTree =>
+        // never an implicit "version": the engine clause would then
+        // collapse on a column the resolve leg (keysFor → arrival
+        // order) never consulted — the split-legs shape the r13
+        // meta-review flagged. Same contract as Main.syncTables.
+        versionColumn.getOrElse(sys.error(
+          "VersionedCollapsingMergeTree requires an explicit version column"))
       case _ => versionColumn.getOrElse("version")
     }
     if (ver.nonEmpty && (engine == Engine.ReplacingMergeTree ||
