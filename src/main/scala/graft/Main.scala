@@ -272,18 +272,20 @@ object Main {
 
     def syncTables: Seq[(graft.config.SourceConfig, TableSync)] =
       selected.map { case (src, d, t) =>
-        val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
         // the reference's own contract (synch.yaml: "need when
         // clickhouse_engine=VersionedCollapsingMergeTree"): that engine
         // collapses BY version, so an unset version_column must fail at
-        // config time — silently resolving on arrival order here while
-        // the DDL leg declares a version column splits the two legs'
-        // winners (r13 meta-review of 125652f)
+        // config time — BEFORE the per-table source schema read below,
+        // so the purely-config-derived refusal costs zero connections —
+        // silently resolving on arrival order here while the DDL leg
+        // declares a version column would split the two legs' winners
+        // (r13 meta-review of 125652f)
         require(t.engine != Engine.VersionedCollapsingMergeTree ||
           t.versionColumn.nonEmpty,
           s"${d.database}.${t.table}: VersionedCollapsingMergeTree requires " +
             "an explicit version_column (the reference marks it 'need when' " +
             "for this engine)")
+        val schema = FullEtl.read(spark, source(src, d.database, t.table)).schema
         src -> TableSync(d.database, t.table, schema,
           syncPk(src, d.database, t, schema), t.engine,
           // only a REAL source column can order the resolves; a
