@@ -512,6 +512,121 @@ def x_ann_ivfpq_trained_topk(sf, k=10, nlist=4, nprobe=2, m=8, ncode=16,
     return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "adc"])
 
 
+# ------------------------------------------------- signatures & graph
+
+def distinct_grams(text, n):
+    tk = tokens(None if text is None else text)
+    if len(tk) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(tk) - n + 1):
+        g = " ".join(tk[i:i + n])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def x_dedup_simhash(sf):
+    """32-bit SimHash (Charikar 2002) over distinct tokens: per-bit vote
+    of the portable hash, bit set iff votes > 0."""
+    docs = load_table(sf, "documents")
+    rows = []
+    for _, r in docs.iterrows():
+        toks = distinct_grams(r["text"], 1)
+        if not toks:
+            continue
+        votes = [0] * 32
+        for t in toks:
+            h = poly_hash(t)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(32) if votes[b] > 0)
+        rows.append((r["doc_id"], sig))
+    return pd.DataFrame(rows, columns=["doc_id", "simhash"])
+
+
+def minhash_band_rows(docs, n=3, k=8, bands=4):
+    """(doc_id, band_idx, bucket) rows: k permutation minima over distinct
+    word n-grams, folded per band as acc=(acc*31+v) mod P seeded with the
+    band index — the engine's documented LSH blocking."""
+    rows = []
+    per = k // bands
+    for _, r in docs.iterrows():
+        grams = distinct_grams(r["text"], n)
+        if not grams:
+            continue
+        hashes = [poly_hash(g) for g in grams]
+        mins = [min((h * A[j] + B[j]) % P for h in hashes) for j in range(k)]
+        for b in range(bands):
+            acc = b
+            for v in mins[b * per:(b + 1) * per]:
+                acc = (acc * 31 + v) % P
+            rows.append((r["doc_id"], b, acc))
+    return rows
+
+
+def minhash_pairs(docs, max_bucket=64):
+    band_rows = minhash_band_rows(docs)
+    groups = defaultdict(list)
+    for did, b, bucket in band_rows:
+        groups[(b, bucket)].append(did)
+    pairs = set()
+    for ids in groups.values():
+        if len(ids) > max_bucket:
+            continue  # hot-bucket cap: giant exact-dup families drop
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def x_graph_pagerank(sf, iters=5, scale=1000000):
+    """Fixed-point integer PageRank (d=0.85) over the MinHash near-dup
+    graph: undirected edges, contrib = floor(r/deg), r' = 0.15*scale +
+    floor(85*sum/100) — exact integer arithmetic end to end."""
+    docs = load_table(sf, "documents")
+    eligible = docs[[len(tokens(t if t is not None else None)) >= 3
+                     for t in docs["text"]]]
+    pairs = minhash_pairs(eligible)
+    adj_out = defaultdict(list)  # src -> dsts (undirected: both ways)
+    for a, b in pairs:
+        adj_out[a].append(b)
+        adj_out[b].append(a)
+    ids = list(docs["doc_id"])
+    ranks = {i: scale for i in ids}
+    base = 15 * scale // 100
+    for _ in range(iters):
+        incoming = defaultdict(int)
+        for src, dsts in adj_out.items():
+            c = ranks[src] // len(dsts)
+            for d in dsts:
+                incoming[d] += c
+        ranks = {i: base + (85 * incoming.get(i, 0)) // 100 for i in ids}
+    return pd.DataFrame(sorted(ranks.items()), columns=["doc_id", "rank_units"])
+
+
+def x_corpus_zorder(sf, bits=16, n_buckets=16):
+    """Morton (Z-order) interleave of clamped (n_chars, token count):
+    x on even bits, y on odd; bucket = top log2(nBuckets) bits."""
+    docs = load_table(sf, "documents")
+    maxv = (1 << bits) - 1
+    shift = 2 * bits - n_buckets.bit_length() + 1  # log2(nBuckets) top bits
+    rows = []
+    for _, r in docs.iterrows():
+        zx = min(int(r["n_chars"]), maxv)
+        # Spark's least() skips nulls: a null text's token count clamps
+        # to the max, mirroring least(null, maxv) = maxv
+        zy = maxv if r["text"] is None else min(len(tokens(r["text"])), maxv)
+        z = 0
+        for b in range(bits):
+            z |= ((zx >> b) & 1) << (2 * b)
+            z |= ((zy >> b) & 1) << (2 * b + 1)
+        rows.append((r["doc_id"], zx, zy, z, z >> shift))
+    return pd.DataFrame(rows, columns=["doc_id", "zx", "zy", "zvalue", "zbucket"])
+
+
 # ---------------------------------------------------------------- main
 
 CHECKS = {
@@ -529,6 +644,9 @@ CHECKS = {
     "corpus_bpe_learn100": x_corpus_bpe_learn100,
     "ann_pq_topk": x_ann_pq_topk,
     "ann_ivfpq_trained_topk": x_ann_ivfpq_trained_topk,
+    "dedup_simhash": x_dedup_simhash,
+    "graph_pagerank": x_graph_pagerank,
+    "corpus_zorder": x_corpus_zorder,
 }
 
 
