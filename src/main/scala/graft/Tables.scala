@@ -44,7 +44,15 @@ object Tables {
         // division would round the ns value
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // µs generation: reinterpret the naive value in the UTC session
+        // µs generation: reinterpret the naive value — correct ONLY in a
+        // UTC session, which this loader exists to guarantee (r13
+        // review: on a caller's non-UTC session the cast silently
+        // shifted every instant by the zone offset; fail loudly instead)
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts normalization requires a UTC session (got '$tz'): " +
+            "build the session with Tables.session() or set " +
+            "spark.sql.session.timeZone=UTC")
         df.withColumn("ts", col("ts").cast("timestamp_ltz"))
       case _ => df
     }

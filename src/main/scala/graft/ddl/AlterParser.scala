@@ -29,14 +29,19 @@ object AlterParser {
     * schema evolution doesn't silently keep the old one; None only for
     * tolerant parses of non-MySQL dialects that omit it. */
   final case class ChangeColumn(oldName: String, newName: String,
-                                dataType: Option[String] = None) extends AlterAction
+                                dataType: Option[String] = None,
+                                notNull: Boolean = false) extends AlterAction
   final case class ModifyColumn(column: String, dataType: String, notNull: Boolean,
                                 default: Option[String], comment: Option[String]) extends AlterAction
 
   final case class ParsedAlter(table: String, action: AlterAction)
 
   private val Ident = """(`[^`]+`|[\w$]+)"""
-  private val Type = """([a-zA-Z]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"""
+  // UNSIGNED rides inside the captured type (r13 review): dropping it
+  // mapped unsigned MySQL integers to same-width SIGNED types, and a
+  // legal value past the signed range then silently from_json-nulled in
+  // state. TypeMap widens unsigned one step per integer width.
+  private val Type = """([a-zA-Z]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+unsigned)?)"""
   private val Head = ("""(?is)\s*alter\s+table\s+((?:[\w$]+|`[^`]+`)(?:\.(?:[\w$]+|`[^`]+`))?)\s+(.*?)\s*;?\s*$""").r
 
   private val Add = ("""(?is)add\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
@@ -57,13 +62,26 @@ object AlterParser {
     "index", "key", "primary", "unique", "constraint", "foreign",
     "fulltext", "spatial", "partition", "check")
 
+  /** Backtick-stripped identifier — the comparison form Consume's
+    * evolveSchema/renamesIn use; renderers must match it or a mixed-
+    * quoting same-name CHANGE renders an invalid self-rename. */
+  private def bare(ident: String): String =
+    if (ident.length >= 2 && ident.startsWith("`") && ident.endsWith("`"))
+      ident.substring(1, ident.length - 1)
+    else ident
+
   private def isColumnIdent(ident: String): Boolean =
     ident.startsWith("`") || !NonColumnWords.contains(ident.toLowerCase)
 
-  private def stripSchema(table: String): String = {
-    val t = table.split('.').last
-    if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
-  }
+  /** The table part of a possibly schema-qualified name, backticks
+    * stripped. The last IDENT, not the last dot-segment (r13 review): a
+    * dot inside a backticked name is part of the name, and the old
+    * split on dots mangled it into a name no TableSync matches — the
+    * DDL then silently skipped schema evolution. */
+  private def stripSchema(table: String): String =
+    """(?:`([^`]+)`|([\w$]+))\s*$""".r.findFirstMatchIn(table)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      .getOrElse(table)
 
   // Constraint detection must not read inside COMMENT '...' literals
   // ("COMMENT 'not null by default'" is documentation, not a constraint).
@@ -85,11 +103,24 @@ object AlterParser {
     case Head(table, body) =>
       val t = stripSchema(table)
       body match {
+        case _ if multiClause(body) =>
+          // a multi-clause ALTER must be REFUSED whole, never half-parsed
+          // (r13 review): matching only the first clause mis-read the
+          // later clauses' constraints into the first column's tail
+          // (NOT NULL bleed) and silently never created the later
+          // columns — post-ALTER rows' values for them from_json-nulled
+          // in state with no error anywhere. The reference half-parses
+          // here too (convert.py takes alter_specification[0]); refusing
+          // loudly (None -> log/park) is the same deliberate-divergence
+          // class as the T3 dead-guard fix. Split multi-clause ALTERs
+          // upstream into per-clause statements.
+          None
         case Add(name, dt, rest) if isColumnIdent(name) =>
           val (nn, d, c, pos) = tail(rest)
           Some(ParsedAlter(t, AddColumn(name, dt, nn, d, c, pos)))
-        case ChangeTyped(oldN, newN, dt, _) if isColumnIdent(oldN) =>
-          Some(ParsedAlter(t, ChangeColumn(oldN, newN, Some(dt))))
+        case ChangeTyped(oldN, newN, dt, rest) if isColumnIdent(oldN) =>
+          val (nn, _, _, _) = tail(rest)
+          Some(ParsedAlter(t, ChangeColumn(oldN, newN, Some(dt), nn)))
         case Change(oldN, newN, _) if isColumnIdent(oldN) =>
           Some(ParsedAlter(t, ChangeColumn(oldN, newN)))
         case Modify(name, dt, rest) if isColumnIdent(name) =>
@@ -101,6 +132,16 @@ object AlterParser {
       }
     case _ => None
   }
+
+  // a top-level comma followed by another clause keyword, with string
+  // literals removed first (a comma inside DEFAULT 'a,b' or COMMENT
+  // '...' is data; one inside DECIMAL(10,2) is followed by digits, not
+  // a keyword, so it never matches)
+  private val StringLiteral = """'(?:[^']|'')*'""".r
+  private val ClauseSep =
+    """(?is),\s*(?:add|drop|change|modify|rename|alter)\b""".r
+  private def multiClause(body: String): Boolean =
+    ClauseSep.findFirstIn(StringLiteral.replaceAllIn(body, "__lit__")).isDefined
 
   /** Render the ClickHouse-dialect DDL for a parsed ALTER, matching the
     * reference goldens exactly (tests/test_sql_convent.py).
@@ -115,11 +156,14 @@ object AlterParser {
           s"alter table $target add column $name $tpe$cmt"
         case DropColumn(name) =>
           s"alter table $target drop column $name"
-        case ChangeColumn(oldN, newN, dt) if oldN == newN && dt.isDefined =>
+        case ChangeColumn(oldN, newN, dt, nn) if bare(oldN) == bare(newN) && dt.isDefined =>
           // same-name CHANGE is MySQL's idiomatic type change — a rename
-          // rendering would be a no-op and silently drop the retype
-          s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = true)}"
-        case ChangeColumn(oldN, newN, _) =>
+          // rendering would be a no-op and silently drop the retype.
+          // bare() comparison (r13 review): mixed quoting (`qty` vs qty)
+          // is still the same column, and the restated NOT NULL is
+          // honored like the MODIFY path instead of hardcoding Nullable
+          s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = !nn)}"
+        case ChangeColumn(oldN, newN, _, _) =>
           s"alter table $target rename column $oldN to $newN"
         case ModifyColumn(name, dt, notNull, default, comment) =>
           val tpe = TypeMap.render(dt, nullable = !notNull)
@@ -144,9 +188,9 @@ object AlterParser {
           s"ALTER TABLE $target ADD COLUMNS ($name $tpe$cmt)"
         case DropColumn(name) =>
           s"ALTER TABLE $target DROP COLUMN $name"
-        case ChangeColumn(oldN, newN, dt) if oldN == newN && dt.isDefined =>
+        case ChangeColumn(oldN, newN, dt, _) if bare(oldN) == bare(newN) && dt.isDefined =>
           s"ALTER TABLE $target ALTER COLUMN $newN TYPE ${TypeMap.toSpark(dt.get).sql}"
-        case ChangeColumn(oldN, newN, _) =>
+        case ChangeColumn(oldN, newN, _, _) =>
           // a rename that ALSO retypes renders the rename only — Spark SQL
           // has no single-statement form; the store-side evolution
           // (Consume.evolveSchema/liftSlice) applies the retype to state

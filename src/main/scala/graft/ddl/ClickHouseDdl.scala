@@ -90,7 +90,10 @@ object ClickHouseDdl {
                   cluster: Option[String] = None): String = {
     val cols = schema.fields.map { f =>
       val nullable = f.nullable && !pk.contains(f.name)
-      s"`${f.name}` ${renderType(f.dataType, nullable)}"
+      // unconditional backticks (the reference-golden form), but with
+      // embedded backticks DOUBLED like quoteId does (r13 review: an
+      // unescaped backtick in a column name rendered malformed DDL)
+      s"`${f.name.replace("`", "``")}` ${renderType(f.dataType, nullable)}"
     }.mkString(", ")
     val quoted = pk.map(quoteId)
     val orderBy = if (quoted.size == 1) quoted.head else quoted.mkString("(", ",", ")")

@@ -8,9 +8,17 @@ import java.sql.Types
   * quoting — the rebuild's home for the reference's type-rendering concern
   * (T5 type map + the decimal precision fix, synch/convert.py:28-46,
   * synch/writer/__init__.py:55-76). Register once per JVM:
-  * `ClickHouseDialect.register()`; then `df.write.jdbc` against a
-  * `jdbc:clickhouse:` URL renders correct DDL types without the
-  * reference's post-create ALTER pass.
+  * `ClickHouseDialect.register()`.
+  *
+  * NULLABILITY LIMIT (r13 review): Spark's JDBC auto-create renders a
+  * nullable column as the bare type (the JdbcDialect API exposes no
+  * per-field nullability), and ClickHouse bare types are NON-nullable —
+  * so a `df.write.jdbc` that CREATES its target rejects the first NULL
+  * batch. Pre-create tables with [[graft.sink.JdbcSink.ensureTable]]
+  * (whose [[ClickHouseDdl.createTable]] wraps Nullable(...) per field,
+  * PK columns excepted) and let the writer append; this dialect then
+  * only needs to render types for predicates/casts, which it does
+  * correctly.
   */
 object ClickHouseDialect extends JdbcDialect {
 

@@ -13,20 +13,34 @@ import org.apache.spark.sql.types._
   */
 object TypeMap {
 
-  /** A parsed source type, e.g. `decimal(16,2)` → ("decimal", Seq(16, 2)). */
-  final case class SourceType(name: String, params: Seq[Int])
+  /** A parsed source type, e.g. `decimal(16,2)` → ("decimal", Seq(16, 2)).
+    * `unsigned` carries MySQL's modifier: an unsigned integer's range
+    * does NOT fit the same-width signed type (r13 review — dropping the
+    * modifier silently from_json-nulled legal values past the signed
+    * max), so the mappings below widen one step per width. */
+  final case class SourceType(name: String, params: Seq[Int],
+                              unsigned: Boolean = false)
 
-  private val TypeRe = """(?i)\s*([a-z]+)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?\s*""".r
+  private val TypeRe =
+    """(?i)\s*([a-z]+)\s*(?:\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\))?(?:\s+(unsigned))?\s*""".r
 
   def parse(raw: String): SourceType = raw match {
-    case TypeRe(name, p1, p2) =>
+    case TypeRe(name, p1, p2, u) =>
       SourceType(name.toLowerCase,
-        Seq(Option(p1), Option(p2)).flatten.map(_.toInt))
+        Seq(Option(p1), Option(p2)).flatten.map(_.toInt),
+        unsigned = u != null)
     case _ => SourceType(raw.trim.toLowerCase, Nil)
   }
 
-  /** MySQL/Postgres type name → ClickHouse type (synch/convert.py:28-46). */
+  /** MySQL/Postgres type name → ClickHouse type (synch/convert.py:28-46;
+    * unsigned integers take ClickHouse's native UInt widths — the
+    * reference's map ignores the modifier and overflows, a deliberate
+    * divergence like the T3 dead-guard fix). */
   def toClickHouse(t: SourceType): String = t.name match {
+    case "tinyint" if t.unsigned   => "UInt8"
+    case "smallint" if t.unsigned  => "UInt16"
+    case "int" | "integer" | "mediumint" if t.unsigned => "UInt32"
+    case "bigint" if t.unsigned    => "UInt64"
     case "date"                       => "Date"
     case "datetime" | "timestamp"     => "DateTime"
     case "bool" | "boolean"           => "UInt8"
@@ -55,8 +69,14 @@ object TypeMap {
     if (nullable) s"Nullable($base)" else base
   }
 
-  /** Same source type → Spark Catalyst type (drives JDBC snapshot schema). */
+  /** Same source type → Spark Catalyst type (drives JDBC snapshot schema).
+    * Spark has no unsigned integrals, so unsigned widens one step
+    * (bigint unsigned → Decimal(20,0), the full 2^64 range). */
   def toSpark(t: SourceType): DataType = t.name match {
+    case "tinyint" if t.unsigned   => ShortType
+    case "smallint" if t.unsigned  => IntegerType
+    case "int" | "integer" | "mediumint" if t.unsigned => LongType
+    case "bigint" if t.unsigned    => DecimalType(20, 0)
     case "date"                          => DateType
     case "datetime" | "timestamp"        => TimestampType
     case "bool" | "boolean"              => BooleanType

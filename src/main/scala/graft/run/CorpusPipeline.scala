@@ -34,6 +34,15 @@ object CorpusPipeline {
   final case class Config(
       minTokens: Long = 10L,
       maxTokens: Long = 100000L,
+      // the quality filter's remaining knobs, surfaced with the SAME
+      // defaults TextOps.corpusFilter applies (r13 review: they used to
+      // be hidden — a CJK/code corpus tripping the avg-token-length rule
+      // had no Config path to relax it and silently lost most documents)
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 12.0,
+      minDistinctRatio: Double = 0.1,
+      minStopRatio: Double = 0.0,
+      maxWebMarks: Long = Long.MaxValue,
       paragraphSep: Option[String] = None,
       nearDupThreshold: Double = 0.5,
       decontaminateNgram: Int = 5,
@@ -77,7 +86,10 @@ object CorpusPipeline {
 
     val kept = stage("quality_filter", input.join(
       TextOps.corpusFilter(input, minTokens = cfg.minTokens,
-        maxTokens = cfg.maxTokens)
+        maxTokens = cfg.maxTokens,
+        minAvgLen = cfg.minAvgTokenLen, maxAvgLen = cfg.maxAvgTokenLen,
+        minDistinctRatio = cfg.minDistinctRatio,
+        minStopRatio = cfg.minStopRatio, maxWebMarks = cfg.maxWebMarks)
         .filter(col("keep")).select(col("doc_id")),
       "doc_id"))
 
@@ -122,7 +134,10 @@ object CorpusPipeline {
         .select(col("doc_id"), col("split")), "doc_id"))
 
     CorpusOps.exportShards(split, outDir, cfg.nShards)
-    report += StageCount("sharded", cfg.nShards.toLong)
+    // rows = the EXPORTED document count like every other stage row (r13
+    // review: storing the shard count here made the final report read as
+    // a near-total drop at export); the shard count rides in the name
+    report += StageCount(s"sharded[${cfg.nShards}]", split.count())
     prevStage.foreach(unpersistCheckpoint)
     report.toSeq
   }

@@ -52,7 +52,7 @@ class DdlSpec extends AnyFunSuite {
     // silently dropped (schema evolution reads it for the retype half)
     assert(AlterParser.parse("alter table test change column qty qty2 bigint not null")
       .contains(AlterParser.ParsedAlter("test",
-        AlterParser.ChangeColumn("qty", "qty2", Some("bigint")))))
+        AlterParser.ChangeColumn("qty", "qty2", Some("bigint"), notNull = true))))
   }
 
   test("same-name change is a type change, not a rename") {
@@ -126,5 +126,62 @@ class DdlSpec extends AnyFunSuite {
       .contains("ALTER TABLE db.test ADD COLUMNS (name STRING)"))
     assert(AlterParser.toSparkSql("db", "alter table test drop column name")
       .contains("ALTER TABLE db.test DROP COLUMN name"))
+  }
+
+  test("multi-clause ALTERs are REFUSED whole, never half-parsed (r13)") {
+    // the old parser matched the first clause and swallowed the rest into
+    // its constraint tail: column `a` picked up clause 2's NOT NULL and
+    // column `b` was silently never created (state nulled its values).
+    // The reference half-parses too (convert.py alter_specification[0]) —
+    // refusing loudly is the deliberate-divergence class of the T3 fix.
+    assert(AlterParser.parse(
+      "alter table t add column a int, add column b int not null").isEmpty)
+    assert(AlterParser.parse(
+      "alter table t drop column a, drop column b").isEmpty)
+    assert(AlterParser.parse(
+      "alter table t change a a bigint, modify b int").isEmpty)
+    // commas inside type params and string literals are NOT clause breaks
+    assert(AlterParser.parse(
+      "alter table t add column d decimal(10,2)").isDefined)
+    assert(AlterParser.parse(
+      "alter table t add column e varchar(9) default 'a, add column fake int'")
+      .isDefined)
+  }
+
+  test("UNSIGNED widens one integer step instead of overflowing (r13)") {
+    // dropping the modifier mapped unsigned columns to same-width SIGNED
+    // types; a legal value past the signed max then from_json-nulled in
+    // state. ClickHouse takes its native UInt widths.
+    assert(TypeMap.toClickHouse("int unsigned") == "UInt32")
+    assert(TypeMap.toClickHouse("bigint unsigned") == "UInt64")
+    assert(TypeMap.toSpark("int unsigned") == LongType)
+    assert(TypeMap.toSpark("bigint unsigned") == DecimalType(20, 0))
+    assert(TypeMap.toSpark("tinyint unsigned") == ShortType)
+    assert(AlterParser.toClickHouse("db", "alter table t add column c int unsigned")
+      .contains(("db", "alter table db.t add column c Nullable(UInt32)")))
+  }
+
+  test("mixed-quoting same-name CHANGE is a retype, not an invalid self-rename (r13)") {
+    // `CHANGE `qty` qty BIGINT`: raw comparison saw two different
+    // idents and rendered RENAME qty TO qty, which Spark rejects — while
+    // Consume.evolveSchema (bare comparison) had already retyped state
+    assert(AlterParser.toSparkSql("db", "alter table t change `qty` qty bigint")
+      .contains("ALTER TABLE db.t ALTER COLUMN qty TYPE BIGINT"))
+    assert(AlterParser.toClickHouse("db", "alter table t change `qty` qty bigint")
+      .contains(("db", "alter table db.t modify column qty Nullable(Int64)")))
+  }
+
+  test("same-name CHANGE honors the restated NOT NULL like MODIFY does (r13)") {
+    assert(AlterParser.toClickHouse("db", "alter table t change qty qty bigint not null")
+      .contains(("db", "alter table db.t modify column qty Int64")))
+  }
+
+  test("a backticked table name containing a dot survives stripSchema (r13)") {
+    // the old split('.') mangled `a.b` into "b`" — a table no TableSync
+    // matches, so the DDL silently skipped schema evolution
+    assert(AlterParser.parse("alter table `a.b` add column c int")
+      .exists(_.table == "a.b"))
+    assert(AlterParser.parse("alter table db.`a.b` add column c int")
+      .exists(_.table == "a.b"))
   }
 }

@@ -20,7 +20,11 @@ class CorpusPipelineSpec extends SparkSpec {
 
     val byStage = report.map(s => s.stage -> s.rows).toMap
     assert(report.map(_.stage) == Seq("input", "quality_filter", "exact_dedup",
-      "near_dedup", "decontaminate", "mixture", "split_assign", "sharded"))
+      "near_dedup", "decontaminate", "mixture", "split_assign", "sharded[4]"))
+    // r13 review: the sharded row's rows field is the EXPORTED document
+    // count like every other stage (it used to hold the shard count,
+    // which read as a near-total drop at export)
+    assert(byStage("sharded[4]") == byStage("split_assign"))
     // monotone pruning through the document stages
     val chain = Seq("input", "quality_filter", "exact_dedup", "near_dedup",
       "decontaminate", "mixture", "split_assign").map(byStage)
