@@ -49,7 +49,12 @@ object Tables {
         // review: on a caller's non-UTC session the cast silently
         // shifted every instant by the zone offset; fail loudly instead)
         val tz = spark.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
+        // zone-NORMALIZED check (r13 meta-review): Etc/UTC, GMT, +00:00
+        // are all genuinely UTC and must pass; string equality broke them
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: Exception => false }
+        require(isUtc,
           s"events.ts normalization requires a UTC session (got '$tz'): " +
             "build the session with Tables.session() or set " +
             "spark.sql.session.timeZone=UTC")

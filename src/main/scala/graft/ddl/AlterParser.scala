@@ -30,7 +30,9 @@ object AlterParser {
     * tolerant parses of non-MySQL dialects that omit it. */
   final case class ChangeColumn(oldName: String, newName: String,
                                 dataType: Option[String] = None,
-                                notNull: Boolean = false) extends AlterAction
+                                notNull: Boolean = false,
+                                default: Option[String] = None,
+                                comment: Option[String] = None) extends AlterAction
   final case class ModifyColumn(column: String, dataType: String, notNull: Boolean,
                                 default: Option[String], comment: Option[String]) extends AlterAction
 
@@ -62,10 +64,11 @@ object AlterParser {
     "index", "key", "primary", "unique", "constraint", "foreign",
     "fulltext", "spatial", "partition", "check")
 
-  /** Backtick-stripped identifier — the comparison form Consume's
-    * evolveSchema/renamesIn use; renderers must match it or a mixed-
-    * quoting same-name CHANGE renders an invalid self-rename. */
-  private def bare(ident: String): String =
+  /** Backtick-stripped identifier — THE comparison form for column
+    * names engine-wide (Consume's evolveSchema/renamesIn import this;
+    * r13 meta-review: a second hand copy had already drifted on the
+    * length guard). */
+  private[graft] def bare(ident: String): String =
     if (ident.length >= 2 && ident.startsWith("`") && ident.endsWith("`"))
       ident.substring(1, ident.length - 1)
     else ident
@@ -85,7 +88,11 @@ object AlterParser {
 
   // Constraint detection must not read inside COMMENT '...' literals
   // ("COMMENT 'not null by default'" is documentation, not a constraint).
-  private val CommentLiteral = """(?is)\bcomment\s+'(?:[^']|'')*'""".r
+  // both literal forms MySQL emits: ''-doubling AND backslash escaping
+  // (r13 meta-review: an escaped quote ended the literal early and a
+  // comma after it falsely tripped the multi-clause refusal)
+  private val CommentLiteral =
+    """(?is)\bcomment\s+'(?:[^'\\]|\\.|'')*'""".r
 
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
     val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
@@ -119,8 +126,8 @@ object AlterParser {
           val (nn, d, c, pos) = tail(rest)
           Some(ParsedAlter(t, AddColumn(name, dt, nn, d, c, pos)))
         case ChangeTyped(oldN, newN, dt, rest) if isColumnIdent(oldN) =>
-          val (nn, _, _, _) = tail(rest)
-          Some(ParsedAlter(t, ChangeColumn(oldN, newN, Some(dt), nn)))
+          val (nn, d, c, _) = tail(rest)
+          Some(ParsedAlter(t, ChangeColumn(oldN, newN, Some(dt), nn, d, c)))
         case Change(oldN, newN, _) if isColumnIdent(oldN) =>
           Some(ParsedAlter(t, ChangeColumn(oldN, newN)))
         case Modify(name, dt, rest) if isColumnIdent(name) =>
@@ -137,7 +144,7 @@ object AlterParser {
   // literals removed first (a comma inside DEFAULT 'a,b' or COMMENT
   // '...' is data; one inside DECIMAL(10,2) is followed by digits, not
   // a keyword, so it never matches)
-  private val StringLiteral = """'(?:[^']|'')*'""".r
+  private val StringLiteral = """'(?:[^'\\]|\\.|'')*'""".r
   private val ClauseSep =
     """(?is),\s*(?:add|drop|change|modify|rename|alter)\b""".r
   private def multiClause(body: String): Boolean =
@@ -156,14 +163,16 @@ object AlterParser {
           s"alter table $target add column $name $tpe$cmt"
         case DropColumn(name) =>
           s"alter table $target drop column $name"
-        case ChangeColumn(oldN, newN, dt, nn) if bare(oldN) == bare(newN) && dt.isDefined =>
+        case ChangeColumn(oldN, newN, dt, nn, d, c) if bare(oldN) == bare(newN) && dt.isDefined =>
           // same-name CHANGE is MySQL's idiomatic type change — a rename
           // rendering would be a no-op and silently drop the retype.
           // bare() comparison (r13 review): mixed quoting (`qty` vs qty)
           // is still the same column, and the restated NOT NULL is
           // honored like the MODIFY path instead of hardcoding Nullable
-          s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = !nn)}"
-        case ChangeColumn(oldN, newN, _, _) =>
+          val dft = d.map(x => s" default '$x'").getOrElse("")
+          val cmt = c.map(x => s" comment '$x'").getOrElse("")
+          s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = !nn)}$dft$cmt"
+        case ChangeColumn(oldN, newN, _, _, _, _) =>
           s"alter table $target rename column $oldN to $newN"
         case ModifyColumn(name, dt, notNull, default, comment) =>
           val tpe = TypeMap.render(dt, nullable = !notNull)
@@ -188,9 +197,9 @@ object AlterParser {
           s"ALTER TABLE $target ADD COLUMNS ($name $tpe$cmt)"
         case DropColumn(name) =>
           s"ALTER TABLE $target DROP COLUMN $name"
-        case ChangeColumn(oldN, newN, dt, _) if bare(oldN) == bare(newN) && dt.isDefined =>
+        case ChangeColumn(oldN, newN, dt, _, _, _) if bare(oldN) == bare(newN) && dt.isDefined =>
           s"ALTER TABLE $target ALTER COLUMN $newN TYPE ${TypeMap.toSpark(dt.get).sql}"
-        case ChangeColumn(oldN, newN, _, _) =>
+        case ChangeColumn(oldN, newN, _, _, _, _) =>
           // a rename that ALSO retypes renders the rename only — Spark SQL
           // has no single-statement form; the store-side evolution
           // (Consume.evolveSchema/liftSlice) applies the retype to state

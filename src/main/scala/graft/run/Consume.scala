@@ -60,10 +60,9 @@ object Consume {
         t.valueSchema.fieldNames.map(f => col(s"_v.$f").as(f)): _*)
   }
 
-  private def bare(ident: String): String =
-    if (ident.startsWith("`") && ident.endsWith("`"))
-      ident.substring(1, ident.length - 1)
-    else ident
+  // the ONE backtick-stripping form, shared with the renderers (r13
+  // meta-review: a hand copy here had already dropped the length guard)
+  import graft.ddl.AlterParser.bare
 
   /** Evolve a value schema by one parsed ALTER — the StructType analogue
     * of what the source database did, so rows logged AFTER the ALTER can
@@ -83,7 +82,7 @@ object Consume {
         else schema.add(f)
       case DropColumn(name) =>
         StructType(schema.filterNot(_.name == bare(name)))
-      case ChangeColumn(o, n, dt, _) =>
+      case ChangeColumn(o, n, dt, _, _, _) =>
         // CHANGE restates the type — a same-name CHANGE is a pure retype
         val (bo, bn) = (bare(o), bare(n))
         if (bo != bn && schema.fieldNames.contains(bo) &&
@@ -123,7 +122,7 @@ object Consume {
       case AddColumn(name, dt, _, _, _, _) =>
         df.withColumn(bare(name), lit(null).cast(graft.ddl.TypeMap.toSpark(dt)))
       case DropColumn(name) => df.drop(bare(name))
-      case ChangeColumn(o, n, dt, _) =>
+      case ChangeColumn(o, n, dt, _, _, _) =>
         val (bo, bn) = (bare(o), bare(n))
         val renamed =
           if (bo == bn) df
@@ -170,7 +169,7 @@ object Consume {
       later: Seq[graft.ddl.AlterParser.AlterAction]): StructType = {
     import graft.ddl.AlterParser.ChangeColumn
     later.reverse.foldLeft(schema) {
-      case (s, ChangeColumn(o, n, _, _))
+      case (s, ChangeColumn(o, n, _, _, _, _))
           if bare(o) != bare(n) && !s.fieldNames.contains(bare(o)) &&
             s.fieldNames.contains(bare(n)) =>
         s.add(org.apache.spark.sql.types.StructField(
@@ -431,7 +430,7 @@ object Consume {
     ddls.sortBy(_._2).flatMap { case (stmt, _) =>
       graft.ddl.AlterParser.parse(stmt) match {
         case Some(graft.ddl.AlterParser.ParsedAlter(tbl,
-            graft.ddl.AlterParser.ChangeColumn(o, n, _, _)))
+            graft.ddl.AlterParser.ChangeColumn(o, n, _, _, _, _)))
           if bare(o) != bare(n) => Some((tbl, bare(o), bare(n)))
         case _ => None
       }
@@ -466,7 +465,7 @@ object Consume {
       parse(d._1).filter(_.table == t.table).map(_.action))
     alters.foldLeft(t) { (cur, a) =>
       val renamed = a match {
-        case ChangeColumn(o, n, _, _) if bare(o) != bare(n) =>
+        case ChangeColumn(o, n, _, _, _, _) if bare(o) != bare(n) =>
           cur.copy(
             pkCols = cur.pkCols.map(p => if (p == bare(o)) bare(n) else p),
             versionColumn = cur.versionColumn.map(v => if (v == bare(o)) bare(n) else v))

@@ -136,8 +136,9 @@ object CorpusPipeline {
     CorpusOps.exportShards(split, outDir, cfg.nShards)
     // rows = the EXPORTED document count like every other stage row (r13
     // review: storing the shard count here made the final report read as
-    // a near-total drop at export); the shard count rides in the name
-    report += StageCount(s"sharded[${cfg.nShards}]", split.count())
+    // a near-total drop at export); the shard count rides in the name.
+    // The count is the split_assign stage's own — reuse it, don't re-scan
+    report += StageCount(s"sharded[${cfg.nShards}]", report.last.rows)
     prevStage.foreach(unpersistCheckpoint)
     report.toSeq
   }

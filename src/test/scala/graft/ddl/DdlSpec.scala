@@ -174,6 +174,20 @@ class DdlSpec extends AnyFunSuite {
   test("same-name CHANGE honors the restated NOT NULL like MODIFY does (r13)") {
     assert(AlterParser.toClickHouse("db", "alter table t change qty qty bigint not null")
       .contains(("db", "alter table db.t modify column qty Int64")))
+    // ...and the restated DEFAULT/COMMENT too (meta-review of f967229)
+    assert(AlterParser.toClickHouse("db",
+      "alter table t change qty qty bigint default 0 comment 'count'")
+      .contains(("db",
+        "alter table db.t modify column qty Nullable(Int64) default '0' comment 'count'")))
+  }
+
+  test("backslash-escaped quotes inside literals do not fake a clause break (r13)") {
+    // meta-review of f967229: MySQL's default \' escaping ended the
+    // literal early, and a comma after it falsely tripped the
+    // multi-clause refusal — re-parking a perfectly good single ADD
+    val p = AlterParser.parse(
+      """alter table t add column note varchar(40) default 'can\'t stop, add more later'""")
+    assert(p.isDefined, "escaped quote must not fake a clause break")
   }
 
   test("a backticked table name containing a dot survives stripSchema (r13)") {
