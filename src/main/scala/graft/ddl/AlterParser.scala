@@ -53,8 +53,18 @@ object AlterParser {
   private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
 
   private val NotNullRe = """(?is).*\bnot\s+null\b.*""".r
-  private val DefaultRe = """(?is).*?\bdefault\s+(?:'([^']*)'|(\S+)).*""".r
-  private val CommentRe = """(?is).*\bcomment\s+'([^']*)'.*""".r
+  // value captures accept backslash-escaped quotes and ''-doubling like
+  // the stripping regexes (r13 meta-review: '([^']*)' truncated at the
+  // escape and the rendering emitted an unterminated literal)
+  private val DefaultRe =
+    """(?is).*?\bdefault\s+(?:'((?:[^'\\]|\\.|'')*)'|(\S+)).*""".r
+  private val CommentRe = """(?is).*\bcomment\s+'((?:[^'\\]|\\.|'')*)'.*""".r
+  // bare DEFAULT tokens that are SQL expressions, not values: quoting
+  // them would turn the keyword into a string literal ('NULL' into a
+  // Nullable(Int32) fails the DDL; the reference has this bug —
+  // convert.py:120 quotes unconditionally — deliberate divergence)
+  private val BareKeywordDefault =
+    """(?i)null|current_timestamp(?:\(\))?|now\(\)""".r
   private val AfterRe = """(?is).*\bafter\s+""" + Ident + """.*"""
 
   /** ADD/DROP words that open non-column subcommands — those statements
@@ -98,8 +108,15 @@ object AlterParser {
     val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
     val bare = CommentLiteral.replaceAllIn(rest, "")
     val notNull = NotNullRe.matches(bare)
+    // stored RENDER-READY: quoted values keep their (still-escaped)
+    // inner text re-wrapped in quotes, bare keyword expressions pass
+    // verbatim, other bare values are quoted like the reference golden
+    // (`default 0` -> default '0', test_sql_convent.py:59)
     val default = bare match {
-      case DefaultRe(q, b) => Option(q).orElse(Option(b))
+      case DefaultRe(q, b) =>
+        if (q != null) Some(s"'$q'")
+        else if (BareKeywordDefault.matches(b)) Some(b)
+        else Some(s"'$b'")
       case _ => None
     }
     val after = AfterRe.r.findFirstMatchIn(bare).map(_.group(1))
@@ -169,14 +186,14 @@ object AlterParser {
           // bare() comparison (r13 review): mixed quoting (`qty` vs qty)
           // is still the same column, and the restated NOT NULL is
           // honored like the MODIFY path instead of hardcoding Nullable
-          val dft = d.map(x => s" default '$x'").getOrElse("")
+          val dft = d.map(x => s" default $x").getOrElse("")
           val cmt = c.map(x => s" comment '$x'").getOrElse("")
           s"alter table $target modify column $newN ${TypeMap.render(dt.get, nullable = !nn)}$dft$cmt"
         case ChangeColumn(oldN, newN, _, _, _, _) =>
           s"alter table $target rename column $oldN to $newN"
         case ModifyColumn(name, dt, notNull, default, comment) =>
           val tpe = TypeMap.render(dt, nullable = !notNull)
-          val dft = default.map(d => s" default '$d'").getOrElse("")
+          val dft = default.map(d => s" default $d").getOrElse("")
           val cmt = comment.map(c => s" comment '$c'").getOrElse("")
           s"alter table $target modify column $name $tpe$dft$cmt"
       }

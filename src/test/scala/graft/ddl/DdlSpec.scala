@@ -181,6 +181,22 @@ class DdlSpec extends AnyFunSuite {
         "alter table db.t modify column qty Nullable(Int64) default '0' comment 'count'")))
   }
 
+  test("keyword defaults pass verbatim; escaped quotes survive the capture (r13)") {
+    // meta-review of abd855d: quoting a bare NULL/CURRENT_TIMESTAMP turns
+    // the keyword into a string literal (the reference has this bug,
+    // convert.py:120 — deliberate divergence), and the old '([^']*)'
+    // capture truncated at a backslash-escaped quote, emitting an
+    // unterminated literal
+    assert(AlterParser.toClickHouse("db", "alter table t modify column c int default NULL")
+      .contains(("db", "alter table db.t modify column c Nullable(Int32) default NULL")))
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c datetime default CURRENT_TIMESTAMP")
+      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default CURRENT_TIMESTAMP")))
+    assert(AlterParser.toClickHouse("db",
+      """alter table t modify column c varchar(9) default 'can\'t'""")
+      .contains(("db", """alter table db.t modify column c Nullable(String) default 'can\'t'""")))
+  }
+
   test("backslash-escaped quotes inside literals do not fake a clause break (r13)") {
     // meta-review of f967229: MySQL's default \' escaping ended the
     // literal early, and a comma after it falsely tripped the
