@@ -53,18 +53,22 @@ object AlterParser {
   private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
 
   private val NotNullRe = """(?is).*\bnot\s+null\b.*""".r
-  // value captures accept backslash-escaped quotes and ''-doubling like
-  // the stripping regexes (r13 meta-review: '([^']*)' truncated at the
-  // escape and the rendering emitted an unterminated literal)
+  // ONE literal-body pattern (''-doubling + backslash escapes) shared by
+  // every regex that reads or strips string literals — the hand-copied
+  // variants of this exact pattern drifting apart is the bug class two
+  // successive meta-reviews hit here
+  private val LitBody = """(?:[^'\\]|\\.|'')*"""
   private val DefaultRe =
-    """(?is).*?\bdefault\s+(?:'((?:[^'\\]|\\.|'')*)'|(\S+)).*""".r
-  private val CommentRe = """(?is).*\bcomment\s+'((?:[^'\\]|\\.|'')*)'.*""".r
+    ("""(?is).*?\bdefault\s+(?:'(""" + LitBody + """)'|(\S+)).*""").r
+  private val CommentRe = ("""(?is).*\bcomment\s+'(""" + LitBody + """)'.*""").r
   // bare DEFAULT tokens that are SQL expressions, not values: quoting
   // them would turn the keyword into a string literal ('NULL' into a
   // Nullable(Int32) fails the DDL; the reference has this bug —
-  // convert.py:120 quotes unconditionally — deliberate divergence)
+  // convert.py:120 quotes unconditionally — deliberate divergence).
+  // Covers the fractional-seconds forms (CURRENT_TIMESTAMP(6), NOW(3))
+  // and the LOCALTIME/LOCALTIMESTAMP synonyms.
   private val BareKeywordDefault =
-    """(?i)null|current_timestamp(?:\(\))?|now\(\)""".r
+    """(?i)null|(?:current_timestamp|now|localtime|localtimestamp)(?:\(\s*\d*\s*\))?""".r
   private val AfterRe = """(?is).*\bafter\s+""" + Ident + """.*"""
 
   /** ADD/DROP words that open non-column subcommands — those statements
@@ -102,7 +106,7 @@ object AlterParser {
   // (r13 meta-review: an escaped quote ended the literal early and a
   // comma after it falsely tripped the multi-clause refusal)
   private val CommentLiteral =
-    """(?is)\bcomment\s+'(?:[^'\\]|\\.|'')*'""".r
+    ("""(?is)\bcomment\s+'""" + LitBody + "'").r
 
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
     val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
@@ -116,7 +120,9 @@ object AlterParser {
       case DefaultRe(q, b) =>
         if (q != null) Some(s"'$q'")
         else if (BareKeywordDefault.matches(b)) Some(b)
-        else Some(s"'$b'")
+        // a bare token can itself carry quotes (MySQL bit literal b'1');
+        // double them so the wrap stays one well-formed literal
+        else Some(s"'${b.replace("'", "''")}'")
       case _ => None
     }
     val after = AfterRe.r.findFirstMatchIn(bare).map(_.group(1))
@@ -161,7 +167,7 @@ object AlterParser {
   // literals removed first (a comma inside DEFAULT 'a,b' or COMMENT
   // '...' is data; one inside DECIMAL(10,2) is followed by digits, not
   // a keyword, so it never matches)
-  private val StringLiteral = """'(?:[^'\\]|\\.|'')*'""".r
+  private val StringLiteral = ("'" + LitBody + "'").r
   private val ClauseSep =
     """(?is),\s*(?:add|drop|change|modify|rename|alter)\b""".r
   private def multiClause(body: String): Boolean =

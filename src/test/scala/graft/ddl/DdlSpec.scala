@@ -195,6 +195,18 @@ class DdlSpec extends AnyFunSuite {
     assert(AlterParser.toClickHouse("db",
       """alter table t modify column c varchar(9) default 'can\'t'""")
       .contains(("db", """alter table db.t modify column c Nullable(String) default 'can\'t'""")))
+    // meta-review of b18786e: fractional-seconds forms and synonyms are
+    // keywords too, and a bare token carrying quotes (bit literal)
+    // doubles them instead of emitting a garbled literal
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c datetime default CURRENT_TIMESTAMP(6)")
+      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default CURRENT_TIMESTAMP(6)")))
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c datetime default LOCALTIMESTAMP")
+      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default LOCALTIMESTAMP")))
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c bit(1) default b'1'")
+      .exists(_._2.contains("default 'b''1''")))
   }
 
   test("backslash-escaped quotes inside literals do not fake a clause break (r13)") {
