@@ -69,7 +69,7 @@ object AlterParser {
   // and the LOCALTIME/LOCALTIMESTAMP synonyms.
   private val BareKeywordDefault =
     """(?i)null|(?:current_timestamp|now|localtime|localtimestamp)(?:\(\s*\d*\s*\))?""".r
-  private val AfterRe = """(?is).*\bafter\s+""" + Ident + """.*"""
+  private val AfterRe = ("""(?is).*\bafter\s+""" + Ident + """.*""").r
 
   /** ADD/DROP words that open non-column subcommands — those statements
     * must be dropped as unparseable, not misread as a column named
@@ -108,10 +108,32 @@ object AlterParser {
   private val CommentLiteral =
     ("""(?is)\bcomment\s+'""" + LitBody + "'").r
 
+  // ClickHouse-side rendering of a keyword default (meta-review of
+  // 642b5ba: the MySQL forms are not all valid CH — now()'s argument is
+  // a TIMEZONE there, and LOCALTIME/LOCALTIMESTAMP don't exist):
+  // fractional-seconds forms become now64(fsp), the synonyms become
+  // now(), bare CURRENT_TIMESTAMP / now() / NULL pass verbatim.
+  private val KeywordFn =
+    """(?i)(current_timestamp|now|localtime|localtimestamp)(?:\(\s*(\d*)\s*\))?""".r
+  private def renderKeywordDefault(b: String): String = b match {
+    case KeywordFn(name, fsp) =>
+      val f = Option(fsp).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+      if (f > 0) s"now64($f)"
+      else if (name.equalsIgnoreCase("current_timestamp")) b
+      else "now()"
+    case _ => b // NULL
+  }
+
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
     val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
     val bare = CommentLiteral.replaceAllIn(rest, "")
-    val notNull = NotNullRe.matches(bare)
+    // constraint/position scans run with ALL string literals stripped
+    // (meta-review of 642b5ba: "default 'not null'" flipped the column
+    // non-Nullable — the same literal-blindness CommentLiteral fixed for
+    // comments); the DEFAULT capture below still reads `bare` because it
+    // must see the literal it captures
+    val noLits = StringLiteral.replaceAllIn(bare, "__lit__")
+    val notNull = NotNullRe.matches(noLits)
     // stored RENDER-READY: quoted values keep their (still-escaped)
     // inner text re-wrapped in quotes, bare keyword expressions pass
     // verbatim, other bare values are quoted like the reference golden
@@ -119,13 +141,13 @@ object AlterParser {
     val default = bare match {
       case DefaultRe(q, b) =>
         if (q != null) Some(s"'$q'")
-        else if (BareKeywordDefault.matches(b)) Some(b)
+        else if (BareKeywordDefault.matches(b)) Some(renderKeywordDefault(b))
         // a bare token can itself carry quotes (MySQL bit literal b'1');
         // double them so the wrap stays one well-formed literal
         else Some(s"'${b.replace("'", "''")}'")
       case _ => None
     }
-    val after = AfterRe.r.findFirstMatchIn(bare).map(_.group(1))
+    val after = AfterRe.findFirstMatchIn(noLits).map(_.group(1))
     (notNull, default, comment, after)
   }
 

@@ -102,6 +102,14 @@ class DdlSpec extends AnyFunSuite {
       .contains(("test", "alter table test.test add column `index` Nullable(Int32)")))
   }
 
+  test("constraint words inside DEFAULT literals are not constraints (r13)") {
+    // the same literal-blindness fix as COMMENT below, for DEFAULT
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c varchar(9) default 'not null'")
+      .contains(("db",
+        "alter table db.t modify column c Nullable(String) default 'not null'")))
+  }
+
   test("constraint words inside COMMENT literals are not constraints") {
     assert(AlterParser.toClickHouse("test",
       "alter table test modify column note varchar(20) comment 'value is not null by default here'")
@@ -198,12 +206,15 @@ class DdlSpec extends AnyFunSuite {
     // meta-review of b18786e: fractional-seconds forms and synonyms are
     // keywords too, and a bare token carrying quotes (bit literal)
     // doubles them instead of emitting a garbled literal
+    // fractional-seconds forms translate to ClickHouse's now64(fsp) and
+    // the LOCALTIME(STAMP) synonyms to now() — the MySQL spellings are
+    // not valid CH (now()'s argument there is a timezone)
     assert(AlterParser.toClickHouse("db",
       "alter table t modify column c datetime default CURRENT_TIMESTAMP(6)")
-      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default CURRENT_TIMESTAMP(6)")))
+      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default now64(6)")))
     assert(AlterParser.toClickHouse("db",
       "alter table t modify column c datetime default LOCALTIMESTAMP")
-      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default LOCALTIMESTAMP")))
+      .contains(("db", "alter table db.t modify column c Nullable(DateTime) default now()")))
     assert(AlterParser.toClickHouse("db",
       "alter table t modify column c bit(1) default b'1'")
       .exists(_._2.contains("default 'b''1''")))
