@@ -53,22 +53,6 @@ object AlterParser {
   private val Modify = ("""(?is)modify\s+(?:column\s+)?""" + Ident + """\s+""" + Type + """(.*)""").r
 
   private val NotNullRe = """(?is).*\bnot\s+null\b.*""".r
-  // ONE literal-body pattern (''-doubling + backslash escapes) shared by
-  // every regex that reads or strips string literals — the hand-copied
-  // variants of this exact pattern drifting apart is the bug class two
-  // successive meta-reviews hit here
-  private val LitBody = """(?:[^'\\]|\\.|'')*"""
-  private val DefaultRe =
-    ("""(?is).*?\bdefault\s+(?:'(""" + LitBody + """)'|(\S+)).*""").r
-  private val CommentRe = ("""(?is).*\bcomment\s+'(""" + LitBody + """)'.*""").r
-  // bare DEFAULT tokens that are SQL expressions, not values: quoting
-  // them would turn the keyword into a string literal ('NULL' into a
-  // Nullable(Int32) fails the DDL; the reference has this bug —
-  // convert.py:120 quotes unconditionally — deliberate divergence).
-  // Covers the fractional-seconds forms (CURRENT_TIMESTAMP(6), NOW(3))
-  // and the LOCALTIME/LOCALTIMESTAMP synonyms.
-  private val BareKeywordDefault =
-    """(?i)null|(?:current_timestamp|now|localtime|localtimestamp)(?:\(\s*\d*\s*\))?""".r
   private val AfterRe = ("""(?is).*\bafter\s+""" + Ident + """.*""").r
 
   /** ADD/DROP words that open non-column subcommands — those statements
@@ -100,54 +84,103 @@ object AlterParser {
       .map(m => Option(m.group(1)).getOrElse(m.group(2)))
       .getOrElse(table)
 
-  // Constraint detection must not read inside COMMENT '...' literals
-  // ("COMMENT 'not null by default'" is documentation, not a constraint).
-  // both literal forms MySQL emits: ''-doubling AND backslash escaping
-  // (r13 meta-review: an escaped quote ended the literal early and a
-  // comma after it falsely tripped the multi-clause refusal)
-  private val CommentLiteral =
-    ("""(?is)\bcomment\s+'""" + LitBody + "'").r
+  /** [start, end] inclusive spans of every string literal in `s`,
+    * honoring backslash escapes and ''-doubling (both forms MySQL
+    * emits). An unterminated literal extends to the end of the string.
+    * This ONE scanner replaces the four regex copies of the literal
+    * grammar that kept drifting apart (r13 meta-review chain: comment
+    * words inside DEFAULT literals, NOT NULL inside DEFAULT literals,
+    * escaped quotes faking clause breaks — all the same blindness). */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          s.charAt(i) match {
+            case '\\' => i += 2
+            case '\'' if i + 1 < s.length && s.charAt(i + 1) == '\'' => i += 2
+            case '\'' => done = true
+            case _ => i += 1
+          }
+        }
+        out += ((start, math.min(i, s.length - 1)))
+        i += 1
+      } else i += 1
+    }
+    out.result()
+  }
 
-  // ClickHouse-side rendering of a keyword default (meta-review of
-  // 642b5ba: the MySQL forms are not all valid CH — now()'s argument is
-  // a TIMEZONE there, and LOCALTIME/LOCALTIMESTAMP don't exist):
-  // fractional-seconds forms become now64(fsp), the synonyms become
-  // now(), bare CURRENT_TIMESTAMP / now() / NULL pass verbatim.
+  /** `s` with every literal's CONTENT blanked to spaces (quotes kept):
+    * same length, so a keyword matched in the blanked projection sits at
+    * the same offset in the original — scans become literal-blind and
+    * captures stay position-exact. */
+  private def blankLiterals(s: String): String = {
+    val arr = s.toCharArray
+    literalSpans(s).foreach { case (a, b) =>
+      var i = a + 1
+      while (i < b) { arr(i) = ' '; i += 1 }
+    }
+    new String(arr)
+  }
+
+  private val CommentKw = """(?is)\bcomment\s+'""".r
+  private val DefaultKw = """(?is)\bdefault\s+""".r
+
+  /** Keyword DEFAULT expressions, translated to valid ClickHouse: bare
+    * NULL / CURRENT_TIMESTAMP pass verbatim, fractional-seconds forms
+    * become now64(fsp), every other form (parenthesized zero-fsp,
+    * now(), LOCALTIME/LOCALTIMESTAMP — none valid CH spellings; now()'s
+    * argument there is a timezone) becomes now(). None = not a keyword
+    * (the caller quotes it as a value). ONE function is both the gate
+    * and the renderer, so the keyword list cannot drift. */
+  private val NullKw = """(?i)null""".r
   private val KeywordFn =
-    """(?i)(current_timestamp|now|localtime|localtimestamp)(?:\(\s*(\d*)\s*\))?""".r
-  private def renderKeywordDefault(b: String): String = b match {
-    case KeywordFn(name, fsp) =>
-      val f = Option(fsp).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
-      if (f > 0) s"now64($f)"
-      else if (name.equalsIgnoreCase("current_timestamp")) b
-      else "now()"
-    case _ => b // NULL
+    """(?i)(current_timestamp|now|localtime|localtimestamp)(\(\s*(\d*)\s*\))?""".r
+  private def keywordDefault(b: String): Option[String] = b match {
+    case NullKw() => Some(b)
+    case KeywordFn(name, parens, fsp) =>
+      val f = Option(fsp).filter(_.nonEmpty).flatMap(_.toIntOption).getOrElse(0)
+      if (f > 0) Some(s"now64($f)")
+      else if (parens == null && name.equalsIgnoreCase("current_timestamp")) Some(b)
+      else Some("now()")
+    case _ => None
   }
 
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
-    val comment = rest match { case CommentRe(c) => Some(c); case _ => None }
-    val bare = CommentLiteral.replaceAllIn(rest, "")
-    // constraint/position scans run with ALL string literals stripped
-    // (meta-review of 642b5ba: "default 'not null'" flipped the column
-    // non-Nullable — the same literal-blindness CommentLiteral fixed for
-    // comments); the DEFAULT capture below still reads `bare` because it
-    // must see the literal it captures
-    val noLits = StringLiteral.replaceAllIn(bare, "__lit__")
-    val notNull = NotNullRe.matches(noLits)
-    // stored RENDER-READY: quoted values keep their (still-escaped)
-    // inner text re-wrapped in quotes, bare keyword expressions pass
-    // verbatim, other bare values are quoted like the reference golden
-    // (`default 0` -> default '0', test_sql_convent.py:59)
-    val default = bare match {
-      case DefaultRe(q, b) =>
-        if (q != null) Some(s"'$q'")
-        else if (BareKeywordDefault.matches(b)) Some(renderKeywordDefault(b))
-        // a bare token can itself carry quotes (MySQL bit literal b'1');
-        // double them so the wrap stays one well-formed literal
-        else Some(s"'${b.replace("'", "''")}'")
-      case _ => None
+    val spans = literalSpans(rest)
+    val blanked = blankLiterals(rest)
+    // COMMENT: keyword located in the blanked projection (a 'comment'
+    // inside any literal is invisible there); the VALUE is the original
+    // literal at that exact offset, inner escapes preserved
+    val comment = CommentKw.findFirstMatchIn(blanked).map { m =>
+      val q = m.end - 1
+      val (a, b) = spans.find(_._1 == q).getOrElse((q, rest.length))
+      rest.substring(a + 1, math.min(b, rest.length))
     }
-    val after = AfterRe.findFirstMatchIn(noLits).map(_.group(1))
+    // DEFAULT, stored RENDER-READY: a quoted value keeps its escaped
+    // inner text re-wrapped; a bare keyword expression translates via
+    // keywordDefault; any other bare token is quoted like the reference
+    // golden (`default 0` -> default '0', test_sql_convent.py:59) with
+    // embedded quotes doubled (bit literal b'1')
+    val default = DefaultKw.findFirstMatchIn(blanked).map { m =>
+      val v = m.end
+      if (v < rest.length && rest.charAt(v) == '\'') {
+        val (a, b) = spans.find(_._1 == v).getOrElse((v, rest.length))
+        s"'${rest.substring(a + 1, math.min(b, rest.length))}'"
+      } else {
+        // token from the ORIGINAL text (a bit literal b'1' embeds a
+        // quote span the blanked projection hollows out); whitespace
+        // still terminates it, matching the old \S+ capture
+        val tok = rest.substring(v).takeWhile(!_.isWhitespace)
+        keywordDefault(tok).getOrElse(s"'${tok.replace("'", "''")}'")
+      }
+    }
+    val notNull = NotNullRe.matches(blanked)
+    val after = AfterRe.findFirstMatchIn(blanked).map(_.group(1))
     (notNull, default, comment, after)
   }
 
@@ -185,15 +218,14 @@ object AlterParser {
     case _ => None
   }
 
-  // a top-level comma followed by another clause keyword, with string
-  // literals removed first (a comma inside DEFAULT 'a,b' or COMMENT
+  // a top-level comma followed by another clause keyword, literal-blind
+  // via the shared scanner (a comma inside DEFAULT 'a,b' or COMMENT
   // '...' is data; one inside DECIMAL(10,2) is followed by digits, not
   // a keyword, so it never matches)
-  private val StringLiteral = ("'" + LitBody + "'").r
   private val ClauseSep =
     """(?is),\s*(?:add|drop|change|modify|rename|alter)\b""".r
   private def multiClause(body: String): Boolean =
-    ClauseSep.findFirstIn(StringLiteral.replaceAllIn(body, "__lit__")).isDefined
+    ClauseSep.findFirstIn(blankLiterals(body)).isDefined
 
   /** Render the ClickHouse-dialect DDL for a parsed ALTER, matching the
     * reference goldens exactly (tests/test_sql_convent.py).

@@ -108,6 +108,17 @@ class DdlSpec extends AnyFunSuite {
       "alter table t modify column c varchar(9) default 'not null'")
       .contains(("db",
         "alter table db.t modify column c Nullable(String) default 'not null'")))
+    // and the word 'comment' inside a DEFAULT literal is data, not a
+    // clause (the literal-span scanner closed the last of this class)
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c varchar(99) default 'add comment later'")
+      .contains(("db",
+        "alter table db.t modify column c Nullable(String) default 'add comment later'")))
+    // parenthesized zero-fsp forms are not valid ClickHouse spellings
+    assert(AlterParser.toClickHouse("db",
+      "alter table t modify column c datetime default CURRENT_TIMESTAMP()")
+      .contains(("db",
+        "alter table db.t modify column c Nullable(DateTime) default now()")))
   }
 
   test("constraint words inside COMMENT literals are not constraints") {
