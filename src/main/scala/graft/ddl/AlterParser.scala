@@ -95,21 +95,35 @@ object AlterParser {
     val out = Seq.newBuilder[(Int, Int)]
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') {
-        val start = i
-        i += 1
-        var done = false
-        while (i < s.length && !done) {
-          s.charAt(i) match {
-            case '\\' => i += 2
-            case '\'' if i + 1 < s.length && s.charAt(i + 1) == '\'' => i += 2
-            case '\'' => done = true
-            case _ => i += 1
+      s.charAt(i) match {
+        case '`' =>
+          // a backtick-quoted IDENTIFIER is not a string literal — an
+          // apostrophe inside one (`it's`) must not open a bogus
+          // literal that blanks the rest of the statement (c5a6bb1
+          // meta-review: that regressed the multi-clause refusal)
+          i += 1
+          while (i < s.length && s.charAt(i) != '`') i += 1
+          i += 1
+        case '\'' =>
+          val start = i
+          i += 1
+          var done = false
+          while (i < s.length && !done) {
+            s.charAt(i) match {
+              case '\\' => i += 2
+              case '\'' if i + 1 < s.length && s.charAt(i + 1) == '\'' => i += 2
+              case '\'' => done = true
+              case _ => i += 1
+            }
           }
-        }
-        out += ((start, math.min(i, s.length - 1)))
-        i += 1
-      } else i += 1
+          // end = index of the closing quote; an UNTERMINATED literal
+          // gets a virtual close at s.length, so content substrings
+          // (a+1 until b) and interior blanking stay uniform — the old
+          // last-content-char end silently truncated the final char
+          out += ((start, if (done) i else s.length))
+          i += 1
+        case _ => i += 1
+      }
     }
     out.result()
   }
@@ -117,15 +131,18 @@ object AlterParser {
   /** `s` with every literal's CONTENT blanked to spaces (quotes kept):
     * same length, so a keyword matched in the blanked projection sits at
     * the same offset in the original — scans become literal-blind and
-    * captures stay position-exact. */
-  private def blankLiterals(s: String): String = {
+    * captures stay position-exact. Takes the spans so the one scan in
+    * [[tail]] is shared, never recomputed. */
+  private def blankLiterals(s: String, spans: Seq[(Int, Int)]): String = {
     val arr = s.toCharArray
-    literalSpans(s).foreach { case (a, b) =>
+    spans.foreach { case (a, b) =>
       var i = a + 1
-      while (i < b) { arr(i) = ' '; i += 1 }
+      val end = math.min(b, s.length)
+      while (i < end) { arr(i) = ' '; i += 1 }
     }
     new String(arr)
   }
+  private def blankLiterals(s: String): String = blankLiterals(s, literalSpans(s))
 
   private val CommentKw = """(?is)\bcomment\s+'""".r
   private val DefaultKw = """(?is)\bdefault\s+""".r
@@ -152,7 +169,7 @@ object AlterParser {
 
   private def tail(rest: String): (Boolean, Option[String], Option[String], Option[String]) = {
     val spans = literalSpans(rest)
-    val blanked = blankLiterals(rest)
+    val blanked = blankLiterals(rest, spans)
     // COMMENT: keyword located in the blanked projection (a 'comment'
     // inside any literal is invisible there); the VALUE is the original
     // literal at that exact offset, inner escapes preserved

@@ -165,6 +165,12 @@ class DdlSpec extends AnyFunSuite {
     assert(AlterParser.parse(
       "alter table t add column e varchar(9) default 'a, add column fake int'")
       .isDefined)
+    // an apostrophe inside a BACKTICKED identifier is not a literal
+    // opener (c5a6bb1 meta-review: it blanked the rest of the statement
+    // and let a real second clause slip past the refusal)
+    assert(AlterParser.parse(
+      "alter table t add `it's` int, add c2 int not null").isEmpty)
+    assert(AlterParser.parse("alter table t add `it's` int null").isDefined)
   }
 
   test("UNSIGNED widens one integer step instead of overflowing (r13)") {
