@@ -100,9 +100,15 @@ object AlterParser {
           // a backtick-quoted IDENTIFIER is not a string literal — an
           // apostrophe inside one (`it's`) must not open a bogus
           // literal that blanks the rest of the statement (c5a6bb1
-          // meta-review: that regressed the multi-clause refusal)
+          // meta-review) — but its CONTENT must still blank out of the
+          // keyword projections (b702589 meta-review: a column named
+          // `x, add y` tripped the clause separator). Identifier spans
+          // ride the same list; value-capture lookups only ever match
+          // spans starting at a quote character, so they never collide.
+          val start = i
           i += 1
           while (i < s.length && s.charAt(i) != '`') i += 1
+          out += ((start, if (i < s.length) i else s.length))
           i += 1
         case '\'' =>
           val start = i

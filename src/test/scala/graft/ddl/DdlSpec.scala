@@ -171,6 +171,11 @@ class DdlSpec extends AnyFunSuite {
     assert(AlterParser.parse(
       "alter table t add `it's` int, add c2 int not null").isEmpty)
     assert(AlterParser.parse("alter table t add `it's` int null").isDefined)
+    // clause keywords INSIDE a backticked identifier are data too
+    // (meta-review of b702589): a column named `x, add y` is one clause
+    assert(AlterParser.parse("alter table t add `x, add y` int null")
+      .exists(_.action == AlterParser.AddColumn("`x, add y`", "int",
+        notNull = false, None, None, None)))
   }
 
   test("UNSIGNED widens one integer step instead of overflowing (r13)") {
