@@ -108,7 +108,7 @@ object AlterParser {
           val start = i
           i += 1
           while (i < s.length && s.charAt(i) != '`') i += 1
-          out += ((start, if (i < s.length) i else s.length))
+          out += ((start, i)) // i == closing backtick, or s.length if unterminated
           i += 1
         case '\'' =>
           val start = i
@@ -203,7 +203,11 @@ object AlterParser {
       }
     }
     val notNull = NotNullRe.matches(blanked)
-    val after = AfterRe.findFirstMatchIn(blanked).map(_.group(1))
+    // AFTER position: locate in the blanked projection, CAPTURE from the
+    // original at the same offsets (meta-review of 096ff58: the blanked
+    // capture returned backticks around spaces for `my col`)
+    val after = AfterRe.findFirstMatchIn(blanked).map(m =>
+      rest.substring(m.start(1), m.end(1)))
     (notNull, default, comment, after)
   }
 

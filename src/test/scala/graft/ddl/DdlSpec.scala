@@ -176,6 +176,11 @@ class DdlSpec extends AnyFunSuite {
     assert(AlterParser.parse("alter table t add `x, add y` int null")
       .exists(_.action == AlterParser.AddColumn("`x, add y`", "int",
         notNull = false, None, None, None)))
+    // the AFTER position captures the ORIGINAL identifier, not the
+    // blanked projection (meta-review of 096ff58)
+    assert(AlterParser.parse("alter table t add c int after `my col`")
+      .exists(_.action == AlterParser.AddColumn("c", "int",
+        notNull = false, None, None, Some("`my col`"))))
   }
 
   test("UNSIGNED widens one integer step instead of overflowing (r13)") {
