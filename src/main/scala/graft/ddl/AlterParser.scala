@@ -38,7 +38,10 @@ object AlterParser {
 
   final case class ParsedAlter(table: String, action: AlterAction)
 
-  private val Ident = """(`[^`]+`|[\w$]+)"""
+  // backticked idents honor MySQL's ``-doubling (a backtick inside a
+  // backticked name — the r13 DDL fuzz found the old [^`]+ body split
+  // `o``k` at the first close)
+  private val Ident = """(`(?:[^`]|``)+`|[\w$]+)"""
   // UNSIGNED rides inside the captured type (r13 review): dropping it
   // mapped unsigned MySQL integers to same-width SIGNED types, and a
   // legal value past the signed range then silently from_json-nulled in
@@ -68,7 +71,7 @@ object AlterParser {
     * length guard). */
   private[graft] def bare(ident: String): String =
     if (ident.length >= 2 && ident.startsWith("`") && ident.endsWith("`"))
-      ident.substring(1, ident.length - 1)
+      ident.substring(1, ident.length - 1).replace("``", "`")
     else ident
 
   private def isColumnIdent(ident: String): Boolean =
@@ -107,7 +110,13 @@ object AlterParser {
           // spans starting at a quote character, so they never collide.
           val start = i
           i += 1
-          while (i < s.length && s.charAt(i) != '`') i += 1
+          var closed = false
+          while (i < s.length && !closed) {
+            if (s.charAt(i) == '`') {
+              if (i + 1 < s.length && s.charAt(i + 1) == '`') i += 2 // ``-doubled
+              else closed = true
+            } else i += 1
+          }
           out += ((start, i)) // i == closing backtick, or s.length if unterminated
           i += 1
         case '\'' =>

@@ -183,6 +183,45 @@ class DdlSpec extends AnyFunSuite {
         notNull = false, None, None, Some("`my col`"))))
   }
 
+  test("property: constructed ALTERs round-trip their literals; constructed multi-clauses always refuse (r13)") {
+    // differential fuzz over the literal-span scanner: statements are
+    // ASSEMBLED from known parts (identifiers with apostrophes/commas/
+    // keywords inside backticks, defaults and comments whose literals
+    // contain every trap the meta-review chain hit), so the expected
+    // parse is known by construction — the scanner must recover the
+    // exact inner text, never throw, and refuse every 2-clause form
+    val rnd = new scala.util.Random(0xDD13)
+    val idents = Seq("c1", "`it's`", "`x, add y`", "`not null`", "`o``k`")
+    val trickyLits = Seq("plain", "not null", "add comment later",
+      "a, add column fake int", """can\'t""", "it''s", "default x")
+    (1 to 200).foreach { trial =>
+      val id = idents(rnd.nextInt(idents.length))
+      val dflt = trickyLits(rnd.nextInt(trickyLits.length))
+      val cmt = trickyLits(rnd.nextInt(trickyLits.length))
+      val nn = rnd.nextBoolean()
+      val sql = s"alter table t modify column $id varchar(40)" +
+        (if (nn) " not null" else "") + s" default '$dflt' comment '$cmt'"
+      val parsed = AlterParser.parse(sql)
+      assert(parsed.isDefined, s"trial $trial: $sql")
+      parsed.get.action match {
+        case AlterParser.ModifyColumn(name, _, gotNn, gotD, gotC) =>
+          assert(name == id, s"trial $trial: $sql")
+          assert(gotNn == nn, s"trial $trial NOT NULL from a literal: $sql")
+          assert(gotD.contains(s"'$dflt'"), s"trial $trial default: $sql -> $gotD")
+          assert(gotC.contains(cmt), s"trial $trial comment: $sql -> $gotC")
+        case other => fail(s"trial $trial: $other for $sql")
+      }
+      // renderers never throw on any parsed form
+      AlterParser.toClickHouse("db", sql)
+      AlterParser.toSparkSql("db", sql)
+      // the same statement with a second clause appended always refuses
+      val second = Seq(", add column zz int", ", drop column zz",
+        ", modify zz bigint")(rnd.nextInt(3))
+      assert(AlterParser.parse(sql + second).isEmpty,
+        s"trial $trial multi-clause slipped through: $sql$second")
+    }
+  }
+
   test("UNSIGNED widens one integer step instead of overflowing (r13)") {
     // dropping the modifier mapped unsigned columns to same-width SIGNED
     // types; a legal value past the signed max then from_json-nulled in
