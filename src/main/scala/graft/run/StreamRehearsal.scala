@@ -92,6 +92,12 @@ object StreamRehearsal {
     // re-runs it from the source log, not as "new" rows) — keep the 0-row
     // entries for batch-id accounting, count only real rows for rates
     val all = q.recentProgress
+    // overflow = silent undercount of the published rates — refuse
+    val cap = q.sparkSession.conf
+      .get("spark.sql.streaming.numRecentProgressUpdates").toInt
+    require(all.length < cap,
+      s"phase '$name' filled the $cap-entry progress buffer — its stats " +
+        "would silently undercount; raise numRecentProgressUpdates")
     val prog = all.filter(_.numInputRows > 0)
     PhaseStats(name, prog.length, prog.map(_.numInputRows).sum, wall,
       prog.map(_.durationMs.get("triggerExecution").toDouble / 1000.0).toSeq,
@@ -173,9 +179,11 @@ object StreamRehearsal {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // sf10 replays ~500 micro-batches per phase; the progress buffer is
-      // the phase accounting (events, batch percentiles), so it must hold
-      // the whole phase or rates silently undercount
+      // the progress buffer is the phase accounting (events, batch
+      // percentiles): it must hold the WHOLE phase or rates silently
+      // undercount and the batch-count watcher can hang (r13 review);
+      // re-sized to the staged file count after staging, and drain()
+      // fails loudly if a phase ever fills it
       .config("spark.sql.streaming.numRecentProgressUpdates", "1200")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -196,7 +204,18 @@ object StreamRehearsal {
     lines.repartition(nFiles).write.mode("overwrite").text(stage)
     val staged = Files.list(Paths.get(stage)).toArray.map(_.toString)
       .filter(_.endsWith(".txt")).sorted
+    // r13 review: with ONE staged file, half = 0 staged nothing for
+    // phase 1 and the watcher waited forever for a batch that could
+    // never arrive — refuse loudly instead of hanging
+    require(staged.length >= 2,
+      s"rehearsal needs >= 2 staged files (got ${staged.length}): lower " +
+        s"eventsPerFile (currently $perFile) or raise the data scale")
     println(s"""{"stage":"produced","files":${staged.length},"events":${nMut * 2}}""")
+
+    // one batch per file (maxFilesPerTrigger=1) + restarts: size the
+    // progress ring to every file plus slack so no phase can overflow it
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (staged.length * 2 + 200).toString)
 
     val tables = Seq(
       TableSync("db", "orders_mt", orders.schema, Seq("o_orderkey"), Engine.MergeTree),
