@@ -504,6 +504,17 @@ object Consume {
             compactEvery: Int = 0,
             deadLetter: Option[DeadLetter] = None,
             compactionPolicy: Option[SinkStrategy.CompactionPolicy] = None): StreamingQuery = {
+    // A rewind crashed between store truncation and checkpoint seek →
+    // the stores are truncated but the checkpoint still plans past the
+    // target, and batch-id idempotence would silently swallow the replay.
+    // Refuse until the operator re-runs the same rewind to completion
+    // (Resume.rewind clears the sentinel after its seek).
+    Resume.rewindInProgress(spark, stateRoot).foreach { info =>
+      throw new IllegalStateException(
+        s"consume refused: a rewind is in progress (or crashed " +
+          s"mid-mutation) under $stateRoot [${info.trim.replace('\n', ' ')}] — " +
+          "re-run the same rewind to completion before restarting consume (RUNBOOK §3)")
+    }
     val stores = tables.map(t => t -> new ParquetStateStore(spark, s"$stateRoot/${t.schema}/${t.table}")).toMap
     // Per-table schema carried ACROSS batches of this run: an ALTER in
     // batch k evolves the TableSync every later batch parses and resolves
