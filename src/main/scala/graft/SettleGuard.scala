@@ -62,10 +62,27 @@ object SettleGuard {
     * the box, not a build dir), so the marker must be too: a fixed path
     * every copy of the repo on this machine shares. Deliberately a
     * literal "/tmp", NOT java.io.tmpdir — a per-JVM tmpdir override
-    * would silently re-fragment the channel per checkout. */
+    * would silently re-fragment the channel per checkout.
+    *
+    * r14 (advisor): the path is per-USER and reads are ownership-checked
+    * ([[gapOf]]). The old fixed world-writable path let any other user
+    * squat the name (stamps silently fail — stamp swallows errors by
+    * design) or plant a fresh timestamp that keeps every bench on the
+    * box gated below MinSettleSec. Per-user suffix keeps honest users
+    * out of each other's channel; the ownership check defeats a squatter
+    * who pre-creates THIS user's name in sticky /tmp. */
   def globalMarkerFile: File =
     sys.env.get("SPARK_GRAFT_SETTLE_FILE_GLOBAL").map(new File(_))
-      .getOrElse(new File("/tmp/.graft-settle-marker"))
+      .getOrElse(new File(
+        s"/tmp/.graft-settle-marker-${sys.props.getOrElse("user.name", "unknown")}"))
+
+  /** True when `f` exists and is owned by the current user — the only
+    * state in which a /tmp marker's timestamp is trustworthy. Errors
+    * (no POSIX view, race) read as NOT ours: fail toward ignoring the
+    * marker (-1 = unknown), never toward trusting a squatter's stamp. */
+  private def ownedByUs(f: File): Boolean =
+    try Files.getOwner(f.toPath).getName == sys.props.getOrElse("user.name", "")
+    catch { case _: Throwable => false }
 
   /** Register a shutdown hook stamping JVM-exit time. Every graft main
     * calls this first thing so the NEXT main can measure its settle
@@ -87,7 +104,10 @@ object SettleGuard {
         Files.writeString(f.toPath, System.currentTimeMillis().toString)
       } catch { case _: Throwable => () }
     write(markerFile)
-    write(globalMarkerFile)
+    // never write INTO a squatter's file — the read side would reject
+    // it by ownership anyway (r14)
+    if (!globalMarkerFile.exists() || ownedByUs(globalMarkerFile))
+      write(globalMarkerFile)
   }
 
   private def gapOf(f: File): Double =
@@ -105,7 +125,12 @@ object SettleGuard {
     * conservative read for a "did we start too soon?" gate); -1 when
     * neither is known (no marker yet, unreadable, or clock skew). */
   def gapSec(): Double = {
-    val gaps = Seq(gapOf(markerFile), gapOf(globalMarkerFile)).filter(_ >= 0)
+    // the /tmp marker counts only when WE own it (r14): a squatter's
+    // planted timestamp must not gate (or un-gate) this user's benches
+    val globalGap =
+      if (globalMarkerFile.exists() && !ownedByUs(globalMarkerFile)) -1.0
+      else gapOf(globalMarkerFile)
+    val gaps = Seq(gapOf(markerFile), globalGap).filter(_ >= 0)
     if (gaps.isEmpty) -1.0 else gaps.min
   }
 

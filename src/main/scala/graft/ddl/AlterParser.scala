@@ -270,10 +270,15 @@ object AlterParser {
     parse(sql).map { case ParsedAlter(table, action) =>
       val target = s"$schema.$table"
       val out = action match {
-        case AddColumn(name, dt, notNull, _, comment, _) =>
+        case AddColumn(name, dt, notNull, default, comment, _) =>
           val tpe = TypeMap.render(dt, nullable = !notNull)
+          // the reference renders ADD COLUMN defaults too
+          // (convert.py:119-124) — without it the ClickHouse column is
+          // created with the type default and existing rows silently
+          // diverge from the source (r13 advisor, medium)
+          val dft = default.map(x => s" default $x").getOrElse("")
           val cmt = comment.map(c => s" comment '$c'").getOrElse("")
-          s"alter table $target add column $name $tpe$cmt"
+          s"alter table $target add column $name $tpe$dft$cmt"
         case DropColumn(name) =>
           s"alter table $target drop column $name"
         case ChangeColumn(oldN, newN, dt, nn, d, c) if bare(oldN) == bare(newN) && dt.isDefined =>

@@ -579,7 +579,7 @@ object Consume {
                       (col("table") === t.table || col("action") === "query")),
                     t.schema, t.table, batchId,
                     Option(e.getMessage).getOrElse(e.getClass.getName),
-                    preSchema = Some(tCur.valueSchema)))
+                    preSync = Some(tCur)))
                   None
                 case e: Exception => Some(e)
               }

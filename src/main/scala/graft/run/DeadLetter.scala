@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * Poison-row taxonomy — what parks, and which repair heals it:
   *   - transient sink outage: nothing to fix, [[drain]] as-is;
   *   - wrong sync config (bad PK / engine): fix the [[TableSync]], drain
-  *     with the corrected one (DeadLetterSpec's first test);
+  *     with the corrected one and `overridePins = true` so the correction
+  *     beats the park-time key pins (DeadLetterSpec's first test);
   *   - malformed rows: [[read]] to inspect (`_error` names the cause),
   *     repair or drop the offending rows in the parked store, drain;
   *   - schema mismatch after DDL: restart the stream with the widened
@@ -46,22 +47,35 @@ final class DeadLetter(spark: SparkSession, root: String) {
     * columns), stamped with the batch id and the error. Idempotent per
     * (table, batchId).
     *
-    * `preSchema` is the table's value schema AS OF THE START of this
-    * batch (the `tCur` the live apply parsed under): the r13 park/drain
+    * `preSync` is the table's sync state AS OF THE START of this batch
+    * (the `tCur` the live apply parsed under): the r13 park/drain
     * property test found that chaining schemas through parked slices
     * alone is wrong whenever parked batches STRADDLE a batch that
     * applied live — that batch's ALTER was never parked, so the drain's
     * chain missed it and every later parked batch re-parsed with the new
     * column silently nulled. Recording each park's own pre-batch schema
-    * makes the drain independent of what happened between parks. */
+    * makes the drain independent of what happened between parks.
+    *
+    * r14 (advisor): the pin covers the KEY COLUMN NAMES too
+    * (`_pre_pk`, `_pre_version`), not just the value schema — a
+    * live-applied CHANGE that renames a pk or version column between two
+    * parks used to replay the later parks with the caller's stale names
+    * (from_json finds no such field → null keys). `_pre_version` null on
+    * a pin-bearing park (non-null `_pre_pk`) means "no version column",
+    * not "unknown". */
   def record(events: DataFrame, schema: String, table: String,
              batchId: Long, error: String,
-             preSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
+             preSync: Option[TableSync] = None): Unit =
     storeFor(schema, table).append(
       events.withColumn("_batch_id", lit(batchId))
         .withColumn("_error", lit(error))
         .withColumn("_pre_schema",
-          lit(preSchema.map(_.json).orNull).cast("string")),
+          lit(preSync.map(_.valueSchema.json).orNull).cast("string"))
+        .withColumn("_pre_pk",
+          preSync.map(s => typedLit(s.pkCols))
+            .getOrElse(lit(null).cast("array<string>")))
+        .withColumn("_pre_version",
+          lit(preSync.flatMap(_.versionColumn).orNull).cast("string")),
       batchId)
 
   /** Record DDL statements that failed to parse or apply. `action_seq`
@@ -136,28 +150,82 @@ final class DeadLetter(spark: SparkSession, root: String) {
     * drain runs: the bounded clear ([[ParquetStateStore.dropThrough]])
     * removes only the batches this drain replayed.
     */
-  def drain(t: TableSync, stateRoot: String): Unit = {
+  def drain(t: TableSync, stateRoot: String,
+            overridePins: Boolean = false): Unit = {
     val parked = storeFor(t.schema, t.table)
     val batchIds = parked.versionIds()
     if (batchIds.isEmpty) return
     val target = new ParquetStateStore(
       spark, s"$stateRoot/${t.schema}/${t.table}")
     var cur = t
+    // Store-side rename half (r14): rows replayed under a pre-rename
+    // schema land with the OLD column name, while later batches (and the
+    // live store) carry the new one — the live loop fixes this with a
+    // rename compact at the DDL batch (Consume.start's renamesIn hook),
+    // which a drain-time replay misses. Collect every rename the drain
+    // can see — (a) CHANGEs parked in the slices themselves, (b) key-name
+    // diffs between consecutive parks' pins (a rename that applied LIVE
+    // between two parks is visible ONLY there) — and run ONE composed
+    // rename compact at the end, BEFORE the queue clears: a crash
+    // in between re-runs the whole drain idempotently (replays no-op on
+    // committed versions, the compact transforms are coalesce-based
+    // no-ops once applied). Mid-drain compacts would be unsafe: compact
+    // folds version dirs into the max-version base, so a crashed drain's
+    // re-replay of a folded batch id would duplicate rows.
+    var prevEff: Option[TableSync] = None // post-batch sync of the last pin-rooted replay
+    val renames = scala.collection.mutable.ListBuffer.empty[(String, String)]
     batchIds.foreach { bid =>
       parked.readVersion(bid).foreach { slice =>
-        cur = replaySlice(slice, t, cur, target, bid)
+        val r = replaySlice(slice, t, cur, target, bid, overridePins)
+        for (prev <- prevEff; pin <- r.pinned) {
+          // key renames that applied live between parks: positional diff
+          // (evolveTable maps names in place, so order is preserved; the
+          // pk SET can't change mid-stream, only names can)
+          if (prev.pkCols.length == pin.pkCols.length)
+            renames ++= prev.pkCols.zip(pin.pkCols).filter { case (o, n) => o != n }
+          (prev.versionColumn, pin.versionColumn) match {
+            case (Some(o), Some(n)) if o != n => renames += ((o, n))
+            case _ =>
+          }
+        }
+        // refuse the one composition renameTransform can't express: this
+        // batch re-ADDing a name an EARLIER batch renamed away from — the
+        // end-of-drain coalesce would swallow the re-added column's data.
+        // (An ADD + CHANGE of the same name WITHIN one batch is the
+        // generator's normal shape and composes fine — the check is
+        // against renames from strictly earlier batches.)
+        val readded = renames.iterator.map(_._1).toSet
+          .intersect(r.parkedAdds.toSet)
+        if (readded.nonEmpty)
+          throw new IllegalStateException(
+            s"drain: parked batch $bid re-adds column(s) ${readded.mkString(", ")} " +
+              "after an earlier rename away from the same name — the " +
+              "end-of-drain rename compact cannot compose these; drain the " +
+              "pre-re-add batches first (inspect with read(), clear " +
+              "selectively), then drain the rest")
+        renames ++= r.parkedRenames
+        if (r.pinned.isDefined) prevEff = Some(r.next)
+        cur = r.next
       }
     }
+    val rs = renames.toList.distinct
+    if (rs.nonEmpty)
+      Consume.compact(cur, target,
+        rs.foldLeft((df: DataFrame) => df) { case (f, (o, n)) =>
+          f.andThen(Consume.renameTransform(o, n))
+        })
     parked.dropThrough(batchIds.max)
   }
 
   /** One parked batch's replay (the drain loop body; package-visible so
     * the crash-shape property test re-runs a prefix through the SAME
-    * code). Returns the post-batch TableSync for the legacy-chain
-    * fallback. */
+    * code). Returns the post-batch TableSync (for the legacy-chain
+    * fallback) plus what [[drain]]'s end-of-drain rename compact needs:
+    * the park's pin when it decided the keys, the CHANGE renames and ADD
+    * column names parked in this slice (event order within each list). */
   private[run] def replaySlice(slice: DataFrame, t: TableSync,
                                chained: TableSync, target: ParquetStateStore,
-                               bid: Long): TableSync = {
+                               bid: Long, overridePins: Boolean = false): DeadLetter.Replayed = {
     // slices parked since r12 carry their original _src_file/_src_seq
     // stamps (Consume parks from the stamped frame): collectDdl's
     // stampSourceOrder sees them and keeps the ORIGINAL staged order
@@ -165,23 +233,69 @@ final class DeadLetter(spark: SparkSession, root: String) {
     // part-file layout instead. Pre-r12 slices lack the columns and
     // fall back to the old re-stamp (drop() is lenient about absent
     // names).
-    val stamped = slice.drop("_batch_id", "_error", "_pre_schema")
+    val stamped = slice.drop(
+      "_batch_id", "_error", "_pre_schema", "_pre_pk", "_pre_version")
     // r13: prefer the park's own recorded pre-batch schema (see
-    // [[record]]); the chained value is the legacy-park fallback
-    val cur = (if (slice.columns.contains("_pre_schema"))
-      slice.select("_pre_schema").limit(1).collect().headOption
-        .flatMap(r => Option(r.getString(0)))
-      else None) match {
-      case Some(json) => t.copy(valueSchema = org.apache.spark.sql.types
-        .DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => chained
+    // [[record]]); the chained value is the legacy-park fallback. r14:
+    // the pin extends to pk/version column NAMES — a live-applied rename
+    // between two parks used to replay later parks with the caller's
+    // stale names. Pins win by default; `overridePins` is the
+    // wrong-config repair path (taxonomy above): the operator fixed the
+    // TableSync's keys and wants the correction applied to every parked
+    // batch (the schema pin still applies — it must match the parked
+    // bytes; the keys are config).
+    val have = slice.columns.toSet
+    val pinRow =
+      if (have("_pre_schema"))
+        slice.select(
+          col("_pre_schema"),
+          (if (have("_pre_pk")) col("_pre_pk")
+           else lit(null).cast("array<string>")).as("_pre_pk"),
+          (if (have("_pre_version")) col("_pre_version")
+           else lit(null).cast("string")).as("_pre_version"))
+          .limit(1).collect().headOption
+      else None
+    val pinned: Option[TableSync] =
+      pinRow.flatMap(r => Option(r.getString(0))).flatMap { json =>
+        val withSchema = t.copy(valueSchema = org.apache.spark.sql.types
+          .DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+        val r = pinRow.get
+        if (overridePins || r.isNullAt(1)) {
+          // legacy r13 park (no key pin) or operator override: schema
+          // from the pin, keys from the caller — NOT pin-rooted, so the
+          // drain's pin-diff never trusts it
+          None
+        } else Some(withSchema.copy(
+          pkCols = r.getSeq[String](1),
+          versionColumn = Option(r.getString(2))))
+      }
+    val cur = pinned.getOrElse {
+      pinRow.flatMap(r => Option(r.getString(0))) match {
+        case Some(json) => t.copy(valueSchema = org.apache.spark.sql.types
+          .DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => chained
+      }
     }
     val ddls = Consume.collectDdl(stamped, t.schema)
     val events = stamped.drop("_src_file", "_src_seq")
     val next = Consume.evolveTable(cur, ddls)
     Consume.applyBatch(spark, next, target,
       Consume.tableChangelog(events, cur, ddls), bid)
-    next
+    import graft.ddl.AlterParser
+    val mine = ddls.sortBy(_._2)
+      .flatMap { case (stmt, _) => AlterParser.parse(stmt) }
+      .filter(_.table == t.table)
+    DeadLetter.Replayed(
+      next, pinned,
+      parkedRenames = mine.collect {
+        case AlterParser.ParsedAlter(_, AlterParser.ChangeColumn(o, n, _, _, _, _))
+          if AlterParser.bare(o) != AlterParser.bare(n) =>
+          (AlterParser.bare(o), AlterParser.bare(n))
+      },
+      parkedAdds = mine.collect {
+        case AlterParser.ParsedAlter(_, AlterParser.AddColumn(c, _, _, _, _, _)) =>
+          AlterParser.bare(c)
+      })
   }
 
   /** Re-run every parked DDL statement of a schema via `runDdl`, in
@@ -219,4 +333,12 @@ final class DeadLetter(spark: SparkSession, root: String) {
         if (failures.nonEmpty) recordDdl(schema, failures.toSeq, bid)
       }
     }
+}
+
+object DeadLetter {
+  /** [[DeadLetter.replaySlice]]'s outcome — see its scaladoc. */
+  private[run] final case class Replayed(next: TableSync,
+                                         pinned: Option[TableSync],
+                                         parkedRenames: Seq[(String, String)],
+                                         parkedAdds: Seq[String])
 }

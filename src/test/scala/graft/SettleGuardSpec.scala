@@ -57,6 +57,26 @@ class SettleGuardSpec extends AnyFunSuite {
     SettleGuard.stamp()
   }
 
+  test("the global marker path is per-user (r14 advisor: /tmp squatting)") {
+    // a fixed world-shared /tmp name let another user squat the file
+    // (stamps silently fail) or plant a fresh timestamp gating every
+    // bench on the box; the suffix keeps each user in their own channel
+    // (and reads are additionally ownership-checked — untestable here
+    // without a second uid, but the write-skip guard is: a file we own
+    // is still stamped over)
+    if (sys.env.get("SPARK_GRAFT_SETTLE_FILE_GLOBAL").isEmpty) {
+      val user = sys.props.getOrElse("user.name", "unknown")
+      assert(SettleGuard.globalMarkerFile.getName == s".graft-settle-marker-$user",
+        s"global marker must carry the user suffix: ${SettleGuard.globalMarkerFile}")
+    }
+    SettleGuard.stamp()
+    val before = java.nio.file.Files.readString(SettleGuard.globalMarkerFile.toPath)
+    Thread.sleep(5)
+    SettleGuard.stamp() // we own it -> restamp must go through
+    val after = java.nio.file.Files.readString(SettleGuard.globalMarkerFile.toPath)
+    assert(after.trim.toLong >= before.trim.toLong)
+  }
+
   test("gapSec is -1 only when NEITHER marker is known") {
     SettleGuard.markerFile.delete()
     SettleGuard.globalMarkerFile.delete()

@@ -28,6 +28,27 @@ class DdlSpec extends AnyFunSuite {
       .contains(("test", "alter table test.test add column name DateTime")))
   }
 
+  test("add column renders its DEFAULT (r14 advisor: convert.py:119-124)") {
+    // the reference renders `default '{value}'` for ADD COLUMN exactly as
+    // for MODIFY; dropping it created the ClickHouse column with the
+    // type default and silently diverged existing rows from the source
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add column score decimal(16,2) not null default 0")
+      .contains(("test",
+        "alter table test.test add column score Decimal(16,2) default '0'")))
+    // quoted literal keeps its quoting; comment still renders after it
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add column tag varchar(8) default 'n/a' comment 'x'")
+      .contains(("test",
+        "alter table test.test add column tag Nullable(String) default 'n/a' comment 'x'")))
+    // keyword defaults pass verbatim (deliberate divergence from
+    // convert.py:120's unconditional quoting — pinned for MODIFY in r13,
+    // same contract here)
+    assert(AlterParser.toClickHouse("test",
+      "alter table test add column ts datetime default current_timestamp")
+      .exists(!_._2.contains("'current_timestamp'")))
+  }
+
   test("nullable add wraps in Nullable") {
     assert(AlterParser.toClickHouse("test",
       "alter table test add name bigint null")

@@ -60,9 +60,11 @@ class DeadLetterSpec extends SparkSpec {
     assert(dl.read("db", "ok").isEmpty)
 
     // fix the config (correct PK) and drain: rows land in the table store
-    // under the ORIGINAL batch id, and the dead-letter queue empties
+    // under the ORIGINAL batch id, and the dead-letter queue empties.
+    // overridePins (r14): the park pinned the WRONG pk (that's what
+    // poisoned it), so the repair must beat the park-time key pins
     val fixed = poisoned.copy(pkCols = Seq("id"))
-    dl.drain(fixed, stateRoot)
+    dl.drain(fixed, stateRoot, overridePins = true)
     val bad = Consume.currentState(fixed,
       new ParquetStateStore(spark, s"$stateRoot/db/bad")).get
     val rows = bad.select("id", "amount").collect()
@@ -325,7 +327,7 @@ class DeadLetterSpec extends SparkSpec {
     // batch 0: plain DML — parks (pre-batch schema = t0)
     dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
       100L, 2, "f", 1L))), "db", "t", 0L, "sink down",
-      preSchema = Some(t0.valueSchema))
+      preSync = Some(t0))
     // batch 1: ADD COLUMN note — applies LIVE (never parked)
     val b1 = df(Seq(
       ("db", "t", "query", "ALTER TABLE db.t ADD COLUMN note VARCHAR(20)", 110L, 0, "f", 1L)))
@@ -336,7 +338,7 @@ class DeadLetterSpec extends SparkSpec {
     // batch 2: DML USING the live-added column — parks (pre-batch schema = t1)
     dl.record(df(Seq(("db", "t", "insert", """{"id":2,"amount":20.0,"note":"kept"}""",
       120L, 2, "f", 1L))), "db", "t", 2L, "sink down",
-      preSchema = Some(t1.valueSchema))
+      preSync = Some(t1))
 
     dl.drain(t0, stateRoot) // t0: the legacy-fallback arg — the stamps must win
 
@@ -346,6 +348,55 @@ class DeadLetterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
     assert(state == Set((1L, 10.0, None), (2L, 20.0, Some("kept"))),
       "the live-applied ALTER between two parks must not null the drained column")
+    assert(dl.read("db", "t").isEmpty)
+  }
+
+  test("parks straddling a live-applied pk RENAME drain under their own key pins (r14)") {
+    // advisor r13→r14: _pre_schema pinned only the VALUE schema;
+    // pk/version names still came from the caller's TableSync, so a
+    // live-applied CHANGE that renamed a pk column between two parks
+    // replayed the later park with the stale name — from_json finds no
+    // such field and the pk silently nulls. The fix pins _pre_pk /
+    // _pre_version at park time; pins win unless overridePins.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlrename").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    // batch 0: plain DML under pk `id` — parks
+    dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down", preSync = Some(t0))
+    // batch 1: rename the pk column id -> uid — applies LIVE (never parked)
+    val b1 = df(Seq(("db", "t", "query",
+      "ALTER TABLE db.t CHANGE id uid bigint", 110L, 0, "f", 1L)))
+    val ddls1 = Consume.collectDdl(b1, "db")
+    val t1 = Consume.evolveTable(t0, ddls1)
+    assert(t1.pkCols == Seq("uid"), "fixture: evolveTable must rename the pk")
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+    Consume.applyBatch(spark, t1, store,
+      Consume.tableChangelog(b1.drop("_src_file", "_src_seq"), t0, ddls1), 1L)
+    // the live loop's store-side rename half (Consume.start does this for
+    // every renamesIn hit — replicate it for the simulated live batch)
+    Consume.renamesIn(ddls1).foreach { case (_, o, n) =>
+      Consume.compact(t1, store, Consume.renameTransform(o, n)) }
+    // batch 2: DML keyed by the RENAMED pk — parks with its own pin (uid)
+    dl.record(df(Seq(("db", "t", "insert", """{"uid":2,"amount":20.0}""",
+      120L, 2, "f", 1L))), "db", "t", 2L, "sink down", preSync = Some(t1))
+
+    // drain with the FIRST park's sync (pk=id): batch 2's own pin must win
+    dl.drain(t0, stateRoot)
+
+    val state = Consume.currentState(t1,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+      .select("uid", "amount").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getDouble(1))).toSet
+    assert(state == Set((Some(1L), 10.0), (Some(2L), 20.0)),
+      "the renamed pk between two parks must not null the later park's keys")
     assert(dl.read("db", "t").isEmpty)
   }
 
@@ -462,7 +513,7 @@ class DeadLetterSpec extends SparkSpec {
           ids.take(1 + rnd.nextInt(ids.size)).foreach { bid =>
             parked.readVersion(bid).foreach { slice =>
               cur = dl.replaySlice(slice, tp, cur,
-                new ParquetStateStore(spark, s"$root/int/db/t"), bid)
+                new ParquetStateStore(spark, s"$root/int/db/t"), bid).next
             }
           }
         }
@@ -480,10 +531,10 @@ class DeadLetterSpec extends SparkSpec {
           // trial 4 of this very test nulls a column added by a batch
           // that applied live between two parks)
           dl.record(cached, "db", "t", i.toLong, "injected failure",
-            preSchema = Some(tLive.valueSchema))
+            preSync = Some(tLive))
           if (rnd.nextInt(3) == 0) // foreachBatch replay of a failing batch
             dl.record(cached, "db", "t", i.toLong, "injected failure (replay)",
-              preSchema = Some(tLive.valueSchema))
+              preSync = Some(tLive))
           if (tAtFirstPark.isEmpty) tAtFirstPark = Some(tLive)
         } else {
           Consume.applyBatch(spark, tNext,
