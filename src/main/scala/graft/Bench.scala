@@ -143,11 +143,27 @@ object Bench {
     // reader can attribute anomalous query times to machine load without
     // a re-run (round-7 verdict: driver-bench contamination was only
     // provable by isolated re-measurement).
-    def canary(): Double = (0 until 3).map { _ =>
-      val t0 = System.nanoTime()
+    //
+    // One UNTIMED pass first (r14): the canary measures the MACHINE, so
+    // its own one-time JVM costs (codegen compile of the probe's class,
+    // C2 JIT of the generated loop) must not count — the same reason
+    // every query gets an untimed codegen pass. On a cold JVM those
+    // costs bleed past pass 1, and a short isolated adjudication run is
+    // exactly the cold-JVM case: the r13 sf10 adjudication record
+    // carried canary_start 0.855 s > the 0.50 s gate on an otherwise
+    // idle box, which made the clearing evidence fail the very gate it
+    // served (VERDICT r13 "what's wrong" #2). Sustained machine load
+    // still trips the gate — it inflates the post-warmup min just as
+    // much. Protocol side: regress.py --gate checks any single record
+    // against all contamination gates; adjudication records must pass.
+    def canary(): Double = {
       spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }.min
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val canaryStart = canary()
     // I/O-sensitive sibling of the CPU canary (write+fsync+readback;
     // floors + the measured limits of this probe: SettleGuard scaladoc)

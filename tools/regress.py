@@ -2,6 +2,17 @@
 """Round-over-round bench regression verdicts with per-query noise floors.
 
 Usage: regress.py <old_bench> <new_bench>
+       regress.py --gate <bench>
+
+--gate checks ONE record against every contamination gate (canary, io
+canary, settle gap, active JVMs, busy/dirty/steal) and exits 2 if any
+trips, 0 otherwise. Adjudication rule (r14, VERDICT r13 #2): a record
+offered as adjudication evidence must ITSELF pass this gate — a
+contaminated clearing run proves nothing, whichever way it points. Run
+--gate on the adjudication JSON before citing it. (Bench's canary takes
+an untimed warmup pass since r14, so a cold isolated JVM no longer
+manufactures a hot start canary; a --gate failure on a fresh record now
+means real machine state, not JIT.)
 
 Both args are either raw graft.Bench stdout (a line with {"metric":...})
 or a driver BENCH_r{N}.json (the metric lines are extracted from its
@@ -148,15 +159,12 @@ def load(path):
     }
 
 
-def main():
-    if len(sys.argv) != 3:
-        raise SystemExit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+def gate_trips(run):
+    """Contamination-gate messages for one loaded record (empty = clean).
 
-    for name, run in (("old", old), ("new", new)):
-        # each gate checks only when Bench emitted the field (None on
-        # pre-r12 records) and -1 sentinels (unknown) never trip
-        checks = [
+    Each gate checks only when Bench emitted the field (None on pre-r12
+    records) and -1 sentinels (unknown) never trip."""
+    checks = [
             (run["canary_start"] or 0) > CANARY_BAD and
             f"canary_start={run['canary_start']}s > {CANARY_BAD}s",
             (run["canary_end"] or 0) > CANARY_BAD and
@@ -179,8 +187,32 @@ def main():
             (run["steal_frac_run"] or 0) > STEAL_FRAC_BAD and
             f"steal_frac_run={run['steal_frac_run']} > {STEAL_FRAC_BAD} "
             f"(hypervisor stole CPU during the run)",
-        ]
-        tripped = [msg for msg in checks if msg]
+    ]
+    return [msg for msg in checks if msg]
+
+
+def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--gate":
+        # single-record contamination gate: the check an adjudication
+        # artifact must pass before it may serve as clearing evidence
+        run = load(sys.argv[2])
+        tripped = gate_trips(run)
+        for msg in tripped:
+            print(f"CONTAMINATED: {msg}")
+        if run["settle_gap_s"] is not None and run["settle_gap_s"] < 0:
+            print("WATCH: settle_gap_s=-1 (marker channel inert — unknown "
+                  "is NOT clean)")
+        if tripped:
+            print("— this record is NOT valid adjudication evidence; re-run")
+            sys.exit(2)
+        print("gate-clean: usable as adjudication evidence")
+        return
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+
+    for name, run in (("old", old), ("new", new)):
+        tripped = gate_trips(run)
         if tripped:
             for msg in tripped:
                 print(f"CONTAMINATED: {name} run: {msg}")
@@ -291,6 +323,8 @@ def main():
             print("adjudicate (FULL-RUN-ONLY class — isolated runs pay warmup; "
                   "compare repeat-loop full-run minima, SPARK_GRAFT_BENCH_REPEAT>=2):",
                   ",".join(full_only))
+        print("adjudication records must THEMSELVES be gate-clean: check with "
+              "regress.py --gate <record> before citing one as evidence")
         sys.exit(1)
     print("no per-query regressions beyond measured noise floors")
 
