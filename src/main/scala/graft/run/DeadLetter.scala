@@ -152,6 +152,23 @@ final class DeadLetter(spark: SparkSession, root: String) {
     */
   def drain(t: TableSync, stateRoot: String,
             overridePins: Boolean = false): Unit = {
+    // Same refusal as Consume.start (r14): while a rewind's mutation
+    // window is open (crashed between store truncation and checkpoint
+    // seek), the stores are half-rewound — a drain here would apply
+    // parked batches into a store whose checkpoint still plans past the
+    // target, and a drain that runs its end-of-drain rename compact
+    // would fold versions PAST the rewind target, after which the
+    // mandatory re-run of the rewind refuses on its own compaction
+    // guard: consume refuses on the sentinel, rewind refuses on the
+    // compaction — the system is wedged short of a re-bootstrap.
+    // Finish the rewind first; the drain composes cleanly after it
+    // (RewindDrainSpec proves both orders).
+    Resume.rewindInProgress(spark, stateRoot).foreach { info =>
+      throw new IllegalStateException(
+        s"drain refused: a rewind is in progress (or crashed mid-mutation) " +
+          s"under $stateRoot [${info.trim.replace('\n', ' ')}] — re-run the " +
+          "same rewind to completion before draining (RUNBOOK §3)")
+    }
     val parked = storeFor(t.schema, t.table)
     val batchIds = parked.versionIds()
     if (batchIds.isEmpty) return

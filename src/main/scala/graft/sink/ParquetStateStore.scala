@@ -127,11 +127,28 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
 
   /** Append-only log flavor: one subdir per batch, read() unions all.
     * Overwrite (not ErrorIfExists): the only way the dir can pre-exist
-    * without being committed is a crashed write of this same batch. */
+    * without being committed is a crashed write of this same batch.
+    *
+    * "Committed" includes batches a compaction FOLDED (r14): the fold
+    * deletes the per-batch delta dirs, so the dir check alone would let a
+    * replay of a folded batch re-append rows the compacted base already
+    * contains — harmless for the LWW engines (identical rows, same
+    * winner) but corrupting for the collapsing family, whose sign-sum
+    * counts the duplicate +1 and a later single -1 then leaves a deleted
+    * row alive. Found by the rewind × dead-letter composition: a
+    * post-rewind drain's rename compact folds the drained batch ids, and
+    * the restarted stream then replays exactly those ids from the broker
+    * (RewindDrainSpec pins the shape). The folded ids travel in the
+    * compaction marker — see [[compact]]. */
   def append(df: DataFrame, batchId: Long): Unit = {
     recoverCompaction() // writer entry: settle any pending swap physically
     val p = new Path(s"$root/v=$batchId")
-    if (!committed(p)) df.write.mode(SaveMode.Overwrite).parquet(p.toString)
+    if (committed(p)) return
+    val folded = versions.exists { case (v, vp) =>
+      v >= batchId && fs.exists(new Path(vp, CompactedMarker)) &&
+        foldedIds(vp).contains(batchId)
+    }
+    if (!folded) df.write.mode(SaveMode.Overwrite).parquet(p.toString)
   }
 
   /** Committed versions, schema-merged: a snapshot base written before a
@@ -269,6 +286,21 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
 
   private val CompactedMarker = "_graft_compacted"
 
+  /** Batch ids a compaction folded, read from its marker (r14). An empty
+    * set for a pre-r14 legacy marker (no manifest) — those can't
+    * distinguish "folded" from "never applied", so [[append]] keeps its
+    * old always-write behavior for ids a legacy base might hold (the
+    * pre-r14 exposure, closed for every compaction written since). */
+  private def foldedIds(base: Path): Set[Long] = {
+    val m = new Path(base, CompactedMarker)
+    try {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    } catch { case _: Exception => Set.empty }
+  }
+
   /** Compact the append-only log: materialize `resolved` as the single
     * surviving version (keeping the latest version number so batch-id
     * idempotence still holds) and drop the per-batch deltas. The engine
@@ -295,6 +327,13 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     val vs = versions
     if (vs.isEmpty) return
     val keep = vs.last._1
+    // every batch id this fold makes disappear as a dir: the visible
+    // version ids, plus whatever a previous compacted base had already
+    // folded (a re-compaction folds the base too — dropping its manifest
+    // would re-open the replay window for the oldest batches)
+    val folded = vs.flatMap { case (v, p) =>
+      if (fs.exists(new Path(p, CompactedMarker))) foldedIds(p) + v else Seq(v)
+    }.distinct.sorted
     val stage = new Path(s"$root/$CompactStagePrefix$keep")
     if (fs.exists(stage)) fs.delete(stage, true)
     resolved.write.mode(SaveMode.Overwrite).parquet(stage.toString)
@@ -310,7 +349,9 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
     if (!fs.rename(stage, tmp))
       throw new java.io.IOException(
         s"compact: rename $stage -> $tmp failed; aborting before the marker commit")
-    fs.create(new Path(tmp, CompactedMarker), true).close() // logical commit
+    // logical commit; the marker body is the folded-id manifest [[foldedIds]]
+    val mk = fs.create(new Path(tmp, CompactedMarker), true)
+    try mk.write(folded.mkString("\n").getBytes("UTF-8")) finally mk.close()
     recoverCompaction() // physical swap, crash-resumable
   }
 }
