@@ -200,7 +200,7 @@ object Main {
     // --last-bach silently ignored means a skipped rewind or a surprise
     // full re-snapshot
     val knownFlags = Set("alias", "schema", "table", "renew", "last-batch",
-      "shards", "min-tokens", "rates", "eval", "paragraph-sep")
+      "shards", "min-tokens", "rates", "eval", "paragraph-sep", "upgrade")
     flags.keys.foreach(k =>
       require(knownFlags(k), s"unknown flag --$k (known: ${knownFlags.toSeq.sorted.mkString(", ")})"))
     // --renew=false must NOT renew: boolean flags are true only when bare
@@ -245,6 +245,46 @@ object Main {
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pos(1))),
           "UTF-8"))
       else SyncConfig.fromProperties(loadProps(pos(1)))
+    // `streams`: produce-pin introspection/upgrade — pure broker
+    // round-trips, no Spark session. Reports each configured schema's
+    // produce-protocol pin state; `--upgrade` retires RUNBOOK §6 waiver
+    // #1 per schema by pinning legacy streams' current state (see
+    // RedisBroker.pinExistingState for the freeze-window soundness —
+    // run with the producer STOPPED).
+    if (mode == "streams") {
+      require(pos.length >= 3, "usage: Main streams <config> <redis[:host:port]> [--upgrade] [--alias=A]")
+      require(pos(2) == "redis" || pos(2).startsWith("redis:"),
+        "streams introspects the Redis produce protocol; file/kafka brokers keep no pin records")
+      var legacy = 0
+      cfg.sources.filter(s => flags.get("alias").forall(_ == s.alias)).foreach { src =>
+        val b = redisBroker(pos(2), cfg, src.alias)
+        try src.databases.map(_.database).foreach { schema =>
+          val produced = b.producedBatch(schema)
+          val pin = b.producedState(schema)
+          val digest = b.producedDigest(schema)
+          val status =
+            if (produced < 0) "never-produced (pins on first produce)"
+            else pin match {
+              case Some((bid, _, _, _)) if bid == produced => "pinned"
+              case Some((bid, _, _, _)) if bid > produced =>
+                s"forward-dated pin from a crashed batch-$bid commit (next produce overwrites)"
+              case _ =>
+                if (boolFlag("upgrade")) b.pinExistingState(schema) match {
+                  case Some((bid, f, l, n)) => s"UPGRADED: pinned batch $bid (first=$f last=$l len=$n)"
+                  case None => { legacy += 1; "LEGACY (upgrade raced a concurrent change; re-run)" }
+                } else { legacy += 1; "LEGACY - waiver #1 applies until one produce cycle or --upgrade" }
+            }
+          val digestTxt = digest.map(d => s"batch ${d._1}").getOrElse("none")
+          println(f"[streams] ${src.alias}%-10s $schema%-16s produced=$produced%-6d " +
+            f"digest=$digestTxt%-10s $status")
+        } finally b.close()
+      }
+      if (legacy > 0)
+        println(s"[streams] $legacy legacy stream(s) remain - run `Main streams <config> <broker> --upgrade` " +
+          "with the producer stopped, or one produce cycle per schema")
+      else println("[streams] no legacy streams: waiver #1 fully retired for this config")
+      return
+    }
     val preexisting = SparkSession.getActiveSession
     val spark = preexisting.getOrElse(
       Tables.session(sys.env.getOrElse("SPARK_MASTER", "local[32]")))

@@ -236,6 +236,44 @@ final class RedisBroker(host: String, port: Int, alias: String,
       (bid.toLong, first, last, len.toLong)
     }
 
+  /** Upgrade a LEGACY stream (produced before the r13 state pin existed)
+    * to pinned WITHOUT waiting for the next produce cycle: record the
+    * stream's CURRENT (first, last, length) under its committed batch id.
+    * Returns the written pin, or None when there is nothing to do — the
+    * schema was never produced, or a pin for the committed (or a
+    * forward-dated crashed) batch already exists.
+    *
+    * Soundness: the freeze argument ([[producedState]]) covers the whole
+    * commit→replay window — a faithful stream shows the SAME state at
+    * any point T inside it, so a pin taken at T verifies exactly like
+    * one taken at the commit. What changes is coverage: tampering AFTER
+    * T is now refused exactly; tampering BEFORE T gets pinned as truth —
+    * the same shape as waiver #2's "the pin records whatever exists at
+    * commit time", and strictly no weaker than the legacy fallback
+    * (every heuristic check still runs as an independent condition; the
+    * pin only ADDS a refusal). RUNBOOK §6 waiver #1 is retired per
+    * schema the moment this (or any r13+ produce commit) runs.
+    *
+    * Operator tool: must not run concurrently with a live producer for
+    * this alias — a pin taken mid-batch would record a partial send as
+    * frozen truth and the producer's own commit then overwrites it
+    * anyway. Stop the producer (or run between batches) first. */
+  def pinExistingState(schema: String): Option[(Long, String, String, Long)] = {
+    val produced = producedBatch(schema)
+    if (produced < 0) None
+    else producedState(schema) match {
+      // bid == produced: already pinned. bid > produced: a crashed
+      // commit's forward-dated pin — the next produce overwrites it,
+      // and stamping current state under the OLD batch id would claim
+      // the crashed attempt's partial XADDs as batch-`produced` state.
+      case Some((bid, _, _, _)) if bid >= produced => None
+      case _ =>
+        val (f, l, n) = streamState(schema)
+        client.command("HSET", stateKey, schema, s"$produced:$f:$l:$n")
+        Some((produced, f, l, n))
+    }
+  }
+
   /** The per-schema batch-content digest recorded with the produce
     * commit, as (batchId, digest) — None for streams produced before
     * the record existed (r12). The digest is an order-sensitive O(1)

@@ -205,4 +205,39 @@ class MainSpec extends SparkSpec {
       }
     } finally server.close()
   }
+
+  test("Main streams reports pin state and --upgrade retires legacy streams") {
+    val root = Files.createTempDirectory("mainstreams").toString
+    val server = new graft.sources.FakeRedisServer
+    try {
+      val props =
+        s"""source.0.alias=a
+           |source.0.db_type=mysql
+           |source.0.url=parquet:$sf
+           |source.0.database.0=db1
+           |source.0.database.0.table.0=orders
+           |source.0.database.1=db2
+           |source.0.database.1.table.0=region
+           |""".stripMargin
+      val cfgPath = s"$root/graft.properties"
+      Files.write(Paths.get(cfgPath), props.getBytes)
+      val uri = s"redis:127.0.0.1:${server.port}"
+      // craft: db1 legacy (produced, no pin), db2 never produced
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        raw.command("XADD", "synch:a:db1", "0-1", "msg", "{}")
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0")
+      } finally raw.close()
+
+      Main.main(Array("streams", cfgPath, uri)) // report-only: pin untouched
+      assert(server.dumpHash("synch:a:produced_state").isEmpty)
+      Main.main(Array("streams", cfgPath, uri, "--upgrade"))
+      assert(server.dumpHash("synch:a:produced_state").get("db1")
+        .contains("0:0-1:0-1:1"), server.dumpHash("synch:a:produced_state").toString)
+      // db2 was never produced: nothing pinned for it
+      assert(!server.dumpHash("synch:a:produced_state").contains("db2"))
+      // a file broker has no pin records to introspect
+      intercept[Exception] { Main.main(Array("streams", cfgPath, "file:/tmp/x")) }
+    } finally server.close()
+  }
 }

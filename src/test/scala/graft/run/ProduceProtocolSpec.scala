@@ -401,6 +401,69 @@ class ProduceProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("r14 upgrade: pinExistingState retires the legacy waiver and its skip replay verifies exact state") {
+    // RUNBOOK §6 waiver #1: a pre-r13 stream has no state pin, so its
+    // skip replay falls back to the cap heuristics and the lazy-~
+    // residual applies (test A above tolerates a deleted head).
+    // `Main streams --upgrade` (RedisBroker.pinExistingState) pins the
+    // CURRENT state under the committed batch id — the freeze argument
+    // makes a mid-window pin verify exactly like a commit-time one —
+    // after which the SAME tamper shape refuses loudly.
+    val b0 = batchRows(0, 40)
+    val db1Len = (1 to 40).count(_ % 3 != 0)
+    def craftLegacy(server: FakeRedisServer): Unit = {
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        (1 to 40).filter(_ % 3 != 0).foreach(i =>
+          raw.command("XADD", key("db1"), s"0-$i", "msg", ev("db1", i)))
+        (1 to 40).filter(_ % 3 == 0).foreach(i =>
+          raw.command("XADD", key("db2"), s"0-$i", "msg", ev("db2", i)))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0", "db2", "0")
+        // at-cap legacy stream: the lazy-~ shape the waiver covers
+        raw.command("HSET", "synch:a:produced_maxlen", "db1", "10", "db2", "1000000")
+      } finally raw.close()
+    }
+    withServer { server =>
+      craftLegacy(server)
+      val b = broker(server)
+      try {
+        // upgrade writes the pin once; re-running is a no-op; a
+        // never-produced schema has nothing to pin
+        assert(b.pinExistingState("db1").contains((0L, "0-1", "0-40", db1Len.toLong)))
+        assert(b.pinExistingState("db1").isEmpty, "second upgrade must be a no-op")
+        assert(b.pinExistingState("db9").isEmpty, "never-produced schema must not pin")
+        assert(b.pinExistingState("db2").isDefined)
+      } finally b.close()
+      runBatch(server, b0, 0L) // untampered upgraded stream: skip replay passes
+      // now the lazy-~ tamper (delete the at-cap stream's head): the
+      // LEGACY path tolerated exactly this — the upgraded pin refuses
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try raw.command("XDEL", key("db1"), "0-1") finally raw.close()
+      val e = intercept[IllegalStateException] { runBatch(server, b0, 0L) }
+      assert(e.getMessage.contains("stream state changed"), e.getMessage)
+    }
+  }
+
+  test("r14 upgrade: a forward-dated pin from a crashed commit is left alone") {
+    // crash AFTER the state-pin HSET but BEFORE the produced HSET: the
+    // pin names batch 0 while produced still says -1 → send-mode replay
+    // territory. pinExistingState must not stamp current (mid-crash
+    // partial) state under an older batch id; the replay's own commit
+    // overwrites the forward record.
+    val b0 = batchRows(0, 40)
+    withServer { server =>
+      server.failAfterWrites(43L) // XADDs + cap + digest + state pin, no produced
+      intercept[Exception] { runBatch(server, b0, 0L) }
+      server.failAfterWrites(-1)
+      val b = broker(server)
+      try assert(b.pinExistingState("db1").isEmpty,
+        "a forward-dated pin must not be overwritten with crash-partial state")
+      finally b.close()
+      runBatch(server, b0, 0L) // send-mode replay converges and re-pins
+      assert(snapshot(server) == reference(Seq(0L -> b0)))
+    }
+  }
+
   test("r13 send-mode replay refuses an INTERIOR hole in the pre-crash partial") {
     // crash mid-batch, then delete an interior entry of the partial: no
     // trim can leave a hole between two surviving entries (oldest eaten
