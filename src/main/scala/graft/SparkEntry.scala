@@ -2750,7 +2750,8 @@ object SparkEntry {
       def cellCte(src: String, name: String) =
         s"""$name AS (
            |  SELECT user_id, CAST(t.r AS INT) AS row,
-           |    (((((($h) * ($h) + 12345) % ${OracleSql.P})
+           |    ((((((($h) * ($h) + 12345) % ${OracleSql.P}
+           |          * 1103515245 + 12345) % ${OracleSql.P})
            |        * ($aL)[CAST(t.r AS INT)+1] + ($bL)[CAST(t.r AS INT)+1])
            |      % ${OracleSql.P}) % 256) AS col
            |  FROM $src, range(0, 4) t(r))""".stripMargin
@@ -2772,7 +2773,9 @@ object SparkEntry {
       s"""WITH h0 AS (
          |  SELECT event_type, $h AS h0 FROM events WHERE user_id IS NOT NULL),
          |hashed AS (
-         |  SELECT event_type, (h0 * h0 + 12345) % ${OracleSql.P} AS h FROM h0),
+         |  SELECT event_type,
+         |    ((h0 * h0 + 12345) % ${OracleSql.P} * 1103515245 + 12345)
+         |      % ${OracleSql.P} AS h FROM h0),
          |rr AS (
          |  SELECT event_type, CAST(h % 64 AS INT) AS reg,
          |    CASE WHEN h // 64 = 0 THEN CAST(32 AS BIGINT)

@@ -43,10 +43,6 @@ object SketchOps {
   def hllDistinct(df: DataFrame, keyCol: String,
                   groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
-    // quadratic scramble: the raw polynomial hash leaves sequential-key
-    // structure in its low bits (measured 3x cardinality bias); squaring
-    // mod P breaks the linearity while staying in exact Long range
-    // (h < P ≈ 2^30 → h² < 2^60) and portable to the oracle verbatim
     // NULL keys are ignored, like COUNT(DISTINCT): hashing them yields a
     // NULL register row that count(*) saw but sum(invPow) skipped — off
     // by one in the empty-register term, and with all 64 registers hit,
@@ -55,8 +51,7 @@ object SketchOps {
     // (the GROUP BY runs over the filtered input) — left-join a group
     // list and coalesce to 0 if absent groups must read as estimate 0.
     val input = df.filter(col(keyCol).isNotNull)
-    val h0 = polyHash(col(keyCol).cast("string"))
-    val h = (h0 * h0 + lit(12345L)) % lit(P)
+    val h = scrambled(col(keyCol))
     val w = graft.functions.IntMath.floorDiv(h, 64L)
     // rank: 1 + lowest set bit of w; w = 0 (prob 2^-32-ish) caps at 32.
     // w & -w isolates the lowest set bit (an exact power of two < 2^30),
@@ -101,13 +96,32 @@ object SketchOps {
     * scramble keeps the d rows pairwise-independent-ish over the
     * portable hash family ([[graft.functions.CrossHash.A]]/B).
     */
+  /** Key scramble shared by the sketch family: quadratic round (breaks
+    * the polynomial hash's sequential-key linearity in its LOW bits,
+    * the original r-era fix) followed by one full-range LCG round mod P.
+    * The second round exists because squaring alone is NOT uniform mod
+    * small powers of two: for short keys (h₀ < 2¹⁵, e.g. integer ids)
+    * h₀² + 12345 never wraps P, so `h % 64` can only land on the ~12
+    * quadratic residues mod 64 shifted by 12345 — the r14 invariants
+    * gate (tools/invariants.py hll_error) caught 150 distinct user ids
+    * collapsing into 21 of 64 HLL registers, estimate 25.5 vs 150
+    * (rel err 0.83 against the published 13% for m=64; all THREE
+    * implementations agreed because they shared this spec). Multiplying
+    * by 1103515245 (≈2³⁰) wraps P for essentially every input, so the
+    * residue structure dies while everything stays exact-Long
+    * (h < P ≈ 2³⁰ → h·1103515245 < 2⁶⁰) and oracle-portable verbatim.
+    * Post-fix register spread for the same 150 ids: 57 of 64, rel err
+    * 0.06; count-min row-0 cell spread 54 → 120 of 150. */
+  private def scrambled(c: Column): Column = {
+    val h0 = polyHash(c.cast("string"))
+    val h1 = (h0 * h0 + lit(12345L)) % lit(P)
+    (h1 * lit(1103515245L) + lit(12345L)) % lit(P)
+  }
+
   /** Row-`row` count-min cell of a key expression: scrambled portable
     * hash permuted by the family coefficients, folded into [0, width). */
-  private def cmCell(c: Column, row: Int, width: Int): Column = {
-    val h0 = polyHash(c.cast("string"))
-    val h = (h0 * h0 + lit(12345L)) % lit(P)
-    graft.functions.CrossHash.permuted(h, row) % lit(width.toLong)
-  }
+  private def cmCell(c: Column, row: Int, width: Int): Column =
+    graft.functions.CrossHash.permuted(scrambled(c), row) % lit(width.toLong)
 
   /** Exact heavy hitters (count ≥ `threshold`) via a count-min prescreen.
     *

@@ -49,9 +49,13 @@ def poly_hash(s):
 
 
 def scramble(s):
-    """The engine's documented key scramble for sketches: (h^2 + 12345) mod P."""
+    """The engine's documented key scramble for sketches (r14 two-round
+    form): quadratic round then a full-range LCG round — squaring alone
+    collapsed short keys onto quadratic residues mod 64 (see
+    SketchOps.scrambled and tools/invariants.py hll_error)."""
     h = poly_hash(s)
-    return (h * h + 12345) % P
+    h = (h * h + 12345) % P
+    return (h * 1103515245 + 12345) % P
 
 
 def tokens(text):
