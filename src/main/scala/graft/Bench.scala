@@ -200,6 +200,9 @@ object Bench {
     require(loops >= 1,
       s"SPARK_GRAFT_BENCH_REPEAT must be >= 1 (got $loops); unset it or use 1 to disable repeats")
     val names = only.fold(headline)(s => headline.filter(s))
+    // queries whose every execution attempt threw (see run()'s catch):
+    // reported in both metric lines so regress.py/readers can refuse
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val loopResults = (1 to loops).map { li =>
       if (loops > 1) System.err.println(s"[bench] ==== loop $li/$loops ====")
       names.map { name =>
@@ -212,11 +215,25 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_NO_DRAIN"))
         org.apache.spark.sql.graftshim.SessionDrain.drain(spark.sparkContext)
       val fn = SparkEntry.queries(name)
-      def run(): Unit =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      // LOUD on failure (r14 review): a silently-swallowed failure times
+      // the exception throw (~0.01 s) and regress.py reads the broken
+      // query as a huge improvement — invisible until a separate
+      // correctness run, and at sf10 there IS no correctness run. Only a
+      // failure in a TIMED pass gates the record (meta review: a
+      // transient warmup-only hiccup leaves every published time from a
+      // successful execution — marking it failed would force a full
+      // re-run on a valid record); the gate field rides both metric
+      // lines as "failed_queries" so an automated reader can refuse.
+      def run(): Boolean =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable =>
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] ERROR: query '$name' FAILED (timing the throw, " +
+                s"not the query): ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         }
       // one untimed pass per query: whole-stage codegen compiles each
       // query's unique generated class on first execution (measured
@@ -230,13 +247,15 @@ object Bench {
       // adjudication) and envelope_debezium 1.18-1.66 s at sf0.1 on
       // identical code (r11 judge's isolated canary-clean re-runs);
       // min-of-3 narrows the sampled tail.
-      run()
+      run() // warmup: a failure here is logged but does not gate
       val gc0 = gcSec()
       val passes =
         if (Set("dedup_minhash_pairs", "envelope_debezium")(name)) 3 else 2
       val dt = (0 until passes).map { i =>
         val t0 = System.nanoTime()
-        run()
+        // ANY timed-pass failure gates: the published min could be the
+        // exception-throw time of the failing pass
+        if (!run()) failed.add(name)
         val d = (System.nanoTime() - t0) / 1e9
         // per-pass visibility for the min-of-3 queries: tells intra-JVM
         // variance (pass spread here) apart from inter-JVM variance
@@ -280,8 +299,18 @@ object Bench {
     // the map fell off the capture and the gc numbers were misread as times
     // settle/contamination evidence rides in BOTH lines so regress.py can
     // gate on whichever record survives the driver's fixed-size tail
-    val env = """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f,"steal_frac_run":%.4f,"loops":%d"""
-      .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb, stealFrac, loops)
+    def envLine(failedJson: String) =
+      """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f,"steal_frac_run":%.4f,"loops":%d,"failed_queries":%s"""
+        .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb, stealFrac, loops, failedJson)
+    val env = envLine(failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    // compact line (≤1.5 KB tail budget): a MASS-failure run must not blow
+    // the budget with the very field that gates it — cap at 3 names (the
+    // non-empty list trips regress.py's gate either way; the full line
+    // carries every name)
+    val envCompact = envLine(
+      (failed.take(3).map("\"" + _ + "\"").toSeq ++
+        (if (failed.size > 3) Seq("\"+" + (failed.size - 3) + " more\"") else Nil))
+        .mkString("[", ",", "]"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     // Second, COMPACT record (≤1.5 KB) printed after the full line: the
     // driver's bench capture keeps only a fixed-size tail of stdout, and
@@ -296,7 +325,7 @@ object Bench {
     // comma-decimal locale would print total_s":123,4 — invalid JSON on
     // exactly the machine-parseability this line exists for
     println("""{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,%s,"top20_ms":%s}"""
-      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, env, top20))
+      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, envCompact, top20))
     spark.stop()
   }
 }

@@ -196,21 +196,34 @@ object Main {
       val kv = f.stripPrefix("--").split("=", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "true")
     }.toMap
-    // reject-loudly applies to long flags too: a typo'd --renue or
-    // --last-bach silently ignored means a skipped rewind or a surprise
-    // full re-snapshot
-    val knownFlags = Set("alias", "schema", "table", "renew", "last-batch",
-      "shards", "min-tokens", "rates", "eval", "paragraph-sep", "upgrade")
-    flags.keys.foreach(k =>
-      require(knownFlags(k), s"unknown flag --$k (known: ${knownFlags.toSeq.sorted.mkString(", ")})"))
     // --renew=false must NOT renew: boolean flags are true only when bare
     // or explicitly truthy
     def boolFlag(name: String): Boolean = flags.get(name).exists(_ != "false")
     require(pos.length >= 2,
-      "usage: Main <etl|produce|consume|check|rewind|corpus> <config|docsParquet> " +
+      "usage: Main <etl|produce|consume|check|rewind|streams|corpus> <config|docsParquet> " +
         "[broker|checkpoint|outDir] [stateRoot] [lastBatchId] [--alias=A] " +
         "[--schema=S] [--table=t1,t2] [--renew] [--last-batch=N]")
     val mode = pos(0)
+    // Reject-loudly, PER MODE (r14 review): the old global known-flag set
+    // accepted mode-irrelevant flags — `consume --renew` validated and
+    // was silently ignored, the exact skipped-rewind/surprise-resnapshot
+    // class the check exists to prevent, one level up from typos.
+    val modeFlags: Map[String, Set[String]] = Map(
+      "etl" -> Set("alias", "schema", "table", "renew"),
+      "check" -> Set("alias", "schema", "table"),
+      "consume" -> Set("alias", "schema", "table", "last-batch"),
+      "rewind" -> Set("last-batch"),
+      "produce" -> Set("alias"),
+      "streams" -> Set("alias", "upgrade"),
+      "corpus" -> Set("shards", "min-tokens", "rates", "eval", "paragraph-sep"))
+    // fail-CLOSED (meta review): a future mode added to the match but
+    // forgotten here must not skip flag validation entirely
+    val allowedFlags = modeFlags.getOrElse(mode, sys.error(
+      s"unknown mode $mode (known: ${modeFlags.keys.toSeq.sorted.mkString(", ")})"))
+    flags.keys.foreach(k => require(allowedFlags(k),
+      s"--$k is not valid for mode '$mode' (allowed: " +
+        s"${allowedFlags.toSeq.sorted.mkString(", ")}); a silently ignored " +
+        "flag means a skipped rewind or a surprise re-snapshot"))
 
     // `corpus` takes a parquet directory, not a sync config — handle it
     // before the config parse
@@ -439,16 +452,31 @@ object Main {
           .orElse(flags.get("last-batch").map(_.toLong))
           .getOrElse(sys.error(
             "rewind requires an explicit batch id (positional or --last-batch=N)"))
-        refuseSelectors("rewind")
+        // selectors are already rejected by the per-mode flag check
+        // (modeFlags("rewind") = last-batch only) — refuseSelectors here
+        // would be dead code; it remains the guard for the one reachable
+        // combination, `consume --last-batch` with selectors (consume
+        // allows selectors in general, just not with a rewind)
         val removed = Resume.rewind(spark, ckpt, stateRoot, lastBatch)
         println(s"[rewind] dropped ${removed.size} checkpoint entries; " +
           s"state truncated to batch $lastBatch")
 
       case "produce" =>
         require(pos.length >= 3, "usage: Main produce <config> <broker> [rawDir] [--alias=A]")
-        val raw = EventSource.files(spark, pos.lift(3).getOrElse("/tmp/graft_raw"))
         // --alias selects the source whose filters apply (reference: one
-        // producer per source alias)
+        // producer per source alias). On a MULTI-source config the alias
+        // is REQUIRED (r14 review): find() silently took the first source
+        // and the other sources' events were dropped or mis-filtered by
+        // the wrong schema/skip lists — the produce-side twin of the
+        // consume-side multi-alias starvation eventStream already fixes.
+        // Checked BEFORE any stream construction so the refusal is the
+        // first thing a misconfigured operator sees.
+        require(cfg.sources.size == 1 || flags.contains("alias"),
+          s"produce on a ${cfg.sources.size}-source config requires --alias=" +
+            s"<one of: ${cfg.sources.map(_.alias).mkString(", ")}> — one " +
+            "producer per source alias (a default pick would silently drop " +
+            "the other sources' events)")
+        val raw = EventSource.files(spark, pos.lift(3).getOrElse("/tmp/graft_raw"))
         val src = cfg.sources.find(s => flags.get("alias").forall(_ == s.alias))
           .getOrElse(sys.error(
             s"no source matches alias ${flags.getOrElse("alias", "<any>")}"))

@@ -31,6 +31,21 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   private val CompactTmpPrefix = ".compact_tmp_v="
   private val CompactStagePrefix = ".compact_stage_v="
 
+  /** The ONE superseded-stale-tmp rule, shared by the reader view and the
+    * physical recovery (meta review: two hand-copied predicates drift —
+    * the repo's own r13 lesson): a marked tmp at `keep` is stale garbage
+    * when a settled compacted base STRICTLY NEWER than keep exists among
+    * `entries` — that base already folds everything the tmp folds, and
+    * presenting/renaming the tmp beside it would double-count. Strictly
+    * `>`: a marked tmp at the SAME version as a settled base is a
+    * legitimate re-compaction whose content may differ (the dead-letter
+    * drain's rename compact re-compacts a store whose latest version is
+    * already a settled base when every replayed batch no-op'd) — the
+    * meta chain caught `>=` silently discarding exactly that rename. */
+  private def supersededBySettled(entries: Seq[(Long, Path)], keep: Long): Boolean =
+    entries.exists { case (v, p) =>
+      v > keep && fs.exists(new Path(p, CompactedMarker)) }
+
   /** Complete (or discard) an in-flight compaction swap — WRITER-ONLY.
     * The compaction's logical commit point is the [[CompactedMarker]]
     * inside the fully written tmp dir: once present, the tmp IS the state
@@ -51,17 +66,38 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
   private def recoverCompaction(keepStage: Option[Path] = None): Unit = {
     val dir = new Path(root)
     if (!fs.exists(dir)) return
+    // ASCENDING keep order + checked rename (r14 review): normally at most
+    // one marked tmp exists, but a failed (unchecked) rename here used to
+    // leave the old marked tmp behind while a later compact added a newer
+    // one — and settling the NEWER first would then resurrect the older
+    // tmp as a superseded base NEXT to the new one, duplicating every
+    // batch it folds (sign-sum corruption on the collapsing engines).
+    // Oldest-first, each settle deletes everything its keep supersedes and
+    // the newest settle sweeps the earlier-settled bases away; a rename
+    // failure now throws instead of silently deferring half a swap.
     fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(CompactTmpPrefix))
+      .sortBy(_.getPath.getName.stripPrefix(CompactTmpPrefix).toLong)
       .foreach { s =>
         val keep = s.getPath.getName.stripPrefix(CompactTmpPrefix).toLong
-        if (fs.exists(new Path(s.getPath, CompactedMarker))) {
-          fs.listStatus(dir).toSeq
-            .filter(v => v.isDirectory && v.getPath.getName.startsWith("v=") &&
-              v.getPath.getName.stripPrefix("v=").toLong <= keep)
-            .foreach(v => fs.delete(v.getPath, true))
-          fs.rename(s.getPath, new Path(s"$root/v=$keep"))
-        } else fs.delete(s.getPath, true)
+        // a marked tmp SUPERSEDED by an already-settled newer compacted
+        // base is garbage, not state (meta review: legacy pre-fix damage
+        // could leave {settled v=12 base, stale marked tmp9} — renaming
+        // tmp9 in would resurrect batches <=9 beside the base that
+        // already folds them); one rule shared with the reader view
+        val settled = fs.listStatus(dir).toSeq
+          .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
+          .map(v => (v.getPath.getName.stripPrefix("v=").toLong, v.getPath))
+        if (!fs.exists(new Path(s.getPath, CompactedMarker)) ||
+            supersededBySettled(settled, keep))
+          fs.delete(s.getPath, true)
+        else {
+          settled.filter(_._1 <= keep).foreach { case (_, p) => fs.delete(p, true) }
+          if (!fs.rename(s.getPath, new Path(s"$root/v=$keep")))
+            throw new java.io.IOException(
+              s"recoverCompaction: rename ${s.getPath} -> $root/v=$keep failed; " +
+                "refusing to continue with a half-settled swap")
+        }
         ()
       }
     // a crashed compact's write-stage is garbage (it never reached the
@@ -96,8 +132,13 @@ final class ParquetStateStore(spark: SparkSession, root: String) {
       // compact keeps the latest version number, so the ordinary delta dir
       // at v=keep coexists with the tmp until the physical swap (and a
       // re-compact's tmp over an older base at the same keep is
-      // content-identical by resolver idempotence)
-      vs.filter(_._1 > keep) :+ ((keep, tmpP))
+      // content-identical by resolver idempotence). The REVERSE also
+      // holds (meta review): a marked tmp superseded by an
+      // already-settled compacted base at version >= keep is stale
+      // garbage (legacy pre-r14 recovery damage) — presenting it beside
+      // the base would double-count every batch it folds.
+      if (supersededBySettled(vs, keep)) vs
+      else vs.filter(_._1 > keep) :+ ((keep, tmpP))
     }.sortBy(_._1)
   }
 

@@ -206,6 +206,57 @@ class MainSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("mode-irrelevant flags are rejected, not silently ignored (r14)") {
+    // r14 review: the global known-flag set accepted `consume --renew`
+    // and `etl --last-batch=5` — validated, then silently ignored: a
+    // skipped rewind / missed re-snapshot with no error. Per-mode now.
+    val root = Files.createTempDirectory("mainmode").toString
+    val props =
+      s"""source.0.alias=pq
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db
+         |source.0.database.0.table.0=region
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+    val e1 = intercept[IllegalArgumentException] {
+      Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--last-batch=5"))
+    }
+    assert(e1.getMessage.contains("not valid for mode 'etl'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Main.main(Array("check", cfgPath, "unused", s"$root/state", "--renew"))
+    }
+    assert(e2.getMessage.contains("not valid for mode 'check'"), e2.getMessage)
+    // mode-appropriate flags still work
+    Main.main(Array("etl", cfgPath, "unused", s"$root/state", "--renew"))
+    assert(spark.read.parquet(s"$root/state/db/region/v=-1").count() == 5)
+  }
+
+  test("produce on a multi-source config requires an explicit --alias (r14)") {
+    // r14 review: find() silently took the FIRST source, so the other
+    // sources' events were dropped or filtered by the wrong schema list
+    val root = Files.createTempDirectory("mainprod").toString
+    val props =
+      s"""source.0.alias=a
+         |source.0.db_type=mysql
+         |source.0.url=parquet:$sf
+         |source.0.database.0=db1
+         |source.0.database.0.table.0=region
+         |source.1.alias=b
+         |source.1.db_type=mysql
+         |source.1.url=parquet:$sf
+         |source.1.database.0=db2
+         |source.1.database.0.table.0=region
+         |""".stripMargin
+    val cfgPath = s"$root/graft.properties"
+    Files.write(Paths.get(cfgPath), props.getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("produce", cfgPath, s"file:$root/out", s"$root/raw"))
+    }
+    assert(e.getMessage.contains("requires --alias"), e.getMessage)
+  }
+
   test("Main streams reports pin state and --upgrade retires legacy streams") {
     val root = Files.createTempDirectory("mainstreams").toString
     val server = new graft.sources.FakeRedisServer

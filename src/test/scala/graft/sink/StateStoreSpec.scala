@@ -71,6 +71,71 @@ class StateStoreSpec extends SparkSpec {
     assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(101L, 3L))
   }
 
+  test("TWO marked tmps settle oldest-first to a single newest base (r14)") {
+    // r14 review: a transient rename failure (now checked/thrown) could
+    // leave an OLD marked tmp behind while a later compact added a newer
+    // one. Settling in listing order could settle the newer tmp first and
+    // then resurrect the older one NEXT to it — v=2 (folding batches
+    // <=2) beside v=4 (also folding them) duplicates every early batch,
+    // corrupting the collapsing engines' sign-sums. Recovery now sorts
+    // ascending, so the newest settle sweeps the earlier-settled base.
+    // keep ids chosen so LEXICAL listing order ("v=12" < "v=9") differs
+    // from numeric order — the exact shape that resurrected the stale base
+    val root = Files.createTempDirectory("sstwotmp").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    (0L to 12L).foreach(i => store.append(df(i), i))
+    crashAfterMarker(root, keep = 9)  // stale tmp a failed rename left behind
+    crashAfterMarker(root, keep = 12) // the newer crashed compact
+
+    store.append(df(13), 13) // writer entry runs the recovery
+
+    val names = Files.list(Paths.get(root)).toArray.map(_.toString.split('/').last).toSet
+    assert(names == Set("v=12", "v=13"),
+      s"stale superseded base resurrected beside the newest compaction: $names")
+    assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(112L, 13L))
+  }
+
+  test("a stale marked tmp OLDER than a settled compacted base is deleted, not resurrected (r14)") {
+    // legacy pre-r14 damage shape: the old unchecked lexical-order
+    // recovery could settle tmp12 first and silently fail tmp9's rename,
+    // leaving {settled v=12 base (marker inside), stale marked tmp9}.
+    // Both the logical reader view and the physical recovery must treat
+    // the stale tmp as superseded garbage — renaming (or presenting) it
+    // beside the base double-counts every batch <=9.
+    val root = Files.createTempDirectory("sstale").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    (0L to 12L).foreach(i => store.append(df(i), i))
+    store.compact(df(112)) // settled base at v=12, marker inside
+    crashAfterMarker(root, keep = 9) // the stale leftover
+
+    // readers: only the settled base, never the stale tmp
+    assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(112L))
+    // writers: recovery deletes the stale tmp instead of renaming it in
+    store.append(df(13), 13)
+    val names = Files.list(Paths.get(root)).toArray.map(_.toString.split('/').last).toSet
+    assert(names == Set("v=12", "v=13"),
+      s"stale tmp resurrected beside the settled base: $names")
+    assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(112L, 13L))
+  }
+
+  test("a re-compaction at the SAME version as the settled base survives (r14 meta)") {
+    // the meta chain caught `>=` in the superseded rule silently
+    // deleting exactly this: a store whose latest version is already a
+    // settled base re-compacts at the same keep with DIFFERENT content
+    // (the dead-letter drain's rename compact when every replayed batch
+    // no-op'd). The fresh same-keep tmp must WIN, not be dropped.
+    val root = Files.createTempDirectory("ssrekeep").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    store.append(df(1), 0); store.append(df(2), 1)
+    store.compact(df(50)) // settled base at v=1
+    assert(store.read().get.collect().map(_.getLong(0)).toSeq == Seq(50L))
+    store.compact(df(60)) // re-compaction at the SAME keep, new content
+    assert(store.read().get.collect().map(_.getLong(0)).toSeq == Seq(60L),
+      "same-keep re-compaction was discarded as superseded")
+    store.append(df(3), 2)
+    assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(60L, 3L))
+  }
+
   test("compact over a store whose latest version IS a pending swap") {
     // the resolved input plan reads the marker-committed tmp; compact must
     // fully materialize it to the stage before settling the swap, or the

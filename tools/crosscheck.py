@@ -80,19 +80,36 @@ def load_result(out_dir, name):
     return pq.read_table(f"{out_dir}/{name}").to_pandas()
 
 
-def canon(df):
-    """Driver-gate canonical form: columns sorted by name, rows sorted."""
+def canon(df, float_cols=frozenset()):
+    """Canonical form: columns sorted by name; rows sorted with the
+    NON-FLOAT columns as the primary sort keys (r14 review). Sorting
+    float-first (plain alphabetical) made a rounded float column like
+    `bm25`/`adc` the row key, so two rows whose scores straddle a 6dp
+    rounding boundary — a sub-tolerance diff compare() is designed to
+    absorb — could sort in opposite orders on the two sides and
+    misalign an exact integer column into a false FAIL. Integer/string
+    keys (doc_id, query_id, ...) are deterministic on both sides; the
+    float columns only break remaining ties. `float_cols` is supplied by
+    compare() as the UNION of both frames' float columns (meta review:
+    deriving it per-side made the key ORDER dtype-dependent, so an
+    int-vs-float skew between the two sides — which compare()'s value
+    tolerance explicitly absorbs — could sort the two sides by different
+    keys and misalign rows)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    keys = sorted(df.columns, key=lambda c: (c in float_cols, c))
+    return df.sort_values(by=keys, kind="mergesort").reset_index(drop=True)
 
 
 def compare(name, mine, theirs, float_tol=2e-6):
     if set(mine.columns) != set(theirs.columns):
         return f"FAIL {name}: columns {sorted(mine.columns)} vs {sorted(theirs.columns)}"
-    a, b = canon(mine), canon(theirs)
+    float_cols = frozenset(
+        c for df in (mine, theirs) for c in df.columns
+        if np.issubdtype(df[c].dtype, np.floating))
+    a, b = canon(mine, float_cols), canon(theirs, float_cols)
     if len(a) != len(b):
         return f"FAIL {name}: {len(a)} rows (mine) vs {len(b)} (spark)"
     for c in a.columns:
@@ -310,9 +327,24 @@ def x_sketch_heavy_hitters(sf, threshold=900):
 
 # -------------------------------------------------------------- events
 
+def event_ts_us(ev):
+    """events.ts as µs since epoch, across the documented encodings
+    (r14 review): timestamp[us] parquet reads back as datetime64 in ns
+    units under pandas, and the ns-era driver generation / DataGen
+    rehearsal data ship raw int64 NANOSECONDS — both need `// 1000`-ish
+    normalization or every window cut is off by 1000x. Magnitude
+    dispatch mirrors Tables.scala's loader (ns-era epochs ~1e18,
+    µs ~1e15)."""
+    ts = ev["ts"].astype("int64")
+    # dispatch on the column's max magnitude, not the first row (meta
+    # review: one small leading sentinel row would flip the unit for the
+    # whole column)
+    return ts // 1000 if len(ts) and int(ts.abs().max()) > 10**17 else ts
+
+
 def x_event_rate_anomaly(sf, window_us=3600 * 10**6, k=2):
     ev = load_table(sf, "events")
-    ts_us = ev["ts"].astype("int64")  # µs since epoch (timestamp[us])
+    ts_us = event_ts_us(ev)
     win = (ts_us // window_us) * window_us
     wc = Counter(zip(win, ev["event_type"]))
     by_type = defaultdict(list)

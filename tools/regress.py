@@ -130,7 +130,7 @@ def load(path):
                        "io_canary_start_sec", "io_canary_end_sec",
                        "settle_gap_s", "active_jvms_start",
                        "busy_frac_start", "dirty_mb_start",
-                       "steal_frac_run", "loops"}
+                       "steal_frac_run", "loops", "failed_queries"}
         frag = tail[:tail.find("}}") + 1] if "}}" in tail else tail
         # anchored on a preceding delimiter (or fragment start) so a
         # truncation landing MID-key cannot mint a phantom query from
@@ -155,6 +155,7 @@ def load(path):
         "dirty_mb_start": m.get("dirty_mb_start"),
         "steal_frac_run": m.get("steal_frac_run"),
         "loops": m.get("loops"),
+        "failed_queries": m.get("failed_queries"),
         "partial": not full,
     }
 
@@ -187,6 +188,12 @@ def gate_trips(run):
             (run["steal_frac_run"] or 0) > STEAL_FRAC_BAD and
             f"steal_frac_run={run['steal_frac_run']} > {STEAL_FRAC_BAD} "
             f"(hypervisor stole CPU during the run)",
+            # r14: Bench records queries whose every execution attempt
+            # threw — their "times" measure the exception throw, so the
+            # record is not evidence for anything
+            bool(run["failed_queries"]) and
+            f"failed_queries={run['failed_queries']} (these entries timed "
+            f"an exception throw, not the query)",
     ]
     return [msg for msg in checks if msg]
 
@@ -244,7 +251,9 @@ def main():
               f"equal-loops runs for real verdicts\n")
 
     shared = sorted(set(old["queries"]) & set(new["queries"]))
-    scope = "top20-only" if (old["partial"] or new["partial"]) else "full"
+    same_set = set(old["queries"]) == set(new["queries"])
+    scope = ("top20-only" if (old["partial"] or new["partial"])
+             else ("shared-subset" if not same_set else "full"))
     flags, improved, within, noise, watch = [], [], [], [], []
     # withheld-by-loops-mismatch rows: kept out of drift (they aren't
     # one-direction wobble evidence) and out of the adjudication list
@@ -280,9 +289,12 @@ def main():
     for ratio, q, to, tn, floor, verdict in sorted(rows, reverse=True):
         print(f"{q:<34}{to:>9.3f}{tn:>9.3f}{ratio:>8.2f}{floor:>7.2f}  {verdict}")
 
-    # a partial side's stored total covers a different query set — compare
-    # the shared-query sums instead so the ratio is like-for-like
-    if old["partial"] or new["partial"]:
+    # Whenever the two records cover DIFFERENT query sets — a truncated
+    # tail, or (r14 review) a full-format record from a
+    # SPARK_GRAFT_BENCH_ONLY subset run — the stored totals are not
+    # like-for-like and the ratio would flag (or clear) on coverage, not
+    # performance: compare the shared-query sums instead.
+    if old["partial"] or new["partial"] or not same_set:
         old_total = sum(old["queries"][q] for q in shared)
         new_total = sum(new["queries"][q] for q in shared)
     else:
@@ -294,7 +306,8 @@ def main():
     # the total verdict are sampling artifacts (ADVICE r12)
     if loops_mismatch and tv != "within":
         tv = "watch(loops)"
-    label = "TOTAL(shared)" if (old["partial"] or new["partial"]) else "TOTAL"
+    label = ("TOTAL(shared)" if (old["partial"] or new["partial"] or not same_set)
+             else "TOTAL")
     print(f"\n{label:<34}{old_total:>9.2f}{new_total:>9.2f}"
           f"{tr:>8.2f}{TOTAL_FLOOR:>7.2f}  {tv}")
     # many small beyond-floor wobbles in ONE direction = drift even when no
