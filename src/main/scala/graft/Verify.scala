@@ -27,13 +27,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var ok = 0
+    val failedNames = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failedNames += name
         // a PREVIOUS run's parquet for this query must not survive: the
         // driver's DuckDB compare would validate the stale (passing)
         // result and the regression would be invisible
@@ -44,6 +50,11 @@ object Verify {
         }
       }
     }
+    // one grep-able summary (the verify recipe greps "failed:"; a count
+    // line catches the silent-shrink case where a query vanished from
+    // the map entirely and nothing individual ever failed)
+    System.err.println(s"[verify] summary: $ok ok, ${failedNames.size} failed" +
+      (if (failedNames.nonEmpty) s": ${failedNames.mkString(", ")}" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -56,7 +67,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // subset runs (local iteration) write a MATCHING oracle subset, so
+    // check.py doesn't fail every un-run query as "no spark output";
+    // the driver always runs the full set and gets the full map
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
