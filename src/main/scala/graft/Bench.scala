@@ -306,11 +306,13 @@ object Bench {
     // compact line (≤1.5 KB tail budget): a MASS-failure run must not blow
     // the budget with the very field that gates it — cap at 3 names (the
     // non-empty list trips regress.py's gate either way; the full line
-    // carries every name)
+    // carries every name). The overflow count rides as its own numeric
+    // field, NOT a synthetic "+N more" entry inside the list (r15
+    // advisor: a fake name breaks any consumer that cross-references the
+    // entries against the query map).
     val envCompact = envLine(
-      (failed.take(3).map("\"" + _ + "\"").toSeq ++
-        (if (failed.size > 3) Seq("\"+" + (failed.size - 3) + " more\"") else Nil))
-        .mkString("[", ",", "]"))
+      failed.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")) +
+      (if (failed.size > 3) s""","failed_more":${failed.size - 3}""" else "")
     println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
     // Second, COMPACT record (≤1.5 KB) printed after the full line: the
     // driver's bench capture keeps only a fixed-size tail of stdout, and

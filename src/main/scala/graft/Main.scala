@@ -268,6 +268,13 @@ object Main {
       require(pos.length >= 3, "usage: Main streams <config> <redis[:host:port]> [--upgrade] [--alias=A]")
       require(pos(2) == "redis" || pos(2).startsWith("redis:"),
         "streams introspects the Redis produce protocol; file/kafka brokers keep no pin records")
+      // a typo'd --alias would match no source, run nothing, and print
+      // the waiver-retired success line — a silent no-op of exactly the
+      // class produce rejects loudly (r15 advisor)
+      flags.get("alias").foreach(a =>
+        cfg.sources.find(_.alias == a).getOrElse(sys.error(
+          s"streams --alias=$a matches no configured source " +
+            s"(have: ${cfg.sources.map(_.alias).mkString(", ")})")))
       var legacy = 0
       cfg.sources.filter(s => flags.get("alias").forall(_ == s.alias)).foreach { src =>
         val b = redisBroker(pos(2), cfg, src.alias)

@@ -138,6 +138,15 @@ final class DeadLetter(spark: SparkSession, root: String) {
     * slices' own DDL rows (which is correct whenever no live-applied
     * DDL sits between parks).
     *
+    * Contract on `t` when parks carry pins (every r13+ park): `t` is
+    * the CURRENT live sync — which is what every production call site
+    * passes. Since r15 its key names are load-bearing again: a key
+    * rename that applied live AFTER the last park is visible only as
+    * the diff between the last pin and `t`, and the end-of-drain rename
+    * compact heals the replayed rows through it (advisor r15). The
+    * first-parked-batch convention above applies ONLY to pin-less
+    * legacy queues, where that tail diff never engages.
+    *
     * Driver memory bound: the only driver-side materialization is the
     * version-id list, a pure directory listing — O(#parked micro-batches)
     * longs, never the rows (plus the parked DDL statements, one string
@@ -174,6 +183,48 @@ final class DeadLetter(spark: SparkSession, root: String) {
     if (batchIds.isEmpty) return
     val target = new ParquetStateStore(
       spark, s"$stateRoot/${t.schema}/${t.table}")
+    // overridePins forces pinned=None for every slice, which also blanks
+    // the pin-diff rename bookkeeping below (r15 advisor): a queue whose
+    // recorded key pins DISAGREE across parks straddles a live-applied
+    // key rename, and replaying every park under ONE overridden key set
+    // would null the pre-rename parks' keys with no compact to heal
+    // them. Refuse BEFORE any replay (this scan mutates nothing): the
+    // operator drains the pre-rename parks first (inspect with read(),
+    // clear selectively), then the rest. Agreeing pins are safe — the
+    // override replaces one uniform key set with another, no old-name
+    // rows exist to compact.
+    if (overridePins) {
+      val keyPins = batchIds.flatMap { bid =>
+        parked.readVersion(bid).flatMap { slice =>
+          if (!slice.columns.contains("_pre_pk")) None
+          else slice.select(col("_pre_pk"), col("_pre_version"))
+            .limit(1).collect().headOption
+            .filter(!_.isNullAt(0))
+            .map(r => (r.getSeq[String](0).toList, Option(r.getString(1))))
+        }
+      }.distinct
+      if (keyPins.size > 1)
+        throw new IllegalStateException(
+          s"drain(overridePins): the parked batches' recorded key pins " +
+            s"disagree (${keyPins.mkString("; ")}) — the queue straddles a " +
+            "live-applied pk/version rename, and overriding every park " +
+            "with one key set would null the pre-rename parks' keys; " +
+            "drain the pre-rename batches first (read() to inspect, " +
+            "clear selectively), then drain the rest")
+    }
+    // positional key-name diff between two sync states (the pk SET can't
+    // change mid-stream, only names can — evolveTable maps in place)
+    def keyRenames(prev: TableSync, next: TableSync): Seq[(String, String)] = {
+      val pk =
+        if (prev.pkCols.length == next.pkCols.length)
+          prev.pkCols.zip(next.pkCols).filter { case (o, n) => o != n }
+        else Nil
+      val vc = (prev.versionColumn, next.versionColumn) match {
+        case (Some(o), Some(n)) if o != n => Seq((o, n))
+        case _ => Nil
+      }
+      pk ++ vc
+    }
     var cur = t
     // Store-side rename half (r14): rows replayed under a pre-rename
     // schema land with the OLD column name, while later batches (and the
@@ -194,17 +245,9 @@ final class DeadLetter(spark: SparkSession, root: String) {
     batchIds.foreach { bid =>
       parked.readVersion(bid).foreach { slice =>
         val r = replaySlice(slice, t, cur, target, bid, overridePins)
-        for (prev <- prevEff; pin <- r.pinned) {
-          // key renames that applied live between parks: positional diff
-          // (evolveTable maps names in place, so order is preserved; the
-          // pk SET can't change mid-stream, only names can)
-          if (prev.pkCols.length == pin.pkCols.length)
-            renames ++= prev.pkCols.zip(pin.pkCols).filter { case (o, n) => o != n }
-          (prev.versionColumn, pin.versionColumn) match {
-            case (Some(o), Some(n)) if o != n => renames += ((o, n))
-            case _ =>
-          }
-        }
+        // key renames that applied live between parks are visible ONLY
+        // as diffs between consecutive parks' pins
+        for (prev <- prevEff; pin <- r.pinned) renames ++= keyRenames(prev, pin)
         // refuse the one composition renameTransform can't express: this
         // batch re-ADDing a name an EARLIER batch renamed away from — the
         // end-of-drain coalesce would swallow the re-added column's data.
@@ -225,12 +268,35 @@ final class DeadLetter(spark: SparkSession, root: String) {
         cur = r.next
       }
     }
+    // Tail half of the between-parks diff (r15 advisor, medium): a key
+    // rename that applied LIVE after the LAST park is invisible to the
+    // consecutive-pin diffs — the last park replays under its pin's old
+    // key name into a store the live loop already rename-compacted to
+    // the new one. The caller's `t` IS the current live key state (the
+    // drain contract), so diffing the last pin-rooted replay's post-sync
+    // against it closes the tail exactly like the pin-diffs close the
+    // middle. Skipped under overridePins: there the caller's keys differ
+    // from the pins BY INTENT (wrong-config repair), not by rename — and
+    // the pre-replay scan above already refused the straddle shape.
+    // (A parked CHANGE in the last park is already in parkedRenames and
+    // in prevEff's post-state, so it never double-counts here; distinct
+    // below absorbs any residual overlap.)
+    if (!overridePins) prevEff.foreach(prev => renames ++= keyRenames(prev, t))
     val rs = renames.toList.distinct
-    if (rs.nonEmpty)
-      Consume.compact(cur, target,
+    if (rs.nonEmpty) {
+      // the compact resolves on the sync's key names, which must be the
+      // POST-rename ones: `cur` chained through the parks' own DDLs, but
+      // tail renames (live, after the last park) are not in that chain —
+      // map cur's keys through the composed rename pairs
+      val post = rs.foldLeft(cur) { case (s, (o, n)) =>
+        s.copy(pkCols = s.pkCols.map(c => if (c == o) n else c),
+          versionColumn = s.versionColumn.map(c => if (c == o) n else c))
+      }
+      Consume.compact(post, target,
         rs.foldLeft((df: DataFrame) => df) { case (f, (o, n)) =>
           f.andThen(Consume.renameTransform(o, n))
         })
+    }
     parked.dropThrough(batchIds.max)
   }
 

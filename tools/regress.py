@@ -3,6 +3,15 @@
 
 Usage: regress.py <old_bench> <new_bench>
        regress.py --gate <bench>
+       regress.py --paired <BENCH_AB.json>
+
+--paired reads a tools/abbench.py record (two builds alternated
+query-by-query in one host window) and issues per-query verdicts with
+PAIRED floors: host noise cancels out of each ratio by construction, so
+the floors are the measured INTRA-JVM spread (GC, AQE wobble), far
+tighter than the cross-run floors below. This is the primary regression
+signal since r15 (VERDICT r14 #1); cross-round record comparison remains
+for trend context only.
 
 --gate checks ONE record against every contamination gate (canary, io
 canary, settle gap, active JVMs, busy/dirty/steal) and exits 2 if any
@@ -198,7 +207,84 @@ def gate_trips(run):
     return [msg for msg in checks if msg]
 
 
+# Paired-mode floors: with both sides timed seconds apart in one host
+# window, what remains in a ratio is intra-JVM noise only. Calibrated on
+# the r15 engine-identical run (HEAD vs r14 tag, batch surface
+# unchanged): see SCALE.md round-15 "paired calibration" row. A paired
+# FLAG is adjudicated by re-running abbench on the flagged queries —
+# NOT by isolated single-build re-runs (those reintroduce the host band
+# this mode exists to cancel).
+PAIRED_FLOOR = 1.10
+PAIRED_FLOORS = {
+    # intra-JVM wide pair (min-of-3 in Bench for the same reason)
+    "dedup_minhash_pairs": 1.25,
+    "envelope_debezium": 1.25,
+}
+PAIRED_MATERIAL_S = 0.15
+PAIRED_TOTAL_FLOOR = 1.03
+
+
+def paired(path):
+    with open(path) as f:
+        rec = json.load(f)
+    if rec.get("mode") != "paired":
+        raise SystemExit(f"{path}: not an abbench paired record")
+    qs = rec["queries"]
+    if not qs:
+        raise SystemExit(f"{path}: no paired queries (all errored?)")
+    flags, watch, within, improved, noise = [], [], [], [], []
+    rows = []
+    for q, r in qs.items():
+        o, n = r["old_s"], r["new_s"]
+        ratio = n / o if o > 0 else float("inf")
+        floor = PAIRED_FLOORS.get(q, PAIRED_FLOOR)
+        if o < ABS_NOISE_S and n < ABS_NOISE_S:
+            verdict, bucket = "noise-abs", noise
+        elif ratio > floor and (n - o) >= PAIRED_MATERIAL_S:
+            verdict, bucket = "FLAG", flags
+        elif ratio > floor:
+            verdict, bucket = "watch", watch
+        elif ratio < 1.0 / floor:
+            verdict, bucket = "improved", improved
+        else:
+            verdict, bucket = "within", within
+        bucket.append(q)
+        rows.append((ratio, q, o, n, floor, verdict))
+    print(f"paired: new={rec['new_commit']} old={rec['old_commit']} "
+          f"sf={rec['sf']} passes={rec['passes']} "
+          f"median_ratio={rec.get('median_ratio')}")
+    print(f"{'query':<34}{'old_s':>9}{'new_s':>9}{'ratio':>8}{'floor':>7}  verdict")
+    for ratio, q, o, n, floor, verdict in sorted(rows, reverse=True):
+        print(f"{q:<34}{o:>9.3f}{n:>9.3f}{ratio:>8.2f}{floor:>7.2f}  {verdict}")
+    to, tn = rec["total_old_s"], rec["total_new_s"]
+    tr = tn / to if to else float("inf")
+    tv = ("FLAG" if tr > PAIRED_TOTAL_FLOOR
+          else ("improved" if tr < 1 / PAIRED_TOTAL_FLOOR else "within"))
+    print(f"\n{'TOTAL(paired)':<34}{to:>9.2f}{tn:>9.2f}"
+          f"{tr:>8.2f}{PAIRED_TOTAL_FLOOR:>7.2f}  {tv}")
+    if rec.get("errors"):
+        print(f"ERRORED queries (not compared): {sorted(rec['errors'])}")
+    # one-direction wobble promotion, as in cross-run mode
+    drift = len(watch) > max(3, len(qs) // 8)
+    print(f"\nflag={len(flags)} watch={len(watch)} within={len(within)} "
+          f"improved={len(improved)} noise-abs={len(noise)}" +
+          (" DRIFT" if drift else ""))
+    if rec.get("errors"):
+        print("a query that errors on either side is a correctness signal, "
+              "not a bench signal — fix before comparing")
+        sys.exit(1)
+    if flags or tv == "FLAG" or drift:
+        print("adjudicate by re-running abbench.py --queries "
+              + ",".join(flags or watch)
+              + "  (isolated single-build re-runs reintroduce the host band)")
+        sys.exit(1)
+    print("paired: no regressions beyond intra-JVM floors")
+
+
 def main():
+    if len(sys.argv) == 3 and sys.argv[1] == "--paired":
+        paired(sys.argv[2])
+        return
     if len(sys.argv) == 3 and sys.argv[1] == "--gate":
         # single-record contamination gate: the check an adjudication
         # artifact must pass before it may serve as clearing evidence
