@@ -46,9 +46,46 @@ GUARANTEE and ground truth computed from the raw tables by definition:
                        paragraph dedup's kept paragraphs are globally
                        unique (a second pass would drop nothing)
 
-Usage: invariants.py [sf_dir] [verify_out_dir]
+Round-15 additions (VERDICT r14 #5 — the uncovered high-semantic-risk
+families), same implementation-free discipline:
+
+  - funnel_greedy      session_funnel: the published greedy-first-match
+                       contract re-derived by a definitional sorted scan
+                       per user ((ts, event_id) order); full coverage
+                       (one row per user with events); stage distribution
+                       must be non-degenerate (anti-vacuity)
+  - retention_def      session_retention: exact equality with the
+                       definitional distinct-(user, day) / min-day-cohort
+                       triangle; >= 2 cohorts and >= 1 positive offset
+  - asof_directions    all four as-of variants: matched ts on the correct
+                       side of the query ts per direction; backward match
+                       IS the definitional max date <= ts (forward: min
+                       ts >= date; nearest: argmin |gap| with the
+                       backward-on-ties rule), via numpy searchsorted;
+                       tolerance drops exactly the out-of-bound winners
+                       (both arms must be non-empty); coverage exact
+  - join_containment   interval_join / range_join: exact SET equality
+                       with the definitional per-user pair enumeration
+                       (overlap resp. BETWEEN predicates); the join must
+                       be selective (pairs < user-block cross product)
+  - pack_conservation  corpus_pack: per-lang doc_id-ordered cumulative
+                       offsets re-derived definitionally; token
+                       conservation (sum of packed == sum of input);
+                       corpus_chunk: every chunk == the definitional
+                       window/stride slice, no chunk over the window
+
+Usage: invariants.py [sf_dir] [verify_out_dir] [only,names]
+       invariants.py --teeth [sf_dir] [verify_out_dir]
   defaults: /root/testdata/sf0.01 /tmp/verify_out01
   (run `sbt "runMain graft.Verify <sf_dir> <out_dir>"` first)
+
+--teeth proves each check can actually FAIL (VERDICT r14 #5: "at least
+one mutation-teeth demonstration each"): for every registered mutation
+it re-runs the owning check against an in-memory corrupted copy of the
+dump and requires a violation — a check that passes on corrupted data
+is a broken check, exactly the crosscheck teeth protocol applied to
+this layer. Exit 0 only when every clean check passes AND every
+mutation is caught.
 
 Exit 0 = every invariant holds; 1 = any violation. A check that finds
 ZERO instances to test (no tie pairs, no shared runs) FAILS loudly —
@@ -67,8 +104,22 @@ def load_table(sf_dir, name):
     return pq.read_table(f"{sf_dir}/{name}.parquet").to_pandas()
 
 
+# --teeth injection point: (dump_name, corrupt_fn) applied to the loaded
+# dump in memory — the parquet on disk is never touched
+_MUTATE = None
+
+
 def load_result(out_dir, name):
-    return pq.read_table(f"{out_dir}/{name}").to_pandas()
+    df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+    if _MUTATE and _MUTATE[0] == name:
+        df = _MUTATE[1](df.copy())
+    return df
+
+
+def ts_us(series):
+    """Epoch microseconds from a parquet timestamp column (µs or ns
+    encodings both ship across driver generations — see Tables.apply)."""
+    return pd.to_datetime(series).astype("datetime64[us]").astype("int64").to_numpy()
 
 
 def tokens(text):
@@ -450,6 +501,384 @@ def inv_dedup_idempotent(sf, out):
                   f"{n_kept_sum} kept / {len(distinct_paras)} distinct paragraphs")
 
 
+# ------------------------------------------------------------- sessions
+
+def inv_funnel_greedy(sf, out, steps=("view", "click", "purchase")):
+    ev = load_table(sf, "events")
+    us = ts_us(ev["ts"])
+    code = {s: i + 1 for i, s in enumerate(steps)}
+    order = np.lexsort((ev["event_id"].to_numpy(), us))
+    truth = {}
+    nonadv = 0  # discriminating instances: events the greedy fold SKIPS
+    uids = ev["user_id"].to_numpy()[order]
+    codes = np.array([code.get(t, 0) for t in ev["event_type"]])[order]
+    for u, c in zip(uids, codes):
+        st = truth.get(u, 0)
+        if c == st + 1:
+            truth[u] = st + 1
+        else:
+            truth.setdefault(u, st)
+            nonadv += 1
+    df = load_result(out, "session_funnel")
+    got = dict(zip(df["user_id"], df["stage"]))
+    errs = []
+    if set(got) != set(truth):
+        errs.append(f"coverage: dump {len(got)} users != ground truth {len(truth)}")
+    bad = [(u, got[u], truth[u]) for u in set(got) & set(truth) if got[u] != truth[u]]
+    for u, g, t in bad[:5]:
+        errs.append(f"user {u}: stage {g} != definitional greedy {t}")
+    # stage s also implies an ORDERED step subsequence of length s exists —
+    # re-verified by an independent subsequence scan, not the fold above
+    for u in list(truth)[:200]:
+        want = 1
+        for c in codes[uids == u]:
+            if c == want and want <= truth[u]:
+                want += 1
+        if want - 1 < truth[u]:
+            errs.append(f"user {u}: stage {truth[u]} but no ordered "
+                        f"subsequence of that length")
+            break
+    # Anti-vacuity: the fold must have processed non-advancing events
+    # (otherwise any monotone semantics agrees). KNOWN FIXTURE LIMIT,
+    # declared rather than hidden: on the driver's testdata every user
+    # saturates at stage 3 at every sf, so the rival order-insensitive
+    # distinct-type-count semantics is indistinguishable on final values
+    # here — the mutation teeth (--teeth) are the proof this check can
+    # fail, and the per-event fold equality is the live signal.
+    if nonadv < 100:
+        errs.append(f"only {nonadv} non-advancing events — vacuous")
+    stages = sorted(set(truth.values()))
+    return errs, (f"{len(truth)} users, stages {stages} "
+                  f"(saturated fixture), {nonadv} skipped events")
+
+
+def inv_retention_def(sf, out, day_us=86400000000):
+    ev = load_table(sf, "events")
+    day = ts_us(ev["ts"]) // day_us
+    ud = set(zip(ev["user_id"].to_numpy(), day))
+    cohort = {}
+    for u, d in ud:
+        cohort[u] = min(cohort.get(u, d), d)
+    truth = defaultdict(int)
+    for u, d in ud:
+        truth[(cohort[u], d - cohort[u])] += 1
+    df = load_result(out, "session_retention")
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for _, r in df.iterrows()}
+    errs = []
+    if got != dict(truth):
+        extra = set(got) - set(truth)
+        missing = set(truth) - set(got)
+        wrong = [k for k in set(got) & set(truth) if got[k] != truth[k]]
+        errs.append(f"triangle mismatch: extra={sorted(extra)[:3]} "
+                    f"missing={sorted(missing)[:3]} wrong={wrong[:3]}")
+    cohorts = {c for c, _ in truth}
+    if len(cohorts) < 2 or not any(o > 0 for _, o in truth):
+        errs.append("degenerate triangle (one cohort or no positive offset) — vacuous")
+    return errs, f"{len(cohorts)} cohorts, {len(truth)} cells"
+
+
+# ------------------------------------------------------------ as-of joins
+
+def _by_key(keys, ts, payload):
+    """key -> (sorted ts array, parallel payload array)."""
+    out = {}
+    df = pd.DataFrame({"k": keys, "t": ts, "p": payload}).sort_values(["k", "t", "p"])
+    for k, g in df.groupby("k", sort=False):
+        out[k] = (g["t"].to_numpy(), g["p"].to_numpy())
+    return out
+
+
+def inv_asof_directions(sf, out, tol=750000000000000):
+    ev = load_table(sf, "events")
+    orders = load_table(sf, "orders")
+    e_us = ts_us(ev["ts"])
+    o_us = ts_us(orders["o_orderdate"])
+    by_cust = _by_key(orders["o_custkey"].to_numpy(), o_us,
+                      orders["o_orderkey"].to_numpy())
+    ev_ts = dict(zip(ev["event_id"], e_us))
+    ev_user = dict(zip(ev["event_id"], ev["user_id"]))
+    errs = []
+
+    def best_backward(u, t):
+        if u not in by_cust:
+            return None
+        ts, _ = by_cust[u]
+        i = np.searchsorted(ts, t, side="right")
+        return int(ts[i - 1]) if i > 0 else None
+
+    # backward: match date == definitional max date <= event ts, orderkey
+    # belongs to that (user, date); coverage exact (one row per matchable
+    # event, none for unmatchable)
+    df = load_result(out, "asof_join")
+    matchable = {eid for eid, u in ev_user.items()
+                 if best_backward(u, ev_ts[eid]) is not None}
+    if set(df["event_id"]) != matchable or len(df) != len(matchable):
+        errs.append(f"asof_join coverage: {len(df)} rows vs "
+                    f"{len(matchable)} matchable events")
+    okeys = defaultdict(set)  # (cust, date) -> orderkeys
+    for c, t, k in zip(orders["o_custkey"], o_us, orders["o_orderkey"]):
+        okeys[(c, int(t))].add(k)
+    for _, r in df.iterrows():
+        b = best_backward(r["user_id"], r["ts_us"])
+        if r["o_orderdate_us"] > r["ts_us"]:
+            errs.append(f"asof_join event {r['event_id']}: match AFTER query ts")
+        elif b is None or r["o_orderdate_us"] != b:
+            errs.append(f"asof_join event {r['event_id']}: date "
+                        f"{r['o_orderdate_us']} != definitional max<= {b}")
+        elif r["o_orderkey"] not in okeys[(r["user_id"], b)]:
+            errs.append(f"asof_join event {r['event_id']}: orderkey not at "
+                        "the matched (user, date)")
+        if len(errs) > 8:
+            break
+    # tolerance: same winner, out-of-bound winners DROPPED — both arms
+    # must be exercised (anti-vacuity)
+    dft = load_result(out, "asof_join_tolerance")
+    in_bound = {eid for eid in matchable
+                if ev_ts[eid] - best_backward(ev_user[eid], ev_ts[eid]) <= tol}
+    if set(dft["event_id"]) != in_bound:
+        errs.append(f"asof_join_tolerance coverage: {len(dft)} rows vs "
+                    f"{len(in_bound)} in-bound events")
+    for _, r in dft.iterrows():
+        if r["ts_us"] - r["o_orderdate_us"] > tol:
+            errs.append(f"asof_join_tolerance event {r['event_id']}: gap over bound")
+            break
+    if not in_bound or in_bound == matchable:
+        errs.append("tolerance arms degenerate (all or none in bound) — vacuous")
+
+    # forward: per order, matched event ts == definitional min >= date
+    by_user = _by_key(ev["user_id"].to_numpy(), e_us, ev["event_id"].to_numpy())
+    o_date = dict(zip(orders["o_orderkey"], o_us))
+    o_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+
+    def best_forward(u, t):
+        if u not in by_user:
+            return None
+        ts, _ = by_user[u]
+        i = np.searchsorted(ts, t, side="left")
+        return int(ts[i]) if i < len(ts) else None
+
+    dff = load_result(out, "asof_join_forward")
+    fwd_matchable = {k for k, c in o_cust.items()
+                     if best_forward(c, o_date[k]) is not None}
+    if set(dff["o_orderkey"]) != fwd_matchable or len(dff) != len(fwd_matchable):
+        errs.append(f"asof_join_forward coverage: {len(dff)} rows vs "
+                    f"{len(fwd_matchable)} matchable orders")
+    for _, r in dff.iterrows():
+        b = best_forward(r["o_custkey"], r["o_orderdate_us"])
+        if r["event_ts_us"] < r["o_orderdate_us"]:
+            errs.append(f"asof_join_forward order {r['o_orderkey']}: match BEFORE date")
+            break
+        if b is None or r["event_ts_us"] != b:
+            errs.append(f"asof_join_forward order {r['o_orderkey']}: ts "
+                        f"{r['event_ts_us']} != definitional min>= {b}")
+            break
+
+    # nearest: |gap| is the definitional argmin over the user's
+    # purchases; exact two-sided ties must resolve backward
+    p = ev[ev["event_type"] == "purchase"]
+    by_user_p = _by_key(p["user_id"].to_numpy(), ts_us(p["ts"]),
+                        p["event_id"].to_numpy())
+    dfn = load_result(out, "asof_join_nearest")
+    n_matchable = {eid for eid, u in ev_user.items() if u in by_user_p}
+    if set(dfn["event_id"]) != n_matchable:
+        errs.append(f"asof_join_nearest coverage: {len(dfn)} rows vs "
+                    f"{len(n_matchable)} events with a same-user purchase")
+    ties = 0
+    for _, r in dfn.iterrows():
+        ts, _ = by_user_p[r["user_id"]]
+        gaps = np.abs(ts - r["ts_us"])
+        mg = gaps.min()
+        if abs(r["p_ts_us"] - r["ts_us"]) != mg:
+            errs.append(f"asof_join_nearest event {r['event_id']}: gap "
+                        f"{abs(r['p_ts_us'] - r['ts_us'])} != argmin {mg}")
+            break
+        back = (ts[ts <= r["ts_us"]].size and
+                r["ts_us"] - ts[ts <= r["ts_us"]].max() == mg)
+        fwd = (ts[ts > r["ts_us"]].size and
+               ts[ts > r["ts_us"]].min() - r["ts_us"] == mg)
+        if back and fwd:
+            ties += 1
+            if r["p_ts_us"] > r["ts_us"]:
+                errs.append(f"asof_join_nearest event {r['event_id']}: "
+                            "two-sided tie resolved FORWARD")
+                break
+    return errs, (f"{len(matchable)} backward, {len(in_bound)} in-bound, "
+                  f"{len(fwd_matchable)} forward, {len(n_matchable)} nearest "
+                  f"({ties} two-sided ties)")
+
+
+# ------------------------------------------------------ interval / range
+
+def inv_join_containment(sf, out):
+    ev = load_table(sf, "events")
+    us = ts_us(ev["ts"])
+    eid = ev["event_id"].to_numpy()
+    uid = ev["user_id"].to_numpy()
+    et = ev["event_type"].to_numpy()
+    errs = []
+    # definitional per-user pair enumeration — no bucketing logic involved
+    views = [(u, i, t) for u, i, t, y in zip(uid, eid, us, et) if y == "view"]
+    buys = [(u, i, t) for u, i, t, y in zip(uid, eid, us, et) if y == "purchase"]
+    buys_by_u = defaultdict(list)
+    for u, i, t in buys:
+        buys_by_u[u].append((i, t))
+    truth_iv = set()
+    cross = 0
+    for u, vi, vt in views:
+        for pi, pt in buys_by_u.get(u, []):
+            cross += 1
+            if vt <= pt + 7200000000 and pt <= vt + 1800000000:
+                truth_iv.add((vi, pi))
+    df = load_result(out, "interval_join")
+    got_iv = set(zip(df["view_id"], df["purchase_id"]))
+    if got_iv != truth_iv:
+        errs.append(f"interval_join: {len(got_iv - truth_iv)} extra, "
+                    f"{len(truth_iv - got_iv)} missing vs definitional "
+                    f"{len(truth_iv)} pairs")
+    ts_of = dict(zip(eid, us))
+    for _, r in df.iterrows():
+        if (r["v_start_us"] != ts_of[r["view_id"]]
+                or r["p_start_us"] != ts_of[r["purchase_id"]]):
+            errs.append(f"interval_join pair {r['view_id']}/{r['purchase_id']}: "
+                        "carried ts columns disagree with the raw events")
+            break
+    if not truth_iv or len(truth_iv) == cross:
+        errs.append("interval predicate degenerate (empty or whole block "
+                    "cross product) — vacuous")
+    # range join: BETWEEN inclusive, self-pair excluded
+    truth_rg = set()
+    cross_rg = 0
+    for u, i, t in zip(uid, eid, us):
+        for pi, pt in buys_by_u.get(u, []):
+            cross_rg += 1
+            if pi != i and pt <= t <= pt + 7200000000:
+                truth_rg.add((i, pi))
+    dfr = load_result(out, "range_join")
+    got_rg = set(zip(dfr["event_id"], dfr["purchase_id"]))
+    if got_rg != truth_rg:
+        errs.append(f"range_join: {len(got_rg - truth_rg)} extra, "
+                    f"{len(truth_rg - got_rg)} missing vs definitional "
+                    f"{len(truth_rg)} pairs")
+    if any(e == p for e, p in got_rg):
+        errs.append("range_join: self-pair leaked")
+    if not truth_rg or len(truth_rg) == cross_rg:
+        errs.append("range predicate degenerate — vacuous")
+    return errs, (f"interval {len(truth_iv)}/{cross} pairs, "
+                  f"range {len(truth_rg)}/{cross_rg} pairs")
+
+
+# ------------------------------------------------------- pack / chunk
+
+def inv_pack_conservation(sf, out, capacity=2048, window=40, stride=30):
+    docs = load_table(sf, "documents")
+    ntok = {r["doc_id"]: len(tokens(r["text"]))
+            for _, r in docs.iterrows()}
+    lang_of = dict(zip(docs["doc_id"], docs["lang"]))
+    errs = []
+    # definitional per-lang doc_id-ordered running offsets
+    truth = {}
+    by_lang = defaultdict(list)
+    for d in sorted(ntok):
+        by_lang[lang_of[d]].append(d)
+    for lang, ds in by_lang.items():
+        off = 0
+        for d in ds:
+            truth[d] = (lang, ntok[d], off, off // capacity)
+            off += ntok[d]
+    df = load_result(out, "corpus_pack")
+    if set(df["doc_id"]) != set(truth) or len(df) != len(truth):
+        errs.append(f"corpus_pack coverage: {len(df)} rows vs {len(truth)} docs")
+    if df["n_tokens"].sum() != sum(ntok.values()):
+        errs.append(f"token conservation broken: packed {df['n_tokens'].sum()} "
+                    f"!= input {sum(ntok.values())}")
+    for _, r in df.iterrows():
+        t = truth.get(r["doc_id"])
+        if t is None:
+            continue
+        if (r["lang"], r["n_tokens"], r["start_off"], r["chunk_id"]) != t:
+            errs.append(f"corpus_pack doc {r['doc_id']}: "
+                        f"({r['lang']},{r['n_tokens']},{r['start_off']},"
+                        f"{r['chunk_id']}) != definitional {t}")
+            break
+    if df["chunk_id"].nunique() < 2:
+        errs.append("corpus_pack: fewer than 2 chunks — vacuous")
+    # chunk: exact window/stride slices over lowercased tokens
+    ltok = {r["doc_id"]: tokens(None if r["text"] is None else r["text"].lower())
+            for _, r in docs.iterrows()}
+    truth_ch = {}
+    for d, tk in ltok.items():
+        for st in range(0, len(tk), stride):
+            sl = tk[st:st + window]
+            truth_ch[(d, st // stride)] = (len(sl), " ".join(sl))
+    dfc = load_result(out, "corpus_chunk")
+    got_keys = set(zip(dfc["doc_id"], dfc["chunk_idx"]))
+    if got_keys != set(truth_ch):
+        errs.append(f"corpus_chunk coverage: {len(got_keys)} chunks vs "
+                    f"definitional {len(truth_ch)}")
+    over = dfc[dfc["n_tokens"] > window]
+    if len(over):
+        errs.append(f"corpus_chunk: {len(over)} chunks exceed window {window}")
+    for _, r in dfc.iterrows():
+        t = truth_ch.get((r["doc_id"], r["chunk_idx"]))
+        if t and (r["n_tokens"], r["chunk_text"]) != t:
+            errs.append(f"corpus_chunk doc {r['doc_id']} idx {r['chunk_idx']}: "
+                        "slice != definitional window/stride slice")
+            break
+    n_multi = sum(1 for d, i in truth_ch if i > 0)
+    n_short = sum(1 for v, _ in truth_ch.values() if v < window)
+    if n_multi == 0 or n_short == 0:
+        errs.append("corpus_chunk fixtures degenerate (no multi-chunk doc "
+                    "or no short tail) — vacuous")
+    return errs, (f"pack {len(truth)} docs / {df['chunk_id'].nunique()} max-lang "
+                  f"chunks, chunk {len(truth_ch)} slices ({n_short} short tails)")
+
+
+# ----------------------------------------------------------------- teeth
+
+def _mut_funnel(df):
+    df.loc[df.index[0], "stage"] = df.loc[df.index[0], "stage"] + 1
+    return df
+
+
+def _mut_retention(df):
+    df.loc[df.index[0], "n_users"] = df.loc[df.index[0], "n_users"] + 1
+    return df
+
+
+def _mut_asof(df):
+    # push one matched date forward a day: breaks argmax (or direction)
+    df.loc[df.index[0], "o_orderdate_us"] = \
+        df.loc[df.index[0], "o_orderdate_us"] + 86400000000
+    return df
+
+
+def _mut_interval(df):
+    return df.iloc[1:]  # drop one pair: exact set equality must notice
+
+
+def _mut_pack(df):
+    df.loc[df.index[0], "n_tokens"] = df.loc[df.index[0], "n_tokens"] - 1
+    return df
+
+
+def _mut_chunk(df):
+    df.loc[df.index[0], "n_tokens"] = df.loc[df.index[0], "n_tokens"] + 1
+    return df
+
+
+# check name -> list of (dump mutated, mutation fn); every entry must
+# make its owning check FAIL under --teeth
+MUTATIONS = {
+    "funnel_greedy": [("session_funnel", _mut_funnel)],
+    "retention_def": [("session_retention", _mut_retention)],
+    "asof_directions": [("asof_join", _mut_asof)],
+    "join_containment": [("interval_join", _mut_interval)],
+    "pack_conservation": [("corpus_pack", _mut_pack),
+                          ("corpus_chunk", _mut_chunk)],
+}
+
+
 # ----------------------------------------------------------------- main
 
 INVARIANTS = {
@@ -459,13 +888,54 @@ INVARIANTS = {
     "bm25_monotonic": inv_bm25_monotonic,
     "winnow_guarantee": inv_winnow_guarantee,
     "dedup_idempotent": inv_dedup_idempotent,
+    "funnel_greedy": inv_funnel_greedy,
+    "retention_def": inv_retention_def,
+    "asof_directions": inv_asof_directions,
+    "join_containment": inv_join_containment,
+    "pack_conservation": inv_pack_conservation,
 }
 
 
+def teeth(sf, out):
+    global _MUTATE
+    bad = 0
+    for name, muts in MUTATIONS.items():
+        fn = INVARIANTS[name]
+        _MUTATE = None
+        errs, _ = fn(sf, out)
+        if errs:
+            print(f"TEETH {name}: clean run already fails — fix first: {errs[:2]}")
+            bad += 1
+            continue
+        for dump, mut in muts:
+            _MUTATE = (dump, mut)
+            try:
+                merrs, _ = fn(sf, out)
+            except Exception as e:  # noqa: BLE001 — a crash is a catch too
+                merrs = [f"exception {type(e).__name__}"]
+            _MUTATE = None
+            if merrs:
+                print(f"TEETH {name} [{dump} ← {mut.__name__}]: CAUGHT "
+                      f"({str(merrs[0])[:90]})")
+            else:
+                print(f"TEETH {name} [{dump} ← {mut.__name__}]: *** SURVIVED — "
+                      "the check cannot fail, it proves nothing ***")
+                bad += 1
+    print(f"\n{sum(len(m) for m in MUTATIONS.values())} mutations, {bad} problems")
+    sys.exit(1 if bad else 0)
+
+
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out01"
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    argv = sys.argv[1:]
+    run_teeth = argv and argv[0] == "--teeth"
+    if run_teeth:
+        argv = argv[1:]
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "/tmp/verify_out01"
+    if run_teeth:
+        teeth(sf, out)
+        return
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
     failures = 0
     for name, fn in INVARIANTS.items():
         if only and name not in only:
