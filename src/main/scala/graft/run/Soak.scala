@@ -38,6 +38,72 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Soak {
 
+  /** Output of [[stageWorkload]]: the cached mutation set (final-state
+    * oracle input), its count, the scheduled unparseable-DDL park count,
+    * the orders base frame, and the two table syncs. */
+  private[run] final case class Staged(muts: org.apache.spark.sql.DataFrame,
+                                       nMut: Long, expectedParks: Int,
+                                       orders: org.apache.spark.sql.DataFrame,
+                                       tables: Seq[TableSync])
+
+  /** Stage the soak workload under `workDir` and bootstrap the state
+    * root — EXACTLY the logic the 5,000-batch soak has run since r10
+    * (lifted verbatim so [[CrashSoak]] drives the same workload through
+    * kill/restart cycles): ALL mutation events spread over the DML
+    * batches, a DDL-only file at every `ddlEvery`-th slot (lexicographic
+    * names = batch order), every 4th DDL slot unparseable (must park). */
+  private[run] def stageWorkload(spark: SparkSession, sfDir: String,
+                                 workDir: String, batches: Int,
+                                 ddlEvery: Int): Staged = {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val maxKey = orders.agg(max("o_orderkey")).as[Long].head()
+    val stage = s"$workDir/stage"; val eventsDir = s"$workDir/events"
+    val stateRoot = s"$workDir/state"
+    Files.createDirectories(Paths.get(eventsDir))
+
+    val ddlSlots = (1 to batches).count(_ % ddlEvery == 0)
+    val dmlFiles = batches - ddlSlots
+    val muts = StreamRehearsal.mutations(orders, maxKey).cache()
+    val nMut = muts.count()
+    val lines = StreamRehearsal.wireLines(muts, "orders_mt")
+      .unionByName(StreamRehearsal.wireLines(muts, "orders_rt"))
+    lines.repartition(dmlFiles).write.mode("overwrite").text(stage)
+    val staged = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .filter(_.endsWith(".txt")).sorted
+    require(staged.length == dmlFiles, s"${staged.length} != $dmlFiles staged files")
+
+    def ddlLine(stmt: String, ts: Long): String = {
+      val esc = stmt.replace("\"", "\\\"")
+      s"""{"schema":"db","table":"orders_rt","action":"query","values":"$esc","event_unixtime":$ts,"action_seq":0}"""
+    }
+    var ddlIdx = 0; var noteExists = false
+    var expectedParks = 0
+    val dml = staged.iterator
+    (0 until batches).foreach { k =>
+      val dst = Paths.get(eventsDir, f"f$k%05d.txt")
+      if ((k + 1) % ddlEvery == 0) {
+        val stmt =
+          if (ddlIdx % 4 == 3) { expectedParks += 1; "ALTER TABLE db.orders_rt FROBNICATE 42" }
+          else if (!noteExists) { noteExists = true; "ALTER TABLE db.orders_rt ADD COLUMN note VARCHAR(20)" }
+          else { noteExists = false; "ALTER TABLE db.orders_rt DROP COLUMN note" }
+        ddlIdx += 1
+        Files.write(dst, (ddlLine(stmt, 2000000000L + k) + "\n").getBytes("UTF-8"))
+      } else
+        Files.copy(Paths.get(dml.next()), dst, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    println(s"""{"stage":"soak_staged","batches":$batches,"dml_files":$dmlFiles,"ddl_files":$ddlSlots,"events":${nMut * 2},"expected_parks":$expectedParks}""")
+
+    val tables = Seq(
+      TableSync("db", "orders_mt", orders.schema, Seq("o_orderkey"), Engine.MergeTree),
+      TableSync("db", "orders_rt", orders.schema, Seq("o_orderkey"), Engine.ReplacingMergeTree))
+    Consume.bootstrap(spark, tables, stateRoot,
+      Map(("db", "orders_mt") -> FullEtl.ParquetSource(s"$sfDir/orders.parquet"),
+          ("db", "orders_rt") -> FullEtl.ParquetSource(s"$sfDir/orders.parquet")))
+    Staged(muts, nMut, expectedParks, orders, tables)
+  }
+
   private def rssMb(): Long =
     scala.util.Try {
       Files.readAllLines(Paths.get("/proc/self/status")).toArray
@@ -65,54 +131,11 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    val maxKey = orders.agg(max("o_orderkey")).as[Long].head()
-    val stage = s"$workDir/stage"; val eventsDir = s"$workDir/events"
+    val staged0 = stageWorkload(spark, sfDir, workDir, batches, ddlEvery)
+    val Staged(muts, nMut, expectedParks, orders, tables) = staged0
+    val eventsDir = s"$workDir/events"
     val stateRoot = s"$workDir/state"; val ckpt = s"$workDir/ckpt"
     val dlRoot = s"$workDir/deadletter"
-    Files.createDirectories(Paths.get(eventsDir))
-
-    // --- stage: ALL mutation events spread over the DML batches, plus a
-    // DDL-only file at every 250th slot (lexicographic names = batch order)
-    val ddlSlots = (1 to batches).count(_ % ddlEvery == 0)
-    val dmlFiles = batches - ddlSlots
-    val muts = StreamRehearsal.mutations(orders, maxKey).cache()
-    val nMut = muts.count()
-    val lines = StreamRehearsal.wireLines(muts, "orders_mt")
-      .unionByName(StreamRehearsal.wireLines(muts, "orders_rt"))
-    lines.repartition(dmlFiles).write.mode("overwrite").text(stage)
-    val staged = Files.list(Paths.get(stage)).toArray.map(_.toString)
-      .filter(_.endsWith(".txt")).sorted
-    require(staged.length == dmlFiles, s"${staged.length} != $dmlFiles staged files")
-
-    def ddlLine(stmt: String, ts: Long): String = {
-      val esc = stmt.replace("\"", "\\\"")
-      s"""{"schema":"db","table":"orders_rt","action":"query","values":"$esc","event_unixtime":$ts,"action_seq":0}"""
-    }
-    var ddlIdx = 0; var noteExists = false
-    var expectedParks = 0
-    var dml = staged.iterator
-    (0 until batches).foreach { k =>
-      val dst = Paths.get(eventsDir, f"f$k%05d.txt")
-      if ((k + 1) % ddlEvery == 0) {
-        val stmt =
-          if (ddlIdx % 4 == 3) { expectedParks += 1; "ALTER TABLE db.orders_rt FROBNICATE 42" }
-          else if (!noteExists) { noteExists = true; "ALTER TABLE db.orders_rt ADD COLUMN note VARCHAR(20)" }
-          else { noteExists = false; "ALTER TABLE db.orders_rt DROP COLUMN note" }
-        ddlIdx += 1
-        Files.write(dst, (ddlLine(stmt, 2000000000L + k) + "\n").getBytes("UTF-8"))
-      } else
-        Files.copy(Paths.get(dml.next()), dst, StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-    println(s"""{"stage":"soak_staged","batches":$batches,"dml_files":$dmlFiles,"ddl_files":$ddlSlots,"events":${nMut * 2},"expected_parks":$expectedParks}""")
-
-    val tables = Seq(
-      TableSync("db", "orders_mt", orders.schema, Seq("o_orderkey"), Engine.MergeTree),
-      TableSync("db", "orders_rt", orders.schema, Seq("o_orderkey"), Engine.ReplacingMergeTree))
-    Consume.bootstrap(spark, tables, stateRoot,
-      Map(("db", "orders_mt") -> FullEtl.ParquetSource(s"$sfDir/orders.parquet"),
-          ("db", "orders_rt") -> FullEtl.ParquetSource(s"$sfDir/orders.parquet")))
 
     val policy = graft.sink.SinkStrategy.CompactionPolicy(
       maxDeltaVersions = 64, maxDeltaToBaseRatio = 1.0)

@@ -115,8 +115,42 @@ object RedisRehearsal {
     // --- phase 1: first half produced + drained, query killed mid-stream ---
     val half = staged.length / 2
     val prod1Sec = produceFiles(staged.take(half), 0)
+
+    // --- waiver #1 retirement leg (VERDICT r14 #7), run FOR REAL at
+    // volume: strip the produce-time state pin so the stream is exactly
+    // an r12-era (pre-pin) one, audit it LEGACY via `Main streams`, run
+    // `Main streams --upgrade`, audit again (zero legacy), and let the
+    // skip replay just below verify EXACT state against the UPGRADED pin
+    // instead of the legacy heuristics. RUNBOOK §6 waiver #1 is thereby
+    // retired operationally for this config, not just spec-proven.
+    locally {
+      val raw = new graft.sources.RespClient("127.0.0.1", server.port)
+      try { raw.command("HDEL", "synch:rehearsal:produced_state", "db"); () }
+      finally raw.close()
+      val props =
+        s"""source.0.alias=rehearsal
+           |source.0.db_type=mysql
+           |source.0.url=parquet:$sfDir
+           |source.0.database.0=db
+           |source.0.database.0.table.0=orders_mt
+           |""".stripMargin
+      val cfgPath = s"$workDir/rehearsal.properties"
+      Files.write(Paths.get(cfgPath), props.getBytes("UTF-8"))
+      val uri = s"redis:127.0.0.1:${server.port}"
+      println("[rehearsal] waiver #1 leg: r12-era (pre-pin) stream audit:")
+      graft.Main.main(Array("streams", cfgPath, uri))
+      graft.Main.main(Array("streams", cfgPath, uri, "--upgrade"))
+      println("[rehearsal] post-upgrade audit:")
+      graft.Main.main(Array("streams", cfgPath, uri))
+      val b = broker()
+      try require(b.producedState("db").exists(_._1 == b.producedBatch("db")),
+        "upgrade did not pin the committed batch")
+      finally b.close()
+    }
+
     // produce-crash window at volume: replay the last produced batch —
-    // the skip path must verify (first+last+count) and send nothing
+    // the skip path must verify and send nothing; since the waiver leg
+    // above, this verification runs against the UPGRADED exact-state pin
     val replaySec = produceFiles(staged.slice(half - 1, half), half - 1)
     val q1 = startQuery()
     val drain1Sec = drainAll() // stages while the query applies
