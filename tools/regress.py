@@ -207,21 +207,37 @@ def gate_trips(run):
     return [msg for msg in checks if msg]
 
 
-# Paired-mode floors: with both sides timed seconds apart in one host
-# window, what remains in a ratio is intra-JVM noise only. Calibrated on
-# the r15 engine-identical run (HEAD vs r14 tag, batch surface
-# unchanged): see SCALE.md round-15 "paired calibration" row. A paired
-# FLAG is adjudicated by re-running abbench on the flagged queries —
-# NOT by isolated single-build re-runs (those reintroduce the host band
-# this mode exists to cancel).
-PAIRED_FLOOR = 1.10
+# Paired-mode floors, MEASURED on the r15 engine-identical calibration
+# run (BENCH_AB_d6aad67_vs_b463c1b.json: HEAD vs the r14 tag with the
+# batch query surface unchanged — every ratio there is pure noise).
+# What pairing cancels is the HOST band (cross-round totals 1.19-1.23 on
+# identical code collapsed to median 0.994 / total 0.97); what remains
+# is PER-JVM noise — each serve JVM keeps its JIT/heap-layout character
+# for the whole run, so queries with a wide inter-JVM band still swing
+# (q18_large_orders hit 0.57x on identical code; the floors below are
+# that run's observed |log-ratio| extremes with ~15% margin, symmetric).
+# A paired FLAG is adjudicated by re-running abbench on the flagged
+# queries — NOT by isolated single-build re-runs (those reintroduce the
+# host band this mode exists to cancel).
+PAIRED_FLOOR = 1.25
 PAIRED_FLOORS = {
-    # intra-JVM wide pair (min-of-3 in Bench for the same reason)
-    "dedup_minhash_pairs": 1.25,
-    "envelope_debezium": 1.25,
+    # historic inter-JVM wide pair (min-of-3 in Bench for the same reason)
+    "dedup_minhash_pairs": 1.45,
+    "envelope_debezium": 1.45,
+    # r15 calibration extremes (both directions count: the band is
+    # symmetric, an 0.57 'improvement' on identical code is a 1.75 band)
+    "q18_large_orders": 1.80,
+    "q14_pivot": 1.70,
+    "dedup_incremental_bloom": 1.65,
+    "dedup_embedding_lsh": 1.65,
+    "q22_idle_customers": 1.60,
+    "dedup_paragraph": 1.45,
+    "engine_collapsing": 1.40,
+    "t6_normalize": 1.40,
+    "ann_ivfpq_topk": 1.40,
 }
-PAIRED_MATERIAL_S = 0.15
-PAIRED_TOTAL_FLOOR = 1.03
+PAIRED_MATERIAL_S = 0.25
+PAIRED_TOTAL_FLOOR = 1.05
 
 
 def paired(path):
