@@ -168,6 +168,9 @@ object Bench {
     // I/O-sensitive sibling of the CPU canary (write+fsync+readback;
     // floors + the measured limits of this probe: SettleGuard scaladoc)
     val ioStart = SettleGuard.ioProbeSec()
+    // memory-subsystem sibling (r15): first-touch of fresh pages — the
+    // degradation mode the CPU canary is blind to (SettleGuard scaladoc)
+    val memStart = SettleGuard.memProbeSec()
     val stealStart = SettleGuard.cpuTotalSteal()
 
     // Cumulative stop-the-world GC seconds — sampled around each query so
@@ -284,6 +287,7 @@ object Bench {
     }
     val canaryEnd = canary()
     val ioEnd = SettleGuard.ioProbeSec()
+    val memEnd = SettleGuard.memProbeSec()
     val stealFrac = (for {
       (t0s, s0) <- stealStart; (t1s, s1) <- SettleGuard.cpuTotalSteal()
       if t1s > t0s
@@ -300,8 +304,8 @@ object Bench {
     // settle/contamination evidence rides in BOTH lines so regress.py can
     // gate on whichever record survives the driver's fixed-size tail
     def envLine(failedJson: String) =
-      """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f,"steal_frac_run":%.4f,"loops":%d,"failed_queries":%s"""
-        .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, settleGap, activeJvms.size, busyFrac, dirtyMb, stealFrac, loops, failedJson)
+      """"io_canary_start_sec":%.3f,"io_canary_end_sec":%.3f,"mem_canary_start_sec":%.3f,"mem_canary_end_sec":%.3f,"settle_gap_s":%.1f,"active_jvms_start":%d,"busy_frac_start":%.3f,"dirty_mb_start":%.1f,"steal_frac_run":%.4f,"loops":%d,"failed_queries":%s"""
+        .formatLocal(java.util.Locale.ROOT, ioStart, ioEnd, memStart, memEnd, settleGap, activeJvms.size, busyFrac, dirtyMb, stealFrac, loops, failedJson)
     val env = envLine(failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // compact line (≤1.5 KB tail budget): a MASS-failure run must not blow
     // the budget with the very field that gates it — cap at 3 names (the

@@ -52,11 +52,16 @@ object BenchServe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // same global warmup as Bench: executors + codegen + parquet footers
-    // + the noop write command, through one scan-heavy and one join-heavy
-    // plan, so serve-loop timings measure operators, not JVM init
+    // same global warmup SHAPE as Bench: executors + codegen + parquet
+    // footers + the noop write command, through one scan-heavy and one
+    // join-heavy plan, so serve-loop timings measure operators, not JVM
+    // init. q19 (not Bench's q5) as the join half: at sf10 on a
+    // page-supply-degraded host q5's first pass ran 389 s (r15, SCALE.md),
+    // and TWO serve JVMs warm in parallel — the orchestrator's ready
+    // timeout exists for hangs, not for the warmup's own data pass.
+    // Every query still gets its own per-side warm pass before timing.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (w <- Seq("q1_pricing_summary", "q5_region_revenue"))
+    for (w <- Seq("q1_pricing_summary", "q19_anti_join"))
       SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
     // canary warmup (untimed), as in Bench since r14
     spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()

@@ -221,6 +221,39 @@ object SettleGuard {
       }
     }
 
+  /** Memory-subsystem sibling of the CPU/IO canaries (r15): timed
+    * first-touch of FRESH off-heap pages — 512 MiB per round, one write
+    * per 4 KiB page, min of 3 rounds with distinct allocations. The CPU
+    * canary runs in already-resident heap, so a host whose page-supply
+    * path is degraded (memory-overcommitted hypervisor, host swap, THP
+    * compaction stalls) passes it while every first-touch of new
+    * executor/shuffle memory crawls — measured on this box: warm
+    * identical queries swinging 27 -> 78 s with canary/steal/io all
+    * green, /proc/stat sys% at 24-42 (r15 sf10 refresh adjudication,
+    * SCALE.md). Measured band on this box in the r15 window: 0.25-0.27 s
+    * (~2 GB/s page supply) — stable across minutes, so the gate sits at
+    * 1.0 s (regress.py MEM_CANARY_BAD) to catch an order-of-magnitude
+    * collapse, not the box's ambient speed; re-floor if a quiet window
+    * ever shows a materially lower ambient.
+    * Off-heap (allocateDirect) on purpose: JVM heap pages under
+    * a pinned Xms are faulted in by earlier work and would measure
+    * reuse, not the host. The buffers are released for GC immediately;
+    * 512 MiB headroom over -Xmx is within every documented MEM shape. */
+  def memProbeSec(): Double =
+    try {
+      val bytes = 512 << 20
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val buf = java.nio.ByteBuffer.allocateDirect(bytes)
+        var off = 0
+        while (off < bytes) { buf.put(off, 1.toByte); off += 4096 }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch { case t: Throwable =>
+      System.err.println(s"[settle] mem probe FAILED (reporting -1): $t")
+      -1.0
+    }
+
   /** Timed 16 MiB write + fsync + readback + delete in target/, min of
     * 3. Idle floor on this box: 0.021-0.031 s (round-12 measurement,
     * SCALE.md). regress.py gates at 0.30 s. */

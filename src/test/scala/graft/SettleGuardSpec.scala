@@ -83,4 +83,13 @@ class SettleGuardSpec extends AnyFunSuite {
     assert(SettleGuard.gapSec() == -1.0)
     SettleGuard.stamp()
   }
+
+  test("memProbeSec measures a first-touch pass, never the error sentinel (r15)") {
+    // smoke contract: a working JVM returns a positive, finite, sane
+    // first-touch time (512 MiB at worst ~60 s even on a crawling host);
+    // the -1 sentinel is reserved for allocation FAILURE, which regress.py
+    // deliberately does not gate on
+    val s = SettleGuard.memProbeSec()
+    assert(s > 0.0 && s < 60.0, s"memProbeSec out of sane range: $s")
+  }
 }

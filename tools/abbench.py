@@ -110,12 +110,15 @@ class Serve:
                 f"(see its stderr log); aborting")
         return json.loads(box["line"])
 
-    def wait_ready(self, timeout=600):
+    def wait_ready(self, timeout=1800):
+        # generous: BOTH serve JVMs warm up concurrently, and at sf10 on a
+        # degraded host a single warmup data pass has been observed in the
+        # hundreds of seconds (r15) — this timeout is for hangs, not pace
         r = self._readline(timeout)
         if not r.get("ready"):
             raise SystemExit(f"[ab] {self.label}: unexpected first reply {r}")
 
-    def cmd(self, line, timeout=600):
+    def cmd(self, line, timeout=1200):
         self.p.stdin.write(line + "\n")
         self.p.stdin.flush()
         return self._readline(timeout)

@@ -86,6 +86,13 @@ CANARY_BAD = 0.50      # canary seconds beyond this = contaminated run
 # older records -> not checked). Floors measured on clean runs, SCALE.md
 # round-12 "settle guard" note.
 IO_CANARY_BAD = 0.30   # write+fsync+readback probe; idle floor 0.021-0.031 s
+MEM_CANARY_BAD = 1.0   # first-touch of 512 MiB fresh pages (min of 3);
+                       # measured band on this box in the r15 window:
+                       # 0.25-0.27 s (~2 GB/s). The r15 sf10 refresh found
+                       # warm identical queries swinging 27->78 s with every
+                       # other gate green while the host's page-supply path
+                       # crawled; the gate catches an order-of-magnitude
+                       # collapse, not the ambient speed
 SETTLE_MIN_S = 15.0    # the >=15 s between-JVMs rule (SettleGuard.MinSettleSec)
 BUSY_FRAC_BAD = 0.25   # box-wide busy fraction sampled before Spark init
 DIRTY_MB_BAD = 1024.0  # residual dirty/writeback backlog at bench start
@@ -137,6 +144,7 @@ def load(path):
         not_queries = {"metric", "value", "unit", "sf", "total_s", "nq",
                        "canary_start_sec", "canary_end_sec",
                        "io_canary_start_sec", "io_canary_end_sec",
+                       "mem_canary_start_sec", "mem_canary_end_sec",
                        "settle_gap_s", "active_jvms_start",
                        "busy_frac_start", "dirty_mb_start",
                        "steal_frac_run", "loops", "failed_queries"}
@@ -158,6 +166,8 @@ def load(path):
         "canary_end": m.get("canary_end_sec"),
         "io_canary_start": m.get("io_canary_start_sec"),
         "io_canary_end": m.get("io_canary_end_sec"),
+        "mem_canary_start": m.get("mem_canary_start_sec"),
+        "mem_canary_end": m.get("mem_canary_end_sec"),
         "settle_gap_s": m.get("settle_gap_s"),
         "active_jvms_start": m.get("active_jvms_start"),
         "busy_frac_start": m.get("busy_frac_start"),
@@ -183,6 +193,12 @@ def gate_trips(run):
             f"io_canary_start={run['io_canary_start']}s > {IO_CANARY_BAD}s (idle floor 0.02-0.03)",
             (run["io_canary_end"] or 0) > IO_CANARY_BAD and
             f"io_canary_end={run['io_canary_end']}s > {IO_CANARY_BAD}s (idle floor 0.02-0.03)",
+            (run["mem_canary_start"] or 0) > MEM_CANARY_BAD and
+            f"mem_canary_start={run['mem_canary_start']}s > {MEM_CANARY_BAD}s "
+            f"(host page-supply collapsed; r15 ambient 0.25-0.27)",
+            (run["mem_canary_end"] or 0) > MEM_CANARY_BAD and
+            f"mem_canary_end={run['mem_canary_end']}s > {MEM_CANARY_BAD}s "
+            f"(host page-supply collapsed; r15 ambient 0.25-0.27)",
             run["settle_gap_s"] is not None and 0 <= run["settle_gap_s"] < SETTLE_MIN_S and
             f"settle_gap_s={run['settle_gap_s']} < {SETTLE_MIN_S} (bench started "
             f"too soon after the previous graft JVM — the r11 failure mode)",
