@@ -61,15 +61,26 @@ object CrashSoak {
       .start()
   }
 
-  /** Highest `crashsoak_progress` batch id in the worker log (-1 none). */
-  private def maxProgress(log: java.io.File): Long =
+  /** Highest `crashsoak_progress` batch id in the worker log AT or AFTER
+    * byte `from` (-1 none). The caller passes the log's length from
+    * before a generation spawned, so the max is THAT generation's own
+    * report — reading the whole cumulative log would make the parent's
+    * monotonicity check vacuous (a cumulative max is >= its own past by
+    * construction; a worker restarting from a reset checkpoint and
+    * re-reporting batch 0 would sail through). */
+  private def maxProgress(log: java.io.File, from: Long = 0L): Long =
     if (!log.exists()) -1L
     else {
       val re = """"crashsoak_progress":(\d+)""".r
-      val src = scala.io.Source.fromFile(log, "UTF-8")
-      try re.findAllMatchIn(src.mkString).map(_.group(1).toLong)
-        .foldLeft(-1L)(math.max)
-      finally src.close()
+      val raf = new java.io.RandomAccessFile(log, "r")
+      try {
+        val start = math.min(from, raf.length())
+        raf.seek(start)
+        val buf = new Array[Byte]((raf.length() - start).toInt)
+        raf.readFully(buf)
+        re.findAllMatchIn(new String(buf, "UTF-8")).map(_.group(1).toLong)
+          .foldLeft(-1L)(math.max)
+      } finally raf.close()
     }
 
   def main(args: Array[String]): Unit = {
@@ -102,7 +113,8 @@ object CrashSoak {
     var consumed = false
     while (!consumed) {
       gen += 1
-      val before = maxProgress(log)
+      val before = maxSeen // cumulative max over all PRIOR generations
+      val logLenAtSpawn = if (log.exists()) log.length() else 0L
       val p = spawn("graft.run.CrashSoakWorker", Seq(sfDir, workDir), log)
       val started = System.nanoTime()
       if (killsDone < kills) {
@@ -122,10 +134,17 @@ object CrashSoak {
           sys.error(s"gen $gen: worker exit ${p.exitValue()} after kills done — see $log")
         consumed = true
       }
-      val nowMax = maxProgress(log)
-      if (nowMax < before)
-        sys.error(s"gen $gen: progress REGRESSED across restart ($before -> $nowMax)")
-      maxSeen = math.max(maxSeen, nowMax)
+      // THIS generation's own reported max (its log segment only): a
+      // restart that re-reports a batch id below everything already
+      // committed means the checkpoint went backwards — the double-apply
+      // shape. A generation killed before its first 5 s report (-1) is
+      // fine; Structured Streaming legitimately RETRIES the killed
+      // batch id itself, so `>= before` (not `> before`) is the bound.
+      val genMax = maxProgress(log, logLenAtSpawn)
+      if (genMax >= 0 && genMax < before)
+        sys.error(s"gen $gen: progress REGRESSED across restart " +
+          s"(cumulative $before -> this generation reported $genMax)")
+      maxSeen = math.max(maxSeen, genMax)
       println(s"""{"crashsoak_gen":$gen,"kills":$killsDone,"max_batch":$maxSeen,"consumed":$consumed}""")
     }
     // completion = the last staged batch id committed (file-source

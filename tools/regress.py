@@ -285,6 +285,15 @@ def paired(path):
     print(f"paired: new={rec['new_commit']} old={rec['old_commit']} "
           f"sf={rec['sf']} passes={rec['passes']} "
           f"median_ratio={rec.get('median_ratio')}")
+    if "sf0.1" not in str(rec.get("sf", "")):
+        # the floors above were calibrated on the engine-identical sf0.1
+        # run; at sf10 the per-JVM lottery is wider (r15: q1 drew 0.45x on
+        # identical engine code) — expect more spurious FLAGs and lean on
+        # the fresh-pair re-run adjudication + the median
+        print("NOTE: paired floors are sf0.1-calibrated; this record is "
+              f"sf={rec.get('sf')} — per-query verdicts are advisory, "
+              "adjudicate FLAGs with a fresh-pair re-run and read the "
+              "median/total first (SCALE.md round-15 sf10 notes)")
     print(f"{'query':<34}{'old_s':>9}{'new_s':>9}{'ratio':>8}{'floor':>7}  verdict")
     for ratio, q, o, n, floor, verdict in sorted(rows, reverse=True):
         print(f"{q:<34}{o:>9.3f}{n:>9.3f}{ratio:>8.2f}{floor:>7.2f}  {verdict}")
