@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
   *   stdout: `@AB {"ready":true}`           once after init
   *           `@AB {"ok":"warm","q":...}`    after an untimed pass
   *           `@AB {"q":...,"sec":...}`      after a timed pass
-  *           `@AB {"canary_sec":...}`       after a canary probe
+  *           `@AB {"canary_sec":...,"mem_probe_sec":...}`  after a canary
+  *                                          probe (CPU + page-supply, r16)
   *           `@AB {"err":...,"q":...}`      a pass threw (loud, never a time)
   *
   * No SettleGuard gating here: the A and B JVMs start seconds apart BY
@@ -38,6 +39,31 @@ import org.apache.spark.sql.SparkSession
   * side times).
   */
 object BenchServe {
+  /** First-touch page-supply probe, INLINED from SettleGuard.memProbeSec
+    * (r16, VERDICT r15 #4: the r15 host degradation mode must be visible
+    * in paired records too). Duplicated on purpose — this file is copied
+    * verbatim into old-build worktrees whose SettleGuard predates the
+    * probe, so it may depend on nothing round-local (see scaladoc above).
+    * 512 MiB fresh off-heap pages, one write per 4 KiB page, min of 3
+    * distinct allocations, each freed eagerly; -1 on failure. */
+  private def memProbeSec(): Double =
+    try {
+      val bytes = 512 << 20
+      (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val buf = java.nio.ByteBuffer.allocateDirect(bytes)
+        var off = 0
+        while (off < bytes) { buf.put(off, 1.toByte); off += 4096 }
+        val sec = (System.nanoTime() - t0) / 1e9
+        try {
+          val f = classOf[sun.misc.Unsafe].getDeclaredField("theUnsafe")
+          f.setAccessible(true)
+          f.get(null).asInstanceOf[sun.misc.Unsafe].invokeCleaner(buf)
+        } catch { case _: Throwable => () }
+        sec
+      }.min
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,9 +86,15 @@ object BenchServe {
     // and TWO serve JVMs warm in parallel — the orchestrator's ready
     // timeout exists for hangs, not for the warmup's own data pass.
     // Every query still gets its own per-side warm pass before timing.
+    // `.get` + q5 fallback (r16, ADVICE r15): this file is copied into
+    // arbitrary old worktrees; a baseline predating a warmup query's
+    // addition must degrade to the older warmup shape, not crash on a
+    // key lookup. q1 and q5 exist in every round back to r8.
     spark.range(1000000).selectExpr("sum(id)").collect()
     for (w <- Seq("q1_pricing_summary", "q19_anti_join"))
-      SparkEntry.queries(w)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.get(w)
+        .orElse(SparkEntry.queries.get("q5_region_revenue"))
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     // canary warmup (untimed), as in Bench since r14
     spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
 
@@ -94,7 +126,7 @@ object BenchServe {
             spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
             (System.nanoTime() - t0) / 1e9
           }.min
-          reply(s"""{"canary_sec":$sec}""")
+          reply(s"""{"canary_sec":$sec,"mem_probe_sec":${memProbeSec()}}""")
         case "warm" =>
           try { exec(arg); reply(s"""{"ok":"warm","q":${jstr(arg)}}""") }
           catch { case e: Throwable =>

@@ -237,8 +237,13 @@ object SettleGuard {
     * ever shows a materially lower ambient.
     * Off-heap (allocateDirect) on purpose: JVM heap pages under
     * a pinned Xms are faulted in by earlier work and would measure
-    * reuse, not the host. The buffers are released for GC immediately;
-    * 512 MiB headroom over -Xmx is within every documented MEM shape. */
+    * reuse, not the host. Each round's buffer is freed EXPLICITLY
+    * (Unsafe.invokeCleaner) before the next allocates (r16, ADVICE
+    * r15): left reachable-only-by-GC, up to 1.5 GiB of direct pages
+    * linger nondeterministically into the run the probe protects —
+    * an RSS bump, and Bits.reserveMemory may force a System.gc()
+    * under an explicit -XX:MaxDirectMemorySize. 512 MiB headroom
+    * over -Xmx is within every documented MEM shape. */
   def memProbeSec(): Double =
     try {
       val bytes = 512 << 20
@@ -247,12 +252,25 @@ object SettleGuard {
         val buf = java.nio.ByteBuffer.allocateDirect(bytes)
         var off = 0
         while (off < bytes) { buf.put(off, 1.toByte); off += 4096 }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        freeDirect(buf)
+        sec
       }.min
     } catch { case t: Throwable =>
       System.err.println(s"[settle] mem probe FAILED (reporting -1): $t")
       -1.0
     }
+
+  /** Deterministically release a direct buffer's pages via the public
+    * `sun.misc.Unsafe.invokeCleaner` (JDK 9+, jdk.unsupported — no
+    * add-opens needed). Best-effort: on any failure the buffer is left
+    * for GC, which is exactly the pre-r16 behavior. */
+  private def freeDirect(buf: java.nio.ByteBuffer): Unit =
+    try {
+      val f = classOf[sun.misc.Unsafe].getDeclaredField("theUnsafe")
+      f.setAccessible(true)
+      f.get(null).asInstanceOf[sun.misc.Unsafe].invokeCleaner(buf)
+    } catch { case _: Throwable => () }
 
   /** Timed 16 MiB write + fsync + readback + delete in target/, min of
     * 3. Idle floor on this box: 0.021-0.031 s (round-12 measurement,

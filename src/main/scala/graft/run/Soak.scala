@@ -154,6 +154,14 @@ object Soak {
       new ParquetStateStore(spark, s"$dlRoot/db/_ddl").versionIds().size
     @volatile var maxRss = 0L
     @volatile var maxMt = 0; @volatile var maxRt = 0
+    @volatile var maxMemProbe = -1.0
+    // quiescent page-supply bracket (r16, VERDICT r15 #4): the r15 host
+    // degradation mode (first-touch collapse) was invisible in soak
+    // artifacts; memStart/memEnd run OUTSIDE the consume loop and gate
+    // perf citability below. Per-sample probes run UNDER load, so they
+    // measure host + own-contention — recorded for slope context, not
+    // gated (a 32-core consume loop legitimately inflates first-touch).
+    val memStart = graft.SettleGuard.memProbeSec()
     val windowRates = scala.collection.mutable.ArrayBuffer.empty[Double]
     val t0 = System.nanoTime()
     val sampler = new Thread(() => {
@@ -166,6 +174,8 @@ object Soak {
           maxRss = math.max(maxRss, rss)
           maxMt = math.max(maxMt, mt); maxRt = math.max(maxRt, rt)
           val b = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+          val mem = graft.SettleGuard.memProbeSec()
+          maxMemProbe = math.max(maxMemProbe, mem)
           val now = System.nanoTime()
           // per-WINDOW batch rate: latency drift (e.g. a growing
           // per-trigger source-listing cost) shows here as a downward
@@ -176,7 +186,7 @@ object Soak {
           if (winRate > 0) windowRates.synchronized { windowRates += winRate }
           prevB = b; prevT = now
           val wall = (now - t0) / 1e9
-          println(f"""{"soak_sample":$b,"wall_sec":$wall%.0f,"rss_mb":$rss,"heap_mb":$heap,"mt_versions":$mt,"rt_versions":$rt,"dl_ddl_batches":$dlc,"window_batches_per_sec":$winRate%.2f}""")
+          println(f"""{"soak_sample":$b,"wall_sec":$wall%.0f,"rss_mb":$rss,"heap_mb":$heap,"mt_versions":$mt,"rt_versions":$rt,"dl_ddl_batches":$dlc,"window_batches_per_sec":$winRate%.2f,"mem_probe_sec":$mem%.3f}""")
         } catch { case _: Exception => () }
         Thread.sleep(30000)
       }
@@ -185,6 +195,7 @@ object Soak {
 
     q.processAllAvailable(); q.stop(); q.awaitTermination()
     val wall = (System.nanoTime() - t0) / 1e9
+    val memEnd = graft.SettleGuard.memProbeSec()
 
     // --- bounds + exact state checks ---
     val dlFinal = dlCount()
@@ -213,7 +224,13 @@ object Soak {
         Option.when(maxMt > policy.maxDeltaVersions * 2)(
           s"orders_mt versions peaked at $maxMt (> 2x policy bound)"),
         Option.when(maxRt > policy.maxDeltaVersions * 2)(
-          s"orders_rt versions peaked at $maxRt (> 2x policy bound)")).flatten
+          s"orders_rt versions peaked at $maxRt (> 2x policy bound)"),
+        // perf-citability, not correctness: state checks above hold on a
+        // sick host too — this line names the claim that dies (the
+        // throughput/latency rows), mirroring regress.py MEM_CANARY_BAD
+        Option.when(memStart > 1.0 || memStart < 0 || memEnd > 1.0 || memEnd < 0)(
+          f"mem canary start=$memStart%.3f end=$memEnd%.3f outside (0, 1.0] — " +
+            "throughput rows not citable (state checks unaffected)")).flatten
     muts.unpersist()
     val events = nMut * 2
     println(f"""{"summary":"soak","sf_dir":"$sfDir","batches":$batches,"events":$events,""" +
@@ -225,6 +242,8 @@ object Soak {
       s""""max_versions":{"orders_mt":$maxMt,"orders_rt":$maxRt},""" +
       s""""final_versions":{"orders_mt":${versionCount("orders_mt")},"orders_rt":${versionCount("orders_rt")}},""" +
       s""""dl_ddl_batches":$dlFinal,"expected_parks":$expectedParks,""" +
+      f""""mem_canary_start_sec":$memStart%.3f,"mem_canary_end_sec":$memEnd%.3f,""" +
+      f""""mem_probe_max_under_load_sec":$maxMemProbe%.3f,""" +
       s""""state_checks":${if (failures.isEmpty) "\"pass\"" else failures.mkString("\"", "; ", "\"")}}""")
     if (failures.nonEmpty) sys.exit(1)
     spark.stop()

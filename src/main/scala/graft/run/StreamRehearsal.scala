@@ -241,6 +241,12 @@ object StreamRehearsal {
       maxFilesPerTrigger = 1), tables, stateRoot, ckpt,
       triggerInterval = "0 seconds", compactionPolicy = Some(policy))
 
+    // quiescent page-supply bracket (r16, VERDICT r15 #4): the rehearsal's
+    // events/s bands are citable only under a healthy first-touch path —
+    // the r15 run's 17.7k/108.8k leg was below band exactly because the
+    // host was degraded, and nothing in the artifact showed it
+    val memStart = graft.SettleGuard.memProbeSec()
+
     // --- phase 1: first half of the files, interrupted mid-stream ---
     val half = staged.length / 2
     staged.take(half).foreach(f => Files.copy(Paths.get(f),
@@ -275,9 +281,11 @@ object StreamRehearsal {
     }.mkString("{", ",", "}")
     val totalEvents = p1.rows + p2.rows
     val totalWall = p1.wallSec + p2.wallSec
+    val memEnd = graft.SettleGuard.memProbeSec()
     println(f"""{"summary":"stream_rehearsal","sf_dir":"$sfDir","bootstrap_sec":$bootstrapSec%.2f,""" +
       f""""events":$totalEvents,"wall_sec":$totalWall%.2f,""" +
       f""""events_per_sec":${totalEvents / totalWall}%.0f,""" +
+      f""""mem_canary_start_sec":$memStart%.3f,"mem_canary_end_sec":$memEnd%.3f,""" +
       s""""crash_replayed_batch":${p2.firstBatchId <= p1.lastBatchId},""" +
       s""""p1_last_batch":${p1.lastBatchId},"p2_first_batch":${p2.firstBatchId},""" +
       s""""compaction":"policy maxDeltaVersions=${policy.maxDeltaVersions} ratio=${policy.maxDeltaToBaseRatio}",""" +

@@ -112,6 +112,13 @@ object RedisRehearsal {
       maxFilesPerTrigger = 1), tables, stateRoot, ckpt,
       triggerInterval = "0 seconds", compactionPolicy = Some(policy))
 
+    // quiescent page-supply bracket (r16, VERDICT r15 #4): the rehearsal's
+    // produce/apply events/s bands are citable only under a healthy
+    // first-touch path — the r15 leg ran 17.7k/108.8k (below the 22-31k /
+    // 166-216k bands) on the documented degraded host with nothing in
+    // the artifact showing it
+    val memStart = graft.SettleGuard.memProbeSec()
+
     // --- phase 1: first half produced + drained, query killed mid-stream ---
     val half = staged.length / 2
     val prod1Sec = produceFiles(staged.take(half), 0)
@@ -186,6 +193,7 @@ object RedisRehearsal {
       f""""produce_sec":${prod1Sec + prod2Sec}%.2f,"produce_events_per_sec":$prodRate%.0f,""" +
       f""""produce_replay_skip_sec":$replaySec%.2f,""" +
       f""""drain_sec":${drain1Sec + drain2Sec}%.2f,""" +
+      f""""mem_canary_start_sec":$memStart%.3f,"mem_canary_end_sec":${graft.SettleGuard.memProbeSec()}%.3f,""" +
       s""""crash_replayed_batch":${p2.firstBatchId <= p1.lastBatchId},""" +
       s""""p1_last_batch":${p1.lastBatchId},"p2_first_batch":${p2.firstBatchId},""" +
       s""""state_versions":$versionJson,""" +

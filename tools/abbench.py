@@ -171,8 +171,16 @@ def main():
         # warmups shape JIT state — keep them serialized and symmetric)
         new.wait_ready()
         old.wait_ready()
-        canary = {"new_start": new.cmd("canary")["canary_sec"],
-                  "old_start": old.cmd("canary")["canary_sec"]}
+        # each canary reply carries canary_sec (CPU) and, since r16,
+        # mem_probe_sec (first-touch page supply — the r15 host
+        # degradation mode invisible to the CPU probe); old harnesses
+        # never reach here (BenchServe is copied from HEAD), but stay
+        # tolerant of a missing key anyway
+        def probe(side, tag):
+            r = side.cmd("canary")
+            return {f"{tag}": r["canary_sec"],
+                    f"{tag}_mem": r.get("mem_probe_sec", -1.0)}
+        canary = {**probe(new, "new_start"), **probe(old, "old_start")}
         results, errors = {}, {}
         t_run0 = time.time()
         for i, q in enumerate(names):
@@ -204,8 +212,8 @@ def main():
                           "new_passes": times["new"], "old_passes": times["old"]}
             print(f"[ab] {q:<34} new {a:7.3f}  old {b:7.3f}  ratio {a/b:5.2f}",
                   flush=True)
-        canary["new_end"] = new.cmd("canary")["canary_sec"]
-        canary["old_end"] = old.cmd("canary")["canary_sec"]
+        canary.update(probe(new, "new_end"))
+        canary.update(probe(old, "old_end"))
         wall = time.time() - t_run0
     finally:
         new.close()

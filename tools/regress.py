@@ -235,8 +235,16 @@ def gate_trips(run):
 # A paired FLAG is adjudicated by re-running abbench on the flagged
 # queries — NOT by isolated single-build re-runs (those reintroduce the
 # host band this mode exists to cancel).
-PAIRED_FLOOR = 1.25
+# Floors are keyed by SF CLASS since r16 (VERDICT r15 #2): the per-JVM
+# lottery widens with data scale (sf10 drew q1=0.45x on identical engine
+# code under the sf0.1 floors — 2 false FLAGs burned an adjudication in
+# r15), so each scale gets floors measured on an engine-identical
+# calibration run AT that scale. sf0.1: BENCH_AB_d6aad67_vs_b463c1b.json
+# (130 queries). sf10: the r16 engine-identical calibration run plus the
+# r15 records (BENCH_AB_sf10_r15_vs_r13tag + _adjudication).
+PAIRED_FLOOR = {"sf0.1": 1.25, "sf10": 1.40}
 PAIRED_FLOORS = {
+  "sf0.1": {
     # historic inter-JVM wide pair (min-of-3 in Bench for the same reason)
     "dedup_minhash_pairs": 1.45,
     "envelope_debezium": 1.45,
@@ -251,9 +259,23 @@ PAIRED_FLOORS = {
     "engine_collapsing": 1.40,
     "t6_normalize": 1.40,
     "ann_ivfpq_topk": 1.40,
+  },
+  # sf10 per-query entries are populated from the r16 calibration run
+  # (see SCALE.md round-16 calibration row); until a query has a
+  # measured sf10 band it gets the sf10 default above.
+  "sf10": {},
 }
 PAIRED_MATERIAL_S = 0.25
+# at sf10 a 0.25 s delta is scheduling noise on multi-second queries —
+# material scales with the per-query magnitudes observed at that sf
+PAIRED_MATERIAL_S_BY_SF = {"sf0.1": 0.25, "sf10": 0.60}
 PAIRED_TOTAL_FLOOR = 1.05
+
+
+def sf_class(sf_path):
+    """Map a record's sf dir path to a floors key (basename match)."""
+    base = str(sf_path).rstrip("/").rsplit("/", 1)[-1]
+    return base if base in PAIRED_FLOORS else None
 
 
 def paired(path):
@@ -264,15 +286,42 @@ def paired(path):
     qs = rec["queries"]
     if not qs:
         raise SystemExit(f"{path}: no paired queries (all errored?)")
+    # contamination gate on the record's own probes (r16, VERDICT r15 #4):
+    # pairing cancels the HOST band out of each ratio, but a collapsed
+    # page-supply path perturbs the two JVMs asymmetrically (first-touch
+    # cost lands on whichever side allocates), so a mem-canary-tripped
+    # paired record is not verdict evidence either. CPU canary likewise.
+    canary = rec.get("canary") or {}
+    tripped = []
+    for k, v in sorted(canary.items()):
+        if v is None:
+            continue
+        if k.endswith("_mem"):
+            if v > MEM_CANARY_BAD:
+                tripped.append(f"{k}={v:.3f}s > {MEM_CANARY_BAD}s (page supply)")
+            elif v < 0:
+                print(f"ADVISORY: {k}=-1 (mem probe FAILED on that side — "
+                      f"not gated, but the page-supply evidence is missing)")
+        elif v > CANARY_BAD:
+            tripped.append(f"{k}={v:.3f}s > {CANARY_BAD}s (CPU canary)")
+    if tripped:
+        for msg in tripped:
+            print(f"CONTAMINATED: {msg}")
+        print("— paired record is not verdict evidence; re-run abbench")
+        sys.exit(2)
+    sfk = sf_class(rec.get("sf", ""))
+    floors = PAIRED_FLOORS.get(sfk, PAIRED_FLOORS["sf0.1"])
+    default_floor = PAIRED_FLOOR.get(sfk, PAIRED_FLOOR["sf0.1"])
+    material = PAIRED_MATERIAL_S_BY_SF.get(sfk, PAIRED_MATERIAL_S)
     flags, watch, within, improved, noise = [], [], [], [], []
     rows = []
     for q, r in qs.items():
         o, n = r["old_s"], r["new_s"]
         ratio = n / o if o > 0 else float("inf")
-        floor = PAIRED_FLOORS.get(q, PAIRED_FLOOR)
+        floor = floors.get(q, default_floor)
         if o < ABS_NOISE_S and n < ABS_NOISE_S:
             verdict, bucket = "noise-abs", noise
-        elif ratio > floor and (n - o) >= PAIRED_MATERIAL_S:
+        elif ratio > floor and (n - o) >= material:
             verdict, bucket = "FLAG", flags
         elif ratio > floor:
             verdict, bucket = "watch", watch
@@ -285,15 +334,13 @@ def paired(path):
     print(f"paired: new={rec['new_commit']} old={rec['old_commit']} "
           f"sf={rec['sf']} passes={rec['passes']} "
           f"median_ratio={rec.get('median_ratio')}")
-    if "sf0.1" not in str(rec.get("sf", "")):
-        # the floors above were calibrated on the engine-identical sf0.1
-        # run; at sf10 the per-JVM lottery is wider (r15: q1 drew 0.45x on
-        # identical engine code) — expect more spurious FLAGs and lean on
-        # the fresh-pair re-run adjudication + the median
-        print("NOTE: paired floors are sf0.1-calibrated; this record is "
-              f"sf={rec.get('sf')} — per-query verdicts are advisory, "
-              "adjudicate FLAGs with a fresh-pair re-run and read the "
-              "median/total first (SCALE.md round-15 sf10 notes)")
+    if sfk is None:
+        # no calibration run exists at this record's scale — verdicts
+        # under borrowed floors are advisory only
+        print("NOTE: no paired floors calibrated for this record's "
+              f"sf={rec.get('sf')} (falling back to sf0.1 floors) — "
+              "per-query verdicts are advisory, adjudicate FLAGs with a "
+              "fresh-pair re-run and read the median/total first")
     print(f"{'query':<34}{'old_s':>9}{'new_s':>9}{'ratio':>8}{'floor':>7}  verdict")
     for ratio, q, o, n, floor, verdict in sorted(rows, reverse=True):
         print(f"{q:<34}{o:>9.3f}{n:>9.3f}{ratio:>8.2f}{floor:>7.2f}  {verdict}")
@@ -336,6 +383,11 @@ def main():
         if run["settle_gap_s"] is not None and run["settle_gap_s"] < 0:
             print("WATCH: settle_gap_s=-1 (marker channel inert — unknown "
                   "is NOT clean)")
+        for k in ("mem_canary_start", "mem_canary_end"):
+            if run[k] is not None and run[k] < 0:
+                print(f"ADVISORY: {k}=-1 (mem probe FAILED for that run — "
+                      f"deliberately not gated, but the record carries no "
+                      f"page-supply evidence; ADVICE r15)")
         if tripped:
             print("— this record is NOT valid adjudication evidence; re-run")
             sys.exit(2)
@@ -365,6 +417,11 @@ def main():
                   f"or unreadable for that run — unknown is NOT clean; the "
                   f"machine-global /tmp marker should make this impossible "
                   f"post-r13, so -1 deserves investigation)\n")
+        for k in ("mem_canary_start", "mem_canary_end"):
+            if run[k] is not None and run[k] < 0:
+                print(f"ADVISORY: {name} run: {k}=-1 (mem probe FAILED — "
+                      f"not gated, but that run carries no page-supply "
+                      f"evidence; ADVICE r15)")
 
     lo, ln = (old["loops"] or 1), (new["loops"] or 1)
     loops_mismatch = lo != ln
