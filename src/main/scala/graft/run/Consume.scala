@@ -390,13 +390,26 @@ object Consume {
       }
     }
 
-  /** Compact a table's append-only log to its resolved state (the
-    * OPTIMIZE/background-merge analogue). Collapsing-family rows are
-    * rewritten with sign=+1 — the resolved row *is* the alive row, and a
-    * future delete must cancel it with exactly one -1, matching
-    * ClickHouse's merge semantics (a net of +2 pre-compaction would
-    * otherwise need two cancels). MergeTree state is already materialized,
-    * so compaction is a no-op there.
+  /** Compact a table's append-only log (the OPTIMIZE/background-merge
+    * analogue) — to a SUFFICIENT state, not the read-time visible one
+    * (r16, found by the drain property generator): the base must preserve
+    * everything a future arrival still orders against. Concretely:
+    *
+    *  - MergeTree/Replacing: the per-key winner INCLUDING delete-winner
+    *    tombstones ([[SinkStrategy.replacingFold]]) — a tombstone-less
+    *    base forgets the delete, and a dead-letter drain replaying an
+    *    EARLIER batch below the base resurrects the deleted row;
+    *  - Collapsing family: one `sign=+1` row per positive-net group, one
+    *    `sign=-1` per negative-net group ([[SinkStrategy.collapsingFold]]),
+    *    matching ClickHouse's merge (which keeps uncancelled cancels;
+    *    a net of +2 pre-compaction still folds to one row that a single
+    *    future -1 cancels). VersionedCollapsing folds per (pk, version)
+    *    and keeps EVERY live version — the old top-version-per-pk
+    *    truncation left nothing to reveal when a later ordinary cancel
+    *    collapsed the top version.
+    *
+    * Read-time visibility is unchanged — [[currentState]] still filters
+    * tombstones and non-positive nets.
     */
   /** `pre` is applied to the merged LOG before resolution — the hook
     * store-side schema evolution rides (a column RENAME rewrites the log
@@ -405,19 +418,23 @@ object Consume {
   def compact(t: TableSync, store: ParquetStateStore,
               pre: DataFrame => DataFrame = identity): Unit =
     store.readLog().map(pre).foreach { log =>
+      val keys = keysFor(t)
       val resolved = t.engine match {
         case Engine.MergeTree =>
-          // resolve WITH _batch so the compacted base and later deltas keep
+          // fold WITH _batch so the compacted base and later deltas keep
           // one schema (and arrival order stays total across compactions)
-          mergeTreeResolve(log, keysFor(t))
+          val withBatch =
+            if (log.columns.contains("_batch")) log
+            else log.withColumn("_batch", lit(0L))
+          SinkStrategy.replacingFold(withBatch,
+            SinkKeys(keys.pkCols, versionCol = "_batch",
+              tieBreakers = keys.versionCol +: keys.tieBreakers))
         case Engine.ReplacingMergeTree =>
-          SinkStrategy.replacingResolve(log, keysFor(t))
+          SinkStrategy.replacingFold(log, keys)
         case Engine.CollapsingMergeTree =>
-          SinkStrategy.collapsingResolve(log, keysFor(t))
-            .withColumn("sign", lit(1).cast("tinyint"))
+          SinkStrategy.collapsingFold(log, keys, keys.pkCols)
         case Engine.VersionedCollapsingMergeTree =>
-          SinkStrategy.versionedCollapsingResolve(log, keysFor(t))
-            .withColumn("sign", lit(1).cast("tinyint"))
+          SinkStrategy.collapsingFold(log, keys, keys.pkCols :+ keys.versionCol)
       }
       store.compact(resolved)
     }

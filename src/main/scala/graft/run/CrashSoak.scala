@@ -227,24 +227,38 @@ object CrashSoak {
     // the mid-replay evidence is asserted separately below.
     val drainKillTarget = 2
     var drainKills = 0; var drainAttempts = 0
-    var delayBaseMs = 6000
+    // initial delay sits past the child's JVM+Spark init (~12-18 s on
+    // this box — the r16 smoke showed 6-12 s kills all landing in init)
+    // and inside the ~60-batch replay window; a kill that still lands in
+    // init (parked count unchanged) widens the next delay
+    var delayBaseMs = 15000
     var midReplayKills = 0
-    var remainingRows = (parkBatches * rowsPerBatch).toLong
+    // replay progress = COMMITTED versions in the synthetic batch-id
+    // range on the TARGET store (applyBatch commits per batch) — the
+    // parked queue itself is useless as a progress signal because drain
+    // clears it only at the very end, which a killed drain never reaches
+    def replayedBatches(): Int =
+      new ParquetStateStore(spark, s"$stateRoot/db/orders_mt")
+        .versionIds().count(_ >= base)
+    var prevReplayed = 0
     var drainDone = false
     while (!drainDone) {
       drainAttempts += 1
       val dp = spawn("graft.run.CrashSoakWorker",
         Seq(sfDir, workDir, "--drain", (base + parkBatches - 1).toString), dlog)
-      if (drainKills < drainKillTarget) {
-        val exited = dp.waitFor(delayBaseMs + rnd.nextInt(6000), TimeUnit.MILLISECONDS)
+      // keep killing until BOTH the kill quota is met and at least one
+      // kill provably landed mid-replay (capped: a box too fast/slow for
+      // any window proceeds and fails the named check loudly below)
+      if ((drainKills < drainKillTarget || midReplayKills < 1) && drainAttempts <= 10) {
+        val exited = dp.waitFor(delayBaseMs + rnd.nextInt(8000), TimeUnit.MILLISECONDS)
         if (!exited) {
           dp.destroyForcibly(); dp.waitFor()
           drainKills += 1
-          val left = dl.read("db", "orders_mt").map(_.count()).getOrElse(0L)
-          if (left < remainingRows && left > 0) midReplayKills += 1
-          else delayBaseMs += 5000 // landed in init (or drained all) — widen
-          println(s"""{"crashsoak_drain_attempt":$drainAttempts,"killed":true,"rows_still_parked":$left}""")
-          remainingRows = left
+          val replayed = replayedBatches()
+          if (replayed > prevReplayed && replayed < parkBatches) midReplayKills += 1
+          else if (replayed == prevReplayed) delayBaseMs += 6000 // init — widen
+          println(s"""{"crashsoak_drain_attempt":$drainAttempts,"killed":true,"batches_replayed":$replayed}""")
+          prevReplayed = replayed
         } else {
           require(dp.exitValue() == 0,
             s"drain worker exit ${dp.exitValue()} — see $dlog")

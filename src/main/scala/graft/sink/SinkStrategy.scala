@@ -80,6 +80,22 @@ object SinkStrategy {
     else winner
   }
 
+  /** COMPACT-time fold of an upsert log: the per-key winner INCLUDING
+    * delete-winner tombstone rows. The read-time view ([[replacingResolve]])
+    * filters tombstones; the fold must NOT — a compacted base without them
+    * forgets that a key was deleted, and a later-arriving EARLIER batch
+    * (a dead-letter drain replaying below the base, the r16 drain property
+    * generator's trial-43 find) re-inserts the key with nothing left to
+    * outrank it: the deleted row resurrects. Keeping the tombstone costs
+    * one row per deleted-and-never-reinserted key (standard LSM tombstone
+    * retention); a later fold drops it automatically once a newer live row
+    * wins the key. */
+  def replacingFold(log: DataFrame, k: SinkKeys): DataFrame = {
+    val w = Window.partitionBy(k.pkCols.map(col): _*).orderBy(orderDesc(k): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   // -------------------------------------------------------------------
   // CollapsingMergeTree(sign): signed append; a key is visible iff its
   // sign-sum is positive; visible value = latest +1 row
@@ -98,6 +114,39 @@ object SinkStrategy {
              when(pos, struct((k.versionCol +: k.tieBreakers).map(col): _*))).as("_last"))
       .filter(col("_net") > 0)
       .select(k.pkCols.map(col) ++ valueCols.map(c => col(s"_last.$c").as(c)): _*)
+  }
+
+  /** COMPACT-time fold for the sign engines, ClickHouse-merge-conformant
+    * (r16): a merge keeps ONE `sign=+1` row for a positive-net group, ONE
+    * `sign=-1` row for a negative-net group, and nothing for a fully
+    * collapsed group — it does NOT erase negative nets the way the
+    * read-time view hides them. The old fold reused [[collapsingResolve]]
+    * (net > 0 only), so an uncancelled cancel (-1 arriving before its +1,
+    * e.g. while that +1 sat parked in the dead letter) vanished at the
+    * next compaction and the late +1 replay resurrected a row the stream
+    * had deleted. `groupCols` is the collapse scope: pk for
+    * CollapsingMergeTree, pk + version for VersionedCollapsing (the old
+    * VCMT fold ALSO truncated to the top version per pk, so an ordinary
+    * later cancel of that top version had no older version left to
+    * reveal). Net magnitudes beyond ±1 truncate to one row, exactly like
+    * a ClickHouse merge (documented there: post-merge state cancels with
+    * a single row). */
+  def collapsingFold(log: DataFrame, k: SinkKeys, groupCols: Seq[String],
+                     signCol: String = "sign"): DataFrame = {
+    val valueCols = log.columns.filterNot(c => groupCols.contains(c))
+    val pos = col(signCol) > 0
+    val ord = struct((k.versionCol +: k.tieBreakers).map(col): _*)
+    val folded = log.filter(col(signCol) =!= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(signCol).cast("long")).as("_net"),
+           max_by(when(pos, struct(valueCols.map(col): _*)), when(pos, ord)).as("_pos"),
+           max_by(when(!pos, struct(valueCols.map(col): _*)), when(!pos, ord)).as("_neg"))
+      .filter(col("_net") =!= 0)
+      .withColumn("_row", when(col("_net") > 0, col("_pos")).otherwise(col("_neg")))
+    folded.select(groupCols.map(col) ++ valueCols.map(c =>
+        (if (c == signCol) when(col("_net") > 0, lit(1)).otherwise(lit(-1))
+          .cast("tinyint").as(signCol)
+         else col(s"_row.$c").as(c))): _*)
   }
 
   // -------------------------------------------------------------------

@@ -147,6 +147,30 @@ class ConsumeSpec extends SparkSpec {
     assert(finalState == Set((1L, 11.0)))
   }
 
+  test("VCMT compaction keeps older versions: a later cancel of the top version reveals them (r16)") {
+    // LIVE-path pin (no dead letter involved): the old VersionedCollapsing
+    // fold truncated the base to the top version per pk, so an ordinary
+    // post-compaction cancel of that version left NOTHING to reveal and
+    // the key vanished — the true state is the older surviving version.
+    import spark.implicits._
+    val root = Files.createTempDirectory("vcmtcompact").toString
+    val t = TableSync("db", "vc", valueSchema, Seq("id"),
+      Engine.VersionedCollapsingMergeTree, versionColumn = Some("event_unixtime"))
+    val store = new graft.sink.ParquetStateStore(spark, s"$root/db/vc")
+    def signed(rows: Seq[(Long, Double, Long, Int)]) =
+      rows.toDF("id", "amount", "event_unixtime", "sign")
+        .withColumn("action_seq", org.apache.spark.sql.functions.lit(2))
+    // two live versions of pk 1
+    store.append(signed(Seq((1L, 10.0, 90L, 1), (1L, 11.0, 100L, 1))), 0L)
+    Consume.compact(t, store)
+    // cancel the TOP version (version-aware: the -1 mirrors v100)
+    store.append(signed(Seq((1L, 11.0, 100L, -1))), 1L)
+    val state = Consume.currentState(t, store).get
+      .select("amount").as[Double].collect().toSeq
+    assert(state == Seq(10.0),
+      "cancelling the compacted top version must reveal the older live version")
+  }
+
   test("skip-error mode isolates a failing table and applies the rest (C3)") {
     val root = Files.createTempDirectory("skiperr").toString
     val eventsDir = s"$root/events"; Files.createDirectories(Paths.get(eventsDir))

@@ -651,4 +651,326 @@ class DeadLetterSpec extends SparkSpec {
         s"trial $trial (seed ${seed + trial}): drained state != never-parked baseline")
     }
   }
+
+  test("property: parks x LIVE RENAMES x drain points x overridePins converge or refuse loudly (r16, 100 seeds)") {
+    // VERDICT r15 #7: the r14+r15 rename closure in drain() is three
+    // interacting mechanisms (parked-DDL chain, consecutive-pin diffs,
+    // tail pin-diff + composed end-of-drain rename compact) proven by
+    // four hand-built scenarios; this generator walks the composition
+    // space the r13 property above cannot reach (it generates no pk
+    // renames and no live-applied DDL). Per trial: random batches of DML
+    // + DDL where the DDL includes PK RENAMES; each batch randomly parks
+    // (with its true pre-batch pin, as the consume loop records) or
+    // applies live INCLUDING the live loop's store-side rename compact;
+    // drains fire at random points, randomly crash-first (a replayed
+    // prefix that never cleared — the documented crash window) and
+    // randomly with overridePins. Contract asserted, verbatim from the
+    // directive: drained store == the linear no-crash no-park baseline,
+    // OR the drain refuses loudly BEFORE clearing anything (after which
+    // the operator fallback — pins honored — must converge).
+    import spark.implicits._
+    val seed = 0xD16L // fixed: a failure must reproduce
+    var refusals = 0; var overrideDrains = 0; var crashDrains = 0
+    var renameStraddles = 0
+    val trialRange = sys.env.get("DL_PROP_TRIAL") match {
+      case Some(t) => t.toInt until (t.toInt + 1)
+      case None => 0 until 100
+    }
+    val debug = sys.env.contains("DL_PROP_TRIAL")
+    for (trial <- trialRange) {
+      val rnd = new scala.util.Random(seed + trial)
+      val nBatches = 3 + rnd.nextInt(3)
+      val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+
+      // --- generate: DML keyed by the CURRENT pk name; DDL includes pk
+      // renames (fresh names only — the re-add refusal shape is pinned
+      // separately above and deliberately not generated here) ---
+      var colSeq = 0
+      var pkName = "id"
+      var liveCols = Vector.empty[String]
+      var ts = 100L
+      case class Slice(rows: Seq[(String, String, String, String, Long, Int, String, Long)])
+      val batches: Seq[Slice] = (0 until nBatches).map { _ =>
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String, String, Long, Int, String, Long)]
+        var srcSeq = 1L
+        def dml(): Unit = {
+          val id = 1 + rnd.nextInt(5)
+          val action = rnd.nextInt(5) match {
+            case 0 => "delete"
+            case 1 => "update"
+            case _ => "insert"
+          }
+          val amount = (rnd.nextInt(1000) + 1) / 10.0
+          val extra =
+            if (liveCols.nonEmpty && rnd.nextBoolean())
+              s""","${liveCols(rnd.nextInt(liveCols.size))}":"v${rnd.nextInt(9)}""""
+            else ""
+          // STRICTLY increasing event times: two same-pk rows with equal
+          // (event_unixtime, action_seq) are a full version-key tie, and
+          // the engine's winner on a full tie is deliberately unspecified
+          // (ClickHouse RMT keeps "any" row across parts) — a generator
+          // relying on tie order would flag nondeterminism, not bugs
+          // (trial 26 of the first run did exactly that)
+          ts += 1 + rnd.nextInt(2).toLong
+          rows += (("db", "t", action, s"""{"$pkName":$id,"amount":$amount$extra}""",
+            ts, if (action == "delete") 1 else 2, "f", srcSeq))
+          srcSeq += 1
+        }
+        def ddl(): Unit = {
+          colSeq += 1; ts += 1
+          rnd.nextInt(3) match {
+            case 0 => // PK RENAME — the axis the r13 property never generates
+              val next = s"k$colSeq"
+              rows += (("db", "t", "query",
+                s"ALTER TABLE db.t CHANGE $pkName $next bigint", ts, 0, "f", srcSeq))
+              srcSeq += 1
+              pkName = next
+            case 1 =>
+              rows += (("db", "t", "query",
+                s"ALTER TABLE db.t ADD COLUMN c$colSeq VARCHAR(20)", ts, 0, "f", srcSeq))
+              srcSeq += 1
+              liveCols :+= s"c$colSeq"
+            case 2 => // same-second ADD + CHANGE pair (the _src-stamp shape)
+              rows += (("db", "t", "query",
+                s"ALTER TABLE db.t ADD COLUMN c$colSeq VARCHAR(20)", ts, 0, "f", srcSeq))
+              rows += (("db", "t", "query",
+                s"ALTER TABLE db.t CHANGE c$colSeq m$colSeq VARCHAR(40)", ts, 0, "f", srcSeq + 1))
+              srcSeq += 2
+              liveCols :+= s"m$colSeq"
+          }
+        }
+        dml()
+        if (rnd.nextInt(10) < 5) ddl()
+        (0 until rnd.nextInt(2)).foreach(_ => dml())
+        Slice(rows.toSeq)
+      }
+      def frame(s: Slice) = s.rows.toDF("schema", "table", "action", "values",
+        "event_unixtime", "action_seq", "_src_file", "_src_seq")
+
+      // --- baseline: every batch live, in order, with the live loop's
+      // rename compact after each batch (Consume.start's renamesIn hook) ---
+      val root = Files.createTempDirectory(s"dlrenprop$trial").toString
+      def applyLive(stateRoot: String, tCur: TableSync, bid: Long,
+                    s: Slice): TableSync = {
+        val cached = frame(s)
+        val ddls = Consume.collectDdl(cached, "db")
+        val tNext = Consume.evolveTable(tCur, ddls)
+        val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+        Consume.applyBatch(spark, tNext, store,
+          Consume.tableChangelog(cached.drop("_src_file", "_src_seq"), tCur, ddls),
+          bid)
+        Consume.renamesIn(ddls).foreach { case (_, o, n) =>
+          Consume.compact(tNext, store, Consume.renameTransform(o, n)) }
+        tNext
+      }
+      var tBase = t0
+      batches.zipWithIndex.foreach { case (s, i) =>
+        tBase = applyLive(s"$root/base", tBase, i.toLong, s)
+      }
+
+      // --- interleaved run ---
+      val dl = new DeadLetter(spark, s"$root/dead")
+      var tLive = t0
+      var queuedPks = Set.empty[String] // pk names pinned by queued parks
+      def drainNow(): Unit = {
+        if (dl.read("db", "t").isEmpty) return
+        if (queuedPks.size > 1) renameStraddles += 1
+        val crashFirst = rnd.nextInt(3) == 0
+        if (crashFirst) {
+          crashDrains += 1
+          val parked = new ParquetStateStore(spark, s"$root/dead/db/t")
+          val ids = parked.versionIds()
+          var cur = tLive
+          ids.take(1 + rnd.nextInt(ids.size)).foreach { bid =>
+            parked.readVersion(bid).foreach { slice =>
+              cur = dl.replaySlice(slice, tLive, cur,
+                new ParquetStateStore(spark, s"$root/int/db/t"), bid).next
+            }
+          }
+        }
+        // overridePins only when the caller's keys MATCH every queued
+        // pin: with differing keys the override is the wrong-config
+        // repair semantics (caller keys win BY INTENT) and the outcome
+        // legitimately diverges from the baseline — outside this
+        // property's contract. The disagreeing-pins refusal is still
+        // exercised: queued pins can disagree with EACH OTHER.
+        val wantOverride = rnd.nextInt(4) == 0 &&
+          (queuedPks == Set(tLive.pkCols.head) || queuedPks.size > 1)
+        if (wantOverride) overrideDrains += 1
+        if (debug) println(s"[dlprop] drain: crashFirst=$crashFirst " +
+          s"override=$wantOverride queuedPks=$queuedPks tLivePk=${tLive.pkCols}")
+        try {
+          dl.drain(tLive, s"$root/int", overridePins = wantOverride)
+        } catch {
+          case e: IllegalStateException =>
+            refusals += 1
+            assert(e.getMessage.contains("key pins disagree") ||
+              e.getMessage.contains("re-adds column"),
+              s"trial $trial: unexpected refusal: ${e.getMessage}")
+            assert(dl.read("db", "t").isDefined,
+              s"trial $trial: a refusal must leave the queue parked intact")
+            dl.drain(tLive, s"$root/int") // operator fallback: pins honored
+        }
+        assert(dl.read("db", "t").isEmpty, s"trial $trial: drain left rows parked")
+        queuedPks = Set.empty
+      }
+      batches.zipWithIndex.foreach { case (s, i) =>
+        val cached = frame(s)
+        val ddls = Consume.collectDdl(cached, "db")
+        val tNext = Consume.evolveTable(tLive, ddls)
+        if (debug) println(s"[dlprop] batch $i rows=${s.rows.map(r =>
+          s"${r._3}:${r._4}").mkString(" ; ")}")
+        if (rnd.nextBoolean()) {
+          if (debug) println(s"[dlprop] batch $i PARKS (pin pk=${tLive.pkCols})")
+          dl.record(cached, "db", "t", i.toLong, "injected failure",
+            preSync = Some(tLive))
+          queuedPks += tLive.pkCols.head
+          if (rnd.nextInt(3) == 0) // foreachBatch replay of a failing batch
+            dl.record(cached, "db", "t", i.toLong, "injected failure (replay)",
+              preSync = Some(tLive))
+        } else {
+          if (debug) println(s"[dlprop] batch $i applies LIVE")
+          Consume.applyBatch(spark, tNext,
+            new ParquetStateStore(spark, s"$root/int/db/t"),
+            Consume.tableChangelog(
+              cached.drop("_src_file", "_src_seq"), tLive, ddls), i.toLong)
+        }
+        // the real loop runs the store-side rename compact for every
+        // batch's renames WHETHER OR NOT the table slice parked (schema
+        // evolution and the rename compact follow the DDL stream, not
+        // apply success — Consume.start's renamesIn hook; trial 67 of
+        // this generator's first run diverged because the fixture
+        // skipped it for parked batches)
+        Consume.renamesIn(ddls).foreach { case (_, o, n) =>
+          Consume.compact(tNext,
+            new ParquetStateStore(spark, s"$root/int/db/t"),
+            Consume.renameTransform(o, n)) }
+        tLive = tNext
+        if (rnd.nextInt(3) == 0) drainNow()
+      }
+      drainNow()
+
+      // --- equivalence under the fully-evolved schema ---
+      assert(tBase.valueSchema == tLive.valueSchema &&
+        tBase.pkCols == tLive.pkCols,
+        s"trial $trial: baseline and interleaved syncs diverged")
+      def stateSet(stateRoot: String) = {
+        val df = Consume.currentState(tLive,
+          new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+        val cols = df.columns.filterNot(_.startsWith("_")).sorted
+        df.select(cols.head, cols.tail: _*).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      }
+      assert(stateSet(s"$root/base") == stateSet(s"$root/int"),
+        s"trial $trial (seed ${seed + trial}): drained state != linear baseline")
+    }
+    // anti-vacuity: the run must actually have exercised every axis
+    if (!debug) {
+      assert(renameStraddles > 0, "no trial queued parks across a pk rename")
+      assert(overrideDrains > 0, "no trial drained with overridePins")
+      assert(crashDrains > 0, "no trial crash-replayed a prefix before draining")
+    }
+    info(s"100 trials: $renameStraddles rename-straddling queues, " +
+      s"$overrideDrains override drains, $crashDrains crashed-prefix drains, " +
+      s"$refusals loud refusals")
+  }
+
+  test("a drained EARLIER insert cannot resurrect a row a live delete removed across a compaction (r16)") {
+    // Deterministic pin of the r16 drain property generator's trial-43
+    // find: batch 0 (insert id=5) PARKS; batch 1 applies LIVE and deletes
+    // id=5 (a no-op delete — the row isn't there yet); a compaction folds
+    // the log; the drain then replays batch 0 BELOW the compacted base.
+    // The old compact resolved to the read-time view (tombstones dropped),
+    // so nothing outranked the replayed insert and the deleted row
+    // resurrected. The fold now keeps the delete-winner tombstone.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("dltomb").toString
+    val stateRoot = s"$root/state"
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    // batch 0 parks: the insert whose delete is still ahead of it
+    dl.record(df(Seq(("db", "t", "insert", """{"id":5,"amount":66.7}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down", preSync = Some(t))
+    // batch 1 live: delete id=5 (later event time — the delete WINS)
+    val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+    val b1 = df(Seq(("db", "t", "delete", """{"id":5,"amount":66.7}""",
+      200L, 1, "f", 1L)))
+    Consume.applyBatch(spark, t, store,
+      Consume.tableChangelog(b1.drop("_src_file", "_src_seq"), t, Nil), 1L)
+    // the compaction that used to erase the tombstone
+    Consume.compact(t, store)
+    // drain replays batch 0 below the compacted base
+    dl.drain(t, stateRoot)
+
+    val state = Consume.currentState(t,
+      new ParquetStateStore(spark, s"$stateRoot/db/t")).get
+    assert(state.filter(col("id") === 5L).isEmpty,
+      "the deleted row must stay dead: the compacted base keeps the tombstone")
+    assert(dl.read("db", "t").isEmpty)
+  }
+
+  test("mechanism-revert teeth: draining WITHOUT the end-of-drain rename compact goes red (r16)") {
+    // The property above proves the real drain converges; this proves the
+    // property CAN fail — the r14 historical bug shape (no drain-time
+    // rename compact) re-enacted through the same replay body: replay
+    // every parked batch via replaySlice (the real loop body) but skip
+    // drain()'s composed rename compact. The drained rows keep the OLD
+    // pk name in the store, the resolver groups on the new one, and the
+    // equivalence check the property relies on goes red — so a revert of
+    // the compact mechanism cannot pass the generator.
+    import spark.implicits._
+    val root = Files.createTempDirectory("dlteeth").toString
+    val dl = new DeadLetter(spark, s"$root/dead")
+    val t0 = TableSync("db", "t", valueSchema, Seq("id"), Engine.ReplacingMergeTree)
+    def df(rows: Seq[(String, String, String, String, Long, Int, String, Long)]) =
+      rows.toDF("schema", "table", "action", "values", "event_unixtime",
+        "action_seq", "_src_file", "_src_seq")
+
+    // park batch 0 under pk `id`; batch 1 renames id -> uid and applies
+    // LIVE (the r15 tail shape — only the tail pin-diff + compact heal it)
+    dl.record(df(Seq(("db", "t", "insert", """{"id":1,"amount":10.0}""",
+      100L, 2, "f", 1L))), "db", "t", 0L, "sink down", preSync = Some(t0))
+    val b1 = df(Seq(("db", "t", "query",
+      "ALTER TABLE db.t CHANGE id uid bigint", 110L, 0, "f", 1L)))
+    val ddls1 = Consume.collectDdl(b1, "db")
+    val t1 = Consume.evolveTable(t0, ddls1)
+
+    def runLive(stateRoot: String): ParquetStateStore = {
+      val store = new ParquetStateStore(spark, s"$stateRoot/db/t")
+      Consume.applyBatch(spark, t1, store,
+        Consume.tableChangelog(b1.drop("_src_file", "_src_seq"), t0, ddls1), 1L)
+      Consume.renamesIn(ddls1).foreach { case (_, o, n) =>
+        Consume.compact(t1, store, Consume.renameTransform(o, n)) }
+      store
+    }
+
+    // REVERTED drain: the real replay body, NO end-of-drain compact
+    val revStore = runLive(s"$root/rev")
+    val parked = new ParquetStateStore(spark, s"$root/dead/db/t")
+    var cur: TableSync = t1
+    parked.versionIds().foreach { bid =>
+      parked.readVersion(bid).foreach { slice =>
+        cur = dl.replaySlice(slice, t1, cur, revStore, bid).next
+      }
+    }
+    val reverted = Consume.currentState(t1, revStore).get
+      .select("uid").collect().map(r => Option(r.get(0)))
+    assert(reverted.contains(None),
+      "mechanism-revert must corrupt (null pk) — otherwise the property has no teeth")
+
+    // REAL drain on the same queue: converges (the mechanism is load-bearing)
+    val intStore = runLive(s"$root/int")
+    dl.drain(t1, s"$root/int")
+    val drained = Consume.currentState(t1, intStore).get
+      .select("uid", "amount").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]), r.getDouble(1))).toSet
+    assert(drained == Set((Some(1L), 10.0)),
+      "the real drain must heal exactly what the reverted one corrupts")
+  }
 }
