@@ -74,6 +74,30 @@ families), same implementation-free discipline:
                        corpus_chunk: every chunk == the definitional
                        window/stride slice, no chunk over the window
 
+Round-16 additions (VERDICT r15 #6 — the remaining families), same
+discipline:
+
+  - cm_bound           count-min: definitional top-10 probe coverage +
+                       exact counts, one-sided estimate (est >= exact,
+                       the published CM guarantee), overestimate within
+                       eps*N for eps = e/width
+  - quantile_bucket    histogram quantiles: the reported pN IS the upper
+                       edge of the bucket holding the definitional exact
+                       quantile (so within one bucket width of exact)
+  - pagerank_power     rank vector == the 5-step damped power iteration
+                       (d=0.85) over the oracle-verified pair graph,
+                       within the integer fixed-point grain (L1 bound)
+  - budget_select      greedy prefix set equality + budget conservation
+                       + maximality (the next doc would exceed budget)
+  - mixture_rates      per-stratum cut respected row-wise; keep rates
+                       within 4 sigma binomial of the configured rates
+  - score_completeness bm25: exactly the docs with >= 1 query term,
+                       definitional n_hits, positive scores; tfidf:
+                       exact integer-ratio scores, top-k set equality
+  - heavy_hitters_exact exact set+count equality with definitional
+                       token counts >= threshold (output is exact by
+                       contract; the sketch is only a prescreen)
+
 Usage: invariants.py [sf_dir] [verify_out_dir] [only,names]
        invariants.py --teeth [sf_dir] [verify_out_dir]
   defaults: /root/testdata/sf0.01 /tmp/verify_out01
@@ -834,6 +858,270 @@ def inv_pack_conservation(sf, out, capacity=2048, window=40, stride=30):
                   f"chunks, chunk {len(truth_ch)} slices ({n_short} short tails)")
 
 
+# ------------------------------------------------- r16 additions
+# (VERDICT r15 #6 — the last uncovered high-semantic-risk families),
+# same implementation-free discipline: published guarantee + ground
+# truth recomputed by definition from the raw tables. The definitional
+# tokenizer throughout is whitespace split (the engine's `tokens` is
+# split-on-' ' of trimmed text — on the corpus fixtures the two are
+# identical, and the oracle gate already pins the engine's exact form).
+
+
+def _doc_tokens(docs, lower=True):
+    t = docs[docs["text"].notna()]["text"]
+    return (t.str.lower() if lower else t).str.split()
+
+
+def inv_cm_bound(sf, out):
+    """count-min: probes are the definitional top-10 by (count desc, id),
+    n_exact is the definitional count, the estimate is ONE-SIDED
+    (est >= exact always — the published CM guarantee) and the
+    overestimate is within eps*N for eps = e/width (w=256, d=4;
+    Cormode-Muthukrishnan bound, deterministic here: data + hashes are
+    fixed)."""
+    ev = load_table(sf, "events")
+    df = load_result(out, "sketch_cm_counts")
+    cnt = ev.dropna(subset=["user_id"]).groupby("user_id").size()
+    top = (cnt.reset_index(name="n")
+           .sort_values(["n", "user_id"], ascending=[False, True]).head(10))
+    errs = []
+    if set(df["user_id"]) != set(top["user_id"]):
+        errs.append(f"probe set != definitional top-10: {sorted(set(df['user_id']) ^ set(top['user_id']))[:4]}")
+    exact = df.set_index("user_id")["n_exact"]
+    bad = [u for u in df["user_id"] if u in cnt.index and exact[u] != cnt[u]]
+    if bad:
+        errs.append(f"n_exact diverges from definitional count for {bad[:4]}")
+    over = df["cm_estimate"] - df["n_exact"]
+    if (over < 0).any():
+        errs.append(f"one-sided bound VIOLATED: estimate < exact for "
+                    f"{list(df['user_id'][over < 0])[:4]}")
+    n_total = int(cnt.sum())
+    bound = math.e / 256 * n_total
+    if (over > bound).any():
+        errs.append(f"overestimate beyond eps*N={bound:.0f}: max {over.max()}")
+    if len(df) < 10 or n_total == 0 or cnt.max() == 0:
+        errs.append("degenerate probe set — vacuous")
+    return errs, (f"10 probes over N={n_total}, max over-estimate "
+                  f"{int(over.max())} (bound {bound:.0f})")
+
+
+def inv_quantile_bucket(sf, out):
+    """histogram quantiles: the reported pN is EXACTLY the upper edge of
+    the bucket holding the definitional exact quantile (smallest value
+    whose 100*rank >= q*n), per the published equi-width contract
+    (maxValue=128, 64 buckets => edge = 2*(v//2)+2), hence within one
+    bucket width of exact."""
+    docs = load_table(sf, "documents")
+    df = load_result(out, "sketch_hist_quantiles")
+    ntok = _doc_tokens(docs, lower=False).str.len()
+    langs = docs[docs["text"].notna()]["lang"]
+    errs = []
+    nondeg = 0
+    for _, r in df.iterrows():
+        v = np.sort(ntok[langs == r["lang"]].to_numpy())
+        n = len(v)
+        if n == 0:
+            errs.append(f"{r['lang']}: no docs — vacuous")
+            continue
+        for q, colname in ((50, "p50"), (95, "p95")):
+            k = int(np.searchsorted(np.arange(1, n + 1) * 100, q * n, "left"))
+            vq = int(v[k])
+            edge = 2 * (vq // 2) + 2 if vq < 128 else 128
+            if int(r[colname]) != edge:
+                errs.append(f"{r['lang']} p{q}: dump {r[colname]} != "
+                            f"definitional bucket edge {edge} (exact {vq})")
+        if r["p50"] != r["p95"]:
+            nondeg += 1
+    if len(df) < 2 or nondeg == 0:
+        errs.append("degenerate quantiles (one group or p50==p95 everywhere) — vacuous")
+    return errs, f"{len(df)} langs, {nondeg} with p50 != p95"
+
+
+def inv_pagerank_power(sf, out):
+    """graph_pagerank: the rank vector IS the 5-step damped power
+    iteration (d=0.85, uniform start 1.0) over the oracle-verified
+    candidate-pair graph (dedup_minhash_pairs — the same LSH front-end,
+    per the op's contract), to within the integer fixed-point grain
+    (scale 1e-6): L1 mean <= 1e-3, max <= 1e-2. Full doc coverage."""
+    docs = load_table(sf, "documents")
+    pr = load_result(out, "graph_pagerank")
+    pairs = load_result(out, "dedup_minhash_pairs")
+    ids = docs["doc_id"].to_numpy()
+    errs = []
+    if set(pr["doc_id"]) != set(ids):
+        errs.append(f"coverage: {len(pr)} ranked != {len(ids)} docs")
+        return errs, ""
+    idx = {d: i for i, d in enumerate(ids)}
+    src = np.concatenate([pairs["id1"].to_numpy(), pairs["id2"].to_numpy()])
+    dst = np.concatenate([pairs["id2"].to_numpy(), pairs["id1"].to_numpy()])
+    deg = pd.Series(src).value_counts()
+    r = np.full(len(ids), 1.0)
+    for _ in range(5):
+        contrib = np.zeros(len(ids))
+        c = pd.Series(r, index=ids)[src].to_numpy() / deg[src].to_numpy()
+        np.add.at(contrib, [idx[d] for d in dst], c)
+        r = 0.15 + 0.85 * contrib
+    got = pr.set_index("doc_id")["rank_units"].reindex(ids).to_numpy() / 1e6
+    l1 = np.abs(got - r)
+    if l1.mean() > 1e-3 or l1.max() > 1e-2:
+        errs.append(f"power-iteration L1 bound violated: mean {l1.mean():.2e} "
+                    f"max {l1.max():.2e}")
+    if len(pairs) == 0 or len(set(np.round(got, 6))) < 2:
+        errs.append("degenerate graph (no edges or constant ranks) — vacuous")
+    return errs, (f"{len(ids)} nodes, {len(pairs)} pairs, L1 mean "
+                  f"{l1.mean():.1e} max {l1.max():.1e}")
+
+
+def inv_budget_select(sf, out):
+    """corpus_budget_select: selected set == the definitional greedy
+    prefix (score desc, doc_id asc; cumulative tokens <= 6000); budget
+    conserved (sum <= 6000); greedily MAXIMAL (the next-ranked doc would
+    exceed the budget); cum_tokens equals the definitional prefix sum."""
+    docs = load_table(sf, "documents")
+    df = load_result(out, "corpus_budget_select")
+    d = docs[docs["text"].notna()].copy()
+    d["n_tokens"] = d["text"].str.split(" ").str.len()
+    d["score"] = d["n_chars"].astype(float) / d["n_tokens"]
+    d = d.sort_values(["score", "doc_id"],
+                      ascending=[False, True]).reset_index(drop=True)
+    d["cum"] = d["n_tokens"].cumsum()
+    sel = d[d["cum"] <= 6000]
+    errs = []
+    if set(df["doc_id"]) != set(sel["doc_id"]):
+        errs.append(f"selected set != definitional greedy prefix "
+                    f"(diff {sorted(set(df['doc_id']) ^ set(sel['doc_id']))[:4]})")
+    got_sum = int(df["n_tokens"].sum())
+    if got_sum > 6000:
+        errs.append(f"budget conservation VIOLATED: {got_sum} > 6000")
+    if len(sel) < len(d) and d["cum"].iloc[len(sel)] <= 6000:
+        errs.append("not maximal: the next-ranked doc still fits")
+    cum = df.set_index("doc_id")["cum_tokens"]
+    bad = [r.doc_id for r in sel.itertuples()
+           if r.doc_id in cum.index and cum[r.doc_id] != r.cum]
+    if bad:
+        errs.append(f"cum_tokens diverges from the definitional prefix sum: {bad[:4]}")
+    if len(df) == 0 or len(df) == len(d):
+        errs.append("degenerate selection (none or all docs) — vacuous")
+    return errs, f"{len(df)} of {len(d)} docs, {got_sum}/6000 tokens"
+
+
+def inv_mixture_rates(sf, out):
+    """corpus_mixture: every kept row's u_bucket respects its stratum's
+    cut (src0 < 500000, src1 < 250000, default < 1000000), kept sets are
+    subsets of their strata, and per-stratum keep rates sit within 4
+    sigma of the configured rates (binomial; the hash is uniform by
+    contract)."""
+    docs = load_table(sf, "documents")
+    df = load_result(out, "corpus_mixture")
+    cuts = {"src0": 500000, "src1": 250000}
+    rates = {"src0": 0.5, "src1": 0.25}
+    errs = []
+    viol = [(r.source, r.u_bucket) for r in df.itertuples()
+            if r.u_bucket >= cuts.get(r.source, 1000000) or r.u_bucket < 0]
+    if viol:
+        errs.append(f"u_bucket beyond the stratum cut: {viol[:4]}")
+    by_src = docs.groupby("source")["doc_id"].apply(set)
+    for s, members in by_src.items():
+        kept = set(df[df["source"] == s]["doc_id"])
+        if not kept <= members:
+            errs.append(f"{s}: kept docs outside the stratum")
+        rate = rates.get(s, 1.0)
+        n = len(members)
+        sd = max(1e-9, (n * rate * (1 - rate)) ** 0.5)
+        if abs(len(kept) - n * rate) > 4 * sd:
+            errs.append(f"{s}: kept {len(kept)}/{n} beyond 4 sigma of rate {rate}")
+    present = {s for s in df["source"]}
+    if not ({"src0", "src1"} <= present) or len(present) < 3:
+        errs.append("strata coverage degenerate (need src0, src1 and a "
+                    "default-rate stratum) — vacuous")
+    return errs, (f"{len(df)} kept across {len(present)} strata; "
+                  f"src0 {len(df[df['source'] == 'src0'])}, "
+                  f"src1 {len(df[df['source'] == 'src1'])}")
+
+
+def inv_score_completeness(sf, out):
+    """text_bm25 + text_tfidf document-score completeness. bm25: the dump
+    covers EXACTLY the docs containing >= 1 query term ({customer,
+    vector, slow}), n_hits is the definitional distinct-term-hit count,
+    scores > 0 (idf = log(1+x) with x > 0). tfidf: linear tf*N/df is an
+    exact integer ratio — every dumped score re-derives exactly; per-doc
+    ranks are 1..m with distinct terms and the top-k by (score desc,
+    term asc) matches the definitional top-k set."""
+    docs = load_table(sf, "documents")
+    errs = []
+    toks = _doc_tokens(docs)
+    dids = docs[docs["text"].notna()]["doc_id"]
+    # ---- bm25 ----
+    bm = load_result(out, "text_bm25")
+    terms = {"customer", "vector", "slow"}
+    hits = toks.apply(lambda t: len(terms & set(t)))
+    want = set(dids[hits.to_numpy() > 0])
+    if set(bm["doc_id"]) != want:
+        errs.append(f"bm25 coverage: {len(bm)} dumped != {len(want)} docs "
+                    "with >= 1 query term")
+    nh = bm.set_index("doc_id")["n_hits"]
+    bad = [i for i, h in zip(dids, hits) if h > 0 and
+           i in nh.index and nh[i] != h]
+    if bad:
+        errs.append(f"bm25 n_hits != definitional hit count for {bad[:4]}")
+    if not (bm["bm25"] > 0).all():
+        errs.append("bm25 score <= 0 on a matching doc")
+    # ---- tfidf ----
+    tf = load_result(out, "text_tfidf")
+    from collections import Counter
+    n_docs = len(docs)
+    tfc, dfc = {}, {}
+    for i, ts in zip(dids, toks):
+        c = Counter(ts)
+        tfc[i] = c
+        for t in c:
+            dfc[t] = dfc.get(t, 0) + 1
+    for r in tf.itertuples():
+        truth = round(tfc[r.doc_id][r.term] * n_docs / dfc[r.term], 6)
+        if abs(truth - r.score) > 1e-9:
+            errs.append(f"tfidf score for ({r.doc_id}, {r.term}): dump "
+                        f"{r.score} != definitional {truth}")
+            break
+    k = 5
+    for did, g in tf.groupby("doc_id"):
+        if sorted(g["rank"]) != list(range(1, len(g) + 1)) or not g["term"].is_unique:
+            errs.append(f"tfidf doc {did}: ranks/terms malformed")
+            break
+        scores = sorted(((round(tfc[did][t] * n_docs / dfc[t], 6), t)
+                         for t in tfc[did]), key=lambda s: (-s[0], s[1]))
+        if set(g["term"]) != {t for _, t in scores[:k]} and len(scores) >= k:
+            errs.append(f"tfidf doc {did}: dumped terms are not the "
+                        f"definitional top-{k}")
+            break
+    if set(tf["doc_id"]) != set(dids):
+        errs.append(f"tfidf coverage: {tf['doc_id'].nunique()} docs != {len(dids)}")
+    if len(bm) == 0 or hits.eq(0).sum() == 0:
+        errs.append("bm25 fixture degenerate (no hit-free docs) — vacuous")
+    return errs, (f"bm25 {len(bm)} matching docs, tfidf "
+                  f"{tf['doc_id'].nunique()} docs x top-5")
+
+
+def inv_heavy_hitters_exact(sf, out):
+    """sketch_heavy_hitters: the output is EXACT by contract (the sketch
+    is only a no-false-negative prescreen): set equality with the
+    definitional token counts >= 900, counts exact."""
+    docs = load_table(sf, "documents")
+    df = load_result(out, "sketch_heavy_hitters")
+    cnts = _doc_tokens(docs).explode().value_counts()
+    truth = {t: int(c) for t, c in cnts.items() if c >= 900}
+    got = dict(zip(df["tok"], df["n"]))
+    errs = []
+    if got != truth:
+        missing = set(truth) - set(got)
+        extra = set(got) - set(truth)
+        wrong = [t for t in set(got) & set(truth) if got[t] != truth[t]]
+        errs.append(f"heavy-hitter set/count mismatch: missing={sorted(missing)[:3]} "
+                    f"extra={sorted(extra)[:3]} wrong={wrong[:3]}")
+    if len(truth) == 0 or not (cnts < 900).any():
+        errs.append("degenerate threshold (no hitters or no non-hitters) — vacuous")
+    return errs, f"{len(truth)} exact heavy hitters over {len(cnts)} tokens"
+
+
 # ----------------------------------------------------------------- teeth
 
 def _mut_funnel(df):
@@ -867,6 +1155,48 @@ def _mut_chunk(df):
     return df
 
 
+def _mut_cm(df):
+    # break the one-sided guarantee: estimate dips below exact
+    df.loc[df.index[0], "cm_estimate"] = df.loc[df.index[0], "n_exact"] - 1
+    return df
+
+
+def _mut_quantile(df):
+    # shift one p95 a full bucket: no longer the covering bucket's edge
+    df.loc[df.index[0], "p95"] = df.loc[df.index[0], "p95"] + 2
+    return df
+
+
+def _mut_pagerank(df):
+    # scale one rank by 2x: far beyond the fixed-point grain
+    df.loc[df.index[0], "rank_units"] = df.loc[df.index[0], "rank_units"] * 2 + 1
+    return df
+
+
+def _mut_budget(df):
+    return df.iloc[:-1]  # drop the last selected doc: no longer maximal/equal
+
+
+def _mut_mixture(df):
+    # push one kept row past its stratum cut
+    i = df.index[df["source"] == "src1"][0]
+    df.loc[i, "u_bucket"] = 999999
+    return df
+
+
+def _mut_bm25(df):
+    return df.iloc[1:]  # drop a matching doc: coverage must notice
+
+
+def _mut_tfidf(df):
+    df.loc[df.index[0], "score"] = df.loc[df.index[0], "score"] + 1.0
+    return df
+
+
+def _mut_hh(df):
+    return df.iloc[1:]  # a heavy hitter goes missing
+
+
 # check name -> list of (dump mutated, mutation fn); every entry must
 # make its owning check FAIL under --teeth
 MUTATIONS = {
@@ -876,6 +1206,14 @@ MUTATIONS = {
     "join_containment": [("interval_join", _mut_interval)],
     "pack_conservation": [("corpus_pack", _mut_pack),
                           ("corpus_chunk", _mut_chunk)],
+    "cm_bound": [("sketch_cm_counts", _mut_cm)],
+    "quantile_bucket": [("sketch_hist_quantiles", _mut_quantile)],
+    "pagerank_power": [("graph_pagerank", _mut_pagerank)],
+    "budget_select": [("corpus_budget_select", _mut_budget)],
+    "mixture_rates": [("corpus_mixture", _mut_mixture)],
+    "score_completeness": [("text_bm25", _mut_bm25),
+                           ("text_tfidf", _mut_tfidf)],
+    "heavy_hitters_exact": [("sketch_heavy_hitters", _mut_hh)],
 }
 
 
@@ -893,6 +1231,13 @@ INVARIANTS = {
     "asof_directions": inv_asof_directions,
     "join_containment": inv_join_containment,
     "pack_conservation": inv_pack_conservation,
+    "cm_bound": inv_cm_bound,
+    "quantile_bucket": inv_quantile_bucket,
+    "pagerank_power": inv_pagerank_power,
+    "budget_select": inv_budget_select,
+    "mixture_rates": inv_mixture_rates,
+    "score_completeness": inv_score_completeness,
+    "heavy_hitters_exact": inv_heavy_hitters_exact,
 }
 
 
