@@ -42,6 +42,46 @@ object DataGen {
     "agg", "big", "merge", "group", "stream", "filter", "row", "key",
     "vector", "data", "window", "customer", "the", "a")
 
+  /** Deterministic funnel fixture (r16, VERDICT r15 #5a): on the driver's
+    * testdata EVERY user saturates at funnel stage 3 at every sf, so the
+    * funnel invariant's final-value comparison could not distinguish the
+    * greedy order-sensitive contract from a rival order-insensitive
+    * distinct-type-count semantics — declared as a KNOWN FIXTURE LIMIT in
+    * invariants.py since r15. This fixture covers stages 0-3 with
+    * material counts AND order-distinguishing sequences (click-before-
+    * view, purchase-first) where the two semantics give different FINAL
+    * values. 600 users over a fixed 12-pattern menu — pure literals, no
+    * RNG, so the dump is bit-stable across runs. Verify dumps both the
+    * fixture and the engine's funnel over it; invariants.py re-derives
+    * the greedy finals definitionally and asserts the rival semantics
+    * disagrees on a material user count. */
+  def funnelFixtureEvents(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // pattern menu: (sequence, expected greedy stage) — rival
+    // distinct-type-count disagrees on patterns 4, 6, 7, 9, 11
+    val menu: Seq[Seq[String]] = Seq(
+      Seq("error"),                                       // 0
+      Seq("view"),                                        // 1
+      Seq("view", "signup", "view"),                      // 1
+      Seq("view", "click"),                               // 2
+      Seq("view", "purchase", "click"),                   // 2 (rival: 3)
+      Seq("view", "click", "purchase"),                   // 3
+      Seq("click", "view"),                               // 1 (rival: 2)
+      Seq("purchase", "click", "view"),                   // 1 (rival: 3)
+      Seq("view", "click", "purchase", "view", "click"),  // 3
+      Seq("purchase"),                                    // 0 (rival: 1)
+      Seq("view", "view", "click", "click", "purchase"),  // 3
+      Seq("click", "purchase"))                           // 0 (rival: 2)
+    val t0Us = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val rows = for {
+      u <- 0L until 600L
+      (et, k) <- menu((u % menu.length).toInt).zipWithIndex
+    } yield (u * 100L + k, t0Us + u * 1000000L + k * 1000L, u, et)
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"))
+  }
+
   def main(args: Array[String]): Unit = {
     SettleGuard.install()
     require(args.nonEmpty,

@@ -50,6 +50,23 @@ object Verify {
         }
       }
     }
+    // Funnel-distinguishing fixture (r16, VERDICT r15 #5a): the driver
+    // data saturates every user at stage 3, so the funnel invariant
+    // could not distinguish greedy-order semantics on FINAL values.
+    // Dump the deterministic fixture AND the engine's funnel over it;
+    // invariants.py verifies the pair definitionally. Not oracle-gated
+    // (the oracle views are the sf tables); skipped on subset runs.
+    if (only.isEmpty) try {
+      val fx = DataGen.funnelFixtureEvents(spark)
+      fx.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/funnel_fixture_events")
+      graft.ops.SessionOps.funnelStages(fx, Seq("view", "click", "purchase"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/session_funnel_fixture")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] funnel fixture failed: ${e.getMessage}")
+      failedNames += "funnel_fixture"
+    }
     // one grep-able summary (the verify recipe greps "failed:"; a count
     // line catches the silent-shrink case where a query vanished from
     // the map entirely and nothing individual ever failed)

@@ -95,6 +95,35 @@ class StateStoreSpec extends SparkSpec {
     assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(112L, 13L))
   }
 
+  test("settle ORDER is load-bearing in isolation: oldest-first refuses BEFORE the newer tmp settles (r16)") {
+    // r15 pin mutation-audit finding: reverting the ascending settle sort
+    // ALONE left every end-state pin green — once the newer tmp settles,
+    // supersededBySettled deletes the older tmp either way, so the order
+    // half of the r14 defense pair had no isolated teeth. The order IS
+    // observable through a blocked oldest rename: a FILE squatting at the
+    // oldest tmp's target (not a directory — neither a settled base nor
+    // swept by the <=keep delete) makes the checked rename fail. Oldest-
+    // first, recovery THROWS on tmp9 before touching tmp12 (refusing the
+    // half-settled swap, newest tmp left pending but logically intact);
+    // a newest-first revert settles v=12 first, then silently deletes
+    // tmp9 as superseded and never throws — this pin goes red on exactly
+    // that revert.
+    val root = Files.createTempDirectory("ssorder").toString + "/s"
+    val store = new ParquetStateStore(spark, root)
+    ((0L to 8L) ++ (10L to 12L)).foreach(i => store.append(df(i), i))
+    crashAfterMarker(root, keep = 9)  // stale tmp from a failed rename
+    crashAfterMarker(root, keep = 12) // the newer crashed compact
+    Files.createFile(Paths.get(s"$root/v=9")) // blocks tmp9's rename target
+
+    val e = intercept[java.io.IOException] { store.append(df(13), 13) }
+    assert(e.getMessage.contains("refusing to continue"), e.getMessage)
+    // the newer tmp was NOT settled first: it is still a pending tmp...
+    assert(Files.exists(Paths.get(s"$root/.compact_tmp_v=12")),
+      "oldest-first means tmp12 must still be pending when tmp9 refuses")
+    // ...and the logical reader view of the store is intact throughout
+    assert(store.readLog().get.collect().map(_.getLong(0)).toSet == Set(112L))
+  }
+
   test("a stale marked tmp OLDER than a settled compacted base is deleted, not resurrected (r14)") {
     // legacy pre-r14 damage shape: the old unchecked lexical-order
     // recovery could settle tmp12 first and silently fail tmp9's rename,

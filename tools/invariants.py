@@ -563,17 +563,46 @@ def inv_funnel_greedy(sf, out, steps=("view", "click", "purchase")):
                         f"subsequence of that length")
             break
     # Anti-vacuity: the fold must have processed non-advancing events
-    # (otherwise any monotone semantics agrees). KNOWN FIXTURE LIMIT,
-    # declared rather than hidden: on the driver's testdata every user
-    # saturates at stage 3 at every sf, so the rival order-insensitive
-    # distinct-type-count semantics is indistinguishable on final values
-    # here — the mutation teeth (--teeth) are the proof this check can
-    # fail, and the per-event fold equality is the live signal.
+    # (otherwise any monotone semantics agrees).
     if nonadv < 100:
         errs.append(f"only {nonadv} non-advancing events — vacuous")
     stages = sorted(set(truth.values()))
-    return errs, (f"{len(truth)} users, stages {stages} "
-                  f"(saturated fixture), {nonadv} skipped events")
+    # r16 (VERDICT r15 #5a — the former KNOWN FIXTURE LIMIT, closed): on
+    # the driver's testdata every user saturates at stage 3, so final
+    # values could not distinguish greedy order-sensitivity from a rival
+    # order-insensitive distinct-type-count semantics. Verify now dumps a
+    # deterministic 600-user fixture (DataGen.funnelFixtureEvents) with
+    # stages 0-3 and order-scrambled sequences, plus the engine's funnel
+    # over it — definitionally re-derived here, and the rival semantics
+    # must DISAGREE with the greedy finals on a material user count.
+    fx = load_result(out, "funnel_fixture_events")  # dumped next to results
+    fdf = load_result(out, "session_funnel_fixture")
+    fus = ts_us(fx["ts"])
+    forder = np.lexsort((fx["event_id"].to_numpy(), fus))
+    fuids = fx["user_id"].to_numpy()[forder]
+    fcodes = np.array([code.get(t, 0) for t in fx["event_type"]])[forder]
+    ftruth, rival_types = {}, defaultdict(set)
+    for u, c in zip(fuids, fcodes):
+        st = ftruth.get(u, 0)
+        ftruth[u] = st + 1 if c == st + 1 else st
+        if c:
+            rival_types[u].add(c)
+    fgot = dict(zip(fdf["user_id"], fdf["stage"]))
+    if fgot != ftruth:
+        bad = [(u, fgot.get(u), ftruth.get(u))
+               for u in set(fgot) | set(ftruth) if fgot.get(u) != ftruth.get(u)]
+        errs.append(f"fixture: engine funnel != definitional greedy: {bad[:4]}")
+    fstages = pd.Series(list(ftruth.values())).value_counts()
+    if sorted(fstages.index) != [0, 1, 2, 3] or fstages.min() < 20:
+        errs.append(f"fixture stages degenerate: {dict(fstages)} — vacuous")
+    disagree = sum(1 for u in ftruth if len(rival_types[u]) != ftruth[u])
+    if disagree < 20:
+        errs.append(f"fixture: rival distinct-type-count semantics "
+                    f"indistinguishable on finals ({disagree} users) — vacuous")
+    return errs, (f"{len(truth)} users, stages {stages}, {nonadv} skipped "
+                  f"events; fixture {len(ftruth)} users, stage counts "
+                  f"{sorted(dict(fstages).items())}, rival disagrees on "
+                  f"{disagree}")
 
 
 def inv_retention_def(sf, out, day_us=86400000000):
@@ -1200,7 +1229,8 @@ def _mut_hh(df):
 # check name -> list of (dump mutated, mutation fn); every entry must
 # make its owning check FAIL under --teeth
 MUTATIONS = {
-    "funnel_greedy": [("session_funnel", _mut_funnel)],
+    "funnel_greedy": [("session_funnel", _mut_funnel),
+                      ("session_funnel_fixture", _mut_funnel)],
     "retention_def": [("session_retention", _mut_retention)],
     "asof_directions": [("asof_join", _mut_asof)],
     "join_containment": [("interval_join", _mut_interval)],
