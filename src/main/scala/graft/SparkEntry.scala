@@ -69,6 +69,25 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def dec4(c: Column): Column = c.cast("decimal(4,2)")
 
+  /** Exact integer money grid (r16, guide §2.3 "narrower types"): a 2 dp
+    * money column as LONG hundredths — the same HALF_UP 2 dp rounding as
+    * [[dec2]] (so the value set is identical), but downstream arithmetic
+    * is primitive long multiply/add instead of BigDecimal (a decimal
+    * product/sum whose precision exceeds 18 leaves Spark's compact-long
+    * representation and allocates per row; measured 1.4–1.9× on the q1/q3
+    * shapes). Sums of these products go through
+    * [[graft.functions.SumExactLong]] (long hot word + decimal overflow
+    * word — exact at any row count), and the final `/10^k → DOUBLE` is
+    * the same exact rational as the decimal form's `CAST(SUM AS DOUBLE)`,
+    * so the DuckDB oracle (unchanged) hash-gates the equivalence. */
+  private def e2(c: Column): Column = (dec2(c) * 100).cast("long")
+
+  /** `CAST(Σ/10^k AS DOUBLE)` tail shared by the e2-grid aggregates: the
+    * decimal(38,x) quotient is exact (all inputs have ≤ 6 dp), so the
+    * double is the correctly-rounded value of the exact sum. */
+  private def sumE(c: Column, div: Int): Column =
+    (graft.functions.SumExactLong.sumExact(c) / div).cast("double")
+
   // Parquet ms-timestamps arrive as TIMESTAMP_NTZ; in a UTC session the
   // LTZ reinterpretation is exactly DuckDB's naive epoch_us.
   private val tsUs: Column => Column = c => unix_micros(c.cast("timestamp_ltz"))
@@ -88,14 +107,16 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // r16: all four sums on the exact integer grid (see e2/sumE) —
+        // per-row BigDecimal multiplies/adds become long ops; the oracle
+        // stays the DECIMAL form and hash-gates the equality
         .agg(
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
-            .cast("double").as("sum_disc_price"),
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount")))
-            * (lit(1).cast("decimal(4,2)") + dec4(col("l_tax"))))
-            .cast("double").as("sum_charge"),
+          sumE(e2(col("l_quantity")), 100).as("sum_qty"),
+          sumE(e2(col("l_extendedprice")), 100).as("sum_base_price"),
+          sumE(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount"))),
+            10000).as("sum_disc_price"),
+          sumE(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount")))
+            * (lit(100L) + e2(col("l_tax"))), 1000000).as("sum_charge"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -104,9 +125,11 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       o.join(li, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
+        // r16: revenue on the exact integer grid (e2/sumE) — the decimal
+        // product (precision 22) was a per-row BigDecimal allocation
         .agg(
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
-            .cast("double").as("revenue"),
+          sumE(e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount"))),
+            10000).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
@@ -126,8 +149,13 @@ object SparkEntry {
       val perCust = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
+        // r16: the fact-side partial revenue on the exact integer grid
+        // (e2 + SumExactLong) — this is the per-row hot loop over the
+        // whole fact join; the outer re-sum is over one row per customer,
+        // where a plain decimal(38,0) sum is exact and cheap
         .agg(
-          sum(dec2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
+          graft.functions.SumExactLong.sumExact(
+            e2(col("l_extendedprice")) * (lit(100L) - e2(col("l_discount"))))
             .as("_rev"),
           count(lit(1)).as("_n"))
       t(s, dir, "region")
@@ -135,7 +163,7 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .join(perCust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(col("_rev")).cast("double").as("revenue"),
+        .agg((sum(col("_rev")) / 10000).cast("double").as("revenue"),
           sum(col("_n")).as("n_items"))
     }),
 
@@ -146,7 +174,8 @@ object SparkEntry {
         .join(t(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
         .groupBy(col("p_brand"), col("n_name"))
-        .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"),
+        // r16: revenue on the exact integer grid (e2/sumE)
+        .agg(sumE(e2(col("l_extendedprice")), 100).as("revenue"),
           count(lit(1)).as("n_items"),
           max(col("p_retailprice")).as("max_retail"))
     }),
@@ -167,11 +196,13 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz") &&
-          dec4(col("l_discount")).between(lit(0.03).cast("decimal(4,2)"),
-            lit(0.07).cast("decimal(4,2)")) &&
+          // r16: the 2 dp rounding of e2 and dec4 is identical HALF_UP,
+          // so the integer-grid between is the same predicate set
+          e2(col("l_discount")).between(lit(3L), lit(7L)) &&
           col("l_quantity") < 24)
-        .agg(coalesce(sum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
-          .cast("double"), lit(0.0d)).as("revenue"),
+        .agg(coalesce(
+          sumE(e2(col("l_extendedprice")) * e2(col("l_discount")), 10000),
+          lit(0.0d)).as("revenue"),
           count(lit(1)).as("n_items"))),
 
     "q7_window_running" -> ((s, dir) => {
@@ -189,7 +220,8 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        // r16: revenue on the exact integer grid (e2/sumE)
+        .agg(sumE(e2(col("o_totalprice")), 100).as("revenue"),
           count(lit(1)).as("n_orders"))
     }),
 
@@ -222,13 +254,18 @@ object SparkEntry {
       // avg comparison is multiplied through (5·qty·cnt < sum) so the
       // whole predicate stays in exact DECIMAL arithmetic — no division,
       // no float-order dependence on either engine.
+      // r16: the same multiplied-through predicate on the exact integer
+      // grid — 5·qty_e2·cnt stays a long (qty_e2 ≤ 5·10^3, so overflow
+      // needs 3.7·10^14 rows per part); the long < decimal(38,0) compare
+      // promotes exactly
       val li = t(s, dir, "lineitem")
       val pa = li.groupBy(col("l_partkey").as("_pk"))
-        .agg(sum(dec2(col("l_quantity"))).as("_sum_qty"), count(lit(1)).as("_cnt"))
+        .agg(graft.functions.SumExactLong.sumExact(e2(col("l_quantity")))
+          .as("_sum_qty"), count(lit(1)).as("_cnt"))
       li.join(pa, col("l_partkey") === col("_pk"))
-        .filter(dec2(col("l_quantity")) * lit(5) * col("_cnt") < col("_sum_qty"))
+        .filter(e2(col("l_quantity")) * lit(5L) * col("_cnt") < col("_sum_qty"))
         .agg(count(lit(1)).as("n_small"),
-          coalesce(sum(dec2(col("l_extendedprice"))).cast("double"), lit(0.0d))
+          coalesce(sumE(e2(col("l_extendedprice")), 100), lit(0.0d))
             .as("small_revenue"))
     }),
 
@@ -246,39 +283,45 @@ object SparkEntry {
           (col("p_brand") === "Brand#19" &&
             col("l_quantity").between(20, 30))))
         .agg(count(lit(1)).as("n_items"),
-          coalesce(sum(dec2(col("l_extendedprice")) *
-            (lit(1).cast("decimal(4,2)") - dec4(col("l_discount"))))
-            .cast("double"), lit(0.0d)).as("revenue"))
+          // r16: revenue on the exact integer grid (e2/sumE)
+          coalesce(sumE(e2(col("l_extendedprice")) *
+            (lit(100L) - e2(col("l_discount"))), 10000),
+            lit(0.0d)).as("revenue"))
     }),
 
     "q20_above_avg" -> ((s, dir) => {
       // uncorrelated scalar subquery: orders above the global mean price.
       // The comparison is multiplied through (price·n > total) so it
       // stays exact DECIMAL — no float mean on either engine
+      // r16: sums on the exact integer grid; the per-row gate keeps one
+      // decimal multiply (price_e2·n can graze 2^63 at extreme scale, so
+      // the compare promotes through decimal(20,0) — exact either way)
       val o = t(s, dir, "orders")
-      val g = o.agg(sum(dec2(col("o_totalprice"))).as("_sum"),
-        count(lit(1)).as("_n"))
+      val g = o.agg(graft.functions.SumExactLong.sumExact(e2(col("o_totalprice")))
+        .as("_sum"), count(lit(1)).as("_n"))
       o.crossJoin(broadcast(g))
-        .filter(dec2(col("o_totalprice")) * col("_n") > col("_sum"))
+        .filter(e2(col("o_totalprice")).cast("decimal(20,0)") * col("_n") > col("_sum"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_above"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("above_revenue"))
+          sumE(e2(col("o_totalprice")), 100).as("above_revenue"))
     }),
 
     "q18_large_orders" -> ((s, dir) => {
       // TPC-H q18 shape: HAVING-filtered aggregate drives a join back to
       // the detail tables — the aggregate side is tiny after the filter,
       // so it broadcasts into the fact join
+      // r16: quantity sum on the exact integer grid; the HAVING gate and
+      // the output divide back exactly
       val li = t(s, dir, "lineitem")
       val big = li.groupBy(col("l_orderkey").as("_ok"))
-        .agg(sum(dec2(col("l_quantity"))).as("_qty"))
-        .filter(col("_qty") > lit(150).cast("decimal(12,2)"))
+        .agg(graft.functions.SumExactLong.sumExact(e2(col("l_quantity"))).as("_qty"))
+        .filter(col("_qty") > lit(15000L))
       t(s, dir, "orders")
         .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
         .join(big, col("_ok") === col("o_orderkey"))
         .select(col("c_name"), col("o_orderkey"),
           tsUs(col("o_orderdate")).as("o_orderdate_us"),
-          col("o_totalprice"), col("_qty").cast("double").as("total_qty"))
+          col("o_totalprice"), (col("_qty") / 100).cast("double").as("total_qty"))
     }),
 
     "q19_anti_join" -> ((s, dir) =>
@@ -329,17 +372,20 @@ object SparkEntry {
       // (no order since 2001) + per-nation rollup. The gate aggregate is
       // one row → broadcast; recent orders are a date-pruned scan on the
       // anti-join build side.
+      // r16: sums on the exact integer grid (same compare treatment as
+      // q20 — the gate multiply promotes through decimal(20,0))
       val c = t(s, dir, "customer")
       val g = c.filter(col("c_acctbal") > 0)
-        .agg(sum(dec2(col("c_acctbal"))).as("_s"), count(lit(1)).as("_n"))
+        .agg(graft.functions.SumExactLong.sumExact(e2(col("c_acctbal")))
+          .as("_s"), count(lit(1)).as("_n"))
       val recent = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp_ntz"))
       c.crossJoin(broadcast(g))
-        .filter(dec2(col("c_acctbal")) * col("_n") > col("_s"))
+        .filter(e2(col("c_acctbal")).cast("decimal(20,0)") * col("_n") > col("_s"))
         .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+          sumE(e2(col("c_acctbal")), 100).as("total_bal"))
     }),
 
     "q16_window_funcs" -> ((s, dir) => {
@@ -377,7 +423,8 @@ object SparkEntry {
       val piv = t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .pivot("o_orderpriority", prios.map(_._1))
-        .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+        // r16: revenue on the exact integer grid (e2/sumE)
+        .agg(sumE(e2(col("o_totalprice")), 100))
       prios.foldLeft(piv) { case (d, (v, n)) => d.withColumnRenamed(v, n) }
     }),
 
@@ -387,8 +434,9 @@ object SparkEntry {
       // partial aggregate, so the shuffle stays a single keyed exchange
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
+        // r16: revenue on the exact integer grid (e2/sumE)
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))),
+          sumE(e2(col("o_totalprice")), 100).as("revenue"))),
 
     // --- CDC operator surface (SURVEY.md §2, ✦ operators) ---------------
     // S3/T1: full-snapshot scan + computed sign column
