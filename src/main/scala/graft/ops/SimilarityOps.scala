@@ -345,8 +345,21 @@ object SimilarityOps {
     aggregate(zip_with(c, typedLit(cent), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
 
+  /** Driver-side replica of [[nearestCoarse]]'s exact integer argmin
+    * (squared-L2 on the grid, ties to the lowest cid) — used only to
+    * derive the handful of PQ seed residuals from the fused seed collect
+    * in [[ivfPqTopKTrainedInt]]; must stay bit-equal to the Column form. */
+  private[ops] def nearestCidLocal(cv: Seq[Long],
+                                   cents: Seq[(Int, Seq[Long])]): Int =
+    cents.map { case (cid, c) =>
+      var d = 0L
+      var i = 0
+      while (i < c.length) { val t = cv(i) - c(i); d += t * t; i += 1 }
+      (d, cid)
+    }.min._2
+
   /** Nearest trained centroid's cid (ties to the lowest cid). */
-  private def nearestCoarse(c: Column, cents: Seq[(Int, Seq[Long])]): Column =
+  private[ops] def nearestCoarse(c: Column, cents: Seq[(Int, Seq[Long])]): Column =
     element_at(array_sort(array(cents.map { case (cid, cv) =>
       struct(coarseDist(c, cv).as("d"), lit(cid).as("cid")) }: _*)), 1)
       .getField("cid")
@@ -366,11 +379,14 @@ object SimilarityOps {
     * order-independent, so both callers replay bit-for-bit in the oracle.
     * Driver state is nlist×dims longs; each round's post-shuffle
     * aggregate is ≤ nlist×dims rows regardless of corpus size. */
-  private def trainCoarseInt(corp: DataFrame, idCol: String, nlist: Int,
-                             iters: Int): Seq[(Int, Seq[Long])] = {
-    var cents: Seq[(Int, Seq[Long])] = corp.orderBy(col(idCol)).limit(nlist)
-      .select(col("cv")).collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Long](0)) }.toSeq
+  private[ops] def trainCoarseInt(corp: DataFrame, idCol: String, nlist: Int,
+                             iters: Int,
+                             preSeeds: Option[Seq[Seq[Long]]] = None): Seq[(Int, Seq[Long])] = {
+    // r16: same pre-collected-seeds seam as trainPqBooksInt
+    var cents: Seq[(Int, Seq[Long])] = preSeeds
+      .getOrElse(corp.orderBy(col(idCol)).limit(nlist)
+        .select(col("cv")).collect().map(_.getSeq[Long](0)).toSeq)
+      .zipWithIndex.map { case (cv, i) => (i, cv) }
     for (_ <- 0 until iters) {
       val means = corp.withColumn("cid", nearestCoarse(col("cv"), cents))
         .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "x")))
@@ -619,10 +635,14 @@ object SimilarityOps {
     * `[(s·ncode + c)·sub + d]`) is tiny driver state.
     */
   private def trainPqBooksInt(codes: DataFrame, cvCol: String, idCol: String,
-                              m: Int, ncode: Int, sub: Int,
-                              iters: Int): Array[Long] = {
-    val seeds = codes.orderBy(col(idCol)).limit(ncode)
-      .select(col(cvCol)).collect().map(_.getSeq[Long](0))
+                              m: Int, ncode: Int, sub: Int, iters: Int,
+                              preSeeds: Option[Seq[Seq[Long]]] = None): Array[Long] = {
+    // r16: a caller that already holds the `ncode` lowest-id vectors
+    // (ivfPqTopKTrainedInt collects one seed batch for BOTH quantizers)
+    // passes them in and skips this collect — one fewer Spark action
+    val seeds = preSeeds.getOrElse(
+      codes.orderBy(col(idCol)).limit(ncode)
+        .select(col(cvCol)).collect().map(_.getSeq[Long](0)).toSeq)
     require(seeds.length == ncode,
       s"trainPqBooksInt: corpus has ${seeds.length} < ncode=$ncode vectors")
     val books = new Array[Long](m * ncode * sub)
@@ -678,8 +698,21 @@ object SimilarityOps {
     val sub = dims / m
     val corp = corpus.select(col(idCol), gridCodes(col(vecCol), scale).as("cv"))
 
+    // r16: ONE fused seed collect feeds both quantizers. The nseed
+    // lowest-id grid codes give the coarse seeds directly; the PQ seeds
+    // (the ncode lowest-id RESIDUALS) are re-derived on the driver from
+    // the trained centroids with the same exact integer arithmetic the
+    // cluster uses (squared-L2 argmin, ties to the lowest cid, plain
+    // subtraction) — this drops a whole corpus-wide residual projection
+    // + TakeOrdered action from the build. Bit-identical by the oracle
+    // gate (the DuckDB replay still derives seeds the original way).
+    val nseed = math.max(nlist, ncode)
+    val seedCvs: Seq[Seq[Long]] = corp.orderBy(col(idCol)).limit(nseed)
+      .select(col("cv")).collect().map(_.getSeq[Long](0)).toSeq
+
     // coarse quantizer: the SAME integer Lloyd as ivfTopKTrainedInt
-    val cents = trainCoarseInt(corp, idCol, nlist, iters)
+    val cents = trainCoarseInt(corp, idCol, nlist, iters,
+      Some(seedCvs.take(nlist)))
 
     // integer residuals: rv = cv − centroid(cid) (centroids as one
     // cid-indexed literal — no join)
@@ -689,7 +722,13 @@ object SimilarityOps {
     val rcodes = corp.withColumn("cid", nearestCoarse(col("cv"), cents))
       .select(col(idCol), col("cid"),
         residual(col("cv"), col("cid")).as("rv"))
-    val books = trainPqBooksInt(rcodes, "rv", idCol, m, ncode, sub, iters)
+    val centByCid = cents.toMap
+    val pqSeeds = seedCvs.take(ncode).map { cv =>
+      val cent = centByCid(nearestCidLocal(cv, cents))
+      cv.indices.map(d => cv(d) - cent(d))
+    }
+    val books = trainPqBooksInt(rcodes, "rv", idCol, m, ncode, sub, iters,
+      Some(pqSeeds))
 
     val lists = rcodes.select(col(idCol).as("neighbor_id"), col("cid"),
       pqEncodeTrained(col("rv"), books, m, ncode, sub).as("_codes"))

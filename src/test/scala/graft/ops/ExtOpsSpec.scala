@@ -177,6 +177,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(hits > 0, "residual IVF-PQ should recall at least one true neighbor")
   }
 
+  test("r16 fused seed collect: driver argmin replica equals the Column path") {
+    // ivfPqTopKTrainedInt now derives the PQ seed residuals on the driver
+    // (nearestCidLocal) instead of a second corpus-wide TakeOrdered; this
+    // pins the replica bit-equal to the cluster-side nearestCoarse column
+    // on the real embeddings, for the exact seed rows the fusion touches
+    val emb = Tables(spark, sf, "embeddings")
+    val corp = emb.select(col("vec_id"),
+      SimilarityOps.gridCodes(col("embedding"), 512).as("cv"))
+    val seeds = corp.orderBy(col("vec_id")).limit(16)
+      .select(col("cv")).collect().map(_.getSeq[Long](0)).toSeq
+    val cents = SimilarityOps.trainCoarseInt(corp, "vec_id", 4, 2,
+      Some(seeds.take(4)))
+    val clusterSide = corp
+      .withColumn("cid", SimilarityOps.nearestCoarse(col("cv"), cents))
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("cv"), col("cid")).collect()
+    assert(clusterSide.length == 16)
+    clusterSide.foreach { r =>
+      assert(SimilarityOps.nearestCidLocal(r.getSeq[Long](0), cents) ==
+        r.getInt(1))
+    }
+  }
+
   test("trained PQ encode/tabs: argmin codes, tie to lowest, degenerate zeros") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     // m=2 subspaces of sub=2 dims, ncode=2: books laid out
