@@ -674,8 +674,13 @@ object CorpusOps {
                               idCol: String = "doc_id",
                               textCol: String = "text"): DataFrame = {
     val ex = docs.select(col(idCol), explode(wordGrams(col(textCol), n)).as("g"))
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-    val per = ex.join(dfreq, "g")
+    // r16: the df count rides a window over the SAME g-keyed exchange the
+    // old groupBy+join-back form shuffled twice — and the join form also
+    // re-evaluated the tokenize+explode pipeline once per leg (guide §2;
+    // same restructure as pageRank's degree). Identical per-gram counts.
+    val per = ex
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_df") > dfCap, 1L).otherwise(0L)).as("n_dup"))

@@ -145,11 +145,16 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val occ = docs.select(col(idCol),
       posexplode(wordGramsAll(lower(col(textCol)), k)).as(Seq("pos", "span")))
-    val dupSpans = occ.groupBy(col("span"))
-      .agg(count(lit(1)).as("_occ")).filter(col("_occ") >= 2)
-      .select(col("span"))
     val w = Window.partitionBy(col("span")).orderBy(col(idCol).asc, col("pos").asc)
-    val cuts = occ.join(dupSpans, "span")
+    // r16: the duplicate filter rides a count window over the SAME
+    // span-keyed exchange the canonical-pick window already needs — the
+    // old [occurrence-count groupBy + join-back] evaluated the
+    // windowed-gram pass twice and shuffled the occurrences twice
+    // (guide §2; same restructure as pageRank's degree). Row set
+    // identical: all occurrences of every span occurring ≥ 2 times.
+    val cuts = occ
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("span"))))
+      .filter(col("_occ") >= 2)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") > 1) // every occurrence but the canonical one
       .groupBy(col(idCol))
@@ -297,32 +302,40 @@ object DedupOps {
       minhashBandRows(docs, n, k, bands, idCol, textCol)
     val be = explBuckets(batch)
     val ce = capHotBuckets(explBuckets(corpus), maxBucket)
-    val cands = be.as("a").join(ce.as("b"),
+    val cands0 = be.as("a").join(ce.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.bucket") === col("b.bucket"))
       .select(col(s"a.$idCol").as("batch_id"), col(s"b.$idCol").as("corpus_id"))
       .distinct()
-    val bex = shingleRows(batch, n, idCol, textCol).toDF("batch_id", "g")
-    val cex = shingleRows(corpus, n, idCol, textCol).toDF("_cid", "g2")
-    val bsz = bex.groupBy(col("batch_id")).agg(count(lit(1)).as("sz1"))
-    val csz = cex.groupBy(col("_cid").as("corpus_id")).agg(count(lit(1)).as("sz2"))
-    val inter = cands.join(bex, "batch_id")
-      .join(cex, col("corpus_id") === col("_cid") && col("g") === col("g2"))
-      .groupBy(col("batch_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    cands
-      .join(inter, Seq("batch_id", "corpus_id"), "left")
-      .na.fill(0L, Seq("inter_cnt"))
-      .join(bsz, "batch_id")
-      .join(csz, "corpus_id")
-      .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
-      .filter(col("uni_cnt") > 0)
-      .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_id"), col("corpus_id"),
-        col("inter_cnt").cast("int").as("inter"),
-        col("uni_cnt").cast("int").as("uni"),
-        round(col("jaccard"), 6).as("jaccard"))
+    // r16: same capped-candidates materialization as [[minhashLsh]] —
+    // the pair list feeds both the intersection and the final left join,
+    // and re-deriving it re-runs BOTH sides' signature pipelines
+    val capped = maxBucket != Int.MaxValue
+    val cands = if (capped) cands0.localCheckpoint(true) else cands0
+    try {
+      val bex = shingleRows(batch, n, idCol, textCol).toDF("batch_id", "g")
+      val cex = shingleRows(corpus, n, idCol, textCol).toDF("_cid", "g2")
+      val bsz = bex.groupBy(col("batch_id")).agg(count(lit(1)).as("sz1"))
+      val csz = cex.groupBy(col("_cid").as("corpus_id")).agg(count(lit(1)).as("sz2"))
+      val inter = cands.join(bex, "batch_id")
+        .join(cex, col("corpus_id") === col("_cid") && col("g") === col("g2"))
+        .groupBy(col("batch_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("inter_cnt"))
+      val out = cands
+        .join(inter, Seq("batch_id", "corpus_id"), "left")
+        .na.fill(0L, Seq("inter_cnt"))
+        .join(bsz, "batch_id")
+        .join(csz, "corpus_id")
+        .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
+        .filter(col("uni_cnt") > 0)
+        .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id"), col("corpus_id"),
+          col("inter_cnt").cast("int").as("inter"),
+          col("uni_cnt").cast("int").as("uni"),
+          round(col("jaccard"), 6).as("jaccard"))
+      if (capped) out.localCheckpoint(true) else out
+    } finally if (capped) GraphOps.freeCheckpoint(cands)
   }
 
   /** Distinct (doc, word-n-gram-shingle) rows — the shared base of the
@@ -398,25 +411,37 @@ object DedupOps {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val ex = shingleRows(docs, n, idCol, textCol)
     val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val cands = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
-    // Exact overlap, restricted to candidate pairs (no all-pairs join).
-    val e1 = ex.toDF("id1", "g")
-    val e2 = ex.toDF("_id2", "g2")
-    val inter = cands.join(e1, "id1")
-      .join(e2, col("id2") === col("_id2") && col("g") === col("g2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    cands
-      .join(inter, Seq("id1", "id2"), "left")
-      .na.fill(0L, Seq("inter_cnt"))
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
-      .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
-      .filter(col("uni_cnt") > 0)
-      .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
-        col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
+    // r16: the candidate list is read by BOTH the intersection and the
+    // final left join — when the hot-bucket cap bounds it (O(n·cap), two
+    // longs per row) materialize it once instead of running the
+    // signature+blocking pipeline twice; the verified result is
+    // materialized before the checkpoint is freed, so nothing leaks past
+    // the query. The uncapped path keeps the lazy form — an unbounded
+    // pair list must stream, not persist.
+    val cands0 = minhashCandidates(docs, n, k, bands, idCol, textCol, maxBucket)
+    val capped = maxBucket != Int.MaxValue
+    val cands = if (capped) cands0.localCheckpoint(true) else cands0
+    try {
+      // Exact overlap, restricted to candidate pairs (no all-pairs join).
+      val e1 = ex.toDF("id1", "g")
+      val e2 = ex.toDF("_id2", "g2")
+      val inter = cands.join(e1, "id1")
+        .join(e2, col("id2") === col("_id2") && col("g") === col("g2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("inter_cnt"))
+      val out = cands
+        .join(inter, Seq("id1", "id2"), "left")
+        .na.fill(0L, Seq("inter_cnt"))
+        .join(sizes.toDF("id1", "sz1"), "id1")
+        .join(sizes.toDF("id2", "sz2"), "id2")
+        .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
+        .filter(col("uni_cnt") > 0)
+        .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
+          col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
+      if (capped) out.localCheckpoint(true) else out
+    } finally if (capped) GraphOps.freeCheckpoint(cands)
   }
 
   /** Hot-bucket cap shared by every LSH blocking stage: drop (band,
@@ -433,6 +458,37 @@ object DedupOps {
         .select(col("band_idx"), col("bucket")),
       Seq("band_idx", "bucket"))
 
+  /** All ordered (id1 < id2) pairs within each size-capped group,
+    * generated IN-GROUP from a collected posting list (r16, guide §2/§3):
+    * ONE keyed exchange of the posting rows replaces the three-exchange
+    * [group-count + join-back + self-join] blocking form — which also
+    * re-evaluated the expensive upstream (tokenize + explode/signature)
+    * pipeline once per join leg, up to 40 corpus scans in one plan
+    * (dedup_containment, r16 baseline). Groups over `cap` are dropped
+    * BEFORE pair generation, exactly like [[capHotBuckets]] /
+    * the maxDf blocking filter; the list is sorted so pair generation is
+    * order-independent; the pair SET is identical to the self-join form.
+    * Per-group work is bounded by cap²/2 (cap ≤ ~1000 here), and the
+    * two-level explode streams ≤ cap ids per emitted row — no quadratic
+    * single-row array ever materializes. */
+  private[ops] def cappedGroupPairs(rows: DataFrame, groupCols: Seq[String],
+                                    idCol: String, cap: Int): DataFrame = {
+    val lists = rows.groupBy(groupCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("_ids"))
+      .filter(size(col("_ids")) <= cap)
+      .select(array_sort(col("_ids")).as("_ids"))
+    lists
+      .select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "id1")))
+      .select(col("id1"),
+        explode(slice(col("_ids"), col("_i") + lit(2),
+          size(col("_ids")) - col("_i") - lit(1))).as("id2"))
+      // a group holding the same id twice (callers with non-distinct
+      // posting rows) must not emit an (x, x) pair — the self-join form's
+      // strict a < b never did; pair multiplicity for id1 ≠ id2 matches
+      // the join form exactly (m_a · m_b position pairs)
+      .filter(col("id1") =!= col("id2"))
+  }
+
   /** LSH candidate pairs only (band equi-join, optional hot-bucket cap):
     * the blocking stage shared by [[minhashLsh]] (Jaccard verify) and
     * [[editVerifiedPairs]] (edit-distance verify). One ordered (id1 < id2)
@@ -443,14 +499,24 @@ object DedupOps {
                         bands: Int = 4, idCol: String = "doc_id",
                         textCol: String = "text",
                         maxBucket: Int = Int.MaxValue): DataFrame = {
-    val expl = capHotBuckets(
-      minhashBandRows(docs, n, k, bands, idCol, textCol), maxBucket)
-    expl.as("a").join(expl.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.bucket") === col("b.bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
+    val bandRows = minhashBandRows(docs, n, k, bands, idCol, textCol)
+    val pairs =
+      if (maxBucket == Int.MaxValue) {
+        // uncapped: groups are unbounded, so a collected posting list
+        // could materialize a giant cluster in one task — keep the
+        // streaming self-join here
+        bandRows.as("a").join(bandRows.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.bucket") === col("b.bucket") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      } else
+        // capped: one exchange of the band rows, in-bucket pair
+        // generation (r16) — replaces [bucket-count + join-back +
+        // self-join], which evaluated the per-doc minhash signature
+        // pipeline four times per plan
+        cappedGroupPairs(bandRows, Seq("band_idx", "bucket"), idCol, maxBucket)
+    pairs.distinct()
   }
 
   /** Fuzzy dedup, record-linkage style: LSH candidate pairs verified by
@@ -523,44 +589,73 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxDf: Int = Int.MaxValue): DataFrame = {
-    val ex = shingleRows(docs, n, idCol, textCol)
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter =
+    val counted =
       if (maxDf == Int.MaxValue) {
         // uncapped: every shared shingle is a blocking shingle, so the
         // blocking join's group count IS the exact intersection
+        val ex = shingleRows(docs, n, idCol, textCol)
+        val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         ex.toDF("ida", "g").as("a")
           .join(ex.toDF("idb", "gb").as("b"),
             col("g") === col("gb") && col("ida") < col("idb"))
           .groupBy(col("ida").as("id1"), col("idb").as("id2"))
           .agg(count(lit(1)).as("inter_cnt"))
-      } else {
-        // blocking index with hot shingles dropped... (re-select: the
-        // USING join moves the key to column 0)
-        val blockEx = ex.join(
-          ex.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-            .filter(col("_df") <= maxDf).select(col("g")),
-          "g").select(col(idCol), col("g"))
-        val cands = blockEx.toDF("ida", "g").as("a")
-          .join(blockEx.toDF("idb", "gb").as("b"),
-            col("g") === col("gb") && col("ida") < col("idb"))
-          .select(col("ida").as("id1"), col("idb").as("id2"))
-          .distinct()
-        // ...then exact overlap over ALL shingles for the candidates
-        cands.join(ex.toDF("id1", "g"), "id1")
-          .join(ex.toDF("_id2", "g2"),
-            col("id2") === col("_id2") && col("g") === col("g2"))
-          .groupBy(col("id1"), col("id2"))
-          .agg(count(lit(1)).as("inter_cnt"))
-      }
-    inter
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
+          .join(sizes.toDF("id1", "sz1"), "id1")
+          .join(sizes.toDF("id2", "sz2"), "id2")
+      } else
+        // capped: shared posting-list blocking + exact overlap core (r16)
+        cappedPairCounts(docs, n, maxDf, idCol, textCol)
+    counted
       .withColumn("uni_cnt", col("sz1") + col("sz2") - col("inter_cnt"))
       .withColumn("jaccard", col("inter_cnt").cast("double") / col("uni_cnt"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
         col("uni_cnt").cast("int").as("uni"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared core of the df-capped exact-overlap verifiers
+    * ([[ngramJaccard]]'s capped path and [[containmentPairs]]): shingle
+    * posting lists → in-group candidate pairs ([[cappedGroupPairs]],
+    * maxDf = the blocking cap) → exact intersection + per-doc shingle
+    * sizes over the candidates' shingles. One row per candidate pair:
+    * (id1, id2, inter_cnt, sz1, sz2). An inner join covers every
+    * candidate: a capped pair shares its (low-df) blocking shingle by
+    * construction, so inter_cnt ≥ 1.
+    *
+    * r16 restructure (guide §2/§6): the previous join-chain re-evaluated
+    * the tokenize+explode pipeline once per join leg — 40 corpus scans in
+    * the containment plan, zero exchange reuse. Now the candidate pair
+    * list and the candidate-pruned shingle rows are each materialized
+    * ONCE as spillable local checkpoints (both bounded: near-dup
+    * candidates and their shingles — the same semi-join prune as before,
+    * measured ~4× for containment), every downstream leg reads those, and
+    * the corpus is scanned exactly twice. The returned counts frame is
+    * materialized as well, so both intermediates are freed before this
+    * returns — nothing leaks past the query.
+    */
+  private def cappedPairCounts(docs: DataFrame, n: Int, maxDf: Int,
+                               idCol: String, textCol: String): DataFrame = {
+    val ex0 = shingleRows(docs, n, idCol, textCol)
+    val cands = cappedGroupPairs(ex0, Seq("g"), idCol, maxDf)
+      .distinct().localCheckpoint(true)
+    try {
+      val candIds = cands.select(col("id1").as("_cid"))
+        .union(cands.select(col("id2").as("_cid"))).distinct()
+      val ex = ex0.join(candIds, col(idCol) === col("_cid"), "left_semi")
+        .localCheckpoint(true)
+      try {
+        val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        val inter = cands.join(ex.toDF("id1", "g"), "id1")
+          .join(ex.toDF("_id2", "g2"),
+            col("id2") === col("_id2") && col("g") === col("g2"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("inter_cnt"))
+        inter
+          .join(sizes.toDF("id1", "sz1"), "id1")
+          .join(sizes.toDF("id2", "sz2"), "id2")
+          .localCheckpoint(true)
+      } finally GraphOps.freeCheckpoint(ex)
+    } finally GraphOps.freeCheckpoint(cands)
   }
 
   /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold over
@@ -581,38 +676,16 @@ object DedupOps {
     */
   def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                        maxDf: Int = 64, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val ex0 = shingleRows(docs, n, idCol, textCol)
-    val blockEx = ex0.join(
-      ex0.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxDf).select(col("g")),
-      "g").select(col(idCol), col("g"))
-    val cands = blockEx.toDF("ida", "g").as("a")
-      .join(blockEx.toDF("idb", "gb").as("b"),
-        col("g") === col("gb") && col("ida") < col("idb"))
-      .select(col("ida").as("id1"), col("idb").as("id2"))
-      .distinct()
-    // same semi-join prune as minhashLsh: the exact-intersection count
-    // only ever reads candidate docs' shingles (counts stay per-doc-full)
-    val candIds = cands.select(col("id1").as("_cid"))
-      .union(cands.select(col("id2").as("_cid"))).distinct()
-    val ex = ex0.join(candIds, col(idCol) === col("_cid"), "left_semi")
-    val sizes = ex.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = cands.join(ex.toDF("id1", "g"), "id1")
-      .join(ex.toDF("_id2", "g2"),
-        col("id2") === col("_id2") && col("g") === col("g2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter_cnt"))
-    inter
-      .join(sizes.toDF("id1", "sz1"), "id1")
-      .join(sizes.toDF("id2", "sz2"), "id2")
+                       textCol: String = "text"): DataFrame =
+    // shared posting-list blocking + exact overlap core (r16) — the
+    // containment score is the only part not in common with ngramJaccard
+    cappedPairCounts(docs, n, maxDf, idCol, textCol)
       .withColumn("containment",
         col("inter_cnt").cast("double") / least(col("sz1"), col("sz2")))
       .filter(col("containment") >= threshold)
       .select(col("id1"), col("id2"), col("inter_cnt").cast("int").as("inter"),
         least(col("sz1"), col("sz2")).cast("int").as("min_sz"),
         round(col("containment"), 6).as("containment"))
-  }
 
   /** Per-document 32-bit SimHash fingerprints — a pure per-document
     * function of the distinct-token set, so it runs as one native loop

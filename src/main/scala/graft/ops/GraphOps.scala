@@ -4,6 +4,7 @@ import scala.collection.mutable.ListBuffer
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: turn a pairwise near-duplicate edge list
@@ -83,13 +84,6 @@ object GraphOps {
                           idCol: String = "id", srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 50): DataFrame = {
-    val freed = ListBuffer.empty[() => Unit]
-    def checkpointed(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true) // materialize + cut lineage
-      freed += (() => freeCheckpoint(out))
-      out
-    }
-
     // one-direction pair list, materialized ONCE up front: the path
     // decision, the mirror and every propagation round read it, and an
     // upstream pair pipeline (minhash, simhash...) must not re-execute.
@@ -100,7 +94,28 @@ object GraphOps {
     val p = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
-    val pFree = () => freeCheckpoint(p)
+    ccPrepared(nodes, p, idCol, maxIter, freeP = true)
+  }
+
+  /** [[connectedComponents]] over an ALREADY-checkpointed, null-filtered,
+    * (src, dst)-named pair list — the seam that lets [[components]] share
+    * ONE pair materialization between its node derivation and the
+    * propagation loop (r16: previously two back-to-back localCheckpoints
+    * of the same rows, i.e. one redundant materialization action on the
+    * expensive pair pipeline's output). With `freeP` the pair checkpoint
+    * is freed here on every exit (the public entry's contract); otherwise
+    * the caller owns it — it may still back `nodes`, which this method
+    * consumes up to its final (materialized) label join.
+    */
+  private[ops] def ccPrepared(nodes: DataFrame, p: DataFrame, idCol: String,
+                              maxIter: Int, freeP: Boolean): DataFrame = {
+    val freed = ListBuffer.empty[() => Unit]
+    def checkpointed(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true) // materialize + cut lineage
+      freed += (() => freeCheckpoint(out))
+      out
+    }
+    val pFree = () => if (freeP) freeCheckpoint(p)
 
     // pFree on EVERY exit of this region via ONE finally — the config
     // parse, the threshold count, the fast path, and the eager und
@@ -299,15 +314,23 @@ object GraphOps {
                  idCol: String = "doc_id", id1Col: String = "id1",
                  id2Col: String = "id2"): DataFrame = {
     // run the (expensive) pair pipeline exactly once — node derivation,
-    // edge mirroring and every propagation round read this checkpoint
-    val p = pairs.select(col(id1Col), col(id2Col)).localCheckpoint(true)
-    val touched = p.select(col(id1Col).as("id"))
-      .union(p.select(col(id2Col).as("id"))).distinct()
-    // sub is eagerly materialized by connectedComponents before the
-    // finally runs; freed on the exception path too (non-convergence or
-    // a mid-round task failure used to leak the pair blocks)
+    // edge mirroring and every propagation round read this ONE checkpoint
+    // (r16: connectedComponents used to re-checkpoint the same rows
+    // back-to-back; ccPrepared shares this materialization instead). The
+    // null filter is the same one the public entry applies — null
+    // endpoints conduct nothing, and they must not reach the union-find
+    // fast path or the touched-node derivation.
+    val p = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val touched = p.select(col("src").as("id"))
+      .union(p.select(col("dst").as("id"))).distinct()
+    // sub is eagerly materialized by ccPrepared before the finally runs;
+    // freed on the exception path too (non-convergence or a mid-round
+    // task failure used to leak the pair blocks). freeP=false: touched
+    // reads p up to ccPrepared's final materialized label join.
     val sub =
-      try connectedComponents(touched, p, "id", id1Col, id2Col)
+      try ccPrepared(touched, p, "id", maxIter = 50, freeP = false)
       finally freeCheckpoint(p)
     // subgraph results are small (pair-touched docs only) → broadcast-able
     docs.select(col(idCol))
@@ -350,13 +373,24 @@ object GraphOps {
     // even go negative and drop the bucket entirely)
     val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
       .join(docs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    // r16: `touched` is Σ n_docs over the histogram itself, so the
+    // degree-0 complement no longer re-evaluates `deg` — which re-ran the
+    // whole upstream pair pipeline a second time. The histogram is tiny
+    // (one row per distinct degree): materialize it once, read it from
+    // both branches, materialize the (equally tiny) result, free the
+    // intermediate — same eager-result discipline as [[components]].
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
-    val touched = deg.agg(count(lit(1)).as("_touched"))
-    val total = docs.agg(count(lit(1)).as("_total"))
-    val zero = total.crossJoin(touched)
-      .select(lit(0L).as("degree"), (col("_total") - col("_touched")).as("n_docs"))
-      .filter(col("n_docs") > 0)
-    hist.unionByName(zero)
+      .localCheckpoint(true)
+    try {
+      // coalesce: sum over an EMPTY histogram is NULL (count was 0), and
+      // a null touched would silently drop the degree-0 row entirely
+      val touched = hist.agg(coalesce(sum(col("n_docs")), lit(0L)).as("_touched"))
+      val total = docs.agg(count(lit(1)).as("_total"))
+      val zero = total.crossJoin(touched)
+        .select(lit(0L).as("degree"), (col("_total") - col("_touched")).as("n_docs"))
+        .filter(col("n_docs") > 0)
+      hist.unionByName(zero).localCheckpoint(true)
+    } finally freeCheckpoint(hist)
   }
 
   /** Fixed-iteration PageRank over the undirected near-dup graph, in
@@ -394,12 +428,16 @@ object GraphOps {
       struct(col(id1Col).as("src"), col(id2Col).as("dst")),
       struct(col(id2Col).as("src"), col(id1Col).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
     // materialize the (edge, out-degree) table ONCE — every iteration
     // joins it, and a lazy lineage re-runs the upstream pair pipeline
     // (the LSH blocking chain) once per iteration: measured 5× the whole
-    // query cost at iters=5 before this checkpoint
-    val withDeg = edges.join(deg, "src").localCheckpoint(true)
+    // query cost at iters=5 before this checkpoint. The degree rides a
+    // window count over the same src-keyed exchange (r16; the previous
+    // groupBy + self-join form evaluated the pair pipeline twice and
+    // shuffled the edges twice)
+    val withDeg = edges.withColumn("_deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
     try {
     // docs' lineage is joined back EVERY iteration — checkpoint the id
     // column once, the same re-execution discipline as withDeg (a docs
@@ -441,7 +479,7 @@ object GraphOps {
     * to free them. GraphOpsSpec pins both the plan shape and the
     * blocks-actually-freed behavior.
     */
-  private def freeCheckpoint(df: DataFrame): Unit = {
+  private[ops] def freeCheckpoint(df: DataFrame): Unit = {
     val rdds = df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }

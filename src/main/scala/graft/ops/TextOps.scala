@@ -215,16 +215,13 @@ object TextOps {
                   minShared: Int = 2, maxDf: Int = 64,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fps = winnowFingerprints(docs, n, window, idCol, textCol)
-    val rare = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxDf)
-      .select(col("fp"))
-    val f = fps.join(rare, "fp")
-    val a = f.select(col("fp"), col(idCol).as("id_a"))
-    val b = f.select(col("fp"), col(idCol).as("id_b"))
-    a.join(b, "fp")
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // r16: in-group pair generation over fp posting lists — one keyed
+    // exchange of the fingerprint rows replaces the [df-count + join-back
+    // + self-join] form, which evaluated the per-doc winnow pipeline four
+    // times per plan (DedupOps.cappedGroupPairs; pair multiset identical,
+    // so the shared_fps counts are unchanged)
+    DedupOps.cappedGroupPairs(fps, Seq("fp"), idCol, maxDf)
+      .groupBy(col("id1").as("id_a"), col("id2").as("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
