@@ -66,22 +66,25 @@ object JoinOps {
         s"with asofJoin's internal names (${reserved.mkString(",")}) — rename them first")
     require(!payloadCols.exists(reserved) && !reserved(tieBreak),
       s"payload/tieBreak columns must not use the internal names ${reserved.mkString(",")}")
-    // one right row per (key, ts): the tie-break winner. Keyed aggregate
-    // with map-side partial combine; also what makes the merge window
-    // deterministic (no equal sort keys on the tagged right side). The
-    // struct carries the right timestamp in trailing field _rt (constant
-    // within a group, so it never affects the max) for nearest's gaps.
+    // The payload struct leads with the tie-break column, so struct
+    // ordering IS the (key, ts) tie-break order: the merge window sorts
+    // right rows by _r within equal (ts, tag) and `last` picks the
+    // struct-max — the same winner the old per-(key, ts) max(struct)
+    // pre-aggregation produced, without its extra exchange + two sorts
+    // of the whole right side (r16, guide §2: that aggregate planned as
+    // Sort→SortAggregate→Exchange→Sort→SortAggregate because struct max
+    // is not hash-aggregable). The struct carries the right timestamp in
+    // trailing field _rt for nearest's gap arithmetic.
     val payload = struct((tieBreak +: payloadCols.filterNot(_ == tieBreak))
       .map(col) :+ col(rightTs).as("_rt"): _*)
-    val r1 = right.groupBy(col(rightKey).as("_k"), col(rightTs).as("_t"))
-      .agg(max(payload).as("_r"))
-    val rType = r1.schema("_r").dataType
     val lStructCols = left.columns.toSeq
     val lType = left.select(struct(lStructCols.map(col): _*).as("_l"))
       .schema("_l").dataType
 
-    val rTagged = r1.select(col("_k"), col("_t"), lit(0).as("_tag"),
-      col("_r"), lit(null).cast(lType).as("_l"))
+    val rTagged = right.select(col(rightKey).as("_k"),
+      col(rightTs).as("_t"), lit(0).as("_tag"), payload.as("_r"),
+      lit(null).cast(lType).as("_l"))
+    val rType = rTagged.schema("_r").dataType
     val lTagged = left.select(col(leftKey).as("_k"), col(leftTs).as("_t"),
       lit(1).as("_tag"), lit(null).cast(rType).as("_r"),
       struct(lStructCols.map(col): _*).as("_l"))
@@ -103,7 +106,13 @@ object JoinOps {
       case _ => c
     }
     def windowed(order: Column): Column = {
-      val w = Window.partitionBy(col("_k")).orderBy(order, col("_tag"))
+      // _r last in the sort: within equal (ts, tag) the right rows order
+      // by the payload struct (tie-break leading), so `last` = struct-max
+      // — deterministic without the pre-aggregation. Left rows are all
+      // null _r within their (ts, tag=1) group; their relative order is
+      // irrelevant to the window.
+      val w = Window.partitionBy(col("_k"))
+        .orderBy(order, col("_tag"), col("_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       last(col("_r"), ignoreNulls = true).over(w)
     }
