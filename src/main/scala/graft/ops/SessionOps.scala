@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object SessionOps {
 
+  /** Exact money sum → double on the r16 integer grid: the same HALF_UP
+    * 2 dp value set as the previous `SUM(CAST(v AS DECIMAL(28,2)))`
+    * (hundredth units, summed exactly by
+    * [[graft.functions.SumExactLong]]), but the per-row path stays on
+    * compact-long decimals — precision-28 decimals are BigDecimal-backed
+    * per row, and this aggregate was the session family's top GC source
+    * (0.30 s GC over 2 passes at sf0.1 in the r16 baseline). The final
+    * /100 → DOUBLE is the same exact rational as the decimal form's
+    * CAST(SUM AS DOUBLE); the DuckDB oracle gates the equality unchanged.
+    * Domain: |v| < 10^12 per value (decimal(14,2)·100 stays compact) —
+    * far beyond any per-event money; ANSI mode fails loud on overflow
+    * rather than corrupting.
+    */
+  private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (graft.functions.SumExactLong.sumExact(
+      (c.cast("decimal(14,2)") * 100).cast("long")) / 100).cast("double")
+
   def sessionize(events: DataFrame, gapSeconds: Long = 1800,
                  userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
@@ -34,8 +51,8 @@ object SessionOps {
         count(lit(1)).as("n_events"),
         (unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
           .as("duration_us"),
-        // exact decimal sum → double: engine-portable determinism
-        sum(col("value").cast("decimal(28,2)")).cast("double").as("total_value"))
+        // exact integer-grid sum → double: engine-portable determinism
+        sumMoney(col("value")).as("total_value"))
 
   /** Ordered-funnel analysis: per user, how far through the `steps`
     * sequence their event stream advances — strict order, greedy
@@ -99,7 +116,7 @@ object SessionOps {
       .groupBy(window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds"),
         col(typeCol))
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(28,2)")).cast("double").as("total_value"))
+        sumMoney(col(valueCol)).as("total_value"))
       .select(
         unix_micros(col("window.start").cast("timestamp_ltz")).as("win_start_us"),
         col(typeCol), col("n_events"), col("total_value"))
@@ -249,6 +266,6 @@ object SessionOps {
       .groupBy(col("_first").as("first_touch"),
         coalesce(col("_last"), lit("direct")).as("last_touch"))
       .agg(count(lit(1)).as("n_conversions"),
-        sum(col("value").cast("decimal(28,2)")).cast("double").as("revenue"))
+        sumMoney(col("value")).as("revenue"))
   }
 }
