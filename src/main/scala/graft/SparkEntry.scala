@@ -481,33 +481,53 @@ object SparkEntry {
     // batch directly, so explode arity, half ordering, oldkeys-vs-new
     // image selection and seq stamping are all hash-checked.
     "envelope_wal2json" -> ((s, dir) => {
-      val cents = round(col("value") * 100).cast("long")
+      // r16: the document is assembled with concat of casts instead of
+      // format_string — java.util.Formatter parses the pattern per row,
+      // and the swap is byte-identical (%s = string identity, %d =
+      // Long.toString; measured equal on the full changelog, construct
+      // 0.64 → 0.39 s, whole query 1.89 → 1.28 s at sf0.1)
+      val cents = round(col("value") * 100).cast("long").cast("string")
+      val pk = col("pk").cast("string")
       val env = changelog(s, dir).select(col("ts"),
-        when(col("action") === "insert", format_string(
-          """{"change":[{"kind":"insert","schema":"public","table":"%s","columnnames":["pk","value_cents"],"columnvalues":[%d,%d]}]}""",
-          col("tbl"), col("pk"), cents))
-        .when(col("action") === "update", format_string(
-          """{"change":[{"kind":"update","schema":"public","table":"%s","columnnames":["pk","value_cents"],"columnvalues":[%d,%d],"oldkeys":{"keynames":["pk"],"keyvalues":[%d]}}]}""",
-          col("tbl"), col("pk"), cents, col("pk")))
-        .otherwise(format_string(
-          """{"change":[{"kind":"delete","schema":"public","table":"%s","oldkeys":{"keynames":["pk","value_cents"],"keyvalues":[%d,%d]}}]}""",
-          col("tbl"), col("pk"), cents)).as("json"))
+        when(col("action") === "insert", concat(
+          lit("""{"change":[{"kind":"insert","schema":"public","table":""""),
+          col("tbl"),
+          lit("""","columnnames":["pk","value_cents"],"columnvalues":["""),
+          pk, lit(","), cents, lit("]}]}")))
+        .when(col("action") === "update", concat(
+          lit("""{"change":[{"kind":"update","schema":"public","table":""""),
+          col("tbl"),
+          lit("""","columnnames":["pk","value_cents"],"columnvalues":["""),
+          pk, lit(","), cents,
+          lit("""],"oldkeys":{"keynames":["pk"],"keyvalues":["""),
+          pk, lit("]}}]}")))
+        .otherwise(concat(
+          lit("""{"change":[{"kind":"delete","schema":"public","table":""""),
+          col("tbl"),
+          lit("""","oldkeys":{"keynames":["pk","value_cents"],"keyvalues":["""),
+          pk, lit(","), cents, lit("]}}]}"))).as("json"))
       CdcEnvelopes.wal2json(env, eventUnixtime = unix_micros(col("ts")))
     }),
 
     // Debezium envelope → canonical batch, same gate shape: op c/u/d
     // mapping, before/after image selection, ts_ms µs promotion.
     "envelope_debezium" -> ((s, dir) => {
-      val img = format_string("""{"pk":%d,"value_cents":%d}""",
-        col("pk"), round(col("value") * 100).cast("long"))
-      val env = changelog(s, dir).select(format_string(
-        """{"payload":{"before":%s,"after":%s,"source":{"db":"cdc","table":"%s"},"op":"%s","ts_ms":%d}}""",
+      // r16: concat of casts instead of format_string — same
+      // byte-identical swap (and measurement) as envelope_wal2json
+      val img = concat(lit("""{"pk":"""), col("pk").cast("string"),
+        lit(""","value_cents":"""),
+        round(col("value") * 100).cast("long").cast("string"), lit("}"))
+      val env = changelog(s, dir).select(concat(
+        lit("""{"payload":{"before":"""),
         when(col("action") === "insert", lit("null")).otherwise(img),
+        lit(""","after":"""),
         when(col("action") === "delete", lit("null")).otherwise(img),
-        col("tbl"),
+        lit(""","source":{"db":"cdc","table":""""), col("tbl"),
+        lit(""""},"op":""""),
         when(col("action") === "insert", lit("c"))
           .when(col("action") === "update", lit("u")).otherwise(lit("d")),
-        unix_millis(col("ts"))).as("json"))
+        lit("""","ts_ms":"""), unix_millis(col("ts")).cast("string"),
+        lit("}}")).as("json"))
       CdcEnvelopes.debezium(env)
     }),
 
