@@ -763,10 +763,21 @@ object DedupOps {
     * sit (adjacent projections). The sf10 rehearsal measured the
     * uncapped forms at 12–14× for 10× data; capped they are linear.
     *
-    * Banded responsibility join: the later row explodes to its own and
-    * the previous rank band (band width = maxPrev); the earlier row sits
-    * in exactly one of those, so each pair meets exactly once — no
-    * dedup pass. Returns the a/b-aliased join (a = earlier rank).
+    * Banded responsibility pairing: every row lands in its own rank band
+    * (band width = maxPrev) as an "a" (earlier-rank) candidate and in
+    * the PREVIOUS band as a "b"-only ghost, so each within-maxPrev pair
+    * meets in exactly one (block, band) group — no dedup pass. r16: the
+    * pairs are generated IN-GROUP from the collected (block, band)
+    * posting rows instead of the previous lo/hi self-join, which
+    * re-evaluated the whole rank-window subtree (scan + block exchange +
+    * sort) once per side and exchanged it twice more for the join. One
+    * window evaluation, one (block, band) exchange; groups are ≤
+    * 2·maxPrev rows, so the collected state is bounded by the cap, not
+    * the block-size distribution. Pair set identical (in-block ranks are
+    * unique, so the sorted list's position order IS the rank order).
+    * Output: one row per pair, sides as structs `a` (earlier rank) and
+    * `b` — callers' col("a.<field>") references resolve as struct field
+    * access exactly like the old join-alias references.
     *
     * The per-block `row_number` keeps each block in one task — fine for
     * any block that fits a partition; past that, swap the rank for the
@@ -781,15 +792,23 @@ object DedupOps {
     val rn = row_number().over(
       Window.partitionBy(col(blockCol))
         .orderBy(cosine(col(vecCol), typedLit(sortDirection(dims))), col(idCol)))
-    val r = e.withColumn("_rn", rn)
     val band = floor(col("_rn") / maxPrev)
-    val lo = r.withColumn("_band", band)
-    val hi = r.withColumn("_band", explode(array(band, band - 1)))
-    lo.as("a").join(hi.as("b"),
-      col(s"a.$blockCol") === col(s"b.$blockCol") &&
-        col("a._band") === col("b._band") &&
-        col("a._rn") < col("b._rn") &&
-        col("a._rn") >= col("b._rn") - maxPrev)
+    // pos 0 = the row's own band (its "a" role); pos 1 = the previous
+    // band, where it is reachable as a "b" by that band's earlier rows
+    val tagged = e.withColumn("_rn", rn)
+      .select(col(blockCol).as("_blk"),
+        struct(e.columns.map(col): _*).as("_p"), col("_rn"),
+        posexplode(array(band, band - 1)).as(Seq("_own", "_band")))
+    val lists = tagged.groupBy(col("_blk"), col("_band"))
+      .agg(array_sort(collect_list(struct(col("_rn"), col("_own"), col("_p"))))
+        .as("_rows"))
+    lists
+      .select(col("_rows"), posexplode(col("_rows")).as(Seq("_i", "_x")))
+      .filter(col("_x._own") === 0)
+      .select(col("_x"), explode(slice(col("_rows"), col("_i") + lit(2),
+        size(col("_rows")) - col("_i") - lit(1))).as("_y"))
+      .filter(col("_y._rn") <= col("_x._rn") + lit(maxPrev))
+      .select(col("_x._p").as("a"), col("_y._p").as("b"))
   }
 
   /** Embedding near-duplicates blocked by random-hyperplane LSH bucket —
@@ -885,7 +904,10 @@ object DedupOps {
                        blockCol: String = "label", idCol: String = "vec_id",
                        vecCol: String = "embedding", dims: Int = 64,
                        maxPrev: Int = Int.MaxValue): DataFrame = {
-    val e = embs.select(col(idCol), col(blockCol), col(vecCol))
+    // distinct: a caller may block on the id column itself (the
+    // exact-all-pairs degenerate form the spec exercises), and a
+    // duplicated column would make the pair structs' fields ambiguous
+    val e = embs.select(Seq(idCol, blockCol, vecCol).distinct.map(col): _*)
     val joined =
       if (maxPrev == Int.MaxValue)
         e.as("a").join(e.as("b"),
