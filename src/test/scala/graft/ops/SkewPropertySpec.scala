@@ -93,4 +93,44 @@ class SkewPropertySpec extends SparkSpec {
     assert(planted.isDefined)
     assert(planted.get._3 == 0.875) // 7 shared of min(8, 8) shingles
   }
+
+  test("cappedGroupPairs drops an over-cap hot group BEFORE collecting its " +
+    "posting list (r17: count window ahead of collect_list)") {
+    import spark.implicits._
+    // one hot group far over the cap, one group exactly AT the cap, one
+    // under it, one with duplicate posting rows (multiplicity semantics),
+    // one singleton (no pairs)
+    val rows = ((0 until 40).map(i => ("hot", f"h$i%02d")) ++
+      (0 until 8).map(i => ("atcap", f"a$i%02d")) ++
+      Seq(("small", "s1"), ("small", "s2"), ("small", "s3"),
+        ("dups", "d1"), ("dups", "d1"), ("dups", "d2"),
+        ("lone", "x1"))).toDF("g", "doc_id")
+    val got = DedupOps.cappedGroupPairs(rows, Seq("g"), "doc_id", cap = 8)
+    // reference semantics: the strict a<b self-join over capped groups
+    val sizes = rows.groupBy("g").count().filter($"count" <= 8).select("g")
+    val kept = rows.join(sizes, "g")
+    val want = kept.as("a").join(kept.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id1"), $"b.doc_id".as("id2"))
+      .as[(String, String)].collect().sorted.toSeq
+    val gotPairs = got.as[(String, String)].collect().sorted.toSeq
+    assert(gotPairs == want, "pair multiset must match the self-join form")
+    assert(!gotPairs.exists(_._1.startsWith("h")),
+      "the 40-row hot group is over cap 8 and contributes nothing")
+    assert(gotPairs.count(p => p._1.startsWith("a")) == 8 * 7 / 2,
+      "the exactly-at-cap group survives whole")
+    assert(gotPairs.count { case (a, b) => a == "d1" && b == "d2" } == 2,
+      "duplicate posting rows keep join multiplicity (m_a·m_b)")
+    assert(!gotPairs.contains(("d1", "d1")),
+      "a duplicated id never pairs with itself")
+    // scale-safety plan shape (VERDICT r16 #1): the hot-group filter is a
+    // count window that runs before collect_list, so the over-cap group's
+    // list never materializes in one aggregation buffer
+    val plan = got.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val aggAt = lines.indexWhere(_.contains("collect_list"))
+    val winAt = lines.indexWhere(_.contains("Window"))
+    assert(aggAt >= 0 && winAt > aggAt, // consumers print above producers
+      s"count window must feed the collect_list aggregate:\n$plan")
+  }
 }
