@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r17 (VERDICT r16 #2): forked `run` output used to route through sbt's
+// logger, which prefixes every stdout line with "[info] " — so the bench's
+// one-line JSON contract never reached the driver's capture as parseable
+// bare JSON (parsed: null in all 16 rounds' BENCH records). StdoutOutput
+// hands the forked process sbt's own stdout/stderr unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

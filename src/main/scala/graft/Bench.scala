@@ -317,7 +317,8 @@ object Bench {
     val envCompact = envLine(
       failed.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")) +
       (if (failed.size > 3) s""","failed_more":${failed.size - 3}""" else "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","master":"$master","canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,$env,"sf":"$sfDir","gc_sec_by_query":$gcs,"queries":$qs}"""
+    println(fullLine)
     // Second, COMPACT record (≤1.5 KB) printed after the full line: the
     // driver's bench capture keeps only a fixed-size tail of stdout, and
     // the full per-query map (~4.5 KB at 129 queries) overflows it — the
@@ -330,8 +331,34 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the default JVM locale, and a
     // comma-decimal locale would print total_s":123,4 — invalid JSON on
     // exactly the machine-parseability this line exists for
-    println("""{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,%s,"top20_ms":%s}"""
-      .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, envCompact, top20))
+    val compactLine =
+      """{"metric":"total_compact","total_s":%.1f,"sf":"%s","master":"%s","nq":%d,"canary_start_sec":%.3f,"canary_end_sec":%.3f,%s,"top20_ms":%s}"""
+        .formatLocal(java.util.Locale.ROOT, total, sfDir, master, results.size, canaryStart, canaryEnd, envCompact, top20)
+    println(compactLine)
+    // r17 (VERDICT r16 #2): in all 16 rounds the driver's bench capture
+    // never parsed — it keeps a fixed-size TAIL of this process's output,
+    // sbt's logger prefixes every System.out line with "[info] " (no bare
+    // JSON line ever reaches the tail), and the full per-query line
+    // (~4.5 KB) overflows the tail anyway. Two ADDITIONS (every existing
+    // line above is unchanged — the A/B tooling keeps reading them):
+    //  1. the full record persists to BENCH_LAST.json in the working
+    //     directory, immune to any tail truncation;
+    //  2. the ≤1.5 KB compact line is re-emitted RAW on file descriptor 1
+    //     — sbt swaps the System.out *reference* through its logger, not
+    //     the fd — so the tail's last JSON object is bare, whole, and
+    //     parseable by a plain json.loads over the line.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), fullLine + "\n" + compactLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARNING: BENCH_LAST.json not written: ${e.getMessage}")
+    }
+    try {
+      // deliberately not closed: fd 1 belongs to the (possibly in-process
+      // sbt) host
+      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      raw.write(("\n" + compactLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      raw.flush()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
