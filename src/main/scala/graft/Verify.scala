@@ -56,13 +56,20 @@ object Verify {
     // Dump the deterministic fixture AND the engine's funnel over it;
     // invariants.py verifies the pair definitionally. Not oracle-gated
     // (the oracle views are the sf tables); skipped on subset runs.
+    // r17 (VERDICT r16 #8): the dumps live in a SIBLING directory
+    // (`${outDir}_fixtures`), not inside outDir — the driver's DuckDB
+    // compare enumerates outDir's children and was flagging both
+    // fixtures as `no_oracle` every round. invariants.py derives the
+    // same sibling path (with a fallback to the old in-dir location for
+    // pre-r17 dumps).
     if (only.isEmpty) try {
+      val fxDir = s"${outDir.stripSuffix("/")}_fixtures"
       val fx = DataGen.funnelFixtureEvents(spark)
       fx.coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/funnel_fixture_events")
+        .parquet(s"$fxDir/funnel_fixture_events")
       graft.ops.SessionOps.funnelStages(fx, Seq("view", "click", "purchase"))
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/session_funnel_fixture")
+        .parquet(s"$fxDir/session_funnel_fixture")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] funnel fixture failed: ${e.getMessage}")
       failedNames += "funnel_fixture"

@@ -22,8 +22,17 @@ object SessionOps {
     * /100 → DOUBLE is the same exact rational as the decimal form's
     * CAST(SUM AS DOUBLE); the DuckDB oracle gates the equality unchanged.
     * Domain: |v| < 10^12 per value (decimal(14,2)·100 stays compact) —
-    * far beyond any per-event money; ANSI mode fails loud on overflow
-    * rather than corrupting.
+    * far beyond any per-event money. Out-of-domain behavior follows the
+    * session's `spark.sql.ansi.enabled`: ANSI fails loud on the cast;
+    * the graft sessions (Bench/Verify/BenchServe) set no ANSI config, so
+    * under a non-ANSI default an oversized value NULLs out of the cast
+    * and drops from the sum exactly like a SQL NULL — the same silent
+    * failure class the previous decimal(28,2) form had at its own 10^26
+    * bound, just at a nearer (still unreachable-for-money) bound. No
+    * per-row guard is added here: this is the session family's hottest
+    * aggregate and a branch-per-row buys insurance against a value class
+    * (≥ $10^10) the pipeline cannot produce (r17, VERDICT r16 #3 — the
+    * r16 wording claimed an ANSI guard the sessions never enable).
     */
   private def sumMoney(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (graft.functions.SumExactLong.sumExact(
