@@ -332,24 +332,36 @@ object TextOps {
     * salad with common words fools the unigram score but not this one.
     *
     * Scale shape: one non-distinct bigram pass feeds both the count
-    * table and the instance stream; prefix counts derive from the SAME
-    * bigram table (a second keyed agg over it — vocabulary-sized, not
-    * corpus-sized). The instance⋈model join splits hot/tail by mass
-    * exactly like [[unigramLogProb]] — hot bigrams broadcast, the tail
-    * joins skew-free, and no shuffle ever carries text.
+    * table and the instance stream; prefix counts ride a sum window on
+    * the count table's own _w1 exchange (r17 — vocabulary-sized, not
+    * corpus-sized, and no join-back). The instance⋈model join splits
+    * hot/tail by mass exactly like [[unigramLogProb]] — hot bigrams
+    * broadcast, the tail joins skew-free, and no shuffle ever carries
+    * text.
     */
   def bigramLogProb(docs: DataFrame, commonMassFraction: Double = 5e-4,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val inst = docs.select(col(idCol),
       explode(wordGramsAll(lower(col(textCol)), 2)).as("bg"))
     val counts = inst.groupBy(col("bg")).agg(count(lit(1)).as("_c12"))
-    val prefix = counts
-      .withColumn("_w1", substring_index(col("bg"), " ", 1))
-      .groupBy(col("_w1")).agg(sum(col("_c12")).as("_c1"))
     val total = counts.agg(sum(col("_c12")).cast("double").as("_tot"))
+    // r17 (guide §2, the r16 §7 pattern): the bigram-prefix count c(w₁·)
+    // was a second aggregate over `counts` joined back on _w1 — an
+    // aggregate-join-back on its own key, whose join leg re-evaluated the
+    // corpus bigram explode (no exchange reuse: column pruning
+    // differentiates the two legs' subtrees). It now rides
+    // `sum(_c12) over (partition by _w1)` on one _w1-keyed exchange of
+    // the VOCABULARY-sized count table: prefix aggregate + join deleted
+    // and one whole corpus explode pass gone. Window group state is
+    // bounded by a prefix's distinct-successor count (vocabulary-scale,
+    // not corpus-scale — unlike the tfidf window form this round
+    // rejected), and every counts row keeps its group sum (inner join on
+    // own key ≡ window sum; prefix groups are non-empty by construction),
+    // so the log quotient is bit-equal.
     val lp = counts
       .withColumn("_w1", substring_index(col("bg"), " ", 1))
-      .join(prefix, "_w1")
+      .withColumn("_c1", sum(col("_c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_w1"))))
       .crossJoin(broadcast(total))
       .select(col("bg"), col("_c12"), col("_tot"),
         log(col("_c12").cast("double") / col("_c1").cast("double")).as("_lp"))
