@@ -125,16 +125,31 @@ object CorpusOps {
 
   /** Corpus vocabulary head: the `k` highest-document-frequency terms with
     * their document and occurrence counts — the standard first look at a
-    * corpus before tokenizer training / stopword selection. One exploded
-    * pass, one hash-aggregate with map-side combine, one top-k.
+    * corpus before tokenizer training / stopword selection.
+    *
+    * Scale shape (r17, guide §2.3 "aggregate before you shuffle"): the
+    * one-pass `countDistinct(doc_id)` form planned as a two-level
+    * aggregate whose FIRST exchange is keyed (term, doc_id) — one row per
+    * distinct (doc, term) pair, i.e. a corpus-scale shuffle (15.9 MB at
+    * sf1, linear in the corpus). Instead, document frequency rides the
+    * native per-doc-DISTINCT gram pass (`wordGrams` n=1 — the same
+    * dedup-inside-the-row trick as [[TextOps.oovStats]]) and term
+    * frequency the plain instance pass; both legs pre-aggregate by term
+    * map-side, so the single exchange carries vocabulary-sized partials
+    * (#terms × tasks), never corpus-scale rows. Two scans instead of one,
+    * but the shuffle no longer grows with the corpus. df/tf values are
+    * identical: Σ_docs [term ∈ doc] ≡ countDistinct(doc_id), and the
+    * union legs' zero-tags drop out of the sums.
     */
   def vocabulary(docs: DataFrame, k: Int = 20, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
-    val raw = docs.select(col(idCol),
-      explode(tokens(lower(col(textCol)))).as("term"))
-    raw.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"),
-        count(lit(1)).as("tf"))
+    val perDoc = docs.select(explode(wordGrams(lower(col(textCol)), 1)).as("term"))
+      .select(col("term"), lit(1L).as("_d"), lit(0L).as("_t"))
+    val inst = docs.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .select(col("term"), lit(0L).as("_d"), lit(1L).as("_t"))
+    perDoc.unionByName(inst)
+      .groupBy(col("term"))
+      .agg(sum(col("_d")).as("df"), sum(col("_t")).as("tf"))
       .orderBy(col("df").desc, col("tf").desc, col("term").asc)
       .limit(k)
   }

@@ -373,6 +373,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(subset.forall { case (id, s) => full(id) == s })
   }
 
+  test("vocabulary: union-of-passes form matches the one-pass countDistinct reference") {
+    // r17: vocabulary() computes df from the per-doc-distinct gram pass
+    // and tf from the instance pass, unioned into ONE vocab-keyed
+    // aggregate (the corpus-scale (term, doc_id) exchange is gone). This
+    // pins value equality against the old one-pass spelling on a corpus
+    // with within-doc repeats (df must dedup), case variance (lowering),
+    // df/tf ties (ordering) and an empty document.
+    val docs = Seq(
+      (1L, "the The THE cat"),       // 'the' x3 in one doc -> df 1, tf 3
+      (2L, "the cat cat"),
+      (3L, "dog dog dog dog"),
+      (4L, "cat dog bird"),
+      (5L, "")                       // no terms
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.vocabulary(docs, k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    val ref = docs.select(col("doc_id"),
+        explode(graft.functions.CrossHash.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tf").desc, col("term").asc)
+      .limit(10).as[(String, Long, Long)].collect().toSeq
+    assert(out == ref)
+    assert(out.head == (("cat", 3L, 4L)))   // df ties with 'the' (3), tf wins
+    assert(out.map(_._1).contains("bird"))
+  }
+
   test("boilerplate fraction flags shared n-grams and keeps short docs") {
     val docs = Seq(
       (1L, "common boiler plate text here"),
