@@ -486,6 +486,13 @@ object SparkEntry {
       // and the swap is byte-identical (%s = string identity, %d =
       // Long.toString; measured equal on the full changelog, construct
       // 0.64 → 0.39 s, whole query 1.89 → 1.28 s at sf0.1)
+      // r17 note (round-16 advisor): the equivalence is data-dependent —
+      // concat NULLs the whole document where format_string rendered a
+      // null operand as the text "null". Every operand here (tbl, pk,
+      // value, ts) is non-null by construction of Changelog.fromEvents
+      // over the non-null events fixture, and the oracle hash-gates
+      // exactly that; a future nullable changelog column must wrap its
+      // operand in coalesce(cast, lit("null")) to keep the old rendering.
       val cents = round(col("value") * 100).cast("long").cast("string")
       val pk = col("pk").cast("string")
       val env = changelog(s, dir).select(col("ts"),
